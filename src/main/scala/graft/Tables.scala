@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Loaders + shared helpers for the driver-generated test corpus
+  * (TESTDATA.md, FIXTURES.md). All query builders take `(spark, sfDir)`
+  * and load via [[t]] so the same code runs at every scale factor.
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Exact-money arithmetic: the corpus' money columns are 2-decimal
+    * doubles (verified in FIXTURES.md data), so casting to decimal is
+    * lossless. Computing sums/products in decimal and casting the final
+    * result to double makes Spark and the DuckDB oracle agree
+    * bit-for-bit, which a raw double aggregation (order-dependent
+    * rounding) would not. Same trick at 100 TB: decimal agg is exact,
+    * deterministic, and still whole-stage-codegen'd.
+    */
+  def dec(c: Column): Column = c.cast("decimal(18,2)")
+}

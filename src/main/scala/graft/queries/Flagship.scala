@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{dec, t}
+
+/** Flagship query (SURVEY.md §2-L): TPC-H-Q3-style revenue rollup —
+  * 5-way join over the star schema, filtered to one market segment,
+  * grouped by nation and order year, top 10 by revenue.
+  *
+  * Scale notes (100 TB): lineitem⋈orders and orders⋈customer are the
+  * big shuffles — Catalyst plans them as sort-merge (or shuffled-hash
+  * under AQE); nation (25 rows) and region (5 rows) are explicitly
+  * broadcast so they never shuffle the fact table. The segment filter
+  * and column pruning push down to the parquet scans.
+  */
+object Flagship {
+  def q(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val o  = t(spark, sfDir, "orders")
+    val c  = t(spark, sfDir, "customer")
+    val n  = t(spark, sfDir, "nation")
+    val r  = t(spark, sfDir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .where(c("c_mktsegment") === "BUILDING")
+      .groupBy(n("n_name").as("n_name"), year(o("o_orderdate")).as("o_year"))
+      .agg(
+        sum(dec(li("l_extendedprice")) * (lit(BigDecimal(1)) - dec(li("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("revenue").desc, col("n_name"), col("o_year"))
+      .limit(10)
+  }
+
+  val sql: String =
+    """SELECT n_name,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1, 2
+ORDER BY revenue DESC, n_name, o_year
+LIMIT 10"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_flagship" -> (q _))
+  val oracle: Map[String, String] = Map("q_flagship" -> sql)
+}

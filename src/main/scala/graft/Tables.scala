@@ -11,7 +11,22 @@ object Tables {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read as a timestamp. Read it as raw nanos (legacy conf) and convert
+    * with integer division — the corpus' values are µs-aligned (verified:
+    * epoch_ns % 1000 == 0 for every row), and DuckDB likewise surfaces
+    * the column as a µs TIMESTAMP, so both engines see identical values.
+    * Integer `div` (not double /) because ns-since-epoch exceeds a
+    * double's 53-bit mantissa. */
+  private def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
 
   /** Exact-money arithmetic: the corpus' money columns are 2-decimal
     * doubles (verified in FIXTURES.md data), so casting to decimal is

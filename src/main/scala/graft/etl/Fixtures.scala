@@ -1,0 +1,39 @@
+package graft.etl
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Test-input material for the CSV→Parquet path: the corpus is
+  * parquet-only and read-only (TESTDATA.md), so CSV fixtures are
+  * exported from it into a temp dir once per (sfDir, table) per JVM.
+  */
+object Fixtures {
+  private val csvCache = new ConcurrentHashMap[String, String]()
+
+  /** Export a corpus table to CSV (header, canonical timestamp format)
+    * and return the directory path. Cached per JVM run. */
+  def csvOf(spark: SparkSession, sfDir: String, table: String): String =
+    csvCache.computeIfAbsent(s"$sfDir/$table", { _ =>
+      val dir = Files.createTempDirectory(s"graft_csv_$table").toString
+      graft.Tables.t(spark, sfDir, table)
+        .write.mode("overwrite")
+        .option("header", true)
+        .option("timestampFormat", Ingest.TsFormat)
+        .csv(dir)
+      dir
+    })
+
+  /** Fresh unique temp dir for sink tests. */
+  def tempDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Write `df` to a fresh parquet dir and read it back — the
+    * "as the next consumer sees it" view of a sink. */
+  def roundTrip(spark: SparkSession, df: DataFrame, prefix: String,
+                partitionBy: Seq[String] = Nil): DataFrame = {
+    val dir = tempDir(prefix)
+    Ingest.writeParquet(df, dir, partitionColumns = partitionBy)
+    spark.read.parquet(dir)
+  }
+}

@@ -1,0 +1,266 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.{dec, t}
+import graft.etl.{Fixtures, Ingest, Schemas}
+
+/** SURVEY.md §2 groups A/B/C — the reference's own ETL surface (CSV
+  * scans with malformed-row policies, partitioned snappy-parquet sinks,
+  * catalog registration, projection/cast/filter/dedup cleanup), each as
+  * a driver-checkable query. Sinks are verified "as the next consumer
+  * sees them": write to a temp dir, re-read, compare to the oracle.
+  */
+object EtlQueries {
+
+  /** A. CSV scan: corpus events → CSV (temp) → read back with explicit
+    * schema; round-trips timestamps at microsecond resolution. */
+  private def scanCsv(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.csvOf(spark, sfDir, "events")
+    Ingest.readCsv(spark, dir, Schemas.events)
+      .orderBy("event_id")
+  }
+
+  /** A. Malformed-row handling: PERMISSIVE parse of a hand-written bad
+    * CSV, corrupt lines preserved in `_corrupt`. No oracle (not a
+    * corpus-derivable result); rows>0 + EtlSpec cover it. */
+  private def scanCsvPermissive(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.tempDir("graft_badcsv")
+    Files.writeString(Paths.get(dir, "bad.csv"),
+      """k,qty,note
+        |1,10.5,ok
+        |2,notanumber,bad-numeric
+        |3,5.0,"quoted,comma"
+        |4,7.25
+        |""".stripMargin)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("qty", DoubleType),
+      StructField("note", StringType)))
+    Ingest.readCsv(spark, dir, schema, mode = "PERMISSIVE",
+        corruptColumn = Some("_corrupt"))
+      .orderBy(asc_nulls_first("k"))
+  }
+
+  /** A. Parquet scan with filter + projection — Catalyst pushes both
+    * into the scan (PushedFilters / ReadSchema). */
+  private def scanParquet(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .where(col("l_returnflag") === "R" && col("l_quantity") >= 45)
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+  /** A. Partition-pruned scan: stage orders partitioned by year, then
+    * read one year — Catalyst prunes to the matching directory only. */
+  private def scanPartitionPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = Fixtures.roundTrip(spark,
+      t(spark, sfDir, "orders").withColumn("p_year", year(col("o_orderdate"))),
+      "graft_part_pruned", partitionBy = Seq("p_year"))
+    staged.where(col("p_year") === 1997)
+      .select("o_orderkey", "o_totalprice", "p_year")
+      .orderBy("o_orderkey")
+  }
+
+  /** A/H. JSON-in-string scan: lift events.props. */
+  private def scanJson(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  /** B. Parquet sink (snappy): write → re-read → verify content. */
+  private def sinkParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = Fixtures.roundTrip(spark,
+      t(spark, sfDir, "lineitem").where(col("l_returnflag") === "A")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+      "graft_sink_parquet")
+    out.orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+  }
+
+  /** B. Hive-partitioned sink: derive p_year/p_month from ship date,
+    * write partitioned, re-read, count rows per partition. */
+  private def sinkParquetPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = Fixtures.roundTrip(spark,
+      Ingest.withDatePartitions(t(spark, sfDir, "lineitem"), "l_shipdate")
+        .select("l_orderkey", "p_year", "p_month"),
+      "graft_sink_part", partitionBy = Seq("p_year", "p_month"))
+    staged.groupBy("p_year", "p_month").agg(count(lit(1)).as("n_rows"))
+      .orderBy("p_year", "p_month")
+  }
+
+  /** B. Dynamic partition overwrite (wrangler `overwrite_partitions`):
+    * full write, then re-write only the 'F' partition with a filtered
+    * subset; the other partitions must be untouched. */
+  private def sinkOverwriteDynamic(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.tempDir("graft_dyn_overwrite")
+    val orders = t(spark, sfDir, "orders")
+    Ingest.writeParquet(orders, dir, partitionColumns = Seq("o_orderstatus"))
+    Ingest.writeParquet(
+      orders.where(col("o_orderstatus") === "F" && col("o_totalprice") > 100000),
+      dir, partitionColumns = Seq("o_orderstatus"),
+      saveMode = SaveMode.Overwrite, dynamicOverwrite = true)
+    spark.read.parquet(dir)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n_rows"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** B. Catalog registration (the reference's Glue upsert): external
+    * table in the session catalog, then query it by name. */
+  private def catalogRegister(spark: SparkSession, sfDir: String): DataFrame = {
+    val reg = Ingest.registerTable(spark, t(spark, sfDir, "customer"),
+      "graft_customer_reg", Fixtures.tempDir("graft_catalog"))
+    reg.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** C. Projection / column reorder. */
+  private def projectSelect(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select("p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_partkey")
+
+  /** C. Rename / name sanitization (Athena/Glue-safe names). */
+  private def projectRename(spark: SparkSession, sfDir: String): DataFrame = {
+    val ugly = t(spark, sfDir, "supplier").select(
+      col("s_suppkey").as("S SuppKey"),
+      col("s_name").as("Supplier-Name"),
+      col("s_acctbal").as("Acct Bal ($)"))
+    Ingest.sanitizeColumnNames(ugly).orderBy("s_suppkey")
+  }
+
+  /** C. Type casts: double→int (integral values), timestamp→date,
+    * long→string. */
+  private def projectCast(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select(
+        col("l_orderkey").cast("string").as("orderkey_str"),
+        col("l_linenumber"),
+        col("l_quantity").cast("int").as("qty_int"),
+        col("l_shipdate").cast("date").as("ship_date"))
+      .orderBy("orderkey_str", "l_linenumber", "qty_int", "ship_date")
+
+  /** C. Derived partition columns from event time. */
+  private def projectDerivePartition(spark: SparkSession, sfDir: String): DataFrame =
+    Ingest.withDatePartitions(t(spark, sfDir, "events"), "ts")
+      .groupBy("p_year", "p_month", "p_day")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("p_year", "p_month", "p_day")
+
+  /** C. Compound row predicate (range + IN + comparison). */
+  private def filterPredicate(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") >= to_timestamp(lit("1998-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1999-01-01")) &&
+        col("l_returnflag").isin("A", "R") &&
+        col("l_quantity") > 40)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+
+  /** C. Null handling: synthesize nulls (corpus has none), then
+    * na.fill — the reference's drop/fill cleanup step. */
+  private def filterNullHandling(spark: SparkSession, sfDir: String): DataFrame = {
+    val withNulls = t(spark, sfDir, "events")
+      .withColumn("v_or_null", when(col("value") < 1, lit(null)).otherwise(col("value")))
+    withNulls.na.fill(Map("v_or_null" -> -1.0))
+      .withColumn("was_null", col("v_or_null") === -1.0)
+      .select("event_id", "v_or_null", "was_null")
+      .orderBy("event_id")
+  }
+
+  /** C. Exact dedup on re-delivery: keep the canonical (lowest-key) row
+    * per (custkey, status) — deterministic, unlike dropDuplicates. */
+  private def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey", "o_orderstatus").orderBy("o_orderkey")
+    t(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("o_custkey", "o_orderstatus", "o_orderkey")
+      .orderBy("o_custkey", "o_orderstatus")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_csv" -> (scanCsv _),
+    "scan_csv_permissive" -> (scanCsvPermissive _),
+    "scan_parquet" -> (scanParquet _),
+    "scan_partition_pruned" -> (scanPartitionPruned _),
+    "scan_json" -> (scanJson _),
+    "sink_parquet" -> (sinkParquet _),
+    "sink_parquet_partitioned" -> (sinkParquetPartitioned _),
+    "sink_overwrite_dynamic" -> (sinkOverwriteDynamic _),
+    "catalog_register" -> (catalogRegister _),
+    "project_select" -> (projectSelect _),
+    "project_rename" -> (projectRename _),
+    "project_cast" -> (projectCast _),
+    "project_derive_partition" -> (projectDerivePartition _),
+    "filter_predicate" -> (filterPredicate _),
+    "filter_null_handling" -> (filterNullHandling _),
+    "dedup_exact" -> (dedupExact _))
+
+  val oracle: Map[String, String] = Map(
+    "scan_csv" ->
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
+    "scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+         WHERE l_returnflag = 'R' AND l_quantity >= 45
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""",
+    "scan_partition_pruned" ->
+      """SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INTEGER) AS p_year
+         FROM orders WHERE year(o_orderdate) = 1997 ORDER BY o_orderkey""",
+    "scan_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         FROM events ORDER BY event_id""",
+    "sink_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         WHERE l_returnflag = 'A'
+         ORDER BY l_orderkey, l_linenumber, l_extendedprice""",
+    "sink_parquet_partitioned" ->
+      """SELECT CAST(year(l_shipdate) AS INTEGER) AS p_year,
+                CAST(month(l_shipdate) AS INTEGER) AS p_month,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY 1, 2 ORDER BY p_year, p_month""",
+    "sink_overwrite_dynamic" ->
+      """SELECT o_orderstatus, count(*) AS n_rows FROM orders
+         WHERE o_orderstatus <> 'F' OR o_totalprice > 100000
+         GROUP BY 1 ORDER BY o_orderstatus""",
+    "catalog_register" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM customer GROUP BY 1 ORDER BY c_mktsegment""",
+    "project_select" ->
+      "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey",
+    "project_rename" ->
+      """SELECT s_suppkey AS s_suppkey, s_name AS supplier_name,
+                s_acctbal AS acct_bal FROM supplier ORDER BY s_suppkey""",
+    "project_cast" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS orderkey_str, l_linenumber,
+                CAST(l_quantity AS INTEGER) AS qty_int,
+                CAST(l_shipdate AS DATE) AS ship_date
+         FROM lineitem
+         ORDER BY orderkey_str, l_linenumber, qty_int, ship_date""",
+    "project_derive_partition" ->
+      """SELECT CAST(year(ts) AS INTEGER) AS p_year,
+                CAST(month(ts) AS INTEGER) AS p_month,
+                CAST(day(ts) AS INTEGER) AS p_day, count(*) AS n_rows
+         FROM events GROUP BY 1, 2, 3 ORDER BY p_year, p_month, p_day""",
+    "filter_predicate" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+           AND l_returnflag IN ('A', 'R') AND l_quantity > 40
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate""",
+    "filter_null_handling" ->
+      """SELECT event_id,
+                coalesce(CASE WHEN value < 1 THEN NULL ELSE value END, -1.0) AS v_or_null,
+                coalesce(CASE WHEN value < 1 THEN NULL ELSE value END, -1.0) = -1.0 AS was_null
+         FROM events ORDER BY event_id""",
+    "dedup_exact" ->
+      """SELECT o_custkey, o_orderstatus, o_orderkey FROM (
+           SELECT o_custkey, o_orderstatus, o_orderkey,
+                  row_number() OVER (PARTITION BY o_custkey, o_orderstatus ORDER BY o_orderkey) AS rn
+           FROM orders) WHERE rn = 1
+         ORDER BY o_custkey, o_orderstatus""")
+}

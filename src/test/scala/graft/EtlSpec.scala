@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.{Fixtures, Ingest}
+
+/** Self-tests for the ETL surface pieces the DuckDB oracle can't cover
+  * (malformed-row policies, name sanitization, round-trip equality). */
+class EtlSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val badCsvDir: String = {
+    val dir = Fixtures.tempDir("graft_spec_badcsv")
+    Files.writeString(Paths.get(dir, "bad.csv"),
+      """k,qty,note
+        |1,10.5,ok
+        |2,notanumber,bad-numeric
+        |3,5.0,fine
+        |""".stripMargin)
+    dir
+  }
+  private val badSchema = StructType(Seq(
+    StructField("k", LongType), StructField("qty", DoubleType),
+    StructField("note", StringType)))
+
+  test("PERMISSIVE keeps all rows, nulls bad fields, tags corrupt record") {
+    val df = Ingest.readCsv(spark, badCsvDir, badSchema,
+      mode = "PERMISSIVE", corruptColumn = Some("_corrupt")).cache()
+    assert(df.count() === 3)
+    val bad = df.filter("_corrupt IS NOT NULL").collect()
+    assert(bad.length === 1)
+    assert(bad.head.getAs[Long]("k") === 2)
+    assert(bad.head.isNullAt(bad.head.fieldIndex("qty")))
+  }
+
+  // Note: the malformed-row policy only fires for columns the plan
+  // actually parses — CSV column pruning means `count()` alone parses
+  // nothing and sees every row as fine. Materialize all columns.
+  test("DROPMALFORMED drops the bad row") {
+    val df = Ingest.readCsv(spark, badCsvDir, badSchema, mode = "DROPMALFORMED")
+    val rows = df.collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getLong(0)).sorted === Array(1L, 3L))
+  }
+
+  test("FAILFAST throws on the bad row") {
+    val df = Ingest.readCsv(spark, badCsvDir, badSchema, mode = "FAILFAST")
+    assertThrows[org.apache.spark.SparkException](df.collect())
+  }
+
+  test("sanitizeColumnNames produces Athena/Glue-safe names") {
+    import spark.implicits._
+    val df = Seq((1, 2)).toDF("My Col (raw)", "ALREADY_ok2")
+    assert(Ingest.sanitizeColumnNames(df).columns === Array("my_col_raw", "already_ok2"))
+  }
+
+  test("CSV round-trip preserves rows exactly (events slice, sf0.001)") {
+    val src = Tables.t(spark, "/root/testdata/sf0.001", "events")
+    val dir = Fixtures.csvOf(spark, "/root/testdata/sf0.001", "events")
+    val back = Ingest.readCsv(spark, dir, graft.etl.Schemas.events)
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("dynamic partition overwrite leaves other partitions untouched") {
+    import spark.implicits._
+    val dir = Fixtures.tempDir("graft_spec_dyn")
+    val full = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("p", "v")
+    Ingest.writeParquet(full, dir, partitionColumns = Seq("p"))
+    Ingest.writeParquet(Seq(("a", 99)).toDF("p", "v"), dir,
+      partitionColumns = Seq("p"), dynamicOverwrite = true)
+    val got = spark.read.parquet(dir).select("v", "p").as[(Int, String)]
+      .collect().sorted
+    assert(got === Array((3, "b"), (99, "a")).sorted)
+  }
+}

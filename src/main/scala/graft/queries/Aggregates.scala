@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{dec, t}
+
+/** SURVEY.md §2-E — aggregation surface. Spark plans every groupBy as
+  * partial (map-side) + final HashAggregate around a single shuffle on
+  * the group keys; all money math is decimal-exact (see Tables.dec) so
+  * results are aggregation-order-independent and oracle-comparable.
+  * Averages are expressed as cast(sum_decimal as double)/count because
+  * DuckDB's avg(decimal) yields double while Spark's stays decimal.
+  */
+object Aggregates {
+
+  /** TPC-H-Q1-style grouped aggregate: sum/avg/min/max/count. */
+  private def aggGroupBy(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Global (no-key) aggregate. */
+  private def aggGlobal(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_revenue"),
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order"))
+
+  /** DISTINCT projection. */
+  private def aggDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** COUNT(DISTINCT) per group — Catalyst's RewriteDistinctAggregates
+    * turns this into a two-phase expand+agg, no driver collection. */
+  private def aggCountDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  /** Approximate COUNT(DISTINCT) via HyperLogLog++. No oracle — HLL
+    * sketches differ across engines; AggregatesSpec bounds the relative
+    * error against the exact count instead. */
+  private def aggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .orderBy("l_returnflag")
+
+  /** ROLLUP with grouping flags; group keys coalesced to a sentinel so
+    * ordering needs no null rules. */
+  private def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+        col("sum_qty"), col("n_rows"), col("g_flag"), col("g_status"))
+      .orderBy("flag", "status", "g_flag", "g_status")
+
+  /** CUBE over two dimensions. */
+  private def aggCube(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n_orders"), col("revenue"))
+      .orderBy("status", "priority")
+
+  /** Conditional / filtered aggregation. */
+  private def aggConditional(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT", dec(col("o_totalprice"))))
+          .cast("double").as("urgent_revenue"),
+        count(when(col("o_orderpriority") === "1-URGENT", lit(1))).as("n_urgent"),
+        count(lit(1)).as("n_total"))
+      .orderBy("o_orderstatus")
+
+  /** collect_list canonicalized with sort_array (set-style result). */
+  private def aggCollect(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .where(col("o_totalprice") > 450000)
+      .groupBy("o_custkey")
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("big_orders"),
+        count(lit(1)).as("n_big"))
+      .orderBy("o_custkey")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_groupby" -> (aggGroupBy _),
+    "agg_global" -> (aggGlobal _),
+    "agg_distinct" -> (aggDistinct _),
+    "agg_count_distinct" -> (aggCountDistinct _),
+    "agg_approx_distinct" -> (aggApproxDistinct _),
+    "agg_rollup" -> (aggRollup _),
+    "agg_cube" -> (aggCube _),
+    "agg_conditional" -> (aggConditional _),
+    "agg_collect" -> (aggCollect _))
+
+  val oracle: Map[String, String] = Map(
+    "agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+                min(l_quantity) AS min_qty,
+                max(l_quantity) AS max_qty,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
+    "agg_global" ->
+      """SELECT count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+                min(o_orderdate) AS first_order,
+                max(o_orderdate) AS last_order
+         FROM orders""",
+    "agg_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "agg_count_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+                count(*) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS flag,
+                coalesce(l_linestatus, '(all)') AS status,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                count(*) AS n_rows,
+                CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+                CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY flag, status, g_flag, g_status""",
+    "agg_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+                coalesce(o_orderpriority, '(all)') AS priority,
+                count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+    "agg_conditional" ->
+      """SELECT o_orderstatus,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_revenue,
+                count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+                count(*) AS n_total
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
+    "agg_collect" ->
+      """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS big_orders,
+                count(*) AS n_big
+         FROM orders WHERE o_totalprice > 450000
+         GROUP BY 1 ORDER BY o_custkey""")
+}

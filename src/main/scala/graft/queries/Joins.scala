@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.{dec, t}
+
+/** SURVEY.md §2-D — the join surface the reference delegated to Athena,
+  * owned natively. Each variant is planned the way it should run at
+  * 100 TB: small dims broadcast, big facts sort-merge on their keys,
+  * range joins bucketized instead of cartesian, as-of joins as a single
+  * sort+carry window rather than a join+filter blowup.
+  */
+object Joins {
+
+  /** Inner equi-join, engine-picked strategy. */
+  private def joinInner(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    val c = t(spark, sfDir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select("o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice")
+      .orderBy("o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice")
+  }
+
+  /** Broadcast-hash join: part (small) explicitly broadcast against the
+    * lineitem fact — no shuffle of the big side. */
+  private def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val p  = t(spark, sfDir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("brand_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  /** Sort-merge join, forced via hint — the strategy that scales when
+    * both sides are too big to broadcast or hash in memory. */
+  private def joinSortMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem").hint("merge")
+    val o  = t(spark, sfDir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Left outer: every customer, order key null when none. */
+  private def joinOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    val o = t(spark, sfDir, "orders").where(col("o_totalprice") > 400000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey"), asc_nulls_first("o_orderkey"))
+  }
+
+  /** Left semi ≈ EXISTS: customers holding at least one open order. */
+  private def joinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    val o = t(spark, sfDir, "orders").where(col("o_orderstatus") === "O")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Left anti ≈ NOT EXISTS: customers with no urgent orders (the
+    * unfiltered variant is empty in this corpus — every customer has
+    * orders — so filter to keep the test non-trivial). */
+  private def joinAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    val o = t(spark, sfDir, "orders").where(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Theta self-join: nation pairs within a region (equi on region +
+    * `<` to keep each unordered pair once). */
+  private def joinTheta(spark: SparkSession, sfDir: String): DataFrame = {
+    val n1 = t(spark, sfDir, "nation").select(
+      col("n_nationkey").as("k1"), col("n_name").as("name1"),
+      col("n_regionkey").as("r1"))
+    val n2 = t(spark, sfDir, "nation").select(
+      col("n_nationkey").as("k2"), col("n_name").as("name2"),
+      col("n_regionkey").as("r2"))
+    n1.join(n2, col("r1") === col("r2") && col("k1") < col("k2"))
+      .select("k1", "k2", "name1", "name2")
+      .orderBy("k1", "k2")
+  }
+
+  /** Range join, bucketized: |c_acctbal - s_acctbal| < 1.0. The naive
+    * plan is a cartesian nested-loop; instead each supplier is
+    * replicated into its bucket ± 1 (bucket width = the range width) and
+    * the join becomes an equi-join on bucket + a cheap refine — the
+    * O(n·m) → O(n + m + matches) rewrite that survives 100 TB. */
+  private def joinRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        floor(col("c_acctbal")).as("bucket"))
+    val s = t(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_acctbal"))
+      .withColumn("bucket",
+        explode(array(floor(col("s_acctbal")) - 1, floor(col("s_acctbal")),
+          floor(col("s_acctbal")) + 1)))
+    c.join(s, Seq("bucket"))
+      .where(abs(col("c_acctbal") - col("s_acctbal")) < 1.0)
+      .select("c_custkey", "s_suppkey", "c_acctbal", "s_acctbal")
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
+  /** As-of join: for each purchase, the latest view at-or-before it by
+    * the same user. Implemented as one sort + carry-forward window over
+    * the unioned event kinds (a single shuffle on user_id) instead of a
+    * join + per-key top-1 — the classic scalable as-of plan. */
+  private def joinAsOf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = t(spark, sfDir, "events")
+      .where(col("event_type").isin("purchase", "view"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "view", col("ts")).as("view_ts"),
+        (col("event_type") === "view").cast("int").as("is_view"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_view").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "last_view_ts")
+      .orderBy("event_id")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner" -> (joinInner _),
+    "join_broadcast" -> (joinBroadcast _),
+    "join_sortmerge" -> (joinSortMerge _),
+    "join_outer" -> (joinOuter _),
+    "join_semi" -> (joinSemi _),
+    "join_anti" -> (joinAnti _),
+    "join_theta" -> (joinTheta _),
+    "join_range" -> (joinRange _),
+    "join_asof" -> (joinAsOf _))
+
+  val oracle: Map[String, String] = Map(
+    "join_inner" ->
+      """SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey, o_custkey, c_mktsegment, o_totalprice""",
+    "join_broadcast" ->
+      """SELECT p_brand,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS brand_revenue,
+                count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY p_brand""",
+    "join_sortmerge" ->
+      """SELECT o_orderpriority,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY o_orderpriority""",
+    "join_outer" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+         FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+           ON c_custkey = o.o_custkey
+         ORDER BY c_custkey, o_orderkey NULLS FIRST""",
+    "join_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+         ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "join_theta" ->
+      """SELECT n1.n_nationkey AS k1, n2.n_nationkey AS k2,
+                n1.n_name AS name1, n2.n_name AS name2
+         FROM nation n1 JOIN nation n2
+           ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+         ORDER BY k1, k2""",
+    "join_range" ->
+      """SELECT c_custkey, s_suppkey, c_acctbal, s_acctbal
+         FROM customer, supplier
+         WHERE abs(c_acctbal - s_acctbal) < 1.0
+         ORDER BY c_custkey, s_suppkey""",
+    "join_asof" ->
+      """SELECT event_id, user_id, ts,
+                (SELECT max(v.ts) FROM events v
+                 WHERE v.user_id = e.user_id AND v.event_type = 'view'
+                   AND v.ts <= e.ts) AS last_view_ts
+         FROM events e WHERE event_type = 'purchase'
+         ORDER BY event_id""")
+}

@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+import graft.Tables.t
+
+/** SURVEY.md §2-H — scalar function families, one query per family,
+  * every expression a codegen'd built-in (no UDFs). Oracle-parity
+  * notes: Spark regexp_replace is replace-all (DuckDB needs the 'g'
+  * flag); DuckDB date_trunc returns DATE (match with Spark trunc);
+  * DuckDB epoch() is fractional (floor before casting); array folds are
+  * expressed as an explicit left fold with a 0.0 seed on both sides so
+  * float summation order is pinned.
+  */
+object ScalarFns {
+
+  private def fnString(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        lower(col("p_type")).as("type_lower"),
+        lpad(col("p_brand"), 12, "*").as("brand_padded"),
+        substring(col("p_name"), 1, 5).as("name_head"),
+        concat_ws("|", col("p_name"), col("p_type")).as("name_type"),
+        length(col("p_name")).as("name_len"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("name_novowel"),
+        col("p_name").like("%widget%").as("is_widget"),
+        levenshtein(col("p_name"), lit("large widget")).as("edit_dist"),
+        md5(col("p_name")).as("name_md5"))
+      .orderBy("p_partkey")
+
+  private def fnDatetime(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        trunc(col("o_orderdate").cast("date"), "month").as("month_start"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        datediff(lit("2000-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_y2k"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        from_unixtime(unix_timestamp(col("o_orderdate"))).as("epoch_str"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).as("made_date"))
+      .orderBy("o_orderkey")
+
+  private def fnMath(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        round(col("l_extendedprice")).as("price_round"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        abs(col("l_quantity") - 25).as("qty_dist25"),
+        pow(col("l_quantity"), 2).as("qty_sq"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        exp(col("l_discount")).as("disc_exp"),
+        // Java Math.log and libm disagree in the last ulp for some
+        // inputs; round to 10 decimals on both sides for oracle parity
+        round(log(col("l_quantity")), 10).as("qty_ln"),
+        round(log10(col("l_quantity")), 10).as("qty_log10"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("max_qd"),
+        least(col("l_quantity"), col("l_discount") * 100).as("min_qd"))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+
+  private def fnConditional(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("event_id"),
+        when(col("value") >= 100, "high")
+          .when(col("value") >= 10, "mid")
+          .otherwise("low").as("value_band"),
+        coalesce(nullif(col("event_type"), lit("click")), lit("(clicked)")).as("type_or_tag"),
+        isnan(col("value")).as("value_is_nan"),
+        (col("value") === 0).as("is_zero"))
+      .orderBy("event_id")
+
+  private def fnArray(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first_elem"),
+        slice(col("embedding"), 1, 3).as("head3"),
+        sort_array(slice(col("embedding"), 1, 5)).as("head5_sorted"),
+        array_contains(col("embedding"), element_at(col("embedding"), 1)).as("contains_first"))
+      .orderBy("vec_id")
+
+  private def fnArrayHigherOrder(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        // explicit 0.0-seeded left fold of squares — mirrored exactly in
+        // the oracle via list_prepend(0.0, squares) + list_reduce
+        aggregate(transform(col("embedding"), x => x.cast("double")),
+          lit(0.0), (acc, x) => acc + x * x).as("norm_sq"),
+        transform(slice(col("embedding"), 1, 3), x => x.cast("double") * 2).as("head3_doubled"),
+        size(filter(col("embedding"), x => x > 0)).as("n_positive"),
+        exists(col("embedding"), x => x > lit(0.5f)).as("has_big"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (x, y) => x.cast("double") + y).as("palindrome_sum"))
+      .orderBy("vec_id")
+
+  private val propsMap = MapType(StringType, IntegerType)
+
+  private def fnMap(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .withColumn("m", from_json(col("props"), propsMap))
+      .select(col("event_id"),
+        map_keys(col("m")).as("ks"),
+        map_values(col("m")).as("vs"),
+        element_at(col("m"), "k").as("k_value"))
+      .orderBy("event_id")
+
+  private def fnJson(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+        json_tuple(col("props"), "k").as("k_str"),
+        to_json(struct(get_json_object(col("props"), "$.k").cast("int").as("k"))).as("roundtrip"))
+      .orderBy("event_id")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string" -> (fnString _),
+    "fn_datetime" -> (fnDatetime _),
+    "fn_math" -> (fnMath _),
+    "fn_conditional" -> (fnConditional _),
+    "fn_array" -> (fnArray _),
+    "fn_array_higher_order" -> (fnArrayHigherOrder _),
+    "fn_map" -> (fnMap _),
+    "fn_json" -> (fnJson _))
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+                upper(p_name) AS name_upper,
+                lower(p_type) AS type_lower,
+                lpad(p_brand, 12, '*') AS brand_padded,
+                substring(p_name, 1, 5) AS name_head,
+                concat_ws('|', p_name, p_type) AS name_type,
+                CAST(length(p_name) AS INTEGER) AS name_len,
+                regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+                regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_novowel,
+                (p_name LIKE '%widget%') AS is_widget,
+                CAST(levenshtein(p_name, 'large widget') AS INTEGER) AS edit_dist,
+                md5(p_name) AS name_md5
+         FROM part ORDER BY p_partkey""",
+    "fn_datetime" ->
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS INTEGER) AS y,
+                CAST(month(o_orderdate) AS INTEGER) AS m,
+                CAST(day(o_orderdate) AS INTEGER) AS d,
+                date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+                CAST(o_orderdate AS DATE) + 30 AS due_date,
+                CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER) AS days_to_y2k,
+                CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
+                strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS epoch_str,
+                make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1) AS made_date
+         FROM orders ORDER BY o_orderkey""",
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+                round(l_extendedprice) AS price_round,
+                CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+                CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+                abs(l_quantity - 25) AS qty_dist25,
+                pow(l_quantity, 2) AS qty_sq,
+                sqrt(l_quantity) AS qty_sqrt,
+                exp(l_discount) AS disc_exp,
+                round(ln(l_quantity), 10) AS qty_ln,
+                round(log10(l_quantity), 10) AS qty_log10,
+                CAST(mod(l_orderkey, 7) AS BIGINT) AS key_mod7,
+                greatest(l_quantity, l_discount * 100) AS max_qd,
+                least(l_quantity, l_discount * 100) AS min_qd
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity""",
+    "fn_conditional" ->
+      """SELECT event_id,
+                CASE WHEN value >= 100 THEN 'high'
+                     WHEN value >= 10 THEN 'mid'
+                     ELSE 'low' END AS value_band,
+                coalesce(nullif(event_type, 'click'), '(clicked)') AS type_or_tag,
+                isnan(value) AS value_is_nan,
+                (value = 0) AS is_zero
+         FROM events ORDER BY event_id""",
+    "fn_array" ->
+      """SELECT vec_id,
+                CAST(len(embedding) AS INTEGER) AS dim,
+                embedding[1] AS first_elem,
+                embedding[1:3] AS head3,
+                list_sort(embedding[1:5]) AS head5_sorted,
+                list_contains(embedding, embedding[1]) AS contains_first
+         FROM embeddings ORDER BY vec_id""",
+    "fn_array_higher_order" ->
+      """SELECT vec_id,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                  (acc, x) -> acc + x) AS norm_sq,
+                list_transform(embedding[1:3], x -> CAST(x AS DOUBLE) * 2) AS head3_doubled,
+                CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
+                (len(list_filter(embedding, x -> x > 0.5)) > 0) AS has_big,
+                list_transform(list_zip(embedding, list_reverse(embedding)),
+                  s -> CAST(s[1] AS DOUBLE) + s[2]) AS palindrome_sum
+         FROM embeddings ORDER BY vec_id""",
+    "fn_map" ->
+      """SELECT event_id,
+                ['k'] AS ks,
+                [CAST(json_extract_string(props, '$.k') AS INTEGER)] AS vs,
+                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+         FROM events ORDER BY event_id""",
+    "fn_json" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+                json_extract_string(props, '$.k') AS k_str,
+                '{"k":' || json_extract_string(props, '$.k') || '}' AS roundtrip
+         FROM events ORDER BY event_id""")
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** SURVEY.md §2-G — global sort, top-k, and set operations. A global
+  * orderBy is a range-partitioned sort (sampled boundaries, no single
+  * reducer); orderBy+limit collapses to TakeOrderedAndProject (per-
+  * partition top-k then a k-sized driver merge — the only safe global
+  * limit at 100 TB). Set ops are planned as aggregates/joins on the
+  * full row, shuffled once.
+  */
+object SetSort {
+
+  /** Global multi-column sort, mixed directions. */
+  private def sortGlobal(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .orderBy(col("c_mktsegment"), col("c_acctbal").desc, col("c_custkey"))
+
+  /** Top-k: orderBy().limit(k) → TakeOrderedAndProject. */
+  private def sortTopK(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** UNION ALL (bag semantics — overlap kept). */
+  private def setUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val a = li.where(col("l_returnflag") === "A")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val big = li.where(col("l_quantity") >= 48)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    a.union(big)
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+  }
+
+  /** INTERSECT (distinct): customers having both F and O orders. */
+  private def setIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    o.where(col("o_orderstatus") === "F").select("o_custkey")
+      .intersect(o.where(col("o_orderstatus") === "O").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** EXCEPT ALL (multiset difference): order-rows minus F-order-rows by
+    * multiplicity — per customer, the count of non-F orders remains. */
+  private def setExcept(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    o.select("o_custkey")
+      .exceptAll(o.where(col("o_orderstatus") === "F").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sort_global" -> (sortGlobal _),
+    "sort_topk" -> (sortTopK _),
+    "set_union" -> (setUnion _),
+    "set_intersect" -> (setIntersect _),
+    "set_except" -> (setExcept _))
+
+  val oracle: Map[String, String] = Map(
+    "sort_global" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+         ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""",
+    "sort_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "set_union" ->
+      """SELECT * FROM (
+           SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_returnflag = 'A'
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 48)
+         ORDER BY l_orderkey, l_linenumber, l_quantity""",
+    "set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_custkey""",
+    "set_except" ->
+      """SELECT o_custkey FROM orders
+         EXCEPT ALL
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY o_custkey""")
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.{dec, t}
+
+/** SURVEY.md §2-F — window functions. A window spec costs one shuffle
+  * on its partition keys + a partition-local sort; specs are shared
+  * across functions in the same query so each query is a single
+  * exchange. row_number/ntile always get a total ORDER in their spec
+  * (ties would otherwise make results nondeterministic); rank and
+  * dense_rank deliberately run over the tied ordering to exercise tie
+  * semantics.
+  */
+object Windows {
+
+  /** Ranking family: row_number, rank, dense_rank, ntile, percent_rank. */
+  private def winRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val total = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val tied = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc)
+    t(spark, sfDir, "orders")
+      .where(col("o_totalprice") > 400000)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(total).as("rn"),
+        rank().over(tied).as("rk"),
+        dense_rank().over(tied).as("drk"),
+        ntile(4).over(total).as("quartile"),
+        percent_rank().over(tied).as("pct_rk"))
+      .orderBy("o_orderstatus", "rn")
+  }
+
+  /** Analytic family: lag / lead / first / last per user timeline. */
+  private def winLagLead(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        first(col("event_type")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_type"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** Running (cumulative) sum — decimal-exact, per-row deterministic
+    * because the frame order is total. */
+  private def winRunningSum(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        sum(dec(col("value"))).over(w).cast("double").as("running_value"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** Value-based RANGE frame: sum of order totals over orders whose key
+    * is within 100 behind the current key. */
+  private def winRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("o_orderkey"))
+      .rangeBetween(-100, Window.currentRow)
+    t(spark, sfDir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("nearby_revenue"))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
+  /** Top-k per group: row_number over a total order, then filter — the
+    * pattern that replaces a per-group sort+limit at scale. */
+  private def winTopKPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("o_orderstatus", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderstatus", "rn")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank" -> (winRank _),
+    "win_lag_lead" -> (winLagLead _),
+    "win_running_sum" -> (winRunningSum _),
+    "win_range_frame" -> (winRangeFrame _),
+    "win_topk_per_group" -> (winTopKPerGroup _))
+
+  val oracle: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+                rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS rk,
+                dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS drk,
+                ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+                percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS pct_rk
+         FROM orders WHERE o_totalprice > 400000
+         ORDER BY o_orderstatus, rn""",
+    "win_lag_lead" ->
+      """SELECT user_id, event_id, ts, event_type,
+                lag(event_type, 1) OVER w AS prev_type,
+                lead(event_type, 1) OVER w AS next_type,
+                first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, ts, event_id""",
+    "win_running_sum" ->
+      """SELECT user_id, event_id, ts,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+         FROM events ORDER BY user_id, ts, event_id""",
+    "win_range_frame" ->
+      """SELECT o_orderstatus, o_orderkey,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) AS nearby_revenue
+         FROM orders ORDER BY o_orderstatus, o_orderkey""",
+    "win_topk_per_group" ->
+      """SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
+           SELECT o_orderstatus, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3
+         ORDER BY o_orderstatus, rn""")
+}

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
+import graft.streaming.StreamingQ
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,11 +19,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Flagship.defs ++ EtlQueries.defs ++ Joins.defs ++ Aggregates.defs ++
-      Windows.defs ++ SetSort.defs ++ ScalarFns.defs
+      Windows.defs ++ SetSort.defs ++ ScalarFns.defs ++ StreamingQ.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Flagship.oracle ++ EtlQueries.oracle ++ Joins.oracle ++
-      Aggregates.oracle ++ Windows.oracle ++ SetSort.oracle ++ ScalarFns.oracle
+      Aggregates.oracle ++ Windows.oracle ++ SetSort.oracle ++
+      ScalarFns.oracle ++ StreamingQ.oracle
 }

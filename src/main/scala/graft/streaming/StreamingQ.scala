@@ -1,0 +1,267 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.file.attribute.FileTime
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.Tables.{dec, t}
+import graft.etl.{Ingest, Schemas}
+
+/** SURVEY.md §2-I — the Structured Streaming surface.
+  *
+  * The reference's ingest loop is an S3-event-triggered serverless
+  * function: one CSV object per invocation, at-least-once, no state, no
+  * windows. Re-expressed Spark-first, that loop is a checkpointed file
+  * source with `Trigger.AvailableNow` — exactly-once per file, schema
+  * enforced, and the same code scales from one file to a bucket with
+  * millions of objects because file listing, parsing, and the sink all
+  * run partition-parallel on executors. Windows / watermarks / stateful
+  * dedup extend that to the event-time semantics the `events` table
+  * needs (north star; the reference itself has no equivalent).
+  *
+  * Verification strategy: each key stages the corpus table into a temp
+  * source dir, runs a real streaming query to completion
+  * (`AvailableNow` + checkpoint), and returns the sink contents as a
+  * DataFrame, so the driver's DuckDB oracle can hash-compare streaming
+  * results against batch SQL over the same rows.
+  *
+  * Scale notes (100 TB): windowed aggregations here use the memory sink
+  * in Complete mode only where the *result* cardinality is bounded
+  * (per-day × event-type windows of a month = tiny); the
+  * production-shaped path — watermark + Append mode to a parquet sink,
+  * bounded state, late data dropped — is exercised by
+  * `stream_watermark` and `stream_dedup`. State stores are per-key
+  * partition-parallel; nothing here collects unbounded data to the
+  * driver.
+  */
+object StreamingQ {
+
+  /** Stage a corpus table as parquet into a fresh temp dir (streaming
+    * file sources need a directory they can list). Cached per
+    * (sfDir, table) per JVM — the staged copy is immutable. */
+  private val stageCache = new ConcurrentHashMap[String, String]()
+  private def stagedParquet(spark: SparkSession, sfDir: String,
+                            table: String, copies: Int = 1): String =
+    stageCache.computeIfAbsent(s"$sfDir/$table/x$copies", { _ =>
+      val dir = Files.createTempDirectory(s"graft_stream_src_").toString
+      val df = t(spark, sfDir, table)
+      (1 to copies).foreach { i =>
+        df.write.mode(if (i == 1) "overwrite" else "append").parquet(dir)
+      }
+      dir
+    })
+
+  private def freshDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Run a streaming DataFrame to a parquet sink with AvailableNow and
+    * return the sink re-read — the "as the next consumer sees it" view. */
+  private def runToParquet(spark: SparkSession, stream: DataFrame): DataFrame = {
+    val out = freshDir("graft_stream_out_")
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", freshDir("graft_stream_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
+  /** Run a streaming aggregation to completion in Complete mode via the
+    * memory sink and return the final result. Used only for bounded-
+    * cardinality window aggregates (see class doc). */
+  private def runComplete(spark: SparkSession, stream: DataFrame): DataFrame = {
+    val name = "graft_mem_" + UUID.randomUUID.toString.replace("-", "")
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", freshDir("graft_stream_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  // ---------------------------------------------------------------------
+  // stream_ingest — the reference's whole pipeline as a stream:
+  // CSV files arriving in a directory → schema-enforced parse →
+  // parquet sink, exactly-once per file via the checkpoint.
+  // ---------------------------------------------------------------------
+  private def streamIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val csvDir = graft.etl.Fixtures.csvOf(spark, sfDir, "events")
+    val parsed = spark.readStream
+      .schema(Schemas.events)
+      .option("header", true)
+      .option("timestampFormat", Ingest.TsFormat)
+      .csv(csvDir)
+    runToParquet(spark, parsed).orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // stream_window_tumbling — 1-day tumbling event-time windows.
+  // ---------------------------------------------------------------------
+  private def streamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = spark.readStream.schema(Schemas.events)
+      .parquet(stagedParquet(spark, sfDir, "events"))
+    val agg = src
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+    runComplete(spark, agg)
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+  }
+
+  // ---------------------------------------------------------------------
+  // stream_window_sliding — 1-day windows sliding every 12 hours; each
+  // event contributes to exactly two overlapping windows.
+  // ---------------------------------------------------------------------
+  private def streamSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = spark.readStream.schema(Schemas.events)
+      .parquet(stagedParquet(spark, sfDir, "events"))
+    val agg = src
+      .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    runComplete(spark, agg)
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n_events"))
+      .orderBy("w_start", "event_type")
+  }
+
+  // ---------------------------------------------------------------------
+  // stream_window_session — per-user session windows with a 30-minute
+  // inactivity gap (session end = last event + gap, Spark semantics).
+  // ---------------------------------------------------------------------
+  private def streamSession(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = spark.readStream.schema(Schemas.events)
+      .parquet(stagedParquet(spark, sfDir, "events"))
+    val agg = src
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runComplete(spark, agg)
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"))
+      .orderBy("user_id", "s_start")
+  }
+
+  // ---------------------------------------------------------------------
+  // stream_watermark — the production shape: watermark + Append mode to
+  // a parquet (file) sink; a window only emits once the watermark
+  // passes its end, so state is bounded and late data is dropped. A
+  // sentinel "flush" file with a far-future timestamp (processed last —
+  // file sources order by modification time) advances the watermark
+  // past every real window; the sentinel's own window stays un-emitted
+  // and is filtered by the sentinel guard ts bound.
+  // ---------------------------------------------------------------------
+  private def streamWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = freshDir("graft_stream_wm_src_")
+    val ev = t(spark, sfDir, "events")
+    ev.write.mode("overwrite").parquet(srcDir)
+    // Sentinel: one row far in the future, in its own newest file.
+    val past = FileTime.fromMillis(1000000000000L) // fixed past mtime
+    Files.list(Paths.get(srcDir)).forEach { p: Path =>
+      Files.setLastModifiedTime(p, past)
+    }
+    val sentinelTs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+    ev.limit(1)
+      .withColumn("ts", lit(sentinelTs))
+      .withColumn("event_id", lit(-1L))
+      .write.mode("append").parquet(srcDir)
+
+    val src = spark.readStream.schema(Schemas.events)
+      .option("maxFilesPerTrigger", 1) // sentinel lands in a later batch
+      .parquet(srcDir)
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("n_events"), col("sum_value"))
+    runToParquet(spark, agg)
+      .where(col("w_start") < lit(java.sql.Timestamp.valueOf("2029-01-01 00:00:00")))
+      .orderBy("w_start")
+  }
+
+  // ---------------------------------------------------------------------
+  // stream_dedup — at-least-once delivery repaired in-stream: the source
+  // dir holds TWO copies of every event file (the reference's S3
+  // redelivery case); dropDuplicatesWithinWatermark keeps state only
+  // until the watermark passes, so dedup state is bounded at scale.
+  // ---------------------------------------------------------------------
+  private def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = spark.readStream.schema(Schemas.events)
+      .parquet(stagedParquet(spark, sfDir, "events", copies = 2))
+    val deduped = src
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    runToParquet(spark, deduped)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .orderBy("event_id")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_ingest" -> (streamIngest _),
+    "stream_window_tumbling" -> (streamTumbling _),
+    "stream_window_sliding" -> (streamSliding _),
+    "stream_window_session" -> (streamSession _),
+    "stream_watermark" -> (streamWatermark _),
+    "stream_dedup" -> (streamDedup _))
+
+  /** DuckDB twins. Tumbling/watermark windows are `date_trunc` buckets;
+    * sliding windows enumerate the two 12h-offset buckets per event;
+    * session windows are the classic lag + running-sum gap
+    * sessionization, which is exactly Spark's session_window semantics
+    * (end = last event + gap). */
+  val oracle: Map[String, String] = Map(
+    "stream_ingest" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+         FROM events ORDER BY event_id""",
+    "stream_window_tumbling" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+                CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS w_end,
+                event_type,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""",
+    "stream_window_sliding" ->
+      """SELECT make_timestamp((epoch_us(ts) // 43200000000 - off.o) * 43200000000) AS w_start,
+                make_timestamp((epoch_us(ts) // 43200000000 - off.o) * 43200000000 + 86400000000) AS w_end,
+                event_type,
+                count(*) AS n_events
+         FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o) off
+         GROUP BY 1, 2, 3 ORDER BY w_start, event_type""",
+    "stream_window_session" ->
+      """WITH marked AS (
+           SELECT user_id, ts,
+                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+           FROM events),
+         sess AS (
+           SELECT user_id, ts,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked)
+         SELECT min(ts) AS s_start,
+                max(ts) + INTERVAL 30 MINUTE AS s_end,
+                user_id,
+                count(*) AS n_events
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""",
+    "stream_watermark" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+                CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS w_end,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY w_start""",
+    "stream_dedup" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+         FROM events ORDER BY event_id""")
+}

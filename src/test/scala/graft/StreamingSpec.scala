@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingQ
+
+/** Invariant self-tests for the streaming surface (SURVEY.md §2-I) —
+  * properties the DuckDB oracle can't express (exactly-once replay,
+  * session-gap structure). Runs at sf0.001 to stay fast. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("stream_ingest is exactly-once: row set equals the batch table") {
+    val streamed = StreamingQ.defs("stream_ingest")(spark, sfDir)
+      .select("event_id", "user_id", "event_type")
+    val batch = Tables.t(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("stream_dedup collapses a double-delivered source to unique event_ids") {
+    val out = StreamingQ.defs("stream_dedup")(spark, sfDir).cache()
+    val n = out.count()
+    assert(n === Tables.t(spark, sfDir, "events").count())
+    assert(out.select("event_id").distinct().count() === n)
+  }
+
+  test("session windows: per-user sessions are disjoint and gap-separated") {
+    val s = StreamingQ.defs("stream_window_session")(spark, sfDir)
+    // Consecutive sessions of the same user must be separated by the
+    // 30-minute gap: next start >= previous end (end already = last+gap).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("s_start")
+    val overlaps = s
+      .withColumn("prev_end", lag(col("s_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull && col("s_start") < col("prev_end"))
+      .count()
+    assert(overlaps === 0)
+    // Every session spans at least the gap (end = last event + 30 min).
+    val tooShort = s.filter(
+      col("s_end") < col("s_start") + expr("INTERVAL 30 MINUTES")).count()
+    assert(tooShort === 0)
+  }
+
+  test("watermark append-mode emits every real window exactly once") {
+    val out = StreamingQ.defs("stream_watermark")(spark, sfDir).cache()
+    val days = Tables.t(spark, sfDir, "events")
+      .select(date_trunc("day", col("ts")).as("d")).distinct().count()
+    assert(out.count() === days)
+    assert(out.select("w_start").distinct().count() === days)
+  }
+}

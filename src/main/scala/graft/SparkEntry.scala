@@ -19,12 +19,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Flagship.defs ++ EtlQueries.defs ++ Joins.defs ++ Aggregates.defs ++
-      Windows.defs ++ SetSort.defs ++ ScalarFns.defs ++ StreamingQ.defs
+      Windows.defs ++ SetSort.defs ++ ScalarFns.defs ++ StreamingQ.defs ++
+      LlmText.defs ++ LlmVector.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Flagship.oracle ++ EtlQueries.oracle ++ Joins.oracle ++
       Aggregates.oracle ++ Windows.oracle ++ SetSort.oracle ++
-      ScalarFns.oracle ++ StreamingQ.oracle
+      ScalarFns.oracle ++ StreamingQ.oracle ++ LlmText.oracle ++
+      LlmVector.oracle
 }

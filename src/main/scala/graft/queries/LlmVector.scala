@@ -1,0 +1,363 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** SURVEY.md §2-K — vector side of the LLM-pipeline extensions:
+  * pairwise cosine, brute-force top-k similarity (the exact baseline),
+  * all-pairs near-duplicate detection, LSH-bucketed approximate NN (the
+  * scale path), per-label vector means (both as a declarative plan and
+  * as a custom typed Aggregator), and multimodal binary-column
+  * plumbing.
+  *
+  * Numeric determinism: every dot product is a *sequential left fold*
+  * in double precision (`aggregate(zip_with(...))`), which fixes the
+  * floating-point summation order — the same fold in DuckDB
+  * (`list_reduce`) produces bit-identical doubles, so cosine scores are
+  * oracle-comparable with no tolerance. A parallel SUM over exploded
+  * rows would NOT be (shuffle order changes rounding); per-element
+  * decimal aggregation is used instead where rows must be summed
+  * (vector mean).
+  *
+  * Scale notes (100 TB): top-k against a query vector is a map-side
+  * score + TakeOrderedAndProject (no shuffle of the corpus); near-dup
+  * all-pairs is the *exact baseline* kept for verification, while
+  * `llm_ann_lsh` is the production path — deterministic ±1
+  * random-hyperplane buckets turn O(n²) into an equi-join on bucket
+  * keys. Plane weights derive from md5 parity, so buckets are
+  * reproducible across engines and runs.
+  */
+object LlmVector {
+
+  import graft.functions.VectorOps.{cosine, dot, l2norm}
+
+  /** embeddings with a precomputed L2 norm (scanned once per use).
+    * All dot products go through the codegen'd [[graft.functions.DotProduct]]
+    * expression — identical left-fold semantics to the
+    * `aggregate(zip_with(...))` formulation (and to the DuckDB
+    * `list_reduce` oracle), ~50× faster on pair joins. */
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+
+  // ---------------------------------------------------------------------
+  // llm_cosine_pair — cosine between consecutive vectors (vec_id,
+  // vec_id+1): the minimal pairwise-similarity plan.
+  // ---------------------------------------------------------------------
+  private def cosinePair(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    a.join(b, col("vec_b") === col("vec_a") + 1)
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("ea"), col("eb"), col("na"), col("nb")).as("cosine"))
+      .orderBy("vec_a")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_topk_similarity — exact top-20 neighbors of the query vector
+  // (vec_id = 0): broadcast the 1-row query side, score every corpus
+  // vector map-side, TakeOrderedAndProject keeps only k rows per
+  // partition — the corpus itself never shuffles.
+  // ---------------------------------------------------------------------
+  private def topkSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("qe"), col("nrm"), col("qn")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_embed_neardup — exact all-pairs cosine ≥ 0.4. This is the
+  // verification baseline: correct by construction, O(n²) by
+  // construction. At 100 TB the same semantics run through llm_ann_lsh
+  // (bucketed candidates) — keep this one for recall measurement.
+  // ---------------------------------------------------------------------
+  private def embedNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("ea"), col("eb"), col("na"), col("nb")).as("cosine"))
+      .where(col("cosine") >= 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_ann_lsh — approximate NN via random-hyperplane LSH: 4 hash
+  // tables × 8 sign bits; plane weights are ±1 from md5 parity (fully
+  // deterministic, engine-portable). Candidates come from an equi-join
+  // on (table, bucket) — the O(n²) cross product never materializes —
+  // then get re-ranked by exact cosine; global top-50 returned.
+  // ---------------------------------------------------------------------
+  /** ±1 plane weight for (table, bit, dim): parity of the first md5 hex
+    * nibble of "t_p_d" — computed once on the driver and shipped as
+    * array literals (the oracle recomputes the same parity with SQL
+    * md5; values are identical by construction). At cluster scale these
+    * literals travel inside the serialized plan — a few KB. */
+  private def planeSign(t: Int, p: Int, d: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${t}_${p}_$d".getBytes("UTF-8"))
+    if ((((digest(0) >> 4) & 0xf) % 2) == 0) 1.0 else -1.0
+  }
+
+  private def bucketCol(table: Int): Column = {
+    val bits = (0 until 8).map { p =>
+      val plane = typedLit(Seq.tabulate(64)(d => planeSign(table, p, d)))
+      when(dot(col("embedding"), plane) >= 0, "1").otherwise("0")
+    }
+    concat(bits: _*).as(s"bucket_$table")
+  }
+
+  private def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val buckets = e.select(
+      Seq(col("vec_id"), col("embedding"), col("nrm")) ++
+        (0 until 4).map(bucketCol): _*)
+    val long = buckets.select(col("vec_id"), col("embedding"), col("nrm"),
+      posexplode(array((0 until 4).map(i => col(s"bucket_$i")): _*))
+        .as(Seq("tbl", "bucket")))
+    val a = long.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("na"), col("tbl"), col("bucket"))
+    val b = long.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"), col("tbl"), col("bucket"))
+    a.join(b, Seq("tbl", "bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b", "ea", "eb", "na", "nb")
+      .distinct()
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("ea"), col("eb"), col("na"), col("nb")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(50)
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_vector_mean — per-label mean embedding as a declarative plan:
+  // explode to (label, pos, value), aggregate each coordinate in
+  // decimal (order-independent ⇒ deterministic under any shuffle),
+  // reassemble the ordered vector. This is the oracle-checked twin of
+  // the Aggregator below.
+  // ---------------------------------------------------------------------
+  private def vectorMean(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      // Scale each float to an exact 1e-8-granule integer FIRST (the
+      // double multiply + half-away rounding is identical in every
+      // engine), then sum integers: order-independent AND portable —
+      // unlike float→decimal casts, whose rounding is engine-specific.
+      .selectExpr("label", "pos",
+        "cast(round(cast(v as double) * cast(100000000 as double)) as bigint) AS vs")
+      .groupBy("label", "pos")
+      .agg((sum(col("vs")).cast("double") / lit(100000000).cast("double") /
+              count(lit(1))).as("m"),
+        count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(max(col("n")).as("n_vecs"),
+        expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+          .as("mean_vec"))
+      .orderBy("label")
+
+  // ---------------------------------------------------------------------
+  // agg_custom_vector_mean — the same semantics as a custom typed
+  // Aggregator (the UDAF surface, SURVEY.md §2-J): element-wise
+  // double sums merged associatively across partitions. Double merge
+  // order is shuffle-dependent, so this key is NOT oracle-checked;
+  // LlmSpec bounds it against llm_vector_mean instead.
+  // ---------------------------------------------------------------------
+  case class VecBuf(sum: Array[Double], n: Long)
+
+  object VectorMeanAgg extends Aggregator[Seq[Float], VecBuf, Seq[Double]] {
+    def zero: VecBuf = VecBuf(Array.empty, 0L)
+    def reduce(b: VecBuf, a: Seq[Float]): VecBuf = {
+      val s = if (b.sum.isEmpty) new Array[Double](a.length) else b.sum
+      var i = 0
+      while (i < a.length) { s(i) += a(i); i += 1 }
+      VecBuf(s, b.n + 1)
+    }
+    def merge(x: VecBuf, y: VecBuf): VecBuf =
+      if (x.sum.isEmpty) y
+      else if (y.sum.isEmpty) x
+      else {
+        val s = x.sum.clone()
+        var i = 0
+        while (i < s.length) { s(i) += y.sum(i); i += 1 }
+        VecBuf(s, x.n + y.n)
+      }
+    def finish(b: VecBuf): Seq[Double] = b.sum.map(_ / b.n).toSeq
+    def bufferEncoder: Encoder[VecBuf] = ExpressionEncoder[VecBuf]()
+    def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+  }
+
+  private def customVectorMean(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecMean = udaf(VectorMeanAgg, ExpressionEncoder[Seq[Float]]())
+    t(spark, sfDir, "embeddings")
+      .groupBy("label")
+      .agg(vecMean(col("embedding")).as("mean_vec"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy("label")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_multimodal_passthrough — opaque binary payloads with typed
+  // metadata carried through filter/projection: the payload here is a
+  // deterministic 16-byte fake (md5 of the text) standing in for image
+  // bytes; what is being verified is that binary columns + struct
+  // metadata survive the relational plumbing byte-exactly.
+  // ---------------------------------------------------------------------
+  private def multimodalPassthrough(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "lang", "source",
+        "unhex(md5(text)) AS payload",
+        "named_struct('width', cast(n_chars % 64 + 1 as int)," +
+          " 'height', cast(n_chars DIV 64 + 1 as int)," +
+          " 'fmt', 'fake/rgb8') AS meta")
+      .where(col("lang") =!= "zh")
+      .selectExpr("doc_id", "lang", "source",
+        "length(payload) AS byte_len",
+        "hex(payload) AS payload_hex",
+        "meta.width AS width", "meta.height AS height", "meta.fmt AS fmt")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------------
+  // llm_multimodal_features — the decode/feature-extract stage: at
+  // scale this is a batch-native per-partition pass (mapPartitions —
+  // the Scala analogue of arrow-batched Python UDFs) calling an image
+  // decoder. The decoder itself is STUBBED (no image libs in this
+  // environment) with a deterministic byte-statistics fake; the Spark
+  // plumbing — binary input column, typed output schema, per-partition
+  // batching — is real. Not oracle-checked (driver does a rows-only
+  // check); LlmSpec pins determinism and schema.
+  // ---------------------------------------------------------------------
+  case class MmFeat(doc_id: Long, n_bytes: Int, brightness: Double,
+                    width: Int, height: Int)
+
+  private def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "unhex(md5(text)) AS payload",
+        "cast(n_chars % 64 + 1 as int) AS width",
+        "cast(n_chars DIV 64 + 1 as int) AS height")
+      .as[(Long, Array[Byte], Int, Int)]
+    src.mapPartitions { it =>
+      it.map { case (id, payload, w, h) =>
+        // STUB image decode: a real deployment decodes `payload` with an
+        // imaging library here; this fake derives "brightness" from the
+        // payload bytes so the output is deterministic and testable.
+        val brightness =
+          if (payload.isEmpty) 0.0
+          else payload.map(b => (b & 0xff).toDouble).sum / payload.length
+        MmFeat(id, payload.length, brightness, w, h)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_cosine_pair" -> (cosinePair _),
+    "llm_topk_similarity" -> (topkSimilarity _),
+    "llm_embed_neardup" -> (embedNeardup _),
+    "llm_ann_lsh" -> (annLsh _),
+    "llm_vector_mean" -> (vectorMean _),
+    "agg_custom_vector_mean" -> (customVectorMean _),
+    "llm_multimodal_passthrough" -> (multimodalPassthrough _),
+    "llm_multimodal_features" -> (multimodalFeatures _))
+
+  /** DuckDB twins. Every fold mirrors Spark's sequential left fold
+    * (list_reduce over a 0.0-prepended list) so doubles match exactly. */
+  private val DNorm =
+    """sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+         (x, y) -> x + y))"""
+  private def dDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(list_zip($a, $b),
+            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
+          (x, y) -> x + y)"""
+
+  val oracle: Map[String, String] = Map(
+    "llm_cosine_pair" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings)
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 ${dDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+          FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+          ORDER BY vec_a""",
+    "llm_topk_similarity" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding, $DNorm AS nrm FROM embeddings)
+          SELECT e.vec_id, e.label,
+                 ${dDot("e.embedding", "q.embedding")} / (e.nrm * q.nrm) AS cosine
+          FROM e CROSS JOIN (SELECT embedding, nrm FROM e WHERE vec_id = 0) q
+          WHERE e.vec_id <> 0
+          ORDER BY cosine DESC, e.vec_id
+          LIMIT 20""",
+    "llm_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings)
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 ${dDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          WHERE ${dDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
+          ORDER BY vec_a, vec_b""",
+    "llm_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings),
+          tp AS (SELECT t.t, p.p
+                 FROM (SELECT unnest(range(0, 4)) AS t) t,
+                      (SELECT unnest(range(0, 8)) AS p) p),
+          bits AS (
+            SELECT e.vec_id, tp.t, tp.p,
+                   CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(list_zip(e.embedding,
+                       list_transform(range(0, 64), d ->
+                         CASE WHEN (strpos('0123456789abcdef',
+                             substring(md5(tp.t || '_' || tp.p || '_' || d), 1, 1))
+                             - 1) % 2 = 0
+                              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)),
+                       z -> CAST(z[1] AS DOUBLE) * z[2])),
+                     (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END AS bit
+            FROM e CROSS JOIN tp),
+          buckets AS (
+            SELECT vec_id, t, string_agg(bit, '' ORDER BY p) AS bucket
+            FROM bits GROUP BY vec_id, t),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+            FROM buckets a JOIN buckets b
+              ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          SELECT cand.va AS vec_a, cand.vb AS vec_b,
+                 ${dDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cosine
+          FROM cand JOIN e ea ON cand.va = ea.vec_id
+                    JOIN e eb ON cand.vb = eb.vec_id
+          ORDER BY cosine DESC, vec_a, vec_b
+          LIMIT 50""",
+    "llm_vector_mean" ->
+      """SELECT label, max(n) AS n_vecs, list(m ORDER BY pos) AS mean_vec
+         FROM (
+           SELECT label, i.i AS pos,
+                  CAST(sum(CAST(round(CAST(embedding[i.i] AS DOUBLE)
+                                      * CAST(100000000 AS DOUBLE)) AS BIGINT))
+                       AS DOUBLE)
+                    / CAST(100000000 AS DOUBLE) / count(*) AS m,
+                  count(*) AS n
+           FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+           GROUP BY label, i.i)
+         GROUP BY label ORDER BY label""",
+    "llm_multimodal_passthrough" ->
+      """SELECT doc_id, lang, source,
+                octet_length(from_hex(md5(text))) AS byte_len,
+                upper(md5(text)) AS payload_hex,
+                CAST(n_chars % 64 + 1 AS INTEGER) AS width,
+                CAST(n_chars // 64 + 1 AS INTEGER) AS height,
+                'fake/rgb8' AS fmt
+         FROM documents WHERE lang <> 'zh'
+         ORDER BY doc_id""")
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{LlmText, LlmVector}
+
+/** Self-tests for the LLM-pipeline operators (SURVEY.md §2-K) —
+  * properties beyond what the DuckDB oracle covers: recall of the LSH
+  * candidate generation against exact scoring, agreement of the custom
+  * Aggregator with its declarative twin, determinism of the stubbed
+  * multimodal decode. Runs at sf0.001. */
+class LlmSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("minhash LSH candidates reach every high-Jaccard pair (recall=1 here)") {
+    // Exact all-pairs shingle Jaccard ≥ 0.5 (ground truth, O(n²) — test
+    // scale only) must be a subset of the LSH-candidate-derived pairs.
+    val got = LlmText.defs("llm_dedup_ngram_jaccard")(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.t(spark, sfDir, "documents")
+      .selectExpr("doc_id",
+        """array_distinct(transform(sequence(1, size(split(text,' ')) - 2),
+             i -> concat_ws(' ', element_at(split(text,' '), i),
+                  element_at(split(text,' '), i+1),
+                  element_at(split(text,' '), i+2)))) AS sh""")
+    val truth = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
+        """size(array_intersect(a.sh, b.sh)) /
+           (size(a.sh) + size(b.sh) - size(array_intersect(a.sh, b.sh))) AS j""")
+      .where(col("j") >= 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "corpus should contain planted near-dups")
+    assert(truth.subsetOf(got),
+      s"LSH missed ${(truth -- got).size} of ${truth.size} true pairs")
+  }
+
+  test("simhash: identical tokens give identical fingerprints; 64 bits") {
+    val fp = LlmText.defs("llm_dedup_simhash")(spark, sfDir).cache()
+    assert(fp.filter(length(col("simhash")) =!= 64).count() === 0)
+    // A document's fingerprint is a pure function of its token set:
+    // recompute on a shuffled copy and compare.
+    val again = LlmText.defs("llm_dedup_simhash")(spark, sfDir)
+    assert(fp.exceptAll(again).isEmpty)
+  }
+
+  test("custom Aggregator vector mean matches the declarative decimal plan") {
+    val exact = LlmVector.defs("llm_vector_mean")(spark, sfDir)
+      .select("label", "mean_vec").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val udafRes = LlmVector.defs("agg_custom_vector_mean")(spark, sfDir)
+      .select("label", "mean_vec").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(exact.keySet === udafRes.keySet)
+    for ((label, ev) <- exact; uv = udafRes(label)) {
+      assert(ev.length === uv.length)
+      ev.zip(uv).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-6, s"label=$label |$a - $b| too large")
+      }
+    }
+  }
+
+  test("ANN-LSH candidates score identically to direct cosine") {
+    val ann = LlmVector.defs("llm_ann_lsh")(spark, sfDir).cache()
+    assert(ann.count() > 0)
+    // cosine bounds
+    assert(ann.filter(abs(col("cosine")) > 1.0000001).count() === 0)
+    // re-derive each candidate's cosine from the raw table and compare
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        """sqrt(aggregate(zip_with(embedding, embedding,
+             (x,y) -> cast(x as double)*cast(y as double)),
+             cast(0 as double), (a,v) -> a+v)) AS nrm""")
+    val re = ann.join(e.selectExpr("vec_id AS vec_a", "embedding AS ea", "nrm AS na"), "vec_a")
+      .join(e.selectExpr("vec_id AS vec_b", "embedding AS eb", "nrm AS nb"), "vec_b")
+      .selectExpr("cosine",
+        """aggregate(zip_with(ea, eb, (x,y) -> cast(x as double)*cast(y as double)),
+             cast(0 as double), (a,v) -> a+v) / (na*nb) AS direct""")
+    assert(re.filter(abs(col("cosine") - col("direct")) > 1e-12).count() === 0)
+  }
+
+  test("ANN-LSH achieves perfect recall on exact duplicates") {
+    // An identical vector always lands in the same bucket in every
+    // table (cos=1 ⇒ all plane signs agree): duplicate the corpus with
+    // shifted ids and require every self-pair among candidates.
+    import spark.implicits._
+    val e = Tables.t(spark, sfDir, "embeddings").limit(20).cache()
+    val n = e.count()
+    val dup = e.withColumn("vec_id", col("vec_id") + 1000000)
+    val dir = graft.etl.Fixtures.tempDir("graft_ann_dup")
+    e.unionByName(dup).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = LlmVector.defs("llm_ann_lsh")(spark, dir)
+    val selfPairs = out
+      .filter(col("vec_b") === col("vec_a") + 1000000)
+      .count()
+    assert(selfPairs === n,
+      s"expected all $n duplicated vectors as top candidates, got $selfPairs")
+  }
+
+  test("multimodal feature extraction is deterministic with stable schema") {
+    val a = LlmVector.defs("llm_multimodal_features")(spark, sfDir)
+    val b = LlmVector.defs("llm_multimodal_features")(spark, sfDir)
+    assert(a.schema.fieldNames.toSeq ===
+      Seq("doc_id", "n_bytes", "brightness", "width", "height"))
+    assert(a.exceptAll(b).isEmpty)
+    assert(a.filter(col("n_bytes") =!= 16).count() === 0) // md5 payload = 16 bytes
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for selected queries —
+  * used to audit that scans carry PushedFilters + pruned ReadSchema,
+  * small dimensions broadcast, and pipelines stay inside
+  * WholeStageCodegen. Run:
+  * `sbt "runMain graft.Explain [sfDir] [key ...]"`. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val keys = if (args.length > 1) args.drop(1).toSeq
+               else Seq("q_flagship", "join_broadcast", "scan_parquet",
+                 "agg_groupby", "llm_topk_similarity", "llm_dedup_minhash")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    keys.foreach { k =>
+      println(s"\n========== $k ==========")
+      SparkEntry.queries(k)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

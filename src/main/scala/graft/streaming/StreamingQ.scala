@@ -164,7 +164,10 @@ object StreamingQ {
   private def streamWatermark(spark: SparkSession, sfDir: String): DataFrame = {
     val srcDir = freshDir("graft_stream_wm_src_")
     val ev = t(spark, sfDir, "events")
-    ev.write.mode("overwrite").parquet(srcDir)
+    // One data file → exactly two micro-batches (data, then sentinel):
+    // with maxFilesPerTrigger=1, every extra part file is an extra
+    // batch + checkpoint commit, which dominates wall-clock.
+    ev.coalesce(1).write.mode("overwrite").parquet(srcDir)
     // Sentinel: one row far in the future, in its own newest file.
     val past = FileTime.fromMillis(1000000000000L) // fixed past mtime
     Files.list(Paths.get(srcDir)).forEach { p: Path =>

@@ -127,7 +127,61 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Bucketed co-located join: both sides pre-bucketed (and
+    * sort-ordered) on the join key via `bucketBy` + `saveAsTable`, so
+    * the sort-merge join runs with NO exchange and NO sort on either
+    * side — the way recurring big-fact joins should be laid out at
+    * 100 TB (pay the shuffle once at write time, never at read time).
+    * JoinsSpec asserts the shuffle-free plan shape. */
+  /** Drop a managed table AND its warehouse directory — a fresh JVM has
+    * an empty in-memory catalog but inherits the on-disk warehouse, so
+    * `saveAsTable` would otherwise fail with LOCATION_ALREADY_EXISTS. */
+  def dropManaged(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val dir = new java.io.File(wh, name)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  private def joinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(sfDir.hashCode).takeRight(6)
+    val (liT, oT) = (s"graft_li_b_$tag", s"graft_o_b_$tag")
+    dropManaged(spark, liT)
+    dropManaged(spark, oT)
+    t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_quantity")
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
+    t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(oT)
+    bucketedJoinPlan(spark, liT, oT)
+      .groupBy("o_orderstatus")
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** The raw bucket-co-located join (exposed for the plan-shape spec).
+    * Merge hint: at test scale the planner would broadcast (ignoring
+    * buckets); at 100 TB neither side broadcasts — forcing sort-merge
+    * exercises the layout the tables were bucketed FOR: zero exchange,
+    * zero sort. */
+  def bucketedJoinPlan(spark: SparkSession, liTable: String,
+                       oTable: String): DataFrame =
+    spark.table(liTable).hint("merge").join(spark.table(oTable),
+      col("l_orderkey") === col("o_orderkey"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bucketed" -> (joinBucketed _),
     "join_inner" -> (joinInner _),
     "join_broadcast" -> (joinBroadcast _),
     "join_sortmerge" -> (joinSortMerge _),
@@ -139,6 +193,12 @@ object Joins {
     "join_asof" -> (joinAsOf _))
 
   val oracle: Map[String, String] = Map(
+    "join_bucketed" ->
+      """SELECT o_orderstatus,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY o_orderstatus""",
     "join_inner" ->
       """SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
          FROM orders JOIN customer ON o_custkey = c_custkey

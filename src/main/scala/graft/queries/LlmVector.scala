@@ -146,6 +146,48 @@ object LlmVector {
   }
 
   // ---------------------------------------------------------------------
+  // llm_ann_ivf — inverted-file ANN, the second scale path: partition
+  // the corpus into cells around centroids, search only the nprobe
+  // cells nearest the query. Centroids here are a deterministic
+  // modulo-sample (vec_id % 50 == 0) standing in for offline k-means;
+  // everything downstream — assignment, probing, in-cell scoring — is
+  // the real IVF dataflow: centroids broadcast (tiny), corpus assigned
+  // map-side in one pass, the O(n·k) cross product never leaves the
+  // executors, and the final search touches only probed cells.
+  // ---------------------------------------------------------------------
+  private def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, sfDir)
+    val cents = e.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        cosine(col("embedding"), col("ce"), col("nrm"), col("cn")).as("ccos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cent_id"))))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cent_id").as("cell"))
+    val q = e.where(col("vec_id") === 7)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    val probed = cents.crossJoin(broadcast(q))
+      .select(col("cent_id"),
+        cosine(col("ce"), col("qe"), col("cn"), col("qn")).as("qcos"))
+      .orderBy(col("qcos").desc, col("cent_id"))
+      .limit(2)
+      .select("cent_id")
+    assigned.join(broadcast(probed), col("cell") === col("cent_id"))
+      .crossJoin(broadcast(q))
+      .where(col("vec_id") =!= 7)
+      .select(col("vec_id"), col("cell"),
+        cosine(col("embedding"), col("qe"), col("nrm"), col("qn")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------------
   // llm_vector_mean — per-label mean embedding as a declarative plan:
   // explode to (label, pos, value), aggregate each coordinate in
   // decimal (order-independent ⇒ deterministic under any shuffle),
@@ -270,6 +312,7 @@ object LlmVector {
     "llm_topk_similarity" -> (topkSimilarity _),
     "llm_embed_neardup" -> (embedNeardup _),
     "llm_ann_lsh" -> (annLsh _),
+    "llm_ann_ivf" -> (annIvf _),
     "llm_vector_mean" -> (vectorMean _),
     "agg_custom_vector_mean" -> (customVectorMean _),
     "llm_multimodal_passthrough" -> (multimodalPassthrough _),
@@ -339,6 +382,32 @@ object LlmVector {
                     JOIN e eb ON cand.vb = eb.vec_id
           ORDER BY cosine DESC, vec_a, vec_b
           LIMIT 50""",
+    "llm_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings),
+          cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+                    FROM e WHERE vec_id % 50 = 0),
+          assigned AS (
+            SELECT vec_id, cell FROM (
+              SELECT e.vec_id, c.cent_id AS cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${dDot("e.embedding", "c.ce")} / (e.nrm * c.cn)
+                                DESC, c.cent_id) AS rk
+              FROM e CROSS JOIN cents c)
+            WHERE rk = 1),
+          q AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 7),
+          probed AS (
+            SELECT cent_id FROM (
+              SELECT c.cent_id,
+                     ${dDot("c.ce", "q.qe")} / (c.cn * q.qn) AS qcos
+              FROM cents c CROSS JOIN q)
+            ORDER BY qcos DESC, cent_id LIMIT 2)
+          SELECT e.vec_id, a.cell,
+                 ${dDot("e.embedding", "q.qe")} / (e.nrm * q.qn) AS cosine
+          FROM e JOIN assigned a USING (vec_id)
+                 JOIN probed p ON a.cell = p.cent_id
+                 CROSS JOIN q
+          WHERE e.vec_id <> 7
+          ORDER BY cosine DESC, e.vec_id LIMIT 10""",
     "llm_vector_mean" ->
       """SELECT label, max(n) AS n_vecs, list(m ORDER BY pos) AS mean_vec
          FROM (

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorOps
+
+/** Property layer (SURVEY.md §5.4): algebraic invariants over
+  * scalacheck-generated inputs — fixed seed so runs are reproducible.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def sample[T](g: Gen[T], n: Int, seed: Long = 42L): Seq[T] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(seed))
+      .getOrElse(sys.error("gen failed"))
+
+  test("cosine is bounded and reflexive on generated vectors") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-1e3f, 1e3f))
+      .suchThat(v => v.exists(x => math.abs(x) > 1e-3f))
+    val vecs = sample(vecGen, 60).map(_.toArray)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+      .select(col("id"), col("v"),
+        (VectorOps.dot(col("v"), col("v")) /
+          (VectorOps.l2norm(col("v")) * VectorOps.l2norm(col("v"))))
+          .as("self_cos"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(math.abs(c - 1.0) < 1e-9, s"cos(v,v)=$c for id=${r.getLong(0)}")
+    }
+    // pairwise bound on a small cross product
+    val pair = df.select(col("id").as("ia"), col("v").as("va"))
+      .crossJoin(df.select(col("id").as("ib"), col("v").as("vb")))
+      .select(
+        (VectorOps.dot(col("va"), col("vb")) /
+          (VectorOps.l2norm(col("va")) * VectorOps.l2norm(col("vb"))))
+          .as("c"))
+    assert(pair.filter(abs(col("c")) > 1.0 + 1e-9).count() === 0)
+  }
+
+  test("dedup is idempotent on generated duplicate-heavy rows") {
+    import spark.implicits._
+    val rowGen = for {
+      k <- Gen.chooseNum(0, 20)
+      s <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(0L, 1000L)
+    } yield (k, s, v)
+    val df = sample(rowGen, 300).toDF("k", "s", "v")
+    def dedup(d: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k", "s").orderBy("v")
+      d.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    }
+    val once = dedup(df)
+    val twice = dedup(once)
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+    assert(once.groupBy("k", "s").count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("bag algebra: (a ++ b) exceptAll b == a on generated multisets") {
+    import spark.implicits._
+    val g = Gen.chooseNum(0, 10)
+    val a = sample(g, 200, 1L).toDF("x")
+    val b = sample(g, 150, 2L).toDF("x")
+    val lhs = a.unionAll(b).exceptAll(b)
+    assert(lhs.exceptAll(a).isEmpty && a.exceptAll(lhs).isEmpty)
+  }
+
+  test("cast round-trips: bigint→string→bigint and µs timestamps") {
+    import spark.implicits._
+    val longs = sample(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2), 200)
+    val df = longs.toDF("x")
+      .withColumn("rt", col("x").cast("string").cast("bigint"))
+    assert(df.filter(col("x") =!= col("rt")).count() === 0)
+    // µs-aligned epochs within a sane range survive ts formatting
+    val micros = sample(Gen.chooseNum(0L, 4102444800L * 1000000L), 200)
+    val tdf = micros.toDF("us")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withColumn("rt", unix_micros(
+        to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS")))
+    assert(tdf.filter(col("us") =!= col("rt")).count() === 0)
+  }
+
+  test("CSV→Parquet round-trip preserves generated rows with hostile strings") {
+    import spark.implicits._
+    val strGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(',', '"', '\'', ' ', '|', ';', 'é', '中')))
+      .map(_.mkString)
+    val rowGen = for {
+      id <- Gen.chooseNum(0L, 100000L)
+      s <- strGen
+      d <- Gen.chooseNum(-1e6, 1e6)
+    } yield (id, s, d)
+    val rows = sample(rowGen, 200).distinct
+    val df = rows.toDF("id", "s", "d")
+    val dir = graft.etl.Fixtures.tempDir("graft_prop_csv")
+    // NB: the CSV writer trims whitespace by default — disable to keep
+    // the round trip lossless (same flags a production lake write uses).
+    df.write.mode("overwrite").option("header", true)
+      .option("ignoreLeadingWhiteSpace", false)
+      .option("ignoreTrailingWhiteSpace", false)
+      .csv(dir)
+    val back = spark.read.option("header", true).schema(df.schema).csv(dir)
+      .na.fill(Map("s" -> "")) // CSV cannot distinguish empty string from null
+    val orig = df.withColumn("s", col("s"))
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+  }
+}

@@ -106,7 +106,21 @@ object Aggregates {
         count(lit(1)).as("n_big"))
       .orderBy("o_custkey")
 
+  /** PIVOT with an explicit (deterministic) value list — wide-format
+    * reporting over the same partial+final aggregate machinery. */
+  private def aggPivot(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .withColumnsRenamed(Map("1-URGENT" -> "p1", "2-HIGH" -> "p2",
+        "3-MEDIUM" -> "p3", "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+      .orderBy("o_orderstatus")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pivot" -> (aggPivot _),
     "agg_groupby" -> (aggGroupBy _),
     "agg_global" -> (aggGlobal _),
     "agg_distinct" -> (aggDistinct _),
@@ -118,6 +132,14 @@ object Aggregates {
     "agg_collect" -> (aggCollect _))
 
   val oracle: Map[String, String] = Map(
+    "agg_pivot" ->
+      """SELECT o_orderstatus,
+                count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+                count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+                count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+                count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+                count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
     "agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

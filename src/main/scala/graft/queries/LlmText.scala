@@ -269,7 +269,31 @@ object LlmText {
       .orderBy(col("doc_id"), col("tfidf").desc, col("tok"))
   }
 
+  // ---------------------------------------------------------------------
+  // llm_sample_split — reproducible sampling + train/val/test split by
+  // content hash: bucket = md5(doc '#' salt) mod 100. Hash-based (not
+  // rand()-based) so membership is stable across re-runs, engines, and
+  // re-partitioning — the property a 100 TB training pipeline needs for
+  // leak-free splits; changing the salt redraws the whole assignment.
+  // ---------------------------------------------------------------------
+  private def sampleSplit(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .selectExpr("doc_id", s"md5(concat($NormText, '#split-salt-1')) AS fp")
+      .selectExpr("doc_id",
+        """((instr('0123456789abcdef', substring(fp, 1, 1)) - 1) * 4096 +
+            (instr('0123456789abcdef', substring(fp, 2, 1)) - 1) * 256 +
+            (instr('0123456789abcdef', substring(fp, 3, 1)) - 1) * 16 +
+            (instr('0123456789abcdef', substring(fp, 4, 1)) - 1)) % 100
+           AS bucket""")
+      .selectExpr("doc_id", "bucket",
+        """CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split""",
+        "bucket < 10 AS in_10pct_sample")
+      .orderBy("doc_id")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sample_split" -> (sampleSplit _),
     "llm_dedup_exact" -> (dedupExact _),
     "llm_dedup_minhash" -> (dedupMinhash _),
     "llm_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -310,6 +334,21 @@ object LlmText {
         AND a.doc_id < b.doc_id)"""
 
   val oracle: Map[String, String] = Map(
+    "llm_sample_split" ->
+      s"""SELECT doc_id, bucket,
+                 CASE WHEN bucket < 80 THEN 'train'
+                      WHEN bucket < 90 THEN 'val'
+                      ELSE 'test' END AS split,
+                 bucket < 10 AS in_10pct_sample
+          FROM (
+            SELECT doc_id,
+                   ((strpos('0123456789abcdef', fp[1:1]) - 1) * 4096 +
+                    (strpos('0123456789abcdef', fp[2:2]) - 1) * 256 +
+                    (strpos('0123456789abcdef', fp[3:3]) - 1) * 16 +
+                    (strpos('0123456789abcdef', fp[4:4]) - 1)) % 100 AS bucket
+            FROM (SELECT doc_id, md5($DNorm || '#split-salt-1') AS fp
+                  FROM documents))
+          ORDER BY doc_id""",
     "llm_dedup_exact" ->
       s"""SELECT min(doc_id) AS keep_doc_id, md5($DNorm) AS fp,
                  count(*) AS n_copies

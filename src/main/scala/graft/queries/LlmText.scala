@@ -292,7 +292,48 @@ object LlmText {
         "bucket < 10 AS in_10pct_sample")
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------------
+  // llm_pii_redact — PII scrubbing: the corpus is synthetic, so PII is
+  // injected deterministically first (email + phone derived from
+  // doc_id), then redacted with the same regex pass a production
+  // pipeline runs; counts report what was removed. One projection,
+  // no shuffle, trivially partition-parallel.
+  // ---------------------------------------------------------------------
+  private def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .selectExpr("doc_id",
+        """concat(text, ' contact user', cast(doc_id as string),
+                  '@example.com or +1-555-',
+                  lpad(cast(doc_id % 10000 as string), 4, '0')) AS raw""")
+      .selectExpr("doc_id",
+        "size(regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9.]+', 0)) AS n_emails",
+        "size(regexp_extract_all(raw, '\\\\+1-555-[0-9]{4}', 0)) AS n_phones",
+        """regexp_replace(regexp_replace(raw,
+             '[a-z0-9]+@[a-z0-9.]+', '[EMAIL]'),
+             '\\+1-555-[0-9]{4}', '[PHONE]') AS redacted""")
+      .selectExpr("doc_id", "n_emails", "n_phones",
+        "substring(redacted, length(redacted) - 40, 41) AS redacted_tail")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------------
+  // llm_ngram_freq — corpus bigram frequency: per-doc bigram arrays
+  // (no shuffle) explode into one count aggregation; top 20 by
+  // (freq desc, bigram) — corpus statistics for tokenizer/quality work.
+  // ---------------------------------------------------------------------
+  private def ngramFreq(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .selectExpr("split(text, ' ') AS toks")
+      .selectExpr(
+        """explode(transform(sequence(1, size(toks) - 1),
+             i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))
+           AS bigram""")
+      .groupBy("bigram").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("bigram"))
+      .limit(20)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pii_redact" -> (piiRedact _),
+    "llm_ngram_freq" -> (ngramFreq _),
     "llm_sample_split" -> (sampleSplit _),
     "llm_dedup_exact" -> (dedupExact _),
     "llm_dedup_minhash" -> (dedupMinhash _),
@@ -334,6 +375,29 @@ object LlmText {
         AND a.doc_id < b.doc_id)"""
 
   val oracle: Map[String, String] = Map(
+    "llm_pii_redact" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9.]+')) AS n_emails,
+                len(regexp_extract_all(raw, '\+1-555-[0-9]{4}')) AS n_phones,
+                substring(redacted, length(redacted) - 40, 41) AS redacted_tail
+         FROM (
+           SELECT doc_id, raw,
+                  regexp_replace(regexp_replace(raw,
+                    '[a-z0-9]+@[a-z0-9.]+', '[EMAIL]', 'g'),
+                    '\+1-555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+           FROM (
+             SELECT doc_id,
+                    text || ' contact user' || doc_id || '@example.com or +1-555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+             FROM documents))
+         ORDER BY doc_id""",
+    "llm_ngram_freq" ->
+      """SELECT bigram, count(*) AS freq
+         FROM (
+           SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])
+                  AS bigram
+           FROM (SELECT string_split(text, ' ') AS t FROM documents))
+         GROUP BY 1 ORDER BY freq DESC, bigram LIMIT 20""",
     "llm_sample_split" ->
       s"""SELECT doc_id, bucket,
                  CASE WHEN bucket < 80 THEN 'train'

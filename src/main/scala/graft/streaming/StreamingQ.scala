@@ -211,7 +211,32 @@ object StreamingQ {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------------------
+  // stream_join — stream-stream interval join: each purchase joined to
+  // the same user's views in the preceding hour. Watermarks on both
+  // sides + the time-range join condition bound the join state (views
+  // older than the watermark minus the interval are evicted) — the
+  // pattern that keeps stream-stream joins finite at 100 TB/day.
+  // ---------------------------------------------------------------------
+  private def streamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedParquet(spark, sfDir, "events")
+    def side(kind: String, prefix: String) =
+      spark.readStream.schema(Schemas.events).parquet(dir)
+        .where(col("event_type") === kind)
+        .select(col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_user"),
+          col("ts").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    val joined = side("purchase", "p").join(side("view", "v"),
+      expr("""p_user = v_user AND
+              v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"""))
+      .select(col("p_id"), col("v_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("v_ts"))
+    runToParquet(spark, joined).orderBy("p_id", "v_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_join" -> (streamJoin _),
     "stream_ingest" -> (streamIngest _),
     "stream_window_tumbling" -> (streamTumbling _),
     "stream_window_sliding" -> (streamSliding _),
@@ -225,6 +250,14 @@ object StreamingQ {
     * sessionization, which is exactly Spark's session_window semantics
     * (end = last event + gap). */
   val oracle: Map[String, String] = Map(
+    "stream_join" ->
+      """SELECT p.event_id AS p_id, v.event_id AS v_id,
+                p.user_id, p.ts AS p_ts, v.ts AS v_ts
+         FROM events p JOIN events v
+           ON p.user_id = v.user_id
+          AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+         WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+         ORDER BY p_id, v_id""",
     "stream_ingest" ->
       """SELECT event_id, ts, user_id, event_type, value, props
          FROM events ORDER BY event_id""",

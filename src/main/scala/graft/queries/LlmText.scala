@@ -54,10 +54,8 @@ object LlmText {
                i -> concat_ws(' ', element_at(toks, i),
                     element_at(toks, i + 1), element_at(toks, i + 2))))
            ELSE array(text) END AS sh""")
-      .selectExpr("doc_id", "sh",
-        """transform(sequence(0, 11),
-             s -> array_min(transform(sh,
-                    x -> md5(concat(x, '#', cast(s as string)))))) AS sig""")
+      .select(col("doc_id"), col("sh"),
+        graft.functions.TextOps.minhashSig(col("sh"), 12).as("sig"))
       .selectExpr("doc_id", "sh", "sig",
         """transform(sequence(0, 5),
              b -> md5(concat_ws('|', slice(sig, b * 2 + 1, 2)))) AS bands""")

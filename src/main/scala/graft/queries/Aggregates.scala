@@ -119,7 +119,25 @@ object Aggregates {
         "3-MEDIUM" -> "p3", "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
       .orderBy("o_orderstatus")
 
+  /** Two-phase salted aggregation — the manual skew defense for keys
+    * too hot for one reducer: fan each key out over 16 salts
+    * (deterministic hash of the row's own id, not rand(), so re-runs
+    * agree), partially aggregate per (key, salt), then combine partials
+    * per key. Values are decimal, so the two-phase regrouping cannot
+    * change results. AQE's skew-join splitting handles the join case;
+    * this is the groupBy-side equivalent. */
+  private def aggSalted(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(16)))
+      .groupBy("l_returnflag", "salt")
+      .agg(sum(dec(col("l_quantity"))).as("pq"), count(lit(1)).as("pc"))
+      .groupBy("l_returnflag")
+      .agg(sum(col("pq")).cast("double").as("sum_qty"),
+        sum(col("pc")).as("n_rows"))
+      .orderBy("l_returnflag")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_salted" -> (aggSalted _),
     "agg_pivot" -> (aggPivot _),
     "agg_groupby" -> (aggGroupBy _),
     "agg_global" -> (aggGlobal _),
@@ -132,6 +150,11 @@ object Aggregates {
     "agg_collect" -> (aggCollect _))
 
   val oracle: Map[String, String] = Map(
+    "agg_salted" ->
+      """SELECT l_returnflag,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "agg_pivot" ->
       """SELECT o_orderstatus,
                 count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,

@@ -235,7 +235,36 @@ object StreamingQ {
     runToParquet(spark, joined).orderBy("p_id", "v_id")
   }
 
+  // ---------------------------------------------------------------------
+  // stream_foreach_batch — the custom-sink escape hatch (the direct
+  // analogue of the reference's per-object processing function): each
+  // micro-batch lands as event_type-partitioned parquet via foreachBatch,
+  // giving per-batch control (dynamic partition overwrite, upserts,
+  // multi-sink fanout) while the checkpoint still guarantees each batch
+  // is processed once.
+  // ---------------------------------------------------------------------
+  private def streamForeachBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = freshDir("graft_stream_feb_out_")
+    val src = spark.readStream.schema(Schemas.events)
+      .parquet(stagedParquet(spark, sfDir, "events"))
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append")
+          .partitionBy("event_type")
+          .option("compression", "snappy")
+          .parquet(out)
+      }
+      .option("checkpointLocation", freshDir("graft_stream_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_foreach_batch" -> (streamForeachBatch _),
     "stream_join" -> (streamJoin _),
     "stream_ingest" -> (streamIngest _),
     "stream_window_tumbling" -> (streamTumbling _),
@@ -250,6 +279,9 @@ object StreamingQ {
     * sessionization, which is exactly Spark's session_window semantics
     * (end = last event + gap). */
   val oracle: Map[String, String] = Map(
+    "stream_foreach_batch" ->
+      """SELECT event_id, user_id, event_type, value
+         FROM events ORDER BY event_id""",
     "stream_join" ->
       """SELECT p.event_id AS p_id, v.event_id AS v_id,
                 p.user_id, p.ts AS p_ts, v.ts AS v_ts

@@ -155,12 +155,17 @@ object Joins {
     val (liT, oT) = (s"graft_li_b_$tag", s"graft_o_b_$tag")
     dropManaged(spark, liT)
     dropManaged(spark, oT)
+    // repartition on the bucket key first → exactly one file per
+    // bucket, so readers also skip the per-bucket Sort (Spark only
+    // trusts sortBy order when a bucket is a single file).
     t(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_extendedprice", "l_quantity")
+      .repartition(8, col("l_orderkey"))
       .write.mode("overwrite")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
     t(spark, sfDir, "orders")
       .select("o_orderkey", "o_orderstatus")
+      .repartition(8, col("o_orderkey"))
       .write.mode("overwrite")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(oT)
     bucketedJoinPlan(spark, liT, oT)

@@ -118,7 +118,39 @@ object ScalarFns {
         to_json(struct(get_json_object(col("props"), "$.k").cast("int").as("k"))).as("roundtrip"))
       .orderBy("event_id")
 
+  /** Remaining §2-H surface: crypto hash, regex predicate, nested-array
+    * flatten/zip, map construction/inspection, NVL. */
+  private def fnMisc(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .selectExpr("doc_id",
+        "sha2(text, 256) AS sha",
+        "text RLIKE 'table|scan' AS mentions_scan",
+        "size(flatten(array(split(text, ' '), array('x')))) AS flat_sz",
+        "size(arrays_zip(split(text, ' '), split(text, ' '))) AS zip_sz",
+        """concat_ws(',', map_keys(map_from_entries(array(
+             struct('len', length(text)),
+             struct('lang_len', length(lang)))))) AS mkeys""",
+        "nvl(nullif(lang, 'zh'), '(redacted)') AS lang_or_redacted")
+      .orderBy("doc_id")
+
+  /** Date arithmetic beyond fn_datetime: whole-month distances (both
+    * engines agree once truncated to month starts) and banker's
+    * rounding (DuckDB round_even = Spark bround, both HALF_EVEN). */
+  private def fnDatetime2(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .selectExpr("o_orderkey",
+        """cast(months_between(date_trunc('month', o_orderdate),
+                to_timestamp('1997-01-01')) as int) AS months_since""",
+        // bround demo on half-integers: n/2 is binary-exact, so the
+        // HALF_EVEN tie is a true tie in every engine. (Rounding an
+        // inexact double like price/3 double-rounds differently per
+        // engine — not a portable operation.)
+        "bround(o_orderkey / cast(2 as double), 0) AS half_banker")
+      .orderBy("o_orderkey")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_misc" -> (fnMisc _),
+    "fn_datetime2" -> (fnDatetime2 _),
     "fn_string" -> (fnString _),
     "fn_datetime" -> (fnDatetime _),
     "fn_math" -> (fnMath _),
@@ -129,6 +161,23 @@ object ScalarFns {
     "fn_json" -> (fnJson _))
 
   val oracle: Map[String, String] = Map(
+    "fn_misc" ->
+      """SELECT doc_id,
+                sha256(text) AS sha,
+                regexp_matches(text, 'table|scan') AS mentions_scan,
+                len(flatten([string_split(text, ' '), ['x']])) AS flat_sz,
+                len(string_split(text, ' ')) AS zip_sz,
+                array_to_string(map_keys(map_from_entries(
+                  [{'k': 'len', 'v': length(text)},
+                   {'k': 'lang_len', 'v': length(lang)}])), ',') AS mkeys,
+                coalesce(nullif(lang, 'zh'), '(redacted)') AS lang_or_redacted
+         FROM documents ORDER BY doc_id""",
+    "fn_datetime2" ->
+      """SELECT o_orderkey,
+                CAST(date_diff('month', DATE '1997-01-01',
+                     date_trunc('month', o_orderdate)) AS INTEGER) AS months_since,
+                round_even(o_orderkey / CAST(2 AS DOUBLE), 0) AS half_banker
+         FROM orders ORDER BY o_orderkey""",
     "fn_string" ->
       """SELECT p_partkey,
                 upper(p_name) AS name_upper,

@@ -21,10 +21,12 @@ class JoinsSpec extends AnyFunSuite {
     Joins.dropManaged(spark, "spec_li_b")
     Joins.dropManaged(spark, "spec_o_b")
     t(spark, sfDir, "lineitem").select("l_orderkey", "l_extendedprice")
+      .repartition(8, org.apache.spark.sql.functions.col("l_orderkey"))
       .write.mode("overwrite")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("spec_li_b")
     t(spark, sfDir, "orders").select("o_orderkey", "o_orderstatus")
+      .repartition(8, org.apache.spark.sql.functions.col("o_orderkey"))
       .write.mode("overwrite")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("spec_o_b")

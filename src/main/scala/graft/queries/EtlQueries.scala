@@ -182,7 +182,39 @@ object EtlQueries {
       .orderBy("o_custkey", "o_orderstatus")
   }
 
+  /** The reference's entire serverless handler as ONE operator: CSV
+    * landing zone → schema-enforced parse → name sanitization → derived
+    * date partitions → partitioned snappy-parquet staging zone →
+    * re-read as the query layer sees it (Ingest.run). What the Lambda
+    * does per-object per-invoke, this does for the whole directory in
+    * one distributed plan. */
+  private def etlPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val csvDir = Fixtures.csvOf(spark, sfDir, "events")
+    val out = Fixtures.tempDir("graft_etl_pipeline")
+    Ingest.run(spark, csvDir, out, Schemas.events, "ts")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props",
+        "p_year", "p_month", "p_day")
+      .orderBy("event_id")
+  }
+
+  /** Typed Dataset[T] surface (SURVEY.md §1): compile-time-checked
+    * row logic via case-class encoders. The tradeoff is documented and
+    * deliberate: typed lambdas are opaque to Catalyst (no pushdown
+    * through them), so this engine uses them only where type safety
+    * matters more than plan optimality — exactly this demo and the
+    * Aggregator/mapPartitions surfaces. */
+  private def typedDataset(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, sfDir, "orders").as[EtlQueries.Order]
+      .filter(o => o.o_totalprice > 300000.0 && o.o_orderstatus != "P")
+      .map(o => (o.o_orderkey, o.o_orderstatus, o.o_totalprice * 0.9))
+      .toDF("o_orderkey", "o_orderstatus", "discounted")
+      .orderBy("o_orderkey")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_pipeline" -> (etlPipeline _),
+    "typed_dataset" -> (typedDataset _),
     "scan_csv" -> (scanCsv _),
     "scan_csv_permissive" -> (scanCsvPermissive _),
     "scan_parquet" -> (scanParquet _),
@@ -201,6 +233,16 @@ object EtlQueries {
     "dedup_exact" -> (dedupExact _))
 
   val oracle: Map[String, String] = Map(
+    "etl_pipeline" ->
+      """SELECT event_id, ts, user_id, event_type, value, props,
+                CAST(year(ts) AS INTEGER) AS p_year,
+                CAST(month(ts) AS INTEGER) AS p_month,
+                CAST(day(ts) AS INTEGER) AS p_day
+         FROM events ORDER BY event_id""",
+    "typed_dataset" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice * 0.9 AS discounted
+         FROM orders WHERE o_totalprice > 300000 AND o_orderstatus <> 'P'
+         ORDER BY o_orderkey""",
     "scan_csv" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
     "scan_parquet" ->
@@ -263,4 +305,10 @@ object EtlQueries {
                   row_number() OVER (PARTITION BY o_custkey, o_orderstatus ORDER BY o_orderkey) AS rn
            FROM orders) WHERE rn = 1
          ORDER BY o_custkey, o_orderstatus""")
+
+  /** Typed view of the orders table (parquet stores the order date as
+    * TIMESTAMP_NTZ, which encodes as LocalDateTime). */
+  case class Order(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+                   o_totalprice: Double, o_orderdate: java.time.LocalDateTime,
+                   o_orderpriority: String)
 }

@@ -92,6 +92,22 @@ class PropertySpec extends AnyFunSuite {
     assert(tdf.filter(col("us") =!= col("rt")).count() === 0)
   }
 
+  test("approx_count_distinct (HLL++) stays within its error bound") {
+    val sfDir = "/root/testdata/sf0.001"
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, e) <- exact) {
+      val a = approx(k).toDouble
+      // configured rsd = 0.02; allow 5 sigma
+      assert(math.abs(a - e) / e < 0.10, s"$k: approx=$a exact=$e")
+    }
+  }
+
   test("CSV→Parquet round-trip preserves generated rows with hostile strings") {
     import spark.implicits._
     val strGen = Gen.listOf(Gen.oneOf(

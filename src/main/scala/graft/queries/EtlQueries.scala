@@ -212,7 +212,25 @@ object EtlQueries {
       .orderBy("o_orderkey")
   }
 
+  /** B. Small-file compaction — the housekeeping pass every
+    * event-driven lake needs (the reference's per-object writes produce
+    * one file per arriving CSV): scatter events into 64 tiny files,
+    * then compact to 2 right-sized files and re-read. Row content must
+    * survive byte-exactly; EtlSpec asserts the file-count collapse. */
+  private def sinkCompaction(spark: SparkSession, sfDir: String): DataFrame = {
+    val small = Fixtures.tempDir("graft_compact_small")
+    val big = Fixtures.tempDir("graft_compact_big")
+    t(spark, sfDir, "events").repartition(64)
+      .write.mode("overwrite").parquet(small)
+    spark.read.parquet(small).coalesce(2)
+      .write.mode("overwrite").option("compression", "snappy").parquet(big)
+    spark.read.parquet(big)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .orderBy("event_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_compaction" -> (sinkCompaction _),
     "etl_pipeline" -> (etlPipeline _),
     "typed_dataset" -> (typedDataset _),
     "scan_csv" -> (scanCsv _),
@@ -233,6 +251,9 @@ object EtlQueries {
     "dedup_exact" -> (dedupExact _))
 
   val oracle: Map[String, String] = Map(
+    "sink_compaction" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+         FROM events ORDER BY event_id""",
     "etl_pipeline" ->
       """SELECT event_id, ts, user_id, event_type, value, props,
                 CAST(year(ts) AS INTEGER) AS p_year,

@@ -329,7 +329,34 @@ object LlmText {
       .orderBy(col("freq").desc, col("bigram"))
       .limit(20)
 
+  // ---------------------------------------------------------------------
+  // llm_decontaminate — benchmark decontamination: flag training
+  // documents sharing 3-grams with the held-out set (stand-in:
+  // doc_id % 100 == 0). The join key is the shingle itself — exploded,
+  // equi-joined, re-aggregated — so the cost is O(shingles) shuffle,
+  // never a doc×doc comparison; at 100 TB the benchmark side is tiny
+  // and broadcasts.
+  // ---------------------------------------------------------------------
+  private def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh5 = t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .where(size(col("toks")) >= 3)
+      .selectExpr("doc_id",
+        """explode(array_distinct(transform(sequence(1, size(toks) - 2),
+             i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                  element_at(toks, i + 2))))) AS gram""")
+    val bench = sh5.where(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("bench_id"), col("gram"))
+    val train = sh5.where(col("doc_id") % 100 =!= 0)
+    train.join(broadcast(bench), Seq("gram"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .where(col("shared_grams") >= 2)
+      .orderBy("doc_id", "bench_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_decontaminate" -> (decontaminate _),
     "llm_pii_redact" -> (piiRedact _),
     "llm_ngram_freq" -> (ngramFreq _),
     "llm_sample_split" -> (sampleSplit _),
@@ -373,6 +400,19 @@ object LlmText {
         AND a.doc_id < b.doc_id)"""
 
   val oracle: Map[String, String] = Map(
+    "llm_decontaminate" ->
+      """WITH sh5 AS (
+           SELECT doc_id,
+                  unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                          FOR i IN range(1, len(t) - 1)])) AS gram
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+           WHERE len(t) >= 3)
+         SELECT tr.doc_id, b.doc_id AS bench_id, count(*) AS shared_grams
+         FROM sh5 tr JOIN (SELECT * FROM sh5 WHERE doc_id % 100 = 0) b
+           USING (gram)
+         WHERE tr.doc_id % 100 <> 0
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY tr.doc_id, bench_id""",
     "llm_pii_redact" ->
       """SELECT doc_id,
                 len(regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9.]+')) AS n_emails,

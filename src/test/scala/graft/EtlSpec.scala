@@ -80,4 +80,21 @@ class EtlSpec extends AnyFunSuite {
       .collect().sorted
     assert(got === Array((3, "b"), (99, "a")).sorted)
   }
+
+  test("compaction collapses a many-small-files layout to few files") {
+    val out = SparkEntry.queries("sink_compaction")(spark, "/root/testdata/sf0.001")
+    assert(out.count() === 1000)
+    // the compacted dir is internal to the query; assert the principle
+    // directly: 64-way scatter → coalesce(2) → exactly 2 data files
+    val small = Fixtures.tempDir("graft_spec_compact_small")
+    val big = Fixtures.tempDir("graft_spec_compact_big")
+    Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .repartition(64).write.mode("overwrite").parquet(small)
+    spark.read.parquet(small).coalesce(2)
+      .write.mode("overwrite").parquet(big)
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(small) === 64)
+    assert(parquetFiles(big) === 2)
+  }
 }

@@ -80,11 +80,16 @@ object EtlQueries {
   }
 
   /** B. Hive-partitioned sink: derive p_year/p_month from ship date,
-    * write partitioned, re-read, count rows per partition. */
+    * write partitioned, re-read, count rows per partition. The write
+    * repartitions on the partition columns first — otherwise every
+    * task writes a file into every partition directory (tasks ×
+    * partitions small files, the classic lake pathology); with it,
+    * each partition gets one right-sized file. */
   private def sinkParquetPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
     val staged = Fixtures.roundTrip(spark,
       Ingest.withDatePartitions(t(spark, sfDir, "lineitem"), "l_shipdate")
-        .select("l_orderkey", "p_year", "p_month"),
+        .select("l_orderkey", "p_year", "p_month")
+        .repartition(col("p_year"), col("p_month")),
       "graft_sink_part", partitionBy = Seq("p_year", "p_month"))
     staged.groupBy("p_year", "p_month").agg(count(lit(1)).as("n_rows"))
       .orderBy("p_year", "p_month")

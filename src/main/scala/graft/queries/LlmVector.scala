@@ -307,7 +307,31 @@ object LlmVector {
     }.toDF().orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // llm_multimodal_framesample — the video-side plumbing: a "video" is
+  // an array of opaque frame payloads (synthesized deterministically
+  // here — a real pipeline gets them from a container demuxer); frame
+  // sampling is pure array arithmetic (every 3rd frame), so it runs
+  // inside the scan projection with no shuffle and no decode. The
+  // sampled frames' fingerprint verifies byte-exact payload handling.
+  // ---------------------------------------------------------------------
+  private def multimodalFrameSample(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "cast(doc_id % 10 + 5 as int) AS n_frames")
+      .selectExpr("doc_id", "n_frames",
+        """transform(sequence(0, n_frames - 1),
+             i -> unhex(md5(concat(cast(doc_id as string), '#f',
+                                   cast(i as string))))) AS frames""")
+      .selectExpr("doc_id", "n_frames",
+        """transform(sequence(0, n_frames - 1, 3),
+             i -> element_at(frames, i + 1)) AS sampled""")
+      .selectExpr("doc_id", "n_frames",
+        "size(sampled) AS n_sampled",
+        """md5(concat_ws('', transform(sampled, f -> hex(f)))) AS sample_fp""")
+      .orderBy("doc_id")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_multimodal_framesample" -> (multimodalFrameSample _),
     "llm_cosine_pair" -> (cosinePair _),
     "llm_topk_similarity" -> (topkSimilarity _),
     "llm_embed_neardup" -> (embedNeardup _),
@@ -331,6 +355,20 @@ object LlmVector {
           (x, y) -> x + y)"""
 
   val oracle: Map[String, String] = Map(
+    "llm_multimodal_framesample" ->
+      """SELECT doc_id, n_frames, len(sampled) AS n_sampled,
+                md5(array_to_string(list_transform(sampled, f -> upper(f)), ''))
+                  AS sample_fp
+         FROM (
+           SELECT doc_id, n_frames,
+                  [frames[i + 1] FOR i IN range(0, n_frames, 3)] AS sampled
+           FROM (
+             SELECT doc_id, n_frames,
+                    list_transform(range(0, n_frames),
+                      i -> md5(doc_id || '#f' || i)) AS frames
+             FROM (SELECT doc_id, CAST(doc_id % 10 + 5 AS INTEGER) AS n_frames
+                   FROM documents)))
+         ORDER BY doc_id""",
     "llm_cosine_pair" ->
       s"""WITH e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings)
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

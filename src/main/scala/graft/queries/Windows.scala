@@ -78,7 +78,22 @@ object Windows {
       .orderBy("o_orderstatus", "rn")
   }
 
+  /** Distribution analytics: cume_dist, quartile buckets, and
+    * nth_value over a fully tie-broken ordering (unique sort keys keep
+    * the default RANGE frame's peer handling engine-agnostic). */
+  private def winDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(spark, sfDir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).as("quartile"),
+        nth_value(col("o_orderkey"), 3).over(w).as("third_key"))
+      .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_distribution" -> (winDistribution _),
     "win_rank" -> (winRank _),
     "win_lag_lead" -> (winLagLead _),
     "win_running_sum" -> (winRunningSum _),
@@ -86,6 +101,15 @@ object Windows {
     "win_topk_per_group" -> (winTopKPerGroup _))
 
   val oracle: Map[String, String] = Map(
+    "win_distribution" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+                cume_dist() OVER w AS cd,
+                ntile(4) OVER w AS quartile,
+                nth_value(o_orderkey, 3) OVER w AS third_key
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderstatus, o_totalprice, o_orderkey""",
     "win_rank" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
                 row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn,

@@ -249,14 +249,18 @@ object ScalarFns {
          FROM embeddings ORDER BY vec_id""",
     "fn_map" ->
       """SELECT event_id,
-                ['k'] AS ks,
-                [CAST(json_extract_string(props, '$.k') AS INTEGER)] AS vs,
+                json_keys(props) AS ks,
+                list_transform(json_keys(props),
+                  k -> CAST(json_extract_string(props, '$."' || k || '"')
+                            AS INTEGER)) AS vs,
                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
          FROM events ORDER BY event_id""",
     "fn_json" ->
       """SELECT event_id,
                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
                 json_extract_string(props, '$.k') AS k_str,
-                '{"k":' || json_extract_string(props, '$.k') || '}' AS roundtrip
+                CASE WHEN json_extract_string(props, '$.k') IS NULL THEN '{}'
+                     ELSE '{"k":' || json_extract_string(props, '$.k') || '}'
+                END AS roundtrip
          FROM events ORDER BY event_id""")
 }

@@ -170,9 +170,9 @@ object StreamingQ {
     ev.coalesce(1).write.mode("overwrite").parquet(srcDir)
     // Sentinel: one row far in the future, in its own newest file.
     val past = FileTime.fromMillis(1000000000000L) // fixed past mtime
-    Files.list(Paths.get(srcDir)).forEach { p: Path =>
-      Files.setLastModifiedTime(p, past)
-    }
+    val listing = Files.list(Paths.get(srcDir))
+    try listing.forEach { p: Path => Files.setLastModifiedTime(p, past) }
+    finally listing.close()
     val sentinelTs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
     ev.limit(1)
       .withColumn("ts", lit(sentinelTs))

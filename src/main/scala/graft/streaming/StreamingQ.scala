@@ -152,6 +152,98 @@ object StreamingQ {
       .orderBy("user_id", "s_start")
   }
 
+  /** Stage events as ONE data file plus a far-future sentinel row in
+    * its own NEWEST file: with maxFilesPerTrigger=1 the data batch runs
+    * first, then the sentinel batch advances the watermark past every
+    * real window/session so Append-mode results flush
+    * deterministically. */
+  private def stagedWithSentinel(spark: SparkSession, sfDir: String,
+                                 sentinelUser: Long): String = {
+    val srcDir = freshDir("graft_stream_sentinel_src_")
+    val ev = t(spark, sfDir, "events")
+    ev.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val past = FileTime.fromMillis(1000000000000L) // fixed past mtime
+    val listing = Files.list(Paths.get(srcDir))
+    try listing.forEach { p: Path => Files.setLastModifiedTime(p, past) }
+    finally listing.close()
+    ev.limit(1)
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+      .withColumn("event_id", lit(-1L))
+      .withColumn("user_id", lit(sentinelUser))
+      .write.mode("append").parquet(srcDir)
+    srcDir
+  }
+
+  // ---------------------------------------------------------------------
+  // stream_stateful_session — arbitrary stateful processing
+  // (flatMapGroupsWithState): per-user gap sessionization with explicit
+  // session state and event-time timeouts. Same semantics as
+  // session_window (stream_window_session) but through the custom-state
+  // API — the escape hatch for logic windows can't express. State is
+  // one open session per user, evicted by the watermark-driven timeout;
+  // closed sessions emit incrementally in Append mode.
+  // ---------------------------------------------------------------------
+  case class SessState(startUs: Long, lastUs: Long, n: Long)
+  case class SessOut(user_id: Long, s_start: java.sql.Timestamp,
+                     s_end: java.sql.Timestamp, n_events: Long)
+
+  private val GapUs = 30L * 60 * 1000000L
+
+  private def tsOfUs(us: Long): java.sql.Timestamp = {
+    val ts = new java.sql.Timestamp(us / 1000)
+    ts.setNanos(((us % 1000000) * 1000).toInt)
+    ts
+  }
+  private def usOfTs(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+
+  private def streamStatefulSession(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val srcDir = stagedWithSentinel(spark, sfDir, sentinelUser = -1L)
+    val src = spark.readStream.schema(Schemas.events)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    val sessions = src.groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessOut(uid, tsOfUs(s.startUs),
+              tsOfUs(s.lastUs + GapUs), s.n))
+          } else {
+            val times = evs.map(e => usOfTs(e._2)).toArray.sorted
+            var closed = List.empty[SessOut]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur = cur match {
+                case None => Some(SessState(t, t, 1))
+                case Some(s) if t - s.lastUs <= GapUs =>
+                  Some(SessState(s.startUs, t, s.n + 1))
+                case Some(s) =>
+                  closed ::= SessOut(uid, tsOfUs(s.startUs),
+                    tsOfUs(s.lastUs + GapUs), s.n)
+                  Some(SessState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastUs + GapUs) / 1000)
+            }
+            closed.reverse.iterator
+          }
+      }
+    runToParquet(spark, sessions.toDF())
+      .where(col("user_id") >= 0)
+      .orderBy("user_id", "s_start")
+  }
+
   // ---------------------------------------------------------------------
   // stream_watermark — the production shape: watermark + Append mode to
   // a parquet (file) sink; a window only emits once the watermark
@@ -162,23 +254,7 @@ object StreamingQ {
   // and is filtered by the sentinel guard ts bound.
   // ---------------------------------------------------------------------
   private def streamWatermark(spark: SparkSession, sfDir: String): DataFrame = {
-    val srcDir = freshDir("graft_stream_wm_src_")
-    val ev = t(spark, sfDir, "events")
-    // One data file → exactly two micro-batches (data, then sentinel):
-    // with maxFilesPerTrigger=1, every extra part file is an extra
-    // batch + checkpoint commit, which dominates wall-clock.
-    ev.coalesce(1).write.mode("overwrite").parquet(srcDir)
-    // Sentinel: one row far in the future, in its own newest file.
-    val past = FileTime.fromMillis(1000000000000L) // fixed past mtime
-    val listing = Files.list(Paths.get(srcDir))
-    try listing.forEach { p: Path => Files.setLastModifiedTime(p, past) }
-    finally listing.close()
-    val sentinelTs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
-    ev.limit(1)
-      .withColumn("ts", lit(sentinelTs))
-      .withColumn("event_id", lit(-1L))
-      .write.mode("append").parquet(srcDir)
-
+    val srcDir = stagedWithSentinel(spark, sfDir, sentinelUser = -1L)
     val src = spark.readStream.schema(Schemas.events)
       .option("maxFilesPerTrigger", 1) // sentinel lands in a later batch
       .parquet(srcDir)
@@ -265,6 +341,7 @@ object StreamingQ {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_foreach_batch" -> (streamForeachBatch _),
+    "stream_stateful_session" -> (streamStatefulSession _),
     "stream_join" -> (streamJoin _),
     "stream_ingest" -> (streamIngest _),
     "stream_window_tumbling" -> (streamTumbling _),
@@ -282,6 +359,22 @@ object StreamingQ {
     "stream_foreach_batch" ->
       """SELECT event_id, user_id, event_type, value
          FROM events ORDER BY event_id""",
+    "stream_stateful_session" ->
+      """WITH marked AS (
+           SELECT user_id, ts,
+                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+           FROM events),
+         sess AS (
+           SELECT user_id, ts,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked)
+         SELECT user_id,
+                min(ts) AS s_start,
+                max(ts) + INTERVAL 30 MINUTE AS s_end,
+                count(*) AS n_events
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""",
     "stream_join" ->
       """SELECT p.event_id AS p_id, v.event_id AS v_id,
                 p.user_id, p.ts AS p_ts, v.ts AS v_ts

@@ -27,8 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2 && args(1).foldable,
           "graft_minhash(shingles, k) with literal k")
-        MinHashSignature(args.head,
-          args(1).eval().asInstanceOf[Number].intValue())
+        val k = args(1).eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash: k must be an integer literal, got $other")
+        }
+        require(k > 0 && k <= 1024,
+          s"graft_minhash: k must be in [1, 1024], got $k")
+        MinHashSignature(args.head, k)
       }))
   }
 }

@@ -20,9 +20,10 @@ import org.apache.spark.sql.types._
   * oracle-comparable while running inside whole-stage codegen.
   *
   * Element types may be float or double on each side independently
-  * (embeddings are array<float>; LSH plane literals are array<double>).
-  * Arrays are assumed non-null-element (enforced by checkInputDataTypes
-  * rejecting containsNull) and equal-length (dot stops at the shorter).
+  * (embeddings are array<float>; LSH plane literals are array<double>)
+  * — enforced at analysis time by checkInputDataTypes. Null elements
+  * read as 0.0 (no contribution); arrays may differ in length (the dot
+  * stops at the shorter).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -30,6 +31,22 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "graft_dot"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    // parquet-sourced arrays read as containsNull=true even when the
+    // data has no nulls, so only the element type is enforced; a null
+    // element reads as 0.0 (contributes nothing to the fold).
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float|double> arguments, " +
+        s"got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType

@@ -85,7 +85,13 @@ object StreamingQ {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    // Copy the bounded result out of the memory sink and drop the temp
+    // view immediately — otherwise every invocation pins a full result
+    // copy in driver memory for the session lifetime.
+    val out = freshDir("graft_stream_complete_out_")
+    spark.table(name).write.mode("overwrite").parquet(out)
+    spark.catalog.dropTempView(name)
+    spark.read.parquet(out)
   }
 
   // ---------------------------------------------------------------------
@@ -158,7 +164,13 @@ object StreamingQ {
     * real window/session so Append-mode results flush
     * deterministically. */
   private def stagedWithSentinel(spark: SparkSession, sfDir: String,
-                                 sentinelUser: Long): String = {
+                                 sentinelUser: Long): String =
+    stageCache.computeIfAbsent(s"$sfDir/sentinel$sentinelUser", { _ =>
+      stagedWithSentinelUncached(spark, sfDir, sentinelUser)
+    })
+
+  private def stagedWithSentinelUncached(spark: SparkSession, sfDir: String,
+                                         sentinelUser: Long): String = {
     val srcDir = freshDir("graft_stream_sentinel_src_")
     val ev = t(spark, sfDir, "events")
     ev.coalesce(1).write.mode("overwrite").parquet(srcDir)

@@ -26,6 +26,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("file-arrival ingest is incremental: each new file processed exactly once") {
+    // The reference's S3-trigger semantics: files land one at a time;
+    // each is processed once, previously-seen files never reprocess.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stagingAll = graft.etl.Fixtures.tempDir("graft_incr_all")
+    Tables.t(spark, sfDir, "events").repartition(3)
+      .write.mode("overwrite").parquet(stagingAll)
+    val parts = Files.list(Paths.get(stagingAll)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    assert(parts.length === 3)
+    val landing = graft.etl.Fixtures.tempDir("graft_incr_landing")
+    val out = graft.etl.Fixtures.tempDir("graft_incr_out")
+    val q = spark.readStream.schema(Tables.t(spark, sfDir, "events").schema)
+      .parquet(landing)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", graft.etl.Fixtures.tempDir("graft_incr_ckpt"))
+      .start()
+    try {
+      var expected = 0L
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.copy(Paths.get(p), Paths.get(landing, s"arrival_$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        q.processAllAvailable()
+        expected += spark.read.parquet(p).count()
+        assert(spark.read.parquet(out).count() === expected,
+          s"after arrival $i: output rows != cumulative input rows")
+      }
+      // no new files → another pass must add nothing
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === expected)
+    } finally q.stop()
+  }
+
   test("stream_dedup collapses a double-delivered source to unique event_ids") {
     val out = StreamingQ.defs("stream_dedup")(spark, sfDir).cache()
     val n = out.count()

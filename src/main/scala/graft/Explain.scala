@@ -13,7 +13,8 @@ object Explain {
     val keys = if (args.length > 1) args.drop(1).toSeq
                else Seq("q_flagship", "join_broadcast", "scan_parquet",
                  "agg_groupby", "llm_topk_similarity", "llm_dedup_minhash")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

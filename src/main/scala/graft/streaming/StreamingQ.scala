@@ -58,17 +58,34 @@ object StreamingQ {
   private def freshDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Run a streaming query with shuffle partitions capped at 8: a
+    * stateful operator creates one state store (plus checkpoint commit
+    * I/O) per shuffle partition per micro-batch, so at local test
+    * cardinalities (thousands of keys) 32 stores cost 3–4× more in
+    * commit overhead than they gain in parallelism. A production
+    * deployment sizes this to keys/partition ≈ memory budget — the cap
+    * is per-query here because the state partition count is fixed at
+    * first run by the checkpoint. */
+  private def withStreamingPartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(prev.toInt, 8).toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Run a streaming DataFrame to a parquet sink with AvailableNow and
     * return the sink re-read — the "as the next consumer sees it" view. */
   private def runToParquet(spark: SparkSession, stream: DataFrame): DataFrame = {
     val out = freshDir("graft_stream_out_")
-    val q = stream.writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", freshDir("graft_stream_ckpt_"))
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamingPartitions(spark) {
+      val q = stream.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", freshDir("graft_stream_ckpt_"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
   }
 
@@ -77,14 +94,16 @@ object StreamingQ {
     * cardinality window aggregates (see class doc). */
   private def runComplete(spark: SparkSession, stream: DataFrame): DataFrame = {
     val name = "graft_mem_" + UUID.randomUUID.toString.replace("-", "")
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .option("checkpointLocation", freshDir("graft_stream_ckpt_"))
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamingPartitions(spark) {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", freshDir("graft_stream_ckpt_"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // Copy the bounded result out of the memory sink and drop the temp
     // view immediately — otherwise every invocation pins a full result
     // copy in driver memory for the session lifetime.

@@ -222,16 +222,22 @@ object EtlQueries {
     * one file per arriving CSV): scatter events into 64 tiny files,
     * then compact to 2 right-sized files and re-read. Row content must
     * survive byte-exactly; EtlSpec asserts the file-count collapse. */
-  private def sinkCompaction(spark: SparkSession, sfDir: String): DataFrame = {
+  private def sinkCompaction(spark: SparkSession, sfDir: String): DataFrame =
+    compact(spark, sfDir)._1
+
+  /** Compaction pipeline with its directories exposed so EtlSpec can
+    * assert the file-count collapse on the ACTUAL query output. */
+  def compact(spark: SparkSession, sfDir: String): (DataFrame, String, String) = {
     val small = Fixtures.tempDir("graft_compact_small")
     val big = Fixtures.tempDir("graft_compact_big")
     t(spark, sfDir, "events").repartition(64)
       .write.mode("overwrite").parquet(small)
     spark.read.parquet(small).coalesce(2)
       .write.mode("overwrite").option("compression", "snappy").parquet(big)
-    spark.read.parquet(big)
+    val out = spark.read.parquet(big)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .orderBy("event_id")
+    (out, small, big)
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -82,16 +82,11 @@ class EtlSpec extends AnyFunSuite {
   }
 
   test("compaction collapses a many-small-files layout to few files") {
-    val out = SparkEntry.queries("sink_compaction")(spark, "/root/testdata/sf0.001")
-    assert(out.count() === 1000)
-    // the compacted dir is internal to the query; assert the principle
-    // directly: 64-way scatter → coalesce(2) → exactly 2 data files
-    val small = Fixtures.tempDir("graft_spec_compact_small")
-    val big = Fixtures.tempDir("graft_spec_compact_big")
-    Tables.t(spark, "/root/testdata/sf0.001", "events")
-      .repartition(64).write.mode("overwrite").parquet(small)
-    spark.read.parquet(small).coalesce(2)
-      .write.mode("overwrite").parquet(big)
+    // assert on the ACTUAL query pipeline's directories, not a copy
+    val (out, small, big) =
+      graft.queries.EtlQueries.compact(spark, "/root/testdata/sf0.001")
+    val n = out.count()
+    assert(n === Tables.t(spark, "/root/testdata/sf0.001", "events").count())
     def parquetFiles(d: String) =
       new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
     assert(parquetFiles(small) === 64)

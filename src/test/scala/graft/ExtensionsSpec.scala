@@ -9,6 +9,10 @@ import graft.functions.GraftExtensions
 class ExtensionsSpec extends AnyFunSuite {
 
   test("graft_dot and graft_minhash are callable from SQL via extensions") {
+    // save the shared sessions other suites may have created; restore
+    // them afterwards so suite order doesn't change their session state
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
@@ -35,6 +39,8 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
     }
   }
 }

@@ -33,12 +33,16 @@ class JoinsSpec extends AnyFunSuite {
     val joined = Joins.bucketedJoinPlan(spark, "spec_li_b", "spec_o_b")
     joined.count() // force planning through AQE
     val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("ShuffleExchange"),
+    // a real shuffle renders as "Exchange hashpartitioning(...)" (the
+    // node name is "Exchange", never the substring "ShuffleExchange")
+    assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed join must be exchange-free:\n$plan")
-    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
-      || plan.contains("BroadcastHashJoin"))
-    // Bucket pruning metadata present on both scans
-    assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+    assert(!plan.contains("ShuffleQueryStage"),
+      s"bucketed join must not create shuffle stages:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"expected sort-merge:\n$plan")
+    // BOTH scans must use the bucketed layout
+    assert("Bucketed: true".r.findAllIn(plan).size === 2,
+      s"both scans must be bucketed:\n$plan")
   }
 
   test("flagship broadcasts the small dimensions") {

@@ -26,11 +26,13 @@ class LlmSpec extends AnyFunSuite {
     val got = LlmText.defs("llm_dedup_ngram_jaccard")(spark, sfDir)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val docs = Tables.t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "text", "split(text, ' ') AS toks")
       .selectExpr("doc_id",
-        """array_distinct(transform(sequence(1, size(split(text,' ')) - 2),
-             i -> concat_ws(' ', element_at(split(text,' '), i),
-                  element_at(split(text,' '), i+1),
-                  element_at(split(text,' '), i+2)))) AS sh""")
+        """CASE WHEN size(toks) >= 3 THEN
+             array_distinct(transform(sequence(1, size(toks) - 2),
+               i -> concat_ws(' ', element_at(toks, i),
+                    element_at(toks, i+1), element_at(toks, i+2))))
+           ELSE array(text) END AS sh""")
     val truth = docs.as("a").join(docs.as("b"),
         col("a.doc_id") < col("b.doc_id"))
       .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
@@ -44,13 +46,20 @@ class LlmSpec extends AnyFunSuite {
       s"LSH missed ${(truth -- got).size} of ${truth.size} true pairs")
   }
 
-  test("simhash: identical tokens give identical fingerprints; 64 bits") {
+  test("simhash is a pure function of the token SET (order-invariant)") {
     val fp = LlmText.defs("llm_dedup_simhash")(spark, sfDir).cache()
     assert(fp.filter(length(col("simhash")) =!= 64).count() === 0)
-    // A document's fingerprint is a pure function of its token set:
-    // recompute on a shuffled copy and compare.
-    val again = LlmText.defs("llm_dedup_simhash")(spark, sfDir)
-    assert(fp.exceptAll(again).isEmpty)
+    // Recompute on a copy whose token ORDER is reversed: the distinct
+    // token set is unchanged, so fingerprints must match exactly.
+    val permDir = graft.etl.Fixtures.tempDir("graft_simhash_perm")
+    Tables.t(spark, sfDir, "documents")
+      .selectExpr("doc_id",
+        "concat_ws(' ', reverse(split(text, ' '))) AS text",
+        "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$permDir/documents.parquet")
+    val again = LlmText.defs("llm_dedup_simhash")(spark, permDir)
+    assert(fp.exceptAll(again).isEmpty && again.exceptAll(fp).isEmpty)
+    assert(fp.count() === again.count())
   }
 
   test("custom Aggregator vector mean matches the declarative decimal plan") {
@@ -93,7 +102,11 @@ class LlmSpec extends AnyFunSuite {
     // table (cos=1 ⇒ all plane signs agree): duplicate the corpus with
     // shifted ids and require every self-pair among candidates.
     import spark.implicits._
-    val e = Tables.t(spark, sfDir, "embeddings").limit(20).cache()
+    // distinct embeddings only: exactly-identical corpus vectors would
+    // add extra cos=1.0 pairs that could crowd self-pairs out of the
+    // query's global top-50 cap
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .dropDuplicates("embedding").limit(20).cache()
     val n = e.count()
     val dup = e.withColumn("vec_id", col("vec_id") + 1000000)
     val dir = graft.etl.Fixtures.tempDir("graft_ann_dup")
@@ -111,7 +124,8 @@ class LlmSpec extends AnyFunSuite {
     val b = LlmVector.defs("llm_multimodal_features")(spark, sfDir)
     assert(a.schema.fieldNames.toSeq ===
       Seq("doc_id", "n_bytes", "brightness", "width", "height"))
-    assert(a.exceptAll(b).isEmpty)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() === b.count())
     assert(a.filter(col("n_bytes") =!= 16).count() === 0) // md5 payload = 16 bytes
   }
 }

@@ -47,8 +47,12 @@ class StreamingSpec extends AnyFunSuite {
     try {
       var expected = 0L
       parts.zipWithIndex.foreach { case (p, i) =>
-        Files.copy(Paths.get(p), Paths.get(landing, s"arrival_$i.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
+        // stage outside the watched dir, then atomic-move in: the
+        // running query must never list a half-copied file
+        val tmp = Paths.get(landing, s".arrival_$i.parquet.tmp")
+        Files.copy(Paths.get(p), tmp, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(tmp, Paths.get(landing, s"arrival_$i.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
         q.processAllAvailable()
         expected += spark.read.parquet(p).count()
         assert(spark.read.parquet(out).count() === expected,

@@ -330,7 +330,33 @@ object LlmVector {
         """md5(concat_ws('', transform(sampled, f -> hex(f)))) AS sample_fp""")
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------------
+  // llm_multimodal_audio — audio-side feature extraction: a 64-sample
+  // "waveform" per document (synthesized deterministically — a real
+  // pipeline would decode PCM here), reduced to RMS energy and a
+  // zero-crossing count. Both features are pure array arithmetic with
+  // order-fixed folds, so they run inside the scan projection and are
+  // engine-portable like every other fold in this module.
+  // ---------------------------------------------------------------------
+  private def multimodalAudio(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .selectExpr("doc_id",
+        """transform(sequence(0, 63), i ->
+             (instr('0123456789abcdef',
+                    substring(md5(concat(cast(doc_id as string), '#a',
+                                         cast(i as string))), 1, 1)) - 1)
+             / cast(7.5 as double) - cast(1 as double)) AS wave""")
+      .selectExpr("doc_id",
+        "size(wave) AS n_samples",
+        """sqrt(aggregate(wave, cast(0 as double),
+                (acc, v) -> acc + v * v) / cast(64 as double)) AS rms""",
+        """size(filter(zip_with(slice(wave, 1, 63), slice(wave, 2, 63),
+                               (a, b) -> a * b < cast(0 as double)),
+                       x -> x)) AS n_zero_crossings""")
+      .orderBy("doc_id")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_multimodal_audio" -> (multimodalAudio _),
     "llm_multimodal_framesample" -> (multimodalFrameSample _),
     "llm_cosine_pair" -> (cosinePair _),
     "llm_topk_similarity" -> (topkSimilarity _),
@@ -355,6 +381,22 @@ object LlmVector {
           (x, y) -> x + y)"""
 
   val oracle: Map[String, String] = Map(
+    "llm_multimodal_audio" ->
+      """SELECT doc_id,
+                len(wave) AS n_samples,
+                sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(wave, v -> v * v)),
+                     (acc, v) -> acc + v) / CAST(64 AS DOUBLE)) AS rms,
+                len(list_filter(list_zip(wave[1:63], wave[2:64]),
+                    z -> z[1] * z[2] < CAST(0 AS DOUBLE))) AS n_zero_crossings
+         FROM (
+           SELECT doc_id,
+                  list_transform(range(0, 64), i ->
+                    (strpos('0123456789abcdef',
+                            substring(md5(doc_id || '#a' || i), 1, 1)) - 1)
+                    / CAST(7.5 AS DOUBLE) - CAST(1 AS DOUBLE)) AS wave
+           FROM documents)
+         ORDER BY doc_id""",
     "llm_multimodal_framesample" ->
       """SELECT doc_id, n_frames, len(sampled) AS n_sampled,
                 md5(array_to_string(list_transform(sampled, f -> upper(f)), ''))

@@ -240,7 +240,22 @@ object EtlQueries {
     (out, small, big)
   }
 
+  /** A. JSON-lines file source: events staged as .json (one object per
+    * line, µs-precision timestamps) and read back with an explicit
+    * schema — schema inference on JSON at scale costs a full extra
+    * scan, same rule as CSV. */
+  private def scanJsonl(spark: SparkSession, sfDir: String): DataFrame = {
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    val dir = Fixtures.tempDir("graft_jsonl")
+    t(spark, sfDir, "events")
+      .write.mode("overwrite").option("timestampFormat", tsFmt).json(dir)
+    spark.read.schema(Schemas.events).option("timestampFormat", tsFmt)
+      .json(dir)
+      .orderBy("event_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_jsonl" -> (scanJsonl _),
     "sink_compaction" -> (sinkCompaction _),
     "etl_pipeline" -> (etlPipeline _),
     "typed_dataset" -> (typedDataset _),
@@ -262,6 +277,9 @@ object EtlQueries {
     "dedup_exact" -> (dedupExact _))
 
   val oracle: Map[String, String] = Map(
+    "scan_jsonl" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+         FROM events ORDER BY event_id""",
     "sink_compaction" ->
       """SELECT event_id, ts, user_id, event_type, value, props
          FROM events ORDER BY event_id""",

@@ -53,7 +53,7 @@ object Aggregates {
       .orderBy("o_orderstatus")
 
   /** Approximate COUNT(DISTINCT) via HyperLogLog++. No oracle — HLL
-    * sketches differ across engines; AggregatesSpec bounds the relative
+    * sketches differ across engines; PropertySpec bounds the relative
     * error against the exact count instead. */
   private def aggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
@@ -97,13 +97,21 @@ object Aggregates {
         count(lit(1)).as("n_total"))
       .orderBy("o_orderstatus")
 
-  /** collect_list canonicalized with sort_array (set-style result). */
+  /** collect_list canonicalized with sort_array (set-style result),
+    * then serialized to a CSV string: the driver's pandas harness
+    * cannot sort/hash array-typed result columns, so no top-level
+    * array may reach it. The list semantics are unchanged — only the
+    * final projection renders it as text. */
   private def aggCollect(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "orders")
       .where(col("o_totalprice") > 450000)
       .groupBy("o_custkey")
-      .agg(sort_array(collect_list(col("o_orderkey"))).as("big_orders"),
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("raw_orders"),
         count(lit(1)).as("n_big"))
+      .select(col("o_custkey"),
+        expr("concat_ws(',', transform(raw_orders, x -> cast(x as string)))")
+          .as("big_orders"),
+        col("n_big"))
       .orderBy("o_custkey")
 
   /** PIVOT with an explicit (deterministic) value list — wide-format
@@ -209,7 +217,10 @@ object Aggregates {
                 count(*) AS n_total
          FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
     "agg_collect" ->
-      """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS big_orders,
+      """SELECT o_custkey,
+                array_to_string(list_transform(
+                  list(o_orderkey ORDER BY o_orderkey),
+                  x -> CAST(x AS VARCHAR)), ',') AS big_orders,
                 count(*) AS n_big
          FROM orders WHERE o_totalprice > 450000
          GROUP BY 1 ORDER BY o_custkey""")

@@ -125,20 +125,26 @@ object LlmVector {
 
   private def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
-    val buckets = e.select(
-      Seq(col("vec_id"), col("embedding"), col("nrm")) ++
-        (0 until 4).map(bucketCol): _*)
-    val long = buckets.select(col("vec_id"), col("embedding"), col("nrm"),
-      posexplode(array((0 until 4).map(i => col(s"bucket_$i")): _*))
-        .as(Seq("tbl", "bucket")))
-    val a = long.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-      col("nrm").as("na"), col("tbl"), col("bucket"))
-    val b = long.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-      col("nrm").as("nb"), col("tbl"), col("bucket"))
-    a.join(b, Seq("tbl", "bucket"))
+    // Bucket table carries ONLY (vec_id, tbl, bucket): the candidate
+    // join + dedup shuffle two longs and a short string per row, never
+    // the 64-float payload. Embeddings re-attach by id afterward —
+    // same shape as LlmText.candidates; at 100 TB the dedup exchange
+    // is ids-only instead of O(candidates × embedding bytes).
+    val long = t(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(array((0 until 4).map(bucketCol): _*))
+          .as(Seq("tbl", "bucket")))
+    val a = long.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
+    val b = long.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket"))
+    val cand = a.join(b, Seq("tbl", "bucket"))
       .where(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b", "ea", "eb", "na", "nb")
+      .select("vec_a", "vec_b")
       .distinct()
+    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
       .select(col("vec_a"), col("vec_b"),
         cosine(col("ea"), col("eb"), col("na"), col("nb")).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
@@ -147,40 +153,55 @@ object LlmVector {
 
   // ---------------------------------------------------------------------
   // llm_ann_ivf — inverted-file ANN, the second scale path: partition
-  // the corpus into cells around centroids, search only the nprobe
-  // cells nearest the query. Centroids here are a deterministic
-  // modulo-sample (vec_id % 50 == 0) standing in for offline k-means;
-  // everything downstream — assignment, probing, in-cell scoring — is
-  // the real IVF dataflow: centroids broadcast (tiny), corpus assigned
-  // map-side in one pass, the O(n·k) cross product never leaves the
-  // executors, and the final search touches only probed cells.
+  // the corpus into cells around FIXED centroids, search only the
+  // nprobe cells nearest the query. The 16 centroids are deterministic
+  // ±1 direction vectors (md5-parity, like the LSH planes) standing in
+  // for offline k-means output; crucially they are independent of
+  // corpus size, so the broadcast stays a few KB at any scale.
+  // Assignment is a map-side argmax over the centroid array — 16
+  // codegen'd dot products + array_max per row, NO crossJoin explode,
+  // NO window, NO Exchange anywhere before the final top-k. The only
+  // cluster-wide operation in the whole query is TakeOrderedAndProject.
   // ---------------------------------------------------------------------
+  private val IvfK = 16
+
+  /** Deterministic ±1 centroid c, dimension d — parity of the first md5
+    * hex nibble of "c_<c>_<d>" (the oracle recomputes the identical
+    * value with SQL md5). Norm is exactly sqrt(64) = 8.0. */
+  private def centSign(c: Int, d: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"c_${c}_$d".getBytes("UTF-8"))
+    if ((((digest(0) >> 4) & 0xf) % 2) == 0) 1.0 else -1.0
+  }
+
+  private def centArr(c: Int): Column =
+    typedLit(Seq.tabulate(64)(d => centSign(c, d)))
+
+  /** array of struct(ccos, -cent_id): array_max picks max cosine, ties
+    * broken toward the SMALLEST centroid id (nid is negated). */
+  private def centScores(embCol: Column, nrmCol: Column): Column =
+    array((0 until IvfK).map { c =>
+      struct(cosine(embCol, centArr(c), nrmCol, lit(8.0)).as("c"),
+        lit(-c).as("nid"))
+    }: _*)
+
   private def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = emb(spark, sfDir)
-    val cents = e.where(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
-        col("nrm").as("cn"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
-        cosine(col("embedding"), col("ce"), col("nrm"), col("cn")).as("ccos"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id")
-          .orderBy(col("ccos").desc, col("cent_id"))))
-      .where(col("rk") === 1)
+    val assigned = e
+      .withColumn("best", array_max(centScores(col("embedding"), col("nrm"))))
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("cent_id").as("cell"))
+        (-col("best.nid")).cast("int").as("cell"))
+    // query row: same scores array, sorted desc, top-nprobe(=2) cells
     val q = e.where(col("vec_id") === 7)
       .select(col("embedding").as("qe"), col("nrm").as("qn"))
-    val probed = cents.crossJoin(broadcast(q))
-      .select(col("cent_id"),
-        cosine(col("ce"), col("qe"), col("cn"), col("qn")).as("qcos"))
-      .orderBy(col("qcos").desc, col("cent_id"))
-      .limit(2)
-      .select("cent_id")
-    assigned.join(broadcast(probed), col("cell") === col("cent_id"))
-      .crossJoin(broadcast(q))
-      .where(col("vec_id") =!= 7)
+      .withColumn("scored",
+        sort_array(centScores(col("qe"), col("qn")), asc = false))
+      .select(col("qe"), col("qn"),
+        expr(s"transform(slice(scored, 1, 2), s -> cast(-s.nid as int))")
+          .as("probed"))
+    assigned.crossJoin(broadcast(q))
+      .where(array_contains(col("probed"), col("cell")) &&
+        col("vec_id") =!= 7)
       .select(col("vec_id"), col("cell"),
         cosine(col("embedding"), col("qe"), col("nrm"), col("qn")).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -190,10 +211,18 @@ object LlmVector {
   // ---------------------------------------------------------------------
   // llm_vector_mean — per-label mean embedding as a declarative plan:
   // explode to (label, pos, value), aggregate each coordinate in
-  // decimal (order-independent ⇒ deterministic under any shuffle),
-  // reassemble the ordered vector. This is the oracle-checked twin of
-  // the Aggregator below.
+  // 1e-8-granule integers (order-independent ⇒ deterministic under any
+  // shuffle), reassemble the ordered vector. This is the oracle-checked
+  // twin of the Aggregator below. The final projection serializes the
+  // vector to a CSV of re-scaled bigints (the driver's pandas harness
+  // cannot hash raw array columns); both engines compute the identical
+  // double m, so the re-scaling rounds identically.
   // ---------------------------------------------------------------------
+  private val meanVecCsv =
+    """concat_ws(',', transform(raw_vec,
+         x -> cast(cast(round(x * cast(100000000 as double)) as bigint)
+                   as string)))"""
+
   private def vectorMean(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -210,22 +239,25 @@ object LlmVector {
       .groupBy("label")
       .agg(max(col("n")).as("n_vecs"),
         expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-          .as("mean_vec"))
+          .as("raw_vec"))
+      .select(col("label"), col("n_vecs"), expr(meanVecCsv).as("mean_vec"))
       .orderBy("label")
 
   // ---------------------------------------------------------------------
   // agg_custom_vector_mean — the same semantics as a custom typed
-  // Aggregator (the UDAF surface, SURVEY.md §2-J): element-wise
-  // double sums merged associatively across partitions. Double merge
-  // order is shuffle-dependent, so this key is NOT oracle-checked;
-  // LlmSpec bounds it against llm_vector_mean instead.
+  // Aggregator (the UDAF surface, SURVEY.md §2-J). The input is
+  // pre-scaled to 1e-8-granule bigints by the SAME Catalyst round()
+  // used by the declarative twin, so the Aggregator sums longs:
+  // order-independent ⇒ deterministic under any shuffle ⇒ fully
+  // oracle-checkable (identical doubles to llm_vector_mean). finish()
+  // divides back in the same operation order as the declarative plan.
   // ---------------------------------------------------------------------
-  case class VecBuf(sum: Array[Double], n: Long)
+  case class VecBuf(sum: Array[Long], n: Long)
 
-  object VectorMeanAgg extends Aggregator[Seq[Float], VecBuf, Seq[Double]] {
+  object VectorMeanAgg extends Aggregator[Seq[Long], VecBuf, Seq[Double]] {
     def zero: VecBuf = VecBuf(Array.empty, 0L)
-    def reduce(b: VecBuf, a: Seq[Float]): VecBuf = {
-      val s = if (b.sum.isEmpty) new Array[Double](a.length) else b.sum
+    def reduce(b: VecBuf, a: Seq[Long]): VecBuf = {
+      val s = if (b.sum.isEmpty) new Array[Long](a.length) else b.sum
       var i = 0
       while (i < a.length) { s(i) += a(i); i += 1 }
       VecBuf(s, b.n + 1)
@@ -239,17 +271,24 @@ object LlmVector {
         while (i < s.length) { s(i) += y.sum(i); i += 1 }
         VecBuf(s, x.n + y.n)
       }
-    def finish(b: VecBuf): Seq[Double] = b.sum.map(_ / b.n).toSeq
+    // same op order as the declarative twin: (S → double) / 1e8 / n
+    def finish(b: VecBuf): Seq[Double] =
+      b.sum.map(s => s.toDouble / 1e8 / b.n).toSeq
     def bufferEncoder: Encoder[VecBuf] = ExpressionEncoder[VecBuf]()
     def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
   }
 
   private def customVectorMean(spark: SparkSession, sfDir: String): DataFrame = {
-    val vecMean = udaf(VectorMeanAgg, ExpressionEncoder[Seq[Float]]())
+    val vecMean = udaf(VectorMeanAgg, ExpressionEncoder[Seq[Long]]())
     t(spark, sfDir, "embeddings")
+      .selectExpr("label",
+        """transform(embedding, v ->
+             cast(round(cast(v as double) * cast(100000000 as double))
+                  as bigint)) AS scaled""")
       .groupBy("label")
-      .agg(vecMean(col("embedding")).as("mean_vec"),
+      .agg(vecMean(col("scaled")).as("raw_vec"),
         count(lit(1)).as("n_vecs"))
+      .select(col("label"), expr(meanVecCsv).as("mean_vec"), col("n_vecs"))
       .orderBy("label")
   }
 
@@ -464,13 +503,21 @@ object LlmVector {
           LIMIT 50""",
     "llm_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings),
-          cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
-                    FROM e WHERE vec_id % 50 = 0),
+          cents AS (
+            SELECT c.c AS cent_id,
+                   list_transform(range(0, 64), d ->
+                     CASE WHEN (strpos('0123456789abcdef',
+                           substring(md5('c_' || c.c || '_' || d), 1, 1)) - 1)
+                           % 2 = 0
+                          THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+                     AS ce
+            FROM (SELECT unnest(range(0, 16)) AS c) c),
           assigned AS (
             SELECT vec_id, cell FROM (
               SELECT e.vec_id, c.cent_id AS cell,
                      row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY ${dDot("e.embedding", "c.ce")} / (e.nrm * c.cn)
+                       ORDER BY ${dDot("e.embedding", "c.ce")}
+                                  / (e.nrm * CAST(8 AS DOUBLE))
                                 DESC, c.cent_id) AS rk
               FROM e CROSS JOIN cents c)
             WHERE rk = 1),
@@ -478,10 +525,10 @@ object LlmVector {
           probed AS (
             SELECT cent_id FROM (
               SELECT c.cent_id,
-                     ${dDot("c.ce", "q.qe")} / (c.cn * q.qn) AS qcos
+                     ${dDot("q.qe", "c.ce")} / (q.qn * CAST(8 AS DOUBLE)) AS qcos
               FROM cents c CROSS JOIN q)
             ORDER BY qcos DESC, cent_id LIMIT 2)
-          SELECT e.vec_id, a.cell,
+          SELECT e.vec_id, CAST(a.cell AS INTEGER) AS cell,
                  ${dDot("e.embedding", "q.qe")} / (e.nrm * q.qn) AS cosine
           FROM e JOIN assigned a USING (vec_id)
                  JOIN probed p ON a.cell = p.cent_id
@@ -489,7 +536,26 @@ object LlmVector {
           WHERE e.vec_id <> 7
           ORDER BY cosine DESC, e.vec_id LIMIT 10""",
     "llm_vector_mean" ->
-      """SELECT label, max(n) AS n_vecs, list(m ORDER BY pos) AS mean_vec
+      """SELECT label, max(n) AS n_vecs,
+                array_to_string(list_transform(list(m ORDER BY pos),
+                  x -> CAST(CAST(round(x * CAST(100000000 AS DOUBLE)) AS BIGINT)
+                            AS VARCHAR)), ',') AS mean_vec
+         FROM (
+           SELECT label, i.i AS pos,
+                  CAST(sum(CAST(round(CAST(embedding[i.i] AS DOUBLE)
+                                      * CAST(100000000 AS DOUBLE)) AS BIGINT))
+                       AS DOUBLE)
+                    / CAST(100000000 AS DOUBLE) / count(*) AS m,
+                  count(*) AS n
+           FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+           GROUP BY label, i.i)
+         GROUP BY label ORDER BY label""",
+    "agg_custom_vector_mean" ->
+      """SELECT label,
+                array_to_string(list_transform(list(m ORDER BY pos),
+                  x -> CAST(CAST(round(x * CAST(100000000 AS DOUBLE)) AS BIGINT)
+                            AS VARCHAR)), ',') AS mean_vec,
+                max(n) AS n_vecs
          FROM (
            SELECT label, i.i AS pos,
                   CAST(sum(CAST(round(CAST(embedding[i.i] AS DOUBLE)

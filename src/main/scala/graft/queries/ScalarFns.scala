@@ -75,13 +75,24 @@ object ScalarFns {
         (col("value") === 0).as("is_zero"))
       .orderBy("event_id")
 
+  /** Serialize a float/double array to a CSV of 1e-8-granule scaled
+    * bigints: the double multiply + half-away round is bit-identical in
+    * every engine, and the driver's pandas harness cannot hash raw
+    * array columns — so array-valued results are rendered as strings in
+    * the final projection (list semantics unchanged upstream). */
+  private def csvScaled(arrExpr: String): String =
+    s"""concat_ws(',', transform($arrExpr,
+          x -> cast(cast(round(cast(x as double)
+                               * cast(100000000 as double)) as bigint)
+                    as string)))"""
+
   private def fnArray(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "embeddings")
       .select(col("vec_id"),
         size(col("embedding")).as("dim"),
-        element_at(col("embedding"), 1).as("first_elem"),
-        slice(col("embedding"), 1, 3).as("head3"),
-        sort_array(slice(col("embedding"), 1, 5)).as("head5_sorted"),
+        element_at(col("embedding"), 1).cast("double").as("first_elem"),
+        expr(csvScaled("slice(embedding, 1, 3)")).as("head3"),
+        expr(csvScaled("sort_array(slice(embedding, 1, 5))")).as("head5_sorted"),
         array_contains(col("embedding"), element_at(col("embedding"), 1)).as("contains_first"))
       .orderBy("vec_id")
 
@@ -92,11 +103,15 @@ object ScalarFns {
         // the oracle via list_prepend(0.0, squares) + list_reduce
         aggregate(transform(col("embedding"), x => x.cast("double")),
           lit(0.0), (acc, x) => acc + x * x).as("norm_sq"),
-        transform(slice(col("embedding"), 1, 3), x => x.cast("double") * 2).as("head3_doubled"),
+        expr(csvScaled(
+          "transform(slice(embedding, 1, 3), x -> cast(x as double) * 2)"))
+          .as("head3_doubled"),
         size(filter(col("embedding"), x => x > 0)).as("n_positive"),
         exists(col("embedding"), x => x > lit(0.5f)).as("has_big"),
-        zip_with(col("embedding"), reverse(col("embedding")),
-          (x, y) => x.cast("double") + y).as("palindrome_sum"))
+        expr(csvScaled(
+          """zip_with(embedding, reverse(embedding),
+               (x, y) -> cast(x as double) + y)"""))
+          .as("palindrome_sum"))
       .orderBy("vec_id")
 
   private val propsMap = MapType(StringType, IntegerType)
@@ -105,8 +120,9 @@ object ScalarFns {
     t(spark, sfDir, "events")
       .withColumn("m", from_json(col("props"), propsMap))
       .select(col("event_id"),
-        map_keys(col("m")).as("ks"),
-        map_values(col("m")).as("vs"),
+        concat_ws(",", map_keys(col("m"))).as("ks"),
+        expr("concat_ws(',', transform(map_values(m), v -> cast(v as string)))")
+          .as("vs"),
         element_at(col("m"), "k").as("k_value"))
       .orderBy("event_id")
 
@@ -159,6 +175,14 @@ object ScalarFns {
     "fn_array_higher_order" -> (fnArrayHigherOrder _),
     "fn_map" -> (fnMap _),
     "fn_json" -> (fnJson _))
+
+  /** DuckDB twin of [[csvScaled]] — identical double scaling + round,
+    * rendered with the same comma separator. */
+  private def dCsvScaled(arrExpr: String): String =
+    s"""array_to_string(list_transform($arrExpr,
+          x -> CAST(CAST(round(CAST(x AS DOUBLE)
+                               * CAST(100000000 AS DOUBLE)) AS BIGINT)
+                    AS VARCHAR)), ',')"""
 
   val oracle: Map[String, String] = Map(
     "fn_misc" ->
@@ -229,30 +253,30 @@ object ScalarFns {
                 (value = 0) AS is_zero
          FROM events ORDER BY event_id""",
     "fn_array" ->
-      """SELECT vec_id,
+      s"""SELECT vec_id,
                 CAST(len(embedding) AS INTEGER) AS dim,
-                embedding[1] AS first_elem,
-                embedding[1:3] AS head3,
-                list_sort(embedding[1:5]) AS head5_sorted,
+                CAST(embedding[1] AS DOUBLE) AS first_elem,
+                ${dCsvScaled("embedding[1:3]")} AS head3,
+                ${dCsvScaled("list_sort(embedding[1:5])")} AS head5_sorted,
                 list_contains(embedding, embedding[1]) AS contains_first
          FROM embeddings ORDER BY vec_id""",
     "fn_array_higher_order" ->
-      """SELECT vec_id,
+      s"""SELECT vec_id,
                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                   list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
                   (acc, x) -> acc + x) AS norm_sq,
-                list_transform(embedding[1:3], x -> CAST(x AS DOUBLE) * 2) AS head3_doubled,
+                ${dCsvScaled("list_transform(embedding[1:3], x -> CAST(x AS DOUBLE) * 2)")} AS head3_doubled,
                 CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
                 (len(list_filter(embedding, x -> x > 0.5)) > 0) AS has_big,
-                list_transform(list_zip(embedding, list_reverse(embedding)),
-                  s -> CAST(s[1] AS DOUBLE) + s[2]) AS palindrome_sum
+                ${dCsvScaled("""list_transform(list_zip(embedding, list_reverse(embedding)),
+                  s -> CAST(s[1] AS DOUBLE) + s[2])""")} AS palindrome_sum
          FROM embeddings ORDER BY vec_id""",
     "fn_map" ->
       """SELECT event_id,
-                json_keys(props) AS ks,
-                list_transform(json_keys(props),
-                  k -> CAST(json_extract_string(props, '$."' || k || '"')
-                            AS INTEGER)) AS vs,
+                coalesce(array_to_string(json_keys(props), ','), '') AS ks,
+                coalesce(array_to_string(list_transform(json_keys(props),
+                  k -> CAST(CAST(json_extract_string(props, '$."' || k || '"')
+                                 AS INTEGER) AS VARCHAR)), ','), '') AS vs,
                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
          FROM events ORDER BY event_id""",
     "fn_json" ->

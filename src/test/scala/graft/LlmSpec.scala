@@ -63,18 +63,19 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("custom Aggregator vector mean matches the declarative decimal plan") {
+    // both keys serialize the mean vector as a CSV of 1e-8-scaled
+    // bigints; the scaled-long UDAF is order-independent, so the
+    // serialized strings must match EXACTLY (not just within tolerance)
     val exact = LlmVector.defs("llm_vector_mean")(spark, sfDir)
       .select("label", "mean_vec").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
     val udafRes = LlmVector.defs("agg_custom_vector_mean")(spark, sfDir)
       .select("label", "mean_vec").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(exact.keySet === udafRes.keySet)
-    for ((label, ev) <- exact; uv = udafRes(label)) {
-      assert(ev.length === uv.length)
-      ev.zip(uv).foreach { case (a, b) =>
-        assert(math.abs(a - b) < 1e-6, s"label=$label |$a - $b| too large")
-      }
+    for ((label, ev) <- exact) {
+      assert(ev.nonEmpty && ev.split(",").length === 64)
+      assert(ev === udafRes(label), s"label=$label serialized means differ")
     }
   }
 

@@ -31,10 +31,11 @@ import graft.etl.{Ingest, Schemas}
   *
   * Scale notes (100 TB): windowed aggregations here use the memory sink
   * in Complete mode only where the *result* cardinality is bounded
-  * (per-day × event-type windows of a month = tiny); the
-  * production-shaped path — watermark + Append mode to a parquet sink,
-  * bounded state, late data dropped — is exercised by
-  * `stream_watermark` and `stream_dedup`. State stores are per-key
+  * (per-day × event-type windows of a month = tiny); everything with
+  * unbounded result cardinality — session windows, watermarked day
+  * windows, dedup, stateful sessionization — runs the
+  * production-shaped path: watermark + Append mode to a parquet sink,
+  * bounded state, late data dropped. State stores are per-key
   * partition-parallel; nothing here collects unbounded data to the
   * driver.
   */
@@ -163,17 +164,28 @@ object StreamingQ {
   // ---------------------------------------------------------------------
   // stream_window_session — per-user session windows with a 30-minute
   // inactivity gap (session end = last event + gap, Spark semantics).
+  // user×session cardinality is UNBOUNDED, so unlike the day×type
+  // windows above this must not run Complete-mode into memory: it uses
+  // the production shape — watermark + Append mode to a parquet sink.
+  // A closed session emits once the watermark passes its end; the
+  // far-future sentinel row (its own user_id = -1) advances the
+  // watermark past every real session and is filtered from the result
+  // (its own still-open session never emits).
   // ---------------------------------------------------------------------
   private def streamSession(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = stagedWithSentinel(spark, sfDir, sentinelUser = -1L)
     val src = spark.readStream.schema(Schemas.events)
-      .parquet(stagedParquet(spark, sfDir, "events"))
+      .option("maxFilesPerTrigger", 1) // sentinel lands in a later batch
+      .parquet(srcDir)
     val agg = src
+      .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-    runComplete(spark, agg)
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"))
+    runToParquet(spark, agg)
+      .where(col("user_id") >= 0)
       .orderBy("user_id", "s_start")
   }
 

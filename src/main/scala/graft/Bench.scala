@@ -39,7 +39,18 @@ object Bench {
       .mkString("{", ",", "}")
     // failed keys report -1 individually but must not deflate the total
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver parses the LAST stdout line; sbt log noise buried it in
+    // round 1 ("parsed": null). Belt-and-braces: also write the JSON to
+    // bench.json in cwd, stop Spark BEFORE printing (its shutdown logs
+    // otherwise land after the JSON), then emit the JSON as the final
+    // line.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench.json"), json + "\n")
     spark.stop()
+    System.out.flush()
+    println(json)
+    System.out.flush()
   }
 }

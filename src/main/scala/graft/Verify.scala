@@ -30,7 +30,8 @@ object Verify {
         // remove any stale output from a previous run — a leftover dump
         // would let the oracle compare silently pass on old results
         def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
+          // listFiles() is null for unreadable/vanished dirs — skip, don't NPE
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
           f.delete()
         }
         rm(new java.io.File(s"$outDir/$name"))

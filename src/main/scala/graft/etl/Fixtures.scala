@@ -20,6 +20,11 @@ object Fixtures {
         .write.mode("overwrite")
         .option("header", true)
         .option("timestampFormat", Ingest.TsFormat)
+        // the CSV writer trims edge whitespace by default — disable so
+        // the fixture round-trips losslessly even for values with
+        // leading/trailing spaces (readers set the matching flags)
+        .option("ignoreLeadingWhiteSpace", false)
+        .option("ignoreTrailingWhiteSpace", false)
         .csv(dir)
       dir
     })

@@ -254,7 +254,70 @@ object EtlQueries {
       .orderBy("event_id")
   }
 
+  /** A. Schema evolution (`mergeSchema`) — the parquet answer to the
+    * reference's Glue catalog-entry merge: the staged zone accumulates
+    * files written under different schema versions (v2 adds
+    * o_orderstatus); a mergeSchema read reconciles them into the union
+    * schema, with v1 rows null for the added column. At scale the
+    * footer merge costs one distributed metadata pass — enable it per
+    * read (as here) rather than session-wide. */
+  private def scanSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.tempDir("graft_schema_evo")
+    val orders = t(spark, sfDir, "orders")
+    orders.where(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(dir)
+    orders.where(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("append").parquet(dir)
+    spark.read.option("mergeSchema", true).parquet(dir)
+      .orderBy("o_orderkey")
+  }
+
+  /** B. Partitioned-table registration + partition recovery (MSCK): an
+    * external hive-partitioned directory is registered with NO
+    * partitions visible until `recoverPartitions` walks the directory
+    * tree and registers each — the reference's Glue partition upsert
+    * after a partitioned write. */
+  private def catalogRecoverPartitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(sfDir.hashCode).takeRight(6)
+    val tbl = s"graft_events_part_$tag"
+    val dir = Fixtures.tempDir("graft_recover_part")
+    t(spark, sfDir, "events")
+      .repartition(col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(
+      s"""CREATE TABLE $tbl (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            value DOUBLE, props STRING, event_type STRING)
+          USING parquet PARTITIONED BY (event_type) LOCATION '$dir'""")
+    // before recovery the catalog knows zero partitions → empty scan
+    require(spark.table(tbl).count() == 0L,
+      "external partitioned table must be empty before recoverPartitions")
+    spark.catalog.recoverPartitions(tbl)
+    spark.table(tbl)
+      .groupBy("event_type").agg(count(lit(1)).as("n_rows"))
+      .orderBy("event_type")
+  }
+
+  /** A. Schema-inference exploration read (`inferSchema=true`) — the
+    * interactive first-contact path; costs one extra full scan, which
+    * is why every production key in this engine reads with an explicit
+    * schema instead (SURVEY.md §1 "Schema"). */
+  private def scanCsvInferSchema(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.csvOf(spark, sfDir, "events")
+    spark.read
+      .option("header", true)
+      .option("inferSchema", true)
+      .csv(dir)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_schema_evolution" -> (scanSchemaEvolution _),
+    "catalog_recover_partitions" -> (catalogRecoverPartitions _),
+    "scan_csv_inferschema" -> (scanCsvInferSchema _),
     "scan_jsonl" -> (scanJsonl _),
     "sink_compaction" -> (sinkCompaction _),
     "etl_pipeline" -> (etlPipeline _),
@@ -277,6 +340,16 @@ object EtlQueries {
     "dedup_exact" -> (dedupExact _))
 
   val oracle: Map[String, String] = Map(
+    "scan_schema_evolution" ->
+      """SELECT o_orderkey, o_totalprice,
+                CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
+         FROM orders ORDER BY o_orderkey""",
+    "catalog_recover_partitions" ->
+      """SELECT event_type, count(*) AS n_rows
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    "scan_csv_inferschema" ->
+      """SELECT event_id, user_id, event_type, value
+         FROM events ORDER BY event_id""",
     "scan_jsonl" ->
       """SELECT event_id, ts, user_id, event_type, value, props
          FROM events ORDER BY event_id""",

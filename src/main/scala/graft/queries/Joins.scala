@@ -143,7 +143,8 @@ object Joins {
     val dir = new java.io.File(wh, name)
     if (dir.exists()) {
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
+        // listFiles() is null for unreadable/vanished dirs — skip, don't NPE
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete()
       }
       rm(dir)

@@ -127,6 +127,31 @@ object Aggregates {
         "3-MEDIUM" -> "p3", "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
       .orderBy("o_orderstatus")
 
+  /** UNPIVOT (melt): the wide pivot result back to long form via
+    * stack() — wide→long reshaping runs inside the projection (one
+    * Generate per row, no shuffle beyond the source aggregation). */
+  private def aggUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    aggPivot(spark, sfDir)
+      .selectExpr("o_orderstatus",
+        """stack(5, 'p1', p1, 'p2', p2, 'p3', p3, 'p4', p4, 'p5', p5)
+           AS (priority, n)""")
+      .orderBy("o_orderstatus", "priority")
+
+  /** Exact interpolated percentiles (quantile_cont semantics). The
+    * probed quantiles are dyadic rationals (.25/.5/.75) over
+    * integer-valued quantities, so `lower + (upper-lower)*frac` is
+    * binary-exact in every engine — no rounding tolerance needed. */
+  private def aggPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("median"),
+        expr("percentile(l_quantity, 0.75)").as("q75"),
+        min(col("l_quantity")).as("q_min"),
+        max(col("l_quantity")).as("q_max"))
+      .orderBy("l_returnflag")
+
   /** Two-phase salted aggregation — the manual skew defense for keys
     * too hot for one reducer: fan each key out over 16 salts
     * (deterministic hash of the row's own id, not rand(), so re-runs
@@ -145,6 +170,8 @@ object Aggregates {
       .orderBy("l_returnflag")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_unpivot" -> (aggUnpivot _),
+    "agg_percentile" -> (aggPercentile _),
     "agg_salted" -> (aggSalted _),
     "agg_pivot" -> (aggPivot _),
     "agg_groupby" -> (aggGroupBy _),
@@ -158,6 +185,22 @@ object Aggregates {
     "agg_collect" -> (aggCollect _))
 
   val oracle: Map[String, String] = Map(
+    "agg_unpivot" ->
+      """SELECT o_orderstatus, p.priority,
+                count(*) FILTER (WHERE o_orderpriority = p.full_name) AS n
+         FROM orders CROSS JOIN (
+           SELECT * FROM (VALUES ('p1', '1-URGENT'), ('p2', '2-HIGH'),
+                                 ('p3', '3-MEDIUM'), ('p4', '4-NOT SPECIFIED'),
+                                 ('p5', '5-LOW')) v(priority, full_name)) p
+         GROUP BY 1, 2 ORDER BY o_orderstatus, p.priority""",
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.25) AS q25,
+                quantile_cont(l_quantity, 0.5) AS median,
+                quantile_cont(l_quantity, 0.75) AS q75,
+                min(l_quantity) AS q_min,
+                max(l_quantity) AS q_max
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "agg_salted" ->
       """SELECT l_returnflag,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

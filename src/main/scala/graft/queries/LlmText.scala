@@ -377,7 +377,114 @@ object LlmText {
       .orderBy("doc_id", "bench_id")
   }
 
+  // ---------------------------------------------------------------------
+  // llm_sample_stratified — per-stratum hash sampling: each language
+  // keeps a different fraction (en 10%, zh 50%, others 30% — the
+  // "rebalance the language mix" step of corpus curation). Membership
+  // is a pure function of content hash, so the sample is stable across
+  // re-runs, engines, and repartitioning, and runs as one map-side
+  // filter — no shuffle, no rand().
+  // ---------------------------------------------------------------------
+  private def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "lang",
+        s"md5(concat($NormText, '#strat-salt-1')) AS fp")
+      .selectExpr("doc_id", "lang",
+        """((instr('0123456789abcdef', substring(fp, 1, 1)) - 1) * 4096 +
+            (instr('0123456789abcdef', substring(fp, 2, 1)) - 1) * 256 +
+            (instr('0123456789abcdef', substring(fp, 3, 1)) - 1) * 16 +
+            (instr('0123456789abcdef', substring(fp, 4, 1)) - 1)) % 100
+           AS bucket""")
+      .where(expr(
+        "bucket < CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 50 ELSE 30 END"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------------
+  // llm_unigram_logprob — corpus-unigram-model scoring: average token
+  // log-probability per document (the cheap perplexity stand-in used
+  // for quality filtering). The vocabulary table is aggregated once and
+  // broadcast (vocab ≪ corpus at any scale); per-token log-probs are
+  // rounded to 1e-6 and summed as scaled bigints, so the per-document
+  // average is independent of shuffle order and engine libm ulps.
+  // ---------------------------------------------------------------------
+  private def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS tok")
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    val lp = freq.crossJoin(broadcast(total))
+      .selectExpr("tok",
+        """cast(round(ln(cast(cnt as double) / cast(total as double))
+                      * cast(1000000 as double)) as bigint) AS lp""")
+    toks.join(broadcast(lp), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("s").cast("double") / lit(1000000).cast("double") /
+          col("n_tokens")).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_dedup_clusters — connected components over the verified
+  // near-dup graph (llm_dedup_ngram_jaccard pairs), so transitive
+  // chains a~b~c collapse into ONE cluster with one kept document (the
+  // minimum doc_id) — groupBy-per-pair dedup would keep two of three.
+  // Iterative min-label propagation: each round is one distributed
+  // join+groupBy over the (tiny) edge list; labels only decrease, so
+  // the rounds needed equal the component diameter (near-dup clusters
+  // are shallow; production corpora converge in <10 rounds — GraphX's
+  // large-star/small-star halves that again if ever needed). Each
+  // round's result is persisted and the previous unpersisted, keeping
+  // lineage O(1) across iterations.
+  // ---------------------------------------------------------------------
+  private val clustersCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    clustersCache.computeIfAbsent(sfDir, _ => dedupClustersUncached(spark, sfDir))
+
+  private def dedupClustersUncached(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents").select(col("doc_id"))
+    val pairs = dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .persist()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl")).persist()
+    // labels are non-increasing, so the label sum strictly decreases
+    // until fixpoint — a 1-long convergence probe per round
+    var labelSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"),
+          col("lbl").as("dst_lbl")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("dst_lbl")).as("nbr_lbl"))
+        .withColumnRenamed("src", "doc_id")
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .persist()
+      val nextSum = next.agg(sum(col("lbl"))).head.getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == labelSum
+      labelSum = nextSum
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"),
+      (col("doc_id") === col("lbl")).as("is_kept"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sample_stratified" -> (sampleStratified _),
+    "llm_unigram_logprob" -> (unigramLogprob _),
+    "llm_dedup_clusters" -> (dedupClusters _),
     "llm_decontaminate" -> (decontaminate _),
     "llm_pii_redact" -> (piiRedact _),
     "llm_ngram_freq" -> (ngramFreq _),
@@ -422,6 +529,55 @@ object LlmText {
         AND a.doc_id < b.doc_id)"""
 
   val oracle: Map[String, String] = Map(
+    "llm_sample_stratified" ->
+      s"""SELECT doc_id, lang, bucket
+          FROM (
+            SELECT doc_id, lang,
+                   ((strpos('0123456789abcdef', fp[1:1]) - 1) * 4096 +
+                    (strpos('0123456789abcdef', fp[2:2]) - 1) * 256 +
+                    (strpos('0123456789abcdef', fp[3:3]) - 1) * 16 +
+                    (strpos('0123456789abcdef', fp[4:4]) - 1)) % 100 AS bucket
+            FROM (SELECT doc_id, lang, md5($DNorm || '#strat-salt-1') AS fp
+                  FROM documents))
+          WHERE bucket < CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 50
+                         ELSE 30 END
+          ORDER BY doc_id""",
+    "llm_unigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+         tot AS (SELECT sum(cnt) AS total FROM freq),
+         lp AS (
+           SELECT tok,
+                  CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                             * CAST(1000000 AS DOUBLE)) AS BIGINT) AS lp
+           FROM freq CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(lp) AS DOUBLE) / CAST(1000000 AS DOUBLE) / count(*)
+                  AS avg_logprob
+         FROM toks JOIN lp USING (tok)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "llm_dedup_clusters" ->
+      s"""WITH RECURSIVE $DSigned,
+          pairs AS (
+            SELECT doc_a, doc_b FROM cand
+            WHERE list_reduce(list_prepend(0,
+                    list_transform(range(1, 13),
+                      i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)),
+                    (acc, v) -> acc + v) >= 3
+              AND len(list_intersect(sh_a, sh_b)) /
+                  (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+                  >= 0.5),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+          reach AS (
+            SELECT doc_id AS id, doc_id AS r FROM documents
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+          SELECT id AS doc_id, min(r) AS cluster_id,
+                 (min(r) = id) AS is_kept
+          FROM reach GROUP BY id ORDER BY doc_id""",
     "llm_decontaminate" ->
       """WITH sh5 AS (
            SELECT doc_id,

@@ -149,6 +149,21 @@ object ScalarFns {
         "nvl(nullif(lang, 'zh'), '(redacted)') AS lang_or_redacted")
       .orderBy("doc_id")
 
+  /** Bitwise surface over 64-bit keys: shifts, and/or/xor, complement,
+    * popcount — the primitives hash-partitioners, bitmap indexes, and
+    * bloom filters are built from. */
+  private def fnBitwise(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .selectExpr("o_orderkey",
+        "shiftleft(o_orderkey, 3) AS shl3",
+        "shiftright(o_orderkey, 2) AS shr2",
+        "o_orderkey & 255 AS and_lo",
+        "o_orderkey | 4096 AS or_bit",
+        "o_orderkey ^ 65535 AS xor_lo",
+        "~o_orderkey AS complement",
+        "cast(bit_count(o_orderkey) as int) AS popcount")
+      .orderBy("o_orderkey")
+
   /** Date arithmetic beyond fn_datetime: whole-month distances (both
     * engines agree once truncated to month starts) and banker's
     * rounding (DuckDB round_even = Spark bround, both HALF_EVEN). */
@@ -165,6 +180,7 @@ object ScalarFns {
       .orderBy("o_orderkey")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_bitwise" -> (fnBitwise _),
     "fn_misc" -> (fnMisc _),
     "fn_datetime2" -> (fnDatetime2 _),
     "fn_string" -> (fnString _),
@@ -185,6 +201,16 @@ object ScalarFns {
                     AS VARCHAR)), ',')"""
 
   val oracle: Map[String, String] = Map(
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+                o_orderkey << 3 AS shl3,
+                o_orderkey >> 2 AS shr2,
+                o_orderkey & 255 AS and_lo,
+                o_orderkey | 4096 AS or_bit,
+                xor(o_orderkey, 65535) AS xor_lo,
+                ~o_orderkey AS complement,
+                CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+         FROM orders ORDER BY o_orderkey""",
     "fn_misc" ->
       """SELECT doc_id,
                 sha256(text) AS sha,

@@ -314,7 +314,33 @@ object EtlQueries {
       .orderBy("event_id")
   }
 
+  /** A. binaryFile source — the multimodal landing zone: one opaque
+    * object per document (image/audio shape), read back as
+    * (path, length, content) with the id parsed from the object key and
+    * the payload decoded. Staging writes run executor-side via
+    * foreachPartition (no driver loop); a production deployment points
+    * the same reader at an object-store prefix. */
+  private def scanBinaryFile(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.tempDir("graft_binfiles")
+    t(spark, sfDir, "documents").select("doc_id", "text")
+      .repartition(4)
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          Files.write(
+            Paths.get(dir, f"${r.getLong(0)}%06d.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      }
+    spark.read.format("binaryFile").load(dir)
+      .selectExpr(
+        "cast(regexp_extract(path, '([0-9]+)\\\\.bin$', 1) as bigint) AS doc_id",
+        "length AS n_bytes",
+        "decode(content, 'UTF-8') AS text_rt")
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_binaryfile" -> (scanBinaryFile _),
     "scan_schema_evolution" -> (scanSchemaEvolution _),
     "catalog_recover_partitions" -> (catalogRecoverPartitions _),
     "scan_csv_inferschema" -> (scanCsvInferSchema _),
@@ -340,6 +366,11 @@ object EtlQueries {
     "dedup_exact" -> (dedupExact _))
 
   val oracle: Map[String, String] = Map(
+    "scan_binaryfile" ->
+      """SELECT doc_id,
+                octet_length(encode(text)) AS n_bytes,
+                text AS text_rt
+         FROM documents ORDER BY doc_id""",
     "scan_schema_evolution" ->
       """SELECT o_orderkey, o_totalprice,
                 CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus

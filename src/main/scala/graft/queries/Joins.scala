@@ -186,7 +186,29 @@ object Joins {
     spark.table(liTable).hint("merge").join(spark.table(oTable),
       col("l_orderkey") === col("o_orderkey"))
 
+  /** Manual salted join — the skew defense when one join key is too hot
+    * for a single reducer and AQE's skew splitting isn't available
+    * (e.g. the hot side feeds a later stage): the big side salts each
+    * row deterministically (hash of its own PK, not rand(), so re-runs
+    * agree), the small side replicates once per salt, and the join key
+    * becomes (key, salt) — the hot key's rows spread over `salts`
+    * reducers. Result is exactly the unsalted join. */
+  private def joinSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val salts = 8
+    val li = t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .withColumn("salt",
+        pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+    val o = t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus")
+      .crossJoin(spark.range(salts).select(col("id").cast("int").as("salt")))
+    li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "o_orderstatus")
+      .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "o_orderstatus")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_salted" -> (joinSalted _),
     "join_bucketed" -> (joinBucketed _),
     "join_inner" -> (joinInner _),
     "join_broadcast" -> (joinBroadcast _),
@@ -199,6 +221,10 @@ object Joins {
     "join_asof" -> (joinAsOf _))
 
   val oracle: Map[String, String] = Map(
+    "join_salted" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, o_orderstatus
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         ORDER BY l_orderkey, l_linenumber, l_extendedprice, o_orderstatus""",
     "join_bucketed" ->
       """SELECT o_orderstatus,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

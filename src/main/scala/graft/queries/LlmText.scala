@@ -426,6 +426,29 @@ object LlmText {
   }
 
   // ---------------------------------------------------------------------
+  // llm_pack_sequences — pack documents into fixed token-budget
+  // training sequences (the batch-construction step before a training
+  // run): deterministic order within each language shard, running token
+  // count, pack id = cumulative-start DIV budget. Window is partitioned
+  // by lang, so packing is shard-parallel — the 100 TB shape (a single
+  // global running sum would serialize on one partition; per-shard
+  // packing is what training pipelines do anyway).
+  // ---------------------------------------------------------------------
+  private val PackBudget = 512
+
+  private def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "lang", "size(split(text, ' ')) AS n_tokens")
+      .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      .selectExpr("doc_id", "lang", "n_tokens",
+        s"(cum_end - n_tokens) DIV $PackBudget AS pack_id",
+        s"(cum_end - n_tokens) % $PackBudget AS pack_offset")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_dedup_clusters — connected components over the verified
   // near-dup graph (llm_dedup_ngram_jaccard pairs), so transitive
   // chains a~b~c collapse into ONE cluster with one kept document (the
@@ -482,6 +505,7 @@ object LlmText {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pack_sequences" -> (packSequences _),
     "llm_sample_stratified" -> (sampleStratified _),
     "llm_unigram_logprob" -> (unigramLogprob _),
     "llm_dedup_clusters" -> (dedupClusters _),
@@ -529,6 +553,17 @@ object LlmText {
         AND a.doc_id < b.doc_id)"""
 
   val oracle: Map[String, String] = Map(
+    "llm_pack_sequences" ->
+      """SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+                (cum_end - n_tokens) // 512 AS pack_id,
+                (cum_end - n_tokens) % 512 AS pack_offset
+         FROM (
+           SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+                  CAST(sum(len(string_split(text, ' '))) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+           FROM documents)
+         ORDER BY doc_id""",
     "llm_sample_stratified" ->
       s"""SELECT doc_id, lang, bucket
           FROM (

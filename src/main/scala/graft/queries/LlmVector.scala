@@ -293,6 +293,34 @@ object LlmVector {
   }
 
   // ---------------------------------------------------------------------
+  // llm_embedding_quantize — per-vector symmetric int8 quantization
+  // (the storage/serving compression step: 4× smaller than float32,
+  // ~0.4% mean abs error at 64 dims): scale = max|v|, q = round(v /
+  // scale * 127). Everything is array lambdas inside the scan
+  // projection — zero shuffle — and every float op is order-fixed, so
+  // quantized codes and reconstruction error are engine-portable. The
+  // corpus has no all-zero vectors (scale > 0 guaranteed by the norm
+  // used everywhere else in this module).
+  // ---------------------------------------------------------------------
+  private def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        """aggregate(embedding, cast(0 as double),
+             (acc, v) -> greatest(acc, abs(cast(v as double)))) AS scale""")
+      .selectExpr("vec_id", "embedding", "scale",
+        """transform(embedding,
+             v -> cast(round(cast(v as double) / scale * cast(127 as double))
+                       as int)) AS q""")
+      .selectExpr("vec_id", "scale",
+        "concat_ws(',', transform(q, x -> cast(x as string))) AS q_csv",
+        """aggregate(zip_with(embedding, q,
+             (v, x) -> abs(cast(v as double)
+                           - cast(x as double) * scale / cast(127 as double))),
+             cast(0 as double), (acc, e) -> acc + e)
+           / cast(64 as double) AS mean_abs_err""")
+      .orderBy("vec_id")
+
+  // ---------------------------------------------------------------------
   // llm_multimodal_passthrough — opaque binary payloads with typed
   // metadata carried through filter/projection: the payload here is a
   // deterministic 16-byte fake (md5 of the text) standing in for image
@@ -402,6 +430,7 @@ object LlmVector {
     "llm_embed_neardup" -> (embedNeardup _),
     "llm_ann_lsh" -> (annLsh _),
     "llm_ann_ivf" -> (annIvf _),
+    "llm_embedding_quantize" -> (embeddingQuantize _),
     "llm_vector_mean" -> (vectorMean _),
     "agg_custom_vector_mean" -> (customVectorMean _),
     "llm_multimodal_passthrough" -> (multimodalPassthrough _),
@@ -535,6 +564,28 @@ object LlmVector {
                  CROSS JOIN q
           WHERE e.vec_id <> 7
           ORDER BY cosine DESC, e.vec_id LIMIT 10""",
+    "llm_embedding_quantize" ->
+      """SELECT vec_id, scale,
+                array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',')
+                  AS q_csv,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(list_zip(embedding, q),
+                    z -> abs(CAST(z[1] AS DOUBLE)
+                             - CAST(z[2] AS DOUBLE) * scale
+                               / CAST(127 AS DOUBLE)))),
+                  (acc, e) -> acc + e) / CAST(64 AS DOUBLE) AS mean_abs_err
+         FROM (
+           SELECT vec_id, embedding, scale,
+                  list_transform(embedding,
+                    v -> CAST(round(CAST(v AS DOUBLE) / scale
+                                    * CAST(127 AS DOUBLE)) AS INTEGER)) AS q
+           FROM (
+             SELECT vec_id, embedding,
+                    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+                      (acc, v) -> greatest(acc, v)) AS scale
+             FROM embeddings))
+         ORDER BY vec_id""",
     "llm_vector_mean" ->
       """SELECT label, max(n) AS n_vecs,
                 array_to_string(list_transform(list(m ORDER BY pos),

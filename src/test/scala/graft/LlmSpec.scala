@@ -120,6 +120,38 @@ class LlmSpec extends AnyFunSuite {
       s"expected all $n duplicated vectors as top candidates, got $selfPairs")
   }
 
+  test("cluster dedup merges transitive near-dup chains (a~b~c, a!~c)") {
+    import spark.implicits._
+    // three docs on a chain: A~B and B~C are near-dups (3 words
+    // changed each, jaccard ≈ 0.7) but A and C differ at 6 positions
+    // (jaccard < 0.5) — pairwise dedup alone would NOT link A to C;
+    // only the connected component collapses all three. Doc 10 is
+    // unrelated and must stay its own singleton cluster.
+    val base = (0 until 30).map(i => s"w$i")
+    def swap(ws: Seq[String], at: Range, tag: String) =
+      ws.zipWithIndex.map { case (w, i) => if (at.contains(i)) s"$tag$i" else w }
+    val rows = Seq(
+      (1L, base.mkString(" ")),
+      (2L, swap(base, 5 to 7, "b").mkString(" ")),
+      (3L, swap(swap(base, 5 to 7, "b"), 20 to 22, "c").mkString(" ")),
+      (10L, (0 until 30).map(i => s"z$i").mkString(" ")))
+    val dir = graft.etl.Fixtures.tempDir("graft_cluster_chain")
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'test' AS source",
+        "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = LlmText.defs("llm_dedup_ngram_jaccard")(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (2L, 3L)),
+      s"expected exactly the chain edges, got $pairs")
+    val clusters = LlmText.defs("llm_dedup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(clusters === Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
+      10L -> (10L, true)))
+  }
+
   test("multimodal feature extraction is deterministic with stable schema") {
     val a = LlmVector.defs("llm_multimodal_features")(spark, sfDir)
     val b = LlmVector.defs("llm_multimodal_features")(spark, sfDir)

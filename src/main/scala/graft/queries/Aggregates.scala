@@ -152,6 +152,21 @@ object Aggregates {
         max(col("l_quantity")).as("q_max"))
       .orderBy("l_returnflag")
 
+  /** Explicit GROUPING SETS through the SQL entry point (`spark.sql`
+    * over a registered view) — same expand+aggregate machinery as
+    * rollup/cube, exercised via the SQL-string surface users of the
+    * reference's Athena layer would migrate to. */
+  private def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+                coalesce(o_orderpriority, '(all)') AS priority,
+                count(*) AS n_orders
+         FROM orders_gs
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY status, priority""")
+  }
+
   /** Two-phase salted aggregation — the manual skew defense for keys
     * too hot for one reducer: fan each key out over 16 salts
     * (deterministic hash of the row's own id, not rand(), so re-runs
@@ -170,6 +185,7 @@ object Aggregates {
       .orderBy("l_returnflag")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_unpivot" -> (aggUnpivot _),
     "agg_percentile" -> (aggPercentile _),
     "agg_salted" -> (aggSalted _),
@@ -185,6 +201,13 @@ object Aggregates {
     "agg_collect" -> (aggCollect _))
 
   val oracle: Map[String, String] = Map(
+    "agg_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+                coalesce(o_orderpriority, '(all)') AS priority,
+                count(*) AS n_orders
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY status, priority""",
     "agg_unpivot" ->
       """SELECT o_orderstatus, p.priority,
                 count(*) FILTER (WHERE o_orderpriority = p.full_name) AS n

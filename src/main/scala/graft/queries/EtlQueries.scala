@@ -339,7 +339,20 @@ object EtlQueries {
       .orderBy("doc_id")
   }
 
+  /** A. Raw-line text source — the "unstructured logs" first-contact
+    * path: whole lines in, structure extracted with string ops. Reads
+    * the staged events CSV as plain lines, drops headers, parses the
+    * leading key field. */
+  private def scanText(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.csvOf(spark, sfDir, "events")
+    spark.read.text(dir)
+      .where(!col("value").startsWith("event_id"))
+      .selectExpr("cast(split(value, ',')[0] as bigint) AS event_id")
+      .orderBy("event_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_text" -> (scanText _),
     "scan_binaryfile" -> (scanBinaryFile _),
     "scan_schema_evolution" -> (scanSchemaEvolution _),
     "catalog_recover_partitions" -> (catalogRecoverPartitions _),
@@ -366,6 +379,8 @@ object EtlQueries {
     "dedup_exact" -> (dedupExact _))
 
   val oracle: Map[String, String] = Map(
+    "scan_text" ->
+      "SELECT event_id FROM events ORDER BY event_id",
     "scan_binaryfile" ->
       """SELECT doc_id,
                 octet_length(encode(text)) AS n_bytes,

@@ -78,6 +78,22 @@ object Windows {
       .orderBy("o_orderstatus", "rn")
   }
 
+  /** Top-k per group through the custom whole-operator plan node
+    * (graft.plans.TopKPerGroup — LogicalPlan + Strategy + SparkPlan):
+    * map-side bounded heaps, one k-rows-per-group-per-partition
+    * exchange, no per-partition full sort. Same result as
+    * win_topk_per_group (and the same oracle shape) — WindowsSpec
+    * asserts both the equivalence and the partial→exchange→final
+    * physical shape. */
+  private def winTopKCustom(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.GraftOps.topKPerGroup(
+        t(spark, sfDir, "orders")
+          .select("o_orderstatus", "o_orderkey", "o_totalprice"),
+        keyCols = Seq("o_orderstatus"),
+        order = Seq(("o_totalprice", false), ("o_orderkey", true)),
+        k = 3)
+      .orderBy("o_orderstatus", "o_orderkey")
+
   /** Distribution analytics: cume_dist, quartile buckets, and
     * nth_value over a fully tie-broken ordering (unique sort keys keep
     * the default RANGE frame's peer handling engine-agnostic). */
@@ -98,9 +114,17 @@ object Windows {
     "win_lag_lead" -> (winLagLead _),
     "win_running_sum" -> (winRunningSum _),
     "win_range_frame" -> (winRangeFrame _),
-    "win_topk_per_group" -> (winTopKPerGroup _))
+    "win_topk_per_group" -> (winTopKPerGroup _),
+    "win_topk_custom" -> (winTopKCustom _))
 
   val oracle: Map[String, String] = Map(
+    "win_topk_custom" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+           SELECT o_orderstatus, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3
+         ORDER BY o_orderstatus, o_orderkey""",
     "win_distribution" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
                 cume_dist() OVER w AS cd,

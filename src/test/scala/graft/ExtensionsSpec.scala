@@ -43,4 +43,29 @@ class ExtensionsSpec extends AnyFunSuite {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("TopKPerGroup plans partial -> exchange -> final and matches the window twin") {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val sfDir = "/root/testdata/sf0.001"
+    val custom = SparkEntry.queries("win_topk_custom")(spark, sfDir)
+    val window = SparkEntry.queries("win_topk_per_group")(spark, sfDir)
+      .select("o_orderstatus", "o_orderkey", "o_totalprice")
+    // value equivalence with the declarative window formulation
+    assert(custom.exceptAll(window).isEmpty && window.exceptAll(custom).isEmpty)
+    assert(custom.count() === window.count())
+    // physical shape: both phases present, exactly one exchange between
+    // them, and NO sort below the final phase (the whole point)
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupPartial"), plan)
+    assert(plan.contains("TopKPerGroupFinal"), plan)
+    val between = plan.substring(
+      plan.indexOf("TopKPerGroupFinal"), plan.indexOf("TopKPerGroupPartial"))
+    assert(between.contains("Exchange"), s"no exchange between phases:\n$plan")
+    assert(!between.contains("Sort"), s"unexpected sort between phases:\n$plan")
+  }
 }

@@ -149,6 +149,18 @@ object ScalarFns {
         "nvl(nullif(lang, 'zh'), '(redacted)') AS lang_or_redacted")
       .orderBy("doc_id")
 
+  /** Regex surface beyond the basics in fn_string: extract-all
+    * (serialized — no top-level arrays reach the driver), match counts,
+    * and group-backreference rewriting. */
+  private def fnRegex(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .selectExpr("p_partkey",
+        "concat_ws(',', regexp_extract_all(p_name, '[a-z]+', 0)) AS words_csv",
+        "size(regexp_extract_all(p_name, '[a-z]+', 0)) AS n_words",
+        "p_brand rlike '[0-9]' AS has_digit",
+        "regexp_replace(p_type, '([a-z]+) ([a-z]+)', '$2 $1') AS swapped")
+      .orderBy("p_partkey")
+
   /** Bitwise surface over 64-bit keys: shifts, and/or/xor, complement,
     * popcount — the primitives hash-partitioners, bitmap indexes, and
     * bloom filters are built from. */
@@ -180,6 +192,7 @@ object ScalarFns {
       .orderBy("o_orderkey")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_regex" -> (fnRegex _),
     "fn_bitwise" -> (fnBitwise _),
     "fn_misc" -> (fnMisc _),
     "fn_datetime2" -> (fnDatetime2 _),
@@ -201,6 +214,16 @@ object ScalarFns {
                     AS VARCHAR)), ',')"""
 
   val oracle: Map[String, String] = Map(
+    "fn_regex" ->
+      """SELECT p_partkey,
+                array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',')
+                  AS words_csv,
+                CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INTEGER)
+                  AS n_words,
+                regexp_matches(p_brand, '[0-9]') AS has_digit,
+                regexp_replace(p_type, '([a-z]+) ([a-z]+)', '\2 \1', 'g')
+                  AS swapped
+         FROM part ORDER BY p_partkey""",
     "fn_bitwise" ->
       """SELECT o_orderkey,
                 o_orderkey << 3 AS shl3,

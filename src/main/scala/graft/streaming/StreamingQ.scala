@@ -355,6 +355,25 @@ object StreamingQ {
   }
 
   // ---------------------------------------------------------------------
+  // stream_static_join — the enrichment shape: a stream joined to a
+  // static (batch) dimension. The static side re-broadcasts per
+  // micro-batch, needs no watermark and holds no join state — the
+  // cheap, stateless cousin of the stream-stream join, and the right
+  // tool whenever the right side is a slowly-changing dimension.
+  // ---------------------------------------------------------------------
+  private def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = spark.readStream.schema(Schemas.events)
+      .parquet(stagedParquet(spark, sfDir, "events"))
+    val dim = t(spark, sfDir, "events").select("event_type").distinct()
+      .withColumn("category",
+        when(col("event_type").isin("purchase", "signup"), "conversion")
+          .otherwise("engagement"))
+    val joined = src.join(broadcast(dim), Seq("event_type"))
+      .select("event_id", "event_type", "category", "value")
+    runToParquet(spark, joined).orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------------
   // stream_foreach_batch — the custom-sink escape hatch (the direct
   // analogue of the reference's per-object processing function): each
   // micro-batch lands as event_type-partitioned parquet via foreachBatch,
@@ -383,6 +402,7 @@ object StreamingQ {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_static_join" -> (streamStaticJoin _),
     "stream_foreach_batch" -> (streamForeachBatch _),
     "stream_stateful_session" -> (streamStatefulSession _),
     "stream_join" -> (streamJoin _),
@@ -399,6 +419,12 @@ object StreamingQ {
     * sessionization, which is exactly Spark's session_window semantics
     * (end = last event + gap). */
   val oracle: Map[String, String] = Map(
+    "stream_static_join" ->
+      """SELECT event_id, event_type,
+                CASE WHEN event_type IN ('purchase', 'signup')
+                     THEN 'conversion' ELSE 'engagement' END AS category,
+                value
+         FROM events ORDER BY event_id""",
     "stream_foreach_batch" ->
       """SELECT event_id, user_id, event_type, value
          FROM events ORDER BY event_id""",

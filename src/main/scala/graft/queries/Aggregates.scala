@@ -167,6 +167,19 @@ object Aggregates {
          ORDER BY status, priority""")
   }
 
+  /** Approximate percentiles (Greenwald-Khanna sketch) — the
+    * mergeable-sketch path for quantiles at 100 TB, where the exact
+    * interpolated form (agg_percentile) would need a full sort per
+    * group. No oracle: sketch internals differ across engines;
+    * PropertySpec bounds the error against the exact result. */
+  private def aggApproxPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_median"),
+        expr("approx_percentile(l_quantity, 0.9, 1000)").as("approx_p90"))
+      .orderBy("l_returnflag")
+
   /** Two-phase salted aggregation — the manual skew defense for keys
     * too hot for one reducer: fan each key out over 16 salts
     * (deterministic hash of the row's own id, not rand(), so re-runs
@@ -188,6 +201,7 @@ object Aggregates {
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_unpivot" -> (aggUnpivot _),
     "agg_percentile" -> (aggPercentile _),
+    "agg_approx_percentile" -> (aggApproxPercentile _),
     "agg_salted" -> (aggSalted _),
     "agg_pivot" -> (aggPivot _),
     "agg_groupby" -> (aggGroupBy _),

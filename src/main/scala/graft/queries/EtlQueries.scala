@@ -351,7 +351,57 @@ object EtlQueries {
       .orderBy("event_id")
   }
 
+  /** C. Data-quality profile — the "analyze before you trust it" pass
+    * every landing zone needs: one single-pass aggregate computes
+    * null/distinct/min/max per column, then stack() reshapes to one
+    * row per column. One scan, one reduce, any number of columns. */
+  private def dqReport(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_custkey").isNull.cast("long")).as("null_custkey"),
+        countDistinct(col("o_custkey")).as("dist_custkey"),
+        min(col("o_custkey")).cast("string").as("min_custkey"),
+        max(col("o_custkey")).cast("string").as("max_custkey"),
+        sum(col("o_orderstatus").isNull.cast("long")).as("null_status"),
+        countDistinct(col("o_orderstatus")).as("dist_status"),
+        min(col("o_orderstatus")).as("min_status"),
+        max(col("o_orderstatus")).as("max_status"))
+      .selectExpr("n_rows",
+        """stack(2,
+             'o_custkey', null_custkey, dist_custkey, min_custkey, max_custkey,
+             'o_orderstatus', null_status, dist_status, min_status, max_status)
+           AS (col_name, n_null, n_distinct, min_val, max_val)""")
+      .orderBy("col_name")
+
+  /** C. Snapshot diff (the SCD2 / CDC merge classifier): FULL OUTER
+    * join of yesterday's and today's snapshot on the business key,
+    * each row classified inserted/deleted/changed/unchanged — the
+    * decision input for a merge write. Snapshots are simulated with
+    * deterministic key filters and a price revision. */
+  private def scd2Diff(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = t(spark, sfDir, "orders")
+    val old = orders.where(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey").as("key"),
+        col("o_totalprice").as("old_price"))
+    val cur = orders.where(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("key"),
+        when(col("o_orderkey") % 3 === 0,
+          (dec(col("o_totalprice")) * lit(BigDecimal("1.10"))).cast("double"))
+          .otherwise(col("o_totalprice")).as("new_price"))
+    old.join(cur, Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("old_price").isNull, "inserted")
+          .when(col("new_price").isNull, "deleted")
+          .when(col("old_price") =!= col("new_price"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("old_price"), col("new_price"))
+      .orderBy("key")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_dq_report" -> (dqReport _),
+    "etl_scd2_diff" -> (scd2Diff _),
     "scan_text" -> (scanText _),
     "scan_binaryfile" -> (scanBinaryFile _),
     "scan_schema_evolution" -> (scanSchemaEvolution _),
@@ -379,6 +429,46 @@ object EtlQueries {
     "dedup_exact" -> (dedupExact _))
 
   val oracle: Map[String, String] = Map(
+    "etl_dq_report" ->
+      """WITH s AS (
+           SELECT count(*) AS n_rows,
+                  count(*) FILTER (WHERE o_custkey IS NULL) AS null_custkey,
+                  count(DISTINCT o_custkey) AS dist_custkey,
+                  CAST(min(o_custkey) AS VARCHAR) AS min_custkey,
+                  CAST(max(o_custkey) AS VARCHAR) AS max_custkey,
+                  count(*) FILTER (WHERE o_orderstatus IS NULL) AS null_status,
+                  count(DISTINCT o_orderstatus) AS dist_status,
+                  min(o_orderstatus) AS min_status,
+                  max(o_orderstatus) AS max_status
+           FROM orders)
+         SELECT n_rows, 'o_custkey' AS col_name, null_custkey AS n_null,
+                dist_custkey AS n_distinct, min_custkey AS min_val,
+                max_custkey AS max_val
+         FROM s
+         UNION ALL
+         SELECT n_rows, 'o_orderstatus', null_status, dist_status,
+                min_status, max_status
+         FROM s
+         ORDER BY col_name""",
+    "etl_scd2_diff" ->
+      """WITH old AS (
+           SELECT o_orderkey AS key, o_totalprice AS old_price
+           FROM orders WHERE o_orderkey % 10 <> 0),
+         cur AS (
+           SELECT o_orderkey AS key,
+                  CASE WHEN o_orderkey % 3 = 0
+                       THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                 * CAST(1.10 AS DECIMAL(3,2)) AS DOUBLE)
+                       ELSE o_totalprice END AS new_price
+           FROM orders WHERE o_orderkey % 7 <> 0)
+         SELECT coalesce(old.key, cur.key) AS key,
+                CASE WHEN old.old_price IS NULL THEN 'inserted'
+                     WHEN cur.new_price IS NULL THEN 'deleted'
+                     WHEN old.old_price <> cur.new_price THEN 'changed'
+                     ELSE 'unchanged' END AS status,
+                old.old_price, cur.new_price
+         FROM old FULL OUTER JOIN cur ON old.key = cur.key
+         ORDER BY key""",
     "scan_text" ->
       "SELECT event_id FROM events ORDER BY event_id",
     "scan_binaryfile" ->

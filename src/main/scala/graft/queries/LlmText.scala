@@ -449,6 +449,23 @@ object LlmText {
   }
 
   // ---------------------------------------------------------------------
+  // llm_chunk_text — sliding-window character chunking (the RAG /
+  // context-window prep step): 200-char chunks every 150 chars (50
+  // overlap). Pure sequence+substring inside the scan projection —
+  // the explode multiplies rows but nothing shuffles until a consumer
+  // asks for it.
+  // ---------------------------------------------------------------------
+  private def chunkText(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "text",
+        "posexplode(sequence(0, (length(text) - 1) DIV 150)) AS (ignored, chunk_idx)")
+      .selectExpr("doc_id", "chunk_idx",
+        "substring(text, chunk_idx * 150 + 1, 200) AS chunk")
+      .selectExpr("doc_id", "chunk_idx", "length(chunk) AS chunk_len",
+        "md5(chunk) AS chunk_fp")
+      .orderBy("doc_id", "chunk_idx")
+
+  // ---------------------------------------------------------------------
   // llm_dedup_clusters — connected components over the verified
   // near-dup graph (llm_dedup_ngram_jaccard pairs), so transitive
   // chains a~b~c collapse into ONE cluster with one kept document (the
@@ -505,6 +522,7 @@ object LlmText {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_chunk_text" -> (chunkText _),
     "llm_pack_sequences" -> (packSequences _),
     "llm_sample_stratified" -> (sampleStratified _),
     "llm_unigram_logprob" -> (unigramLogprob _),
@@ -553,6 +571,17 @@ object LlmText {
         AND a.doc_id < b.doc_id)"""
 
   val oracle: Map[String, String] = Map(
+    "llm_chunk_text" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+                CAST(length(substring(text, CAST(i * 150 + 1 AS INTEGER), 200))
+                     AS INTEGER) AS chunk_len,
+                md5(substring(text, CAST(i * 150 + 1 AS INTEGER), 200))
+                  AS chunk_fp
+         FROM (
+           SELECT doc_id, text,
+                  unnest(range(0, (length(text) - 1) // 150 + 1)) AS i
+           FROM documents)
+         ORDER BY doc_id, chunk_idx""",
     "llm_pack_sequences" ->
       """SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
                 (cum_end - n_tokens) // 512 AS pack_id,

@@ -108,6 +108,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile stays close to the exact interpolated quantile") {
+    val sfDir = "/root/testdata/sf0.001"
+    val approx = SparkEntry.queries("agg_approx_percentile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = SparkEntry.queries("agg_percentile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap // median
+    assert(approx.keySet === exact.keySet)
+    for ((k, e) <- exact) {
+      val a = approx(k)
+      // accuracy=1000 ⇒ rank error ≤ 1/1000; quantities span [1, 50],
+      // so the value error at the median stays within a few units
+      assert(math.abs(a - e) <= 2.0, s"$k: approx=$a exact=$e")
+    }
+  }
+
   test("CSV→Parquet round-trip preserves generated rows with hostile strings") {
     import spark.implicits._
     val strGen = Gen.listOf(Gen.oneOf(

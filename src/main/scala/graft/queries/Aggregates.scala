@@ -180,6 +180,21 @@ object Aggregates {
         expr("approx_percentile(l_quantity, 0.9, 1000)").as("approx_p90"))
       .orderBy("l_returnflag")
 
+  /** Statistical aggregates: stddev/variance/correlation/covariance.
+    * Both engines use numerically-stable streaming merges whose
+    * low-order bits depend on merge order, so results are rounded to
+    * 6 decimals on BOTH sides for oracle parity (values are O(1)-O(10³),
+    * far from rounding boundaries). */
+  private def aggStats(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_pop(col("l_quantity")), 6).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"))
+      .orderBy("l_returnflag")
+
   /** Two-phase salted aggregation — the manual skew defense for keys
     * too hot for one reducer: fan each key out over 16 salts
     * (deterministic hash of the row's own id, not rand(), so re-runs
@@ -202,6 +217,7 @@ object Aggregates {
     "agg_unpivot" -> (aggUnpivot _),
     "agg_percentile" -> (aggPercentile _),
     "agg_approx_percentile" -> (aggApproxPercentile _),
+    "agg_stats" -> (aggStats _),
     "agg_salted" -> (aggSalted _),
     "agg_pivot" -> (aggPivot _),
     "agg_groupby" -> (aggGroupBy _),
@@ -215,6 +231,13 @@ object Aggregates {
     "agg_collect" -> (aggCollect _))
 
   val oracle: Map[String, String] = Map(
+    "agg_stats" ->
+      """SELECT l_returnflag,
+                round(stddev_samp(l_quantity), 6) AS sd_qty,
+                round(var_pop(l_quantity), 6) AS var_qty,
+                round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "agg_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
                 coalesce(o_orderpriority, '(all)') AS priority,

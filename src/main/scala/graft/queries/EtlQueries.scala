@@ -399,7 +399,27 @@ object EtlQueries {
       .orderBy("key")
   }
 
+  /** B. Range-clustered layout sink: `repartitionByRange` +
+    * `sortWithinPartitions` writes files with DISJOINT key ranges, so
+    * downstream key-range scans skip whole files on parquet min/max
+    * stats (the zone-map layout every lake table wants for its primary
+    * scan key). EtlSpec asserts the disjoint-ranges property on the
+    * actual files. */
+  private def sinkRangePartitioned(spark: SparkSession, sfDir: String): DataFrame =
+    rangeLayout(spark, sfDir)._1
+
+  def rangeLayout(spark: SparkSession, sfDir: String): (DataFrame, String) = {
+    val dir = Fixtures.tempDir("graft_range_sink")
+    t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderdate")
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").option("compression", "snappy").parquet(dir)
+    (spark.read.parquet(dir).orderBy("o_orderkey"), dir)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_range_partitioned" -> (sinkRangePartitioned _),
     "etl_dq_report" -> (dqReport _),
     "etl_scd2_diff" -> (scd2Diff _),
     "scan_text" -> (scanText _),
@@ -429,6 +449,9 @@ object EtlQueries {
     "dedup_exact" -> (dedupExact _))
 
   val oracle: Map[String, String] = Map(
+    "sink_range_partitioned" ->
+      """SELECT o_orderkey, o_totalprice, o_orderdate
+         FROM orders ORDER BY o_orderkey""",
     "etl_dq_report" ->
       """WITH s AS (
            SELECT count(*) AS n_rows,

@@ -81,6 +81,25 @@ class EtlSpec extends AnyFunSuite {
     assert(got === Array((3, "b"), (99, "a")).sorted)
   }
 
+  test("range-partitioned sink writes files with disjoint key ranges") {
+    import org.apache.spark.sql.functions._
+    val (out, dir) =
+      graft.queries.EtlQueries.rangeLayout(spark, "/root/testdata/sf0.001")
+    assert(out.count() ===
+      Tables.t(spark, "/root/testdata/sf0.001", "orders").count())
+    // per-file [min, max] of the clustering key must not overlap — the
+    // property that lets key-range scans skip whole files on footer stats
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple files")
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 < lo2, s"overlapping file ranges: $hi1 >= $lo2")
+    }
+  }
+
   test("compaction collapses a many-small-files layout to few files") {
     // assert on the ACTUAL query pipeline's directories, not a copy
     val (out, small, big) =

@@ -46,8 +46,13 @@ object Bench {
     // bench.json in cwd, stop Spark BEFORE printing (its shutdown logs
     // otherwise land after the JSON), then emit the JSON as the final
     // line.
-    java.nio.file.Files.writeString(
+    try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench.json"), json + "\n")
+    catch { case e: java.io.IOException =>
+      // the file is only the fallback — never let it kill the primary
+      // stdout signal (read-only or full cwd)
+      System.err.println(s"[bench] could not write bench.json: ${e.getMessage}")
+    }
     spark.stop()
     System.out.flush()
     println(json)

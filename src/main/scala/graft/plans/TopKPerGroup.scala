@@ -76,11 +76,22 @@ case class TopKPerGroupExec(
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(groupKeys))
 
+  /** Memory bound for the map-side pass: at most this many groups are
+    * tracked per partition (≈ MaxPartialGroups × k retained rows).
+    * Overflow rows PASS THROUGH unreduced — still correct, the final
+    * phase computes the exact top-k; the partial phase is purely an
+    * optimization, so degrading it under ultra-high group cardinality
+    * is the hash-aggregate-style fallback, not an error. The final
+    * phase holds k rows per group on its reducer (k ≪ group size),
+    * which is the inherent memory floor of hash-based top-k. */
+  private val MaxPartialGroups = 100000
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keys = groupKeys
     val order = sortOrder
     val schema = child.output
     val limit = k
+    val isPartial = partial
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keys, schema)
       // BaseOrdering <: Ordering[InternalRow]; PriorityQueue's head is
@@ -88,21 +99,28 @@ case class TopKPerGroupExec(
       val ord = RowOrdering.create(order, schema)
       val heaps =
         new java.util.HashMap[UnsafeRow, mutable.PriorityQueue[InternalRow]]()
-      while (it.hasNext) {
-        val row = it.next()
+      val absorbed = it.flatMap { row =>
         val key = keyProj(row)
         var q = heaps.get(key)
-        if (q == null) {
+        if (q == null && (!isPartial || heaps.size() < MaxPartialGroups)) {
           q = mutable.PriorityQueue.empty[InternalRow](ord)
           heaps.put(key.copy(), q)
         }
-        if (q.size < limit) q.enqueue(row.copy())
-        else if (ord.compare(row, q.head) < 0) {
-          q.dequeue()
-          q.enqueue(row.copy())
+        if (q == null) {
+          // partial-phase overflow: emit unreduced (never stored)
+          Iterator.single(row)
+        } else {
+          if (q.size < limit) q.enqueue(row.copy())
+          else if (ord.compare(row, q.head) < 0) {
+            q.dequeue()
+            q.enqueue(row.copy())
+          }
+          Iterator.empty
         }
       }
-      heaps.values().iterator().asScala.flatMap(_.iterator)
+      // ++ is lazy in its right operand: heaps drain only after the
+      // input is exhausted
+      absorbed ++ heaps.values().iterator().asScala.flatMap(_.iterator)
     }
   }
 

@@ -183,16 +183,18 @@ object Aggregates {
   /** Statistical aggregates: stddev/variance/correlation/covariance.
     * Both engines use numerically-stable streaming merges whose
     * low-order bits depend on merge order, so results are rounded to
-    * 6 decimals on BOTH sides for oracle parity (values are O(1)-O(10³),
-    * far from rounding boundaries). */
+    * 4 decimals on BOTH sides. The gate is probabilistic by nature: it
+    * fails only if the cross-engine merge error (~1e-10 relative)
+    * straddles an x.xxxx5 boundary — ~1e-6 odds per value at this
+    * granule, vs ~1e-4 at 6 decimals. */
   private def aggStats(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
-        round(var_pop(col("l_quantity")), 6).as("var_qty"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
-        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"))
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_pop(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
       .orderBy("l_returnflag")
 
   /** Two-phase salted aggregation — the manual skew defense for keys
@@ -233,10 +235,10 @@ object Aggregates {
   val oracle: Map[String, String] = Map(
     "agg_stats" ->
       """SELECT l_returnflag,
-                round(stddev_samp(l_quantity), 6) AS sd_qty,
-                round(var_pop(l_quantity), 6) AS var_qty,
-                round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-                round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+                round(stddev_samp(l_quantity), 4) AS sd_qty,
+                round(var_pop(l_quantity), 4) AS var_qty,
+                round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+                round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "agg_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,

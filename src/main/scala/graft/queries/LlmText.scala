@@ -478,11 +478,18 @@ object LlmText {
   // round's result is persisted and the previous unpersisted, keeping
   // lineage O(1) across iterations.
   // ---------------------------------------------------------------------
+  /** Result cache keyed by (session identity, sfDir): the labels table
+    * is the staging output a production pipeline would write (same
+    * rationale as [[signed]]'s persist), and keying by session prevents
+    * handing a DataFrame bound to a stopped SparkContext to a later
+    * session in the same JVM. */
   private val clustersCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    clustersCache.computeIfAbsent(sfDir, _ => dedupClustersUncached(spark, sfDir))
+    clustersCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}/$sfDir",
+      _ => dedupClustersUncached(spark, sfDir))
 
   private def dedupClustersUncached(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents").select(col("doc_id"))
@@ -516,6 +523,13 @@ object LlmText {
       rounds += 1
     }
     edges.unpersist()
+    // Fail LOUDLY rather than return un-converged (wrong) labels: a
+    // component with diameter > 50 means plain propagation is the
+    // wrong algorithm for this graph (switch to large-star/small-star
+    // pointer doubling), not that approximate clusters are acceptable.
+    require(converged,
+      s"dedupClusters: min-label propagation did not converge in $rounds " +
+        "rounds — component diameter exceeds the cap; use pointer-doubling")
     labels.select(col("doc_id"), col("lbl").as("cluster_id"),
       (col("doc_id") === col("lbl")).as("is_kept"))
       .orderBy("doc_id")

@@ -104,16 +104,14 @@ object LlmVector {
   // on (table, bucket) — the O(n²) cross product never materializes —
   // then get re-ranked by exact cosine; global top-50 returned.
   // ---------------------------------------------------------------------
-  /** ±1 plane weight for (table, bit, dim): parity of the first md5 hex
-    * nibble of "t_p_d" — computed once on the driver and shipped as
-    * array literals (the oracle recomputes the same parity with SQL
-    * md5; values are identical by construction). At cluster scale these
-    * literals travel inside the serialized plan — a few KB. */
-  private def planeSign(t: Int, p: Int, d: Int): Double = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${t}_${p}_$d".getBytes("UTF-8"))
-    if ((((digest(0) >> 4) & 0xf) % 2) == 0) 1.0 else -1.0
-  }
+  /** ±1 plane weight for (table, bit, dim): md5-parity of "t_p_d"
+    * (shared [[OracleFmt.mdParitySign]]) — computed once on the driver
+    * and shipped as array literals (the oracle recomputes the same
+    * parity with SQL md5; values are identical by construction). At
+    * cluster scale these literals travel inside the serialized plan —
+    * a few KB. */
+  private def planeSign(t: Int, p: Int, d: Int): Double =
+    OracleFmt.mdParitySign(s"${t}_${p}_$d")
 
   private def bucketCol(table: Int): Column = {
     val bits = (0 until 8).map { p =>
@@ -165,14 +163,12 @@ object LlmVector {
   // ---------------------------------------------------------------------
   private val IvfK = 16
 
-  /** Deterministic ±1 centroid c, dimension d — parity of the first md5
-    * hex nibble of "c_<c>_<d>" (the oracle recomputes the identical
-    * value with SQL md5). Norm is exactly sqrt(64) = 8.0. */
-  private def centSign(c: Int, d: Int): Double = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"c_${c}_$d".getBytes("UTF-8"))
-    if ((((digest(0) >> 4) & 0xf) % 2) == 0) 1.0 else -1.0
-  }
+  /** Deterministic ±1 centroid c, dimension d — md5-parity of
+    * "c_<c>_<d>" (shared [[OracleFmt.mdParitySign]]; the oracle
+    * recomputes the identical value with SQL md5). Norm is exactly
+    * sqrt(64) = 8.0. */
+  private def centSign(c: Int, d: Int): Double =
+    OracleFmt.mdParitySign(s"c_${c}_$d")
 
   private def centArr(c: Int): Column =
     typedLit(Seq.tabulate(64)(d => centSign(c, d)))
@@ -218,10 +214,7 @@ object LlmVector {
   // cannot hash raw array columns); both engines compute the identical
   // double m, so the re-scaling rounds identically.
   // ---------------------------------------------------------------------
-  private val meanVecCsv =
-    """concat_ws(',', transform(raw_vec,
-         x -> cast(cast(round(x * cast(100000000 as double)) as bigint)
-                   as string)))"""
+  private val meanVecCsv = OracleFmt.csvScaled("raw_vec")
 
   private def vectorMean(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "embeddings")
@@ -587,10 +580,8 @@ object LlmVector {
              FROM embeddings))
          ORDER BY vec_id""",
     "llm_vector_mean" ->
-      """SELECT label, max(n) AS n_vecs,
-                array_to_string(list_transform(list(m ORDER BY pos),
-                  x -> CAST(CAST(round(x * CAST(100000000 AS DOUBLE)) AS BIGINT)
-                            AS VARCHAR)), ',') AS mean_vec
+      s"""SELECT label, max(n) AS n_vecs,
+                ${OracleFmt.dCsvScaled("list(m ORDER BY pos)")} AS mean_vec
          FROM (
            SELECT label, i.i AS pos,
                   CAST(sum(CAST(round(CAST(embedding[i.i] AS DOUBLE)
@@ -602,10 +593,8 @@ object LlmVector {
            GROUP BY label, i.i)
          GROUP BY label ORDER BY label""",
     "agg_custom_vector_mean" ->
-      """SELECT label,
-                array_to_string(list_transform(list(m ORDER BY pos),
-                  x -> CAST(CAST(round(x * CAST(100000000 AS DOUBLE)) AS BIGINT)
-                            AS VARCHAR)), ',') AS mean_vec,
+      s"""SELECT label,
+                ${OracleFmt.dCsvScaled("list(m ORDER BY pos)")} AS mean_vec,
                 max(n) AS n_vecs
          FROM (
            SELECT label, i.i AS pos,

@@ -75,16 +75,8 @@ object ScalarFns {
         (col("value") === 0).as("is_zero"))
       .orderBy("event_id")
 
-  /** Serialize a float/double array to a CSV of 1e-8-granule scaled
-    * bigints: the double multiply + half-away round is bit-identical in
-    * every engine, and the driver's pandas harness cannot hash raw
-    * array columns — so array-valued results are rendered as strings in
-    * the final projection (list semantics unchanged upstream). */
-  private def csvScaled(arrExpr: String): String =
-    s"""concat_ws(',', transform($arrExpr,
-          x -> cast(cast(round(cast(x as double)
-                               * cast(100000000 as double)) as bigint)
-                    as string)))"""
+  // shared scaled-bigint CSV serializers (engine-parity critical)
+  private def csvScaled(arrExpr: String): String = OracleFmt.csvScaled(arrExpr)
 
   private def fnArray(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "embeddings")
@@ -205,13 +197,7 @@ object ScalarFns {
     "fn_map" -> (fnMap _),
     "fn_json" -> (fnJson _))
 
-  /** DuckDB twin of [[csvScaled]] — identical double scaling + round,
-    * rendered with the same comma separator. */
-  private def dCsvScaled(arrExpr: String): String =
-    s"""array_to_string(list_transform($arrExpr,
-          x -> CAST(CAST(round(CAST(x AS DOUBLE)
-                               * CAST(100000000 AS DOUBLE)) AS BIGINT)
-                    AS VARCHAR)), ',')"""
+  private def dCsvScaled(arrExpr: String): String = OracleFmt.dCsvScaled(arrExpr)
 
   val oracle: Map[String, String] = Map(
     "fn_regex" ->

@@ -207,7 +207,27 @@ object Joins {
       .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "o_orderstatus")
   }
 
+  /** Correlated EXISTS + scalar subquery through the SQL surface:
+    * Catalyst decorrelates the EXISTS into a left-semi join
+    * (RewritePredicateSubquery) and evaluates the scalar subquery once
+    * — the Athena-style query shape users of the reference migrate
+    * verbatim. The average is decimal-exact so both engines agree. */
+  private def joinSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "customer").createOrReplaceTempView("customer_sq")
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders_sq")
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment, c_acctbal
+         FROM customer_sq
+         WHERE EXISTS (SELECT 1 FROM orders_sq
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+           AND c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                                        AS DOUBLE) / count(*)
+                            FROM customer_sq)
+         ORDER BY c_custkey""")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_subquery" -> (joinSubquery _),
     "join_salted" -> (joinSalted _),
     "join_bucketed" -> (joinBucketed _),
     "join_inner" -> (joinInner _),
@@ -221,6 +241,15 @@ object Joins {
     "join_asof" -> (joinAsOf _))
 
   val oracle: Map[String, String] = Map(
+    "join_subquery" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal
+         FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+           AND c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                                        AS DOUBLE) / count(*)
+                            FROM customer)
+         ORDER BY c_custkey""",
     "join_salted" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, o_orderstatus
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -54,7 +54,20 @@ object SetSort {
       .orderBy("o_custkey")
   }
 
+  /** unionByName with allowMissingColumns: schema-mismatched inputs
+    * reconcile by NAME (absent columns null-padded) — the
+    * heterogeneous-batch append every evolving landing zone needs,
+    * where positional union would silently misalign. */
+  private def setUnionByName(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = t(spark, sfDir, "part")
+    p.select("p_partkey", "p_name")
+      .unionByName(p.select("p_partkey", "p_retailprice"),
+        allowMissingColumns = true)
+      .orderBy(col("p_partkey"), asc_nulls_first("p_name"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_union_by_name" -> (setUnionByName _),
     "sort_global" -> (sortGlobal _),
     "sort_topk" -> (sortTopK _),
     "set_union" -> (setUnion _),
@@ -62,6 +75,12 @@ object SetSort {
     "set_except" -> (setExcept _))
 
   val oracle: Map[String, String] = Map(
+    "set_union_by_name" ->
+      """SELECT p_partkey, p_name, CAST(NULL AS DOUBLE) AS p_retailprice
+         FROM part
+         UNION ALL
+         SELECT p_partkey, CAST(NULL AS VARCHAR), p_retailprice FROM part
+         ORDER BY p_partkey, p_name NULLS FIRST""",
     "sort_global" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
          ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""",

@@ -78,6 +78,20 @@ object Windows {
       .orderBy("o_orderstatus", "rn")
   }
 
+  /** Batch session windows — the same `session_window` function the
+    * streaming key uses, in a plain groupBy: per-user 30-minute-gap
+    * sessions without any stream machinery. The oracle is the classic
+    * lag + running-sum gap sessionization, which is exactly Spark's
+    * session-window semantics (end = last event + gap). */
+  private def winSessionBatch(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"))
+      .orderBy("user_id", "s_start")
+
   /** Top-k per group through the custom whole-operator plan node
     * (graft.plans.TopKPerGroup — LogicalPlan + Strategy + SparkPlan):
     * map-side bounded heaps, one k-rows-per-group-per-partition
@@ -115,9 +129,26 @@ object Windows {
     "win_running_sum" -> (winRunningSum _),
     "win_range_frame" -> (winRangeFrame _),
     "win_topk_per_group" -> (winTopKPerGroup _),
-    "win_topk_custom" -> (winTopKCustom _))
+    "win_topk_custom" -> (winTopKCustom _),
+    "win_session_batch" -> (winSessionBatch _))
 
   val oracle: Map[String, String] = Map(
+    "win_session_batch" ->
+      """WITH marked AS (
+           SELECT user_id, ts,
+                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+           FROM events),
+         sess AS (
+           SELECT user_id, ts,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked)
+         SELECT min(ts) AS s_start,
+                max(ts) + INTERVAL 30 MINUTE AS s_end,
+                user_id,
+                count(*) AS n_events
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""",
     "win_topk_custom" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
            SELECT o_orderstatus, o_orderkey, o_totalprice,

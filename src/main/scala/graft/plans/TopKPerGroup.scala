@@ -35,6 +35,7 @@ case class TopKPerGroup(
     groupKeys: Seq[Expression],
     sortOrder: Seq[SortOrder],
     k: Int,
+    maxPartialGroups: Int,
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"topKPerGroup: k must be positive, got $k")
   override def output: Seq[Attribute] = child.output
@@ -47,10 +48,11 @@ case class TopKPerGroup(
   * EnsureRequirements) → final, mirroring hash aggregation's shape. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(keys, order, k, child) =>
-      val partial =
-        TopKPerGroupExec(keys, order, k, partial = true, planLater(child))
-      TopKPerGroupExec(keys, order, k, partial = false, partial) :: Nil
+    case TopKPerGroup(keys, order, k, maxGroups, child) =>
+      val partial = TopKPerGroupExec(keys, order, k, maxGroups,
+        partial = true, planLater(child))
+      TopKPerGroupExec(keys, order, k, maxGroups,
+        partial = false, partial) :: Nil
     case _ => Nil
   }
 }
@@ -64,6 +66,7 @@ case class TopKPerGroupExec(
     groupKeys: Seq[Expression],
     sortOrder: Seq[SortOrder],
     k: Int,
+    maxPartialGroups: Int,
     partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
@@ -76,22 +79,13 @@ case class TopKPerGroupExec(
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(groupKeys))
 
-  /** Memory bound for the map-side pass: at most this many groups are
-    * tracked per partition (≈ MaxPartialGroups × k retained rows).
-    * Overflow rows PASS THROUGH unreduced — still correct, the final
-    * phase computes the exact top-k; the partial phase is purely an
-    * optimization, so degrading it under ultra-high group cardinality
-    * is the hash-aggregate-style fallback, not an error. The final
-    * phase holds k rows per group on its reducer (k ≪ group size),
-    * which is the inherent memory floor of hash-based top-k. */
-  private val MaxPartialGroups = 100000
-
   override protected def doExecute(): RDD[InternalRow] = {
     val keys = groupKeys
     val order = sortOrder
     val schema = child.output
     val limit = k
     val isPartial = partial
+    val maxGroups = maxPartialGroups
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keys, schema)
       // BaseOrdering <: Ordering[InternalRow]; PriorityQueue's head is
@@ -102,7 +96,7 @@ case class TopKPerGroupExec(
       val absorbed = it.flatMap { row =>
         val key = keyProj(row)
         var q = heaps.get(key)
-        if (q == null && (!isPartial || heaps.size() < MaxPartialGroups)) {
+        if (q == null && (!isPartial || heaps.size() < maxGroups)) {
           q = mutable.PriorityQueue.empty[InternalRow](ord)
           heaps.put(key.copy(), q)
         }
@@ -132,9 +126,19 @@ case class TopKPerGroupExec(
 object GraftOps {
   /** Top `k` rows per `keyCols` group under `order` — a list of
     * (column, ascending) pairs that must form a total order. Output
-    * row order is unspecified (sort afterward if needed). */
+    * row order is unspecified (sort afterward if needed).
+    *
+    * `maxPartialGroups` bounds map-side memory: at most this many
+    * groups are tracked per input partition (≈ maxPartialGroups × k
+    * retained rows); overflow rows PASS THROUGH unreduced — still
+    * correct, the final phase computes the exact top-k, so degrading
+    * the partial reduction under ultra-high group cardinality is the
+    * hash-aggregate-style fallback, not an error. The final phase
+    * holds k rows per group on its reducer (k ≪ group size), the
+    * inherent memory floor of hash-based top-k. */
   def topKPerGroup(df: DataFrame, keyCols: Seq[String],
-                   order: Seq[(String, Boolean)], k: Int): DataFrame = {
+                   order: Seq[(String, Boolean)], k: Int,
+                   maxPartialGroups: Int = 100000): DataFrame = {
     GraftSqlBridge.addStrategy(df.sparkSession, TopKStrategy)
     val child = GraftSqlBridge.analyzedPlan(df)
     def attr(n: String): Attribute =
@@ -143,6 +147,6 @@ object GraftOps {
     val sortOrder = order.map { case (c, asc) =>
       SortOrder(attr(c), if (asc) Ascending else Descending) }
     GraftSqlBridge.ofRows(df.sparkSession,
-      TopKPerGroup(keyCols.map(attr), sortOrder, k, child))
+      TopKPerGroup(keyCols.map(attr), sortOrder, k, maxPartialGroups, child))
   }
 }

@@ -478,18 +478,22 @@ object LlmText {
   // round's result is persisted and the previous unpersisted, keeping
   // lineage O(1) across iterations.
   // ---------------------------------------------------------------------
-  /** Result cache keyed by (session identity, sfDir): the labels table
-    * is the staging output a production pipeline would write (same
-    * rationale as [[signed]]'s persist), and keying by session prevents
-    * handing a DataFrame bound to a stopped SparkContext to a later
-    * session in the same JVM. */
+  /** Result cache keyed WEAKLY by the session object (then by sfDir):
+    * the labels table is the staging output a production pipeline would
+    * write (same rationale as [[signed]]'s persist). The weak key means
+    * a discarded/stopped session's entries are collectable instead of
+    * pinned for the JVM lifetime, and object identity (not a hash) can
+    * never alias two live sessions. */
   private val clustersCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
 
   private def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    clustersCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}/$sfDir",
-      _ => dedupClustersUncached(spark, sfDir))
+    clustersCache.synchronized {
+      clustersCache.computeIfAbsent(spark,
+          _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(sfDir, dedupClustersUncached(spark, sfDir))
+    }
 
   private def dedupClustersUncached(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents").select(col("doc_id"))
@@ -527,9 +531,14 @@ object LlmText {
     // component with diameter > 50 means plain propagation is the
     // wrong algorithm for this graph (switch to large-star/small-star
     // pointer doubling), not that approximate clusters are acceptable.
-    require(converged,
-      s"dedupClusters: min-label propagation did not converge in $rounds " +
-        "rounds — component diameter exceeds the cap; use pointer-doubling")
+    // Drop the useless cached labels first — the session keeps running
+    // other keys and must not carry this pinned block-manager memory.
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"dedupClusters: min-label propagation did not converge in $rounds " +
+          "rounds — component diameter exceeds the cap; use pointer-doubling")
+    }
     labels.select(col("doc_id"), col("lbl").as("cluster_id"),
       (col("doc_id") === col("lbl")).as("is_kept"))
       .orderBy("doc_id")

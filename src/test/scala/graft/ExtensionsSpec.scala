@@ -68,4 +68,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(between.contains("Exchange"), s"no exchange between phases:\n$plan")
     assert(!between.contains("Sort"), s"unexpected sort between phases:\n$plan")
   }
+
+  test("TopKPerGroup partial-overflow pass-through stays exact") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // ~1500 customer groups vs a cap of 3: almost every partial-phase
+    // row overflows the group map and passes through unreduced — the
+    // branch no small-cardinality gate input ever reaches.
+    val src = graft.Tables.t(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val custom = graft.plans.GraftOps.topKPerGroup(
+      src, Seq("o_custkey"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), k = 2,
+      maxPartialGroups = 3)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val reference = src.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2).drop("rn")
+    assert(custom.exceptAll(reference).isEmpty &&
+      reference.exceptAll(custom).isEmpty)
+    assert(custom.count() === reference.count())
+  }
 }

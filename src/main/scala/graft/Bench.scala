@@ -35,27 +35,36 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // failed keys report -1 individually but must not deflate the total
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver parses the LAST stdout line; sbt log noise buried it in
-    // round 1 ("parsed": null). Belt-and-braces: also write the JSON to
-    // bench.json in cwd, stop Spark BEFORE printing (its shutdown logs
-    // otherwise land after the JSON), then emit the JSON as the final
-    // line.
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Full per-query map (124 keys) goes ONLY to bench.json: in rounds 1-2
+    // the one-line blob overflowed the driver's stdout tail buffer and
+    // arrived truncated mid-object ("parsed": null). Stdout carries a SHORT
+    // summary — total plus a handful of headline queries — guaranteed to
+    // fit complete in the tail window.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench.json"), json + "\n")
+      java.nio.file.Paths.get("bench.json"), fullJson + "\n")
     catch { case e: java.io.IOException =>
-      // the file is only the fallback — never let it kill the primary
+      // the file is supplemental detail — never let it kill the primary
       // stdout signal (read-only or full cwd)
       System.err.println(s"[bench] could not write bench.json: ${e.getMessage}")
     }
+    val headline = Seq("q_flagship", "join_bucketed", "agg_groupby",
+      "win_topk_custom", "llm_dedup_minhash", "llm_ann_lsh", "llm_ann_ivf",
+      "stream_ingest", "sink_parquet_partitioned", "scan_parquet")
+    val resMap = results.toMap
+    val hq = headline.flatMap(k => resMap.get(k).map(v => s"\"$k\":" + fmt(v)))
+      .mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${results.size},"detail":"bench.json"}"""
     spark.stop()
     System.out.flush()
-    println(json)
+    println(summary)
     System.out.flush()
   }
 }

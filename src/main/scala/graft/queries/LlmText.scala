@@ -40,14 +40,23 @@ object LlmText {
     * 600+ s vs <2 s at sf0.1). At cluster scale this barrier is the
     * signature staging table a production pipeline would write anyway;
     * the cached footprint is O(docs × k) — a few MB per million docs. */
-  /** One cached signature table per (JVM, sfDir): repeated builder
-    * invocations (Bench runs every key twice) reuse the same
-    * persisted copy instead of pinning a new one each call. */
+  /** One cached signature table per (session, sfDir): repeated builder
+    * invocations (Bench runs every key twice) reuse the same persisted
+    * copy instead of pinning a new one each call. Keyed WEAKLY by the
+    * session OBJECT (same shape as [[clustersCache]]): a cache keyed by
+    * sfDir alone would hand a restarted session in the same JVM a
+    * DataFrame bound to a stopped SparkContext, and a strong key would
+    * pin dead sessions for the JVM lifetime. */
   private val signedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
 
-  private def signed(spark: SparkSession, sfDir: String): DataFrame =
-    signedCache.computeIfAbsent(sfDir, _ => signedUncached(spark, sfDir))
+  private[graft] def signed(spark: SparkSession, sfDir: String): DataFrame =
+    signedCache.synchronized {
+      signedCache.computeIfAbsent(spark,
+          _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(sfDir, signedUncached(spark, sfDir))
+    }
 
   private def signedUncached(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "documents")
@@ -428,23 +437,49 @@ object LlmText {
   // ---------------------------------------------------------------------
   // llm_pack_sequences — pack documents into fixed token-budget
   // training sequences (the batch-construction step before a training
-  // run): deterministic order within each language shard, running token
-  // count, pack id = cumulative-start DIV budget. Window is partitioned
-  // by lang, so packing is shard-parallel — the 100 TB shape (a single
-  // global running sum would serialize on one partition; per-shard
-  // packing is what training pipelines do anyway).
+  // run): deterministic order within each language, running token
+  // count, pack id = cumulative-start DIV budget.
+  //
+  // Hierarchical two-pass prefix sum: a window partitioned by lang
+  // alone serializes each language's ENTIRE corpus through one task
+  // (a handful of languages × 100 TB = a driver-adjacent bottleneck in
+  // disguise). Instead:
+  //   pass 1 — running sum within (lang, range-shard of doc_id):
+  //     thousands-way parallel, each task sees ~PackShardWidth docs;
+  //   pass 2 — per-shard token totals (corpus/W rows, tiny) get an
+  //     exclusive per-lang prefix sum, then broadcast-join back as the
+  //     shard's starting offset.
+  // Because shards are CONTIGUOUS doc_id ranges, offset + local running
+  // sum is bit-identical to the single global window — the oracle SQL
+  // keeps the naive formulation and the hashes must match.
   // ---------------------------------------------------------------------
   private val PackBudget = 512
 
+  /** doc_ids per range shard. Test-scale small so sf0.01 already runs
+    * 32+ shards; a production deployment sizes this to ~10⁵–10⁶ docs so
+    * pass 2's shard-totals table stays broadcastable (corpus/W rows). */
+  private val PackShardWidth = 16
+
   private def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val docs = t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "lang", "size(split(text, ' ')) AS n_tokens",
+        s"doc_id DIV $PackShardWidth AS shard")
+    val wLocal = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(spark, sfDir, "documents")
-      .selectExpr("doc_id", "lang", "size(split(text, ' ')) AS n_tokens")
-      .withColumn("cum_end", sum(col("n_tokens")).over(w))
+    val local = docs.withColumn("local_end", sum(col("n_tokens")).over(wLocal))
+    // Exclusive prefix sum over the per-shard totals. This window IS
+    // per-lang single-task — but over corpus/W rows, not the corpus.
+    val wShard = Window.partitionBy("lang").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy("lang", "shard")
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+      .withColumn("shard_offset",
+        coalesce(sum(col("shard_tokens")).over(wShard), lit(0L)))
+      .select("lang", "shard", "shard_offset")
+    local.join(broadcast(offsets), Seq("lang", "shard"))
       .selectExpr("doc_id", "lang", "n_tokens",
-        s"(cum_end - n_tokens) DIV $PackBudget AS pack_id",
-        s"(cum_end - n_tokens) % $PackBudget AS pack_offset")
+        s"(shard_offset + local_end - n_tokens) DIV $PackBudget AS pack_id",
+        s"(shard_offset + local_end - n_tokens) % $PackBudget AS pack_offset")
       .orderBy("doc_id")
   }
 
@@ -457,8 +492,13 @@ object LlmText {
   // ---------------------------------------------------------------------
   private def chunkText(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "documents")
+      // greatest(…, 0) clamps the empty-text case: Spark's DIV
+      // truncates toward zero ((0-1) DIV 150 = 0) while DuckDB's //
+      // floors to -1, so without the clamp the engines disagree on
+      // whether a zero-length document yields one empty chunk or none.
+      // Clamped, BOTH emit exactly one empty chunk (oracle matches).
       .selectExpr("doc_id", "text",
-        "posexplode(sequence(0, (length(text) - 1) DIV 150)) AS (ignored, chunk_idx)")
+        "posexplode(sequence(0, greatest((length(text) - 1) DIV 150, 0))) AS (ignored, chunk_idx)")
       .selectExpr("doc_id", "chunk_idx",
         "substring(text, chunk_idx * 150 + 1, 200) AS chunk")
       .selectExpr("doc_id", "chunk_idx", "length(chunk) AS chunk_len",
@@ -473,8 +513,12 @@ object LlmText {
   // Iterative min-label propagation: each round is one distributed
   // join+groupBy over the (tiny) edge list; labels only decrease, so
   // the rounds needed equal the component diameter (near-dup clusters
-  // are shallow; production corpora converge in <10 rounds — GraphX's
-  // large-star/small-star halves that again if ever needed). Each
+  // are shallow; production corpora converge in <10 rounds). Past
+  // `PropagateRounds` the loop ESCALATES to pointer doubling — each
+  // round additionally jumps every label to its label's label
+  // (path halving, the core move of large-star/small-star CC), so the
+  // remaining distance halves per round and a diameter-d component
+  // needs O(PropagateRounds + log₂ d) rounds total, not d. Each
   // round's result is persisted and the previous unpersisted, keeping
   // lineage O(1) across iterations.
   // ---------------------------------------------------------------------
@@ -502,46 +546,81 @@ object LlmText {
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
       .persist()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl")).persist()
+    val labels0 = docs.select(col("doc_id"), col("doc_id").as("lbl"))
+    val converged = labelFixpoint(labels0, edges)
+    edges.unpersist()
+    converged.select(col("doc_id"), col("lbl").as("cluster_id"),
+      (col("doc_id") === col("lbl")).as("is_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Rounds of plain propagation before escalating to pointer doubling.
+    * Shallow graphs (the common case) converge before this and never
+    * pay the extra self-join; deep chains switch to O(log d) rounds. */
+  private val PropagateRounds = 10
+
+  /** Cap on total rounds: 10 propagation + 50 doubling rounds reach
+    * diameters ~2⁵⁰ — unreachable in practice, so hitting the cap means
+    * the probe itself is broken, and we still fail loudly. */
+  private val MaxLabelRounds = 60
+
+  /** Iterate labels to the component-min fixpoint over `edges`
+    * (undirected, both directions present). Exposed package-private so
+    * the spec can drive it with a planted deep chain without building
+    * a synthetic documents table. Returns the persisted final labels. */
+  private[graft] def labelFixpoint(labels0: DataFrame,
+      edges: DataFrame): DataFrame = {
+    // Every round references the current labels TWICE (neighbor side +
+    // outer join), so without lineage truncation the logical plan
+    // doubles per round and the driver dies rendering/analyzing a
+    // 2^rounds tree long before data is a problem. localCheckpoint
+    // materializes each round AND truncates the plan to a leaf —
+    // production swaps in a reliable checkpoint dir; stale round
+    // blocks are freed by the context cleaner as frames drop.
+    var labels = labels0.localCheckpoint(true)
     // labels are non-increasing, so the label sum strictly decreases
     // until fixpoint — a 1-long convergence probe per round
     var labelSum = labels.agg(sum(col("lbl"))).head.getLong(0)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
+    while (!converged && rounds < MaxLabelRounds) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"),
           col("lbl").as("dst_lbl")), Seq("dst"))
         .groupBy(col("src"))
         .agg(min(col("dst_lbl")).as("nbr_lbl"))
         .withColumnRenamed("src", "doc_id")
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+      val propagated = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .persist()
+      // Escalation: jump each label to its label's label (every lbl IS
+      // a doc_id, so the self-join is total — labels only shrink).
+      // Halves the remaining path length every round. The jump source
+      // is checkpointed separately: the self-join reads it twice, and
+      // materializing it once also avoids recomputing the propagation
+      // join on both sides.
+      val stepped =
+        if (rounds < PropagateRounds) propagated
+        else {
+          val p = propagated.localCheckpoint(true)
+          p.join(p.select(col("doc_id").as("lbl"),
+              col("lbl").as("jump_lbl")), Seq("lbl"))
+            .select(col("doc_id"), col("jump_lbl").as("lbl"))
+        }
+      val next = stepped.localCheckpoint(true)
       val nextSum = next.agg(sum(col("lbl"))).head.getLong(0)
-      labels.unpersist()
       labels = next
       converged = nextSum == labelSum
       labelSum = nextSum
       rounds += 1
     }
-    edges.unpersist()
-    // Fail LOUDLY rather than return un-converged (wrong) labels: a
-    // component with diameter > 50 means plain propagation is the
-    // wrong algorithm for this graph (switch to large-star/small-star
-    // pointer doubling), not that approximate clusters are acceptable.
-    // Drop the useless cached labels first — the session keeps running
-    // other keys and must not carry this pinned block-manager memory.
+    // Fail LOUDLY rather than return un-converged (wrong) labels.
     if (!converged) {
-      labels.unpersist()
       throw new IllegalStateException(
-        s"dedupClusters: min-label propagation did not converge in $rounds " +
-          "rounds — component diameter exceeds the cap; use pointer-doubling")
+        s"dedupClusters: label fixpoint did not converge in $rounds rounds " +
+          "even with pointer doubling — convergence probe or graph broken")
     }
-    labels.select(col("doc_id"), col("lbl").as("cluster_id"),
-      (col("doc_id") === col("lbl")).as("is_kept"))
-      .orderBy("doc_id")
+    labels
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -602,7 +681,7 @@ object LlmText {
                   AS chunk_fp
          FROM (
            SELECT doc_id, text,
-                  unnest(range(0, (length(text) - 1) // 150 + 1)) AS i
+                  unnest(range(0, greatest((length(text) - 1) // 150, 0) + 1)) AS i
            FROM documents)
          ORDER BY doc_id, chunk_idx""",
     "llm_pack_sequences" ->

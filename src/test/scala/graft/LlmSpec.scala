@@ -152,6 +152,127 @@ class LlmSpec extends AnyFunSuite {
       10L -> (10L, true)))
   }
 
+  test("label fixpoint converges on a planted diameter-60 chain (pointer doubling)") {
+    import spark.implicits._
+    // A 61-node path graph: plain min-label propagation needs 60
+    // rounds (past the old cap, which threw); the pointer-doubling
+    // escalation converges in ~10 + log2(60) rounds and must label
+    // every node with the path minimum. A detached 3-cycle checks
+    // doubling doesn't smear labels across components.
+    val n = 61L
+    val labels0 = (0L until n).toDF("doc_id")
+      .selectExpr("doc_id", "doc_id AS lbl")
+      .unionByName(Seq(100L, 101L, 102L).toDF("doc_id")
+        .selectExpr("doc_id", "doc_id AS lbl"))
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val cyc = Seq((100L, 101L), (101L, 102L), (102L, 100L))
+    val e = (chain ++ cyc).toDF("src", "dst")
+    val edges = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst")))
+    val out = LlmText.labelFixpoint(labels0, edges)
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.unpersist()
+    assert(got.size === 64)
+    assert((0L until n).forall(got(_) == 0L),
+      "every chain node must carry the path minimum")
+    assert(Seq(100L, 101L, 102L).forall(got(_) == 100L),
+      "cycle labels must not leak from the chain component")
+  }
+
+  test("signature cache is keyed by session — newSession gets its own copy") {
+    // The bug class under test: a cache keyed by sfDir alone hands a
+    // second session (or a restarted one in the same JVM) a DataFrame
+    // bound to the FIRST session — which breaks outright once that
+    // session's context is stopped. Asserting `sparkSession eq` on a
+    // newSession() catches exactly that wrong-session binding without
+    // stopping the suite-shared SparkContext out from under the other
+    // (concurrently running) suites.
+    val a = spark
+    val sigA = LlmText.signed(a, sfDir)
+    assert(sigA.sparkSession eq a)
+    val b = a.newSession()
+    val sigB = LlmText.signed(b, sfDir)
+    assert(sigB.sparkSession eq b,
+      "cache returned a DataFrame bound to a different session")
+    // per-session entries are stable (no rebuild on re-ask) …
+    assert(LlmText.signed(b, sfDir) eq sigB)
+    assert(LlmText.signed(a, sfDir) eq sigA)
+    // … and the full pipeline runs green on the new session
+    val na = LlmText.defs("llm_dedup_minhash")(a, sfDir).count()
+    val nb = LlmText.defs("llm_dedup_minhash")(b, sfDir).count()
+    assert(na === nb && nb > 0)
+  }
+
+  test("ANN-IVF is exact within probed cells; recall@10 documented") {
+    // IVF's ONLY approximation is cell pruning (nprobe=2 of 16): inside
+    // the probed cells ranking is exact cosine, so the result must
+    // EQUAL the brute-force top-10 restricted to those cells.
+    val ivf = LlmVector.defs("llm_ann_ivf")(spark, sfDir)
+      .select("vec_id", "cosine").collect()
+    val probedCells = LlmVector.defs("llm_ann_ivf")(spark, sfDir)
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(probedCells.nonEmpty && probedCells.size <= 2, s"nprobe=2, got $probedCells")
+    // brute-force: exact cosine of every non-query vector vs vec 7
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val q = e.where(col("vec_id") === 7)
+      .select(col("embedding").as("qe"))
+    val exact = e.where(col("vec_id") =!= 7).crossJoin(broadcast(q))
+      .selectExpr("vec_id",
+        """aggregate(zip_with(embedding, qe, (x, y) -> cast(x as double) * cast(y as double)),
+             0D, (a, x) -> a + x) /
+           (sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), 0D, (a, x) -> a + x)) *
+            sqrt(aggregate(transform(qe, x -> cast(x as double) * cast(x as double)), 0D, (a, x) -> a + x))) AS cosine""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // ranking inside probed cells is EXACT: every returned cosine must
+    // equal the brute-force value, and rows must arrive sorted desc
+    ivf.foreach { r =>
+      assert(math.abs(r.getDouble(1) - exact(r.getLong(0))) < 1e-9,
+        s"vec ${r.getLong(0)}: ivf=${r.getDouble(1)} exact=${exact(r.getLong(0))}")
+    }
+    assert(ivf.map(_.getDouble(1)).toSeq === ivf.map(_.getDouble(1)).toSeq.sorted.reverse)
+    // global exact top-10 (the recall denominator)
+    val top10 = exact.toSeq.sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val ivfIds = ivf.map(_.getLong(0)).toSet
+    val recall = (ivfIds & top10).size / 10.0
+    // Deterministic corpus + deterministic centroids ⇒ recall is a
+    // constant per sfDir. nprobe=2/16 on this corpus keeps ≥ 30% of the
+    // true neighbors — the documented trade-off (raise nprobe for more).
+    assert(recall >= 0.3, s"recall@10 = $recall")
+  }
+
+  test("hierarchical pack_sequences equals the single-window formulation") {
+    // The two-pass shard packing must be BIT-identical to the naive
+    // global window (that's what the oracle checks too) — and must
+    // actually shard: ≥ 32 range shards at 500 docs (width 16).
+    val hier = LlmText.defs("llm_pack_sequences")(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = Tables.t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "lang", "size(split(text, ' ')) AS n_tokens")
+      .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      .selectExpr("doc_id", "lang", "n_tokens",
+        "(cum_end - n_tokens) DIV 512 AS pack_id",
+        "(cum_end - n_tokens) % 512 AS pack_offset")
+    assert(hier.exceptAll(naive).isEmpty && naive.exceptAll(hier).isEmpty)
+    assert(hier.count() === naive.count())
+    val nShards = Tables.t(spark, sfDir, "documents")
+      .selectExpr("doc_id DIV 16 AS shard").distinct().count()
+    assert(nShards >= 32, s"expected >= 32 range shards, got $nShards")
+    // the corpus-sized window is partitioned by (lang, shard) — never
+    // by lang alone (which would serialize each language in one task):
+    // any single-column window in the plan must sit above an Aggregate
+    // (i.e., operate on per-shard totals, cardinality corpus/16)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val windows = hier.queryExecution.optimizedPlan.collect { case win: LWindow => win }
+    assert(windows.exists(_.partitionSpec.size >= 2),
+      "missing the (lang, shard)-partitioned corpus window")
+    val corpusSingleCol = windows.filter(win => win.partitionSpec.size < 2 &&
+      win.collectFirst { case a: Aggregate => a }.isEmpty)
+    assert(corpusSingleCol.isEmpty,
+      s"corpus-sized single-column window found:\n${corpusSingleCol.mkString("\n")}")
+  }
+
   test("multimodal feature extraction is deterministic with stable schema") {
     val a = LlmVector.defs("llm_multimodal_features")(spark, sfDir)
     val b = LlmVector.defs("llm_multimodal_features")(spark, sfDir)

@@ -141,9 +141,18 @@ object GraftOps {
                    maxPartialGroups: Int = 100000): DataFrame = {
     GraftSqlBridge.addStrategy(df.sparkSession, TopKStrategy)
     val child = GraftSqlBridge.analyzedPlan(df)
+    // Resolve with the session's resolver (case-insensitive by default,
+    // like every built-in operator) and refuse ambiguity instead of
+    // silently picking the first duplicate-named attribute.
+    val resolver = df.sparkSession.sessionState.conf.resolver
     def attr(n: String): Attribute =
-      child.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
-        s"topKPerGroup: no column '$n' in ${child.output.map(_.name).mkString(", ")}"))
+      child.output.filter(a => resolver(a.name, n)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"topKPerGroup: no column '$n' in ${child.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"topKPerGroup: column '$n' is ambiguous — matches ${many.map(_.name).mkString(", ")}")
+      }
     val sortOrder = order.map { case (c, asc) =>
       SortOrder(attr(c), if (asc) Ascending else Descending) }
     GraftSqlBridge.ofRows(df.sparkSession,

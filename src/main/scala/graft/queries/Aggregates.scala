@@ -133,7 +133,13 @@ object Aggregates {
   private def aggUnpivot(spark: SparkSession, sfDir: String): DataFrame =
     aggPivot(spark, sfDir)
       .selectExpr("o_orderstatus",
-        """stack(5, 'p1', p1, 'p2', p2, 'p3', p3, 'p4', p4, 'p5', p5)
+        // coalesce is belt-and-braces: aggPivot's na.fill(0) already
+        // zeroes empty cells, but an empty (status, priority) combo
+        // must serialize as 0 — never NULL — to match the oracle's
+        // `count(*) FILTER` semantics at any scale factor.
+        """stack(5, 'p1', coalesce(p1, 0L), 'p2', coalesce(p2, 0L),
+                 'p3', coalesce(p3, 0L), 'p4', coalesce(p4, 0L),
+                 'p5', coalesce(p5, 0L))
            AS (priority, n)""")
       .orderBy("o_orderstatus", "priority")
 

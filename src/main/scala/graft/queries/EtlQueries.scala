@@ -346,7 +346,11 @@ object EtlQueries {
   private def scanText(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = Fixtures.csvOf(spark, sfDir, "events")
     spark.read.text(dir)
-      .where(!col("value").startsWith("event_id"))
+      // keep only lines whose first field is numeric: drops the header
+      // AND any continuation line from a quoted field with an embedded
+      // newline (which would otherwise parse to a NULL event_id that
+      // Spark sorts first but DuckDB sorts last)
+      .where(col("value").rlike("^[0-9]+,"))
       .selectExpr("cast(split(value, ',')[0] as bigint) AS event_id")
       .orderBy("event_id")
   }

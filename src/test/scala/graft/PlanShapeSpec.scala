@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape regression tests for the most shape-critical
+  * queries (VERDICT r2 #6). These pin the properties that make each
+  * plan scale — a planner or code regression that re-introduces a
+  * shuffle, drops a broadcast, or stops pruning partitions fails HERE,
+  * not in a 100 TB production run. String-matching runs against the
+  * FINAL adaptive plan (after execution, isFinalPlan=true), so AQE's
+  * runtime decisions are what's asserted.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Execute, then render the final (post-AQE) physical plan only —
+    * AdaptiveSparkPlanExec.toString appends the Initial Plan as well,
+    * which would double every operator count. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  private def countOf(plan: String, needle: String): Int =
+    needle.r.findAllIn(plan).size
+
+  test("q_flagship: dims broadcast, exactly one shuffle, top-k without global sort") {
+    val plan = finalPlan(SparkEntry.queries("q_flagship")(spark, sfDir))
+    // every join side that can broadcast did: 4 broadcast hash joins,
+    // so lineitem (the fact table) is never shuffled for a join
+    assert(countOf(plan, "BroadcastHashJoin") === 4, plan)
+    assert(countOf(plan, "SortMergeJoin") === 0, plan)
+    // the single shuffle is the groupBy aggregation exchange
+    assert(countOf(plan, "Exchange hashpartitioning") === 1, plan)
+    // ORDER BY + LIMIT plans as TakeOrderedAndProject — never a global
+    // range-partitioned sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(countOf(plan, "Exchange rangepartitioning") === 0, plan)
+    // column pruning reached the lineitem scan: 3 of 11 columns read
+    assert(plan.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"),
+      plan)
+  }
+
+  test("llm_ann_ivf: cell assignment is map-side — zero shuffle exchanges") {
+    val plan = finalPlan(SparkEntry.queries("llm_ann_ivf")(spark, sfDir))
+    // the ONLY cluster-wide operation is the final top-k; assignment is
+    // an argmax over broadcast-constant centroids, so no hash exchange
+    // may appear anywhere in the plan
+    assert(countOf(plan, "Exchange hashpartitioning") === 0, plan)
+    assert(countOf(plan, "Exchange rangepartitioning") === 0, plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the 1-row query side arrives by broadcast
+    assert(countOf(plan, "BroadcastExchange") >= 1, plan)
+  }
+
+  test("scan_partition_pruned: partition filter reaches the scan, one partition read") {
+    val df = SparkEntry.queries("scan_partition_pruned")(spark, sfDir)
+    val plan = finalPlan(df)
+    // the p_year predicate must be a PartitionFilter (pruned at
+    // planning from directory metadata), NOT a post-scan Filter
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert("PartitionFilters: \\[[^\\]]*p_year[^\\]]*1997".r
+      .findFirstIn(plan).isDefined, plan)
+    // and the data filter list must NOT carry it (would mean the scan
+    // reads every year and filters rows after the fact)
+    val dataFilters = "DataFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    assert(!dataFilters.contains("p_year"), plan)
+  }
+}

@@ -355,6 +355,51 @@ object EtlQueries {
       .orderBy("event_id")
   }
 
+  /** A/B. ORC scan/sink round-trip — the second columnar format a
+    * lakehouse must speak (Spark's OrcFileFormat ships in spark-sql).
+    * Stages a lineitem projection as ORC, reads it back with a
+    * predicate — min/max stripe statistics + pushdown work exactly as
+    * for parquet, so the same pruning story holds at 100 TB. */
+  private def scanOrc(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.tempDir("graft_orc")
+    t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_returnflag")
+      .write.mode("overwrite").orc(dir)
+    spark.read.orc(dir)
+      .where(col("l_returnflag") === "A" && col("l_quantity") >= 30)
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_returnflag")
+  }
+
+  /** A. Multi-line CSV scan — quoted fields with EMBEDDED NEWLINES (the
+    * hostile-input case scan_text deliberately filters out). Stages the
+    * documents table with newline-ified text, reads it back with
+    * multiLine=true, and proves content-exact recovery by fingerprint.
+    * Scale note: multiLine CSV files are NOT splittable — each file
+    * parses in one task, so parallelism comes from file count; a
+    * production layout keeps such files small and many. */
+  private def scanCsvMultiline(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.tempDir("graft_csv_ml")
+    t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "replace(text, ' ', '\n') AS mltext")
+      .write.mode("overwrite")
+      .option("header", true)
+      .option("ignoreLeadingWhiteSpace", false)
+      .option("ignoreTrailingWhiteSpace", false)
+      .csv(dir)
+    spark.read
+      .schema("doc_id BIGINT, mltext STRING")
+      .option("header", true)
+      .option("multiLine", true)
+      .option("ignoreLeadingWhiteSpace", false)
+      .option("ignoreTrailingWhiteSpace", false)
+      .csv(dir)
+      .selectExpr("doc_id", "length(mltext) AS n_chars_ml",
+        "md5(mltext) AS fp")
+      .orderBy("doc_id")
+  }
+
   /** C. Data-quality profile — the "analyze before you trust it" pass
     * every landing zone needs: one single-pass aggregate computes
     * null/distinct/min/max per column, then stack() reshapes to one
@@ -423,6 +468,8 @@ object EtlQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_orc" -> (scanOrc _),
+    "scan_csv_multiline" -> (scanCsvMultiline _),
     "sink_range_partitioned" -> (sinkRangePartitioned _),
     "etl_dq_report" -> (dqReport _),
     "etl_scd2_diff" -> (scd2Diff _),
@@ -453,6 +500,18 @@ object EtlQueries {
     "dedup_exact" -> (dedupExact _))
 
   val oracle: Map[String, String] = Map(
+    "scan_orc" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                l_returnflag
+         FROM lineitem
+         WHERE l_returnflag = 'A' AND l_quantity >= 30
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                  l_returnflag""",
+    "scan_csv_multiline" ->
+      """SELECT doc_id,
+                length(replace(text, ' ', chr(10))) AS n_chars_ml,
+                md5(replace(text, ' ', chr(10))) AS fp
+         FROM documents ORDER BY doc_id""",
     "sink_range_partitioned" ->
       """SELECT o_orderkey, o_totalprice, o_orderdate
          FROM orders ORDER BY o_orderkey""",

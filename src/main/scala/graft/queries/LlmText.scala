@@ -623,7 +623,116 @@ object LlmText {
     labels
   }
 
+  // ---------------------------------------------------------------------
+  // llm_gopher_rules — document-level quality gates in the style of the
+  // published Gopher/MassiveText filtering rules: word-count bounds,
+  // mean word length bounds, digit-character fraction. Pure scan
+  // projection (exact integer arithmetic, 1e6-scaled ratios for
+  // engine-parity hashing) — zero shuffle, embarrassingly parallel.
+  // ---------------------------------------------------------------------
+  private def gopherRules(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "text", "size(split(text, ' ')) AS n_words")
+      .selectExpr("doc_id", "n_words",
+        // mean word length = non-space chars / words, over exact ints
+        """cast(round((length(text) - n_words + 1) * cast(1000000 as double)
+             / n_words) as bigint) AS mean_word_len_e6""",
+        """cast(round(length(regexp_replace(text, '[^0-9]', '')) *
+             cast(1000000 as double) / greatest(length(text), 1)) as bigint)
+           AS digit_frac_e6""")
+      .selectExpr("doc_id", "n_words", "mean_word_len_e6", "digit_frac_e6",
+        "n_words BETWEEN 5 AND 2000 AS word_count_ok",
+        "mean_word_len_e6 BETWEEN 2000000 AND 12000000 AS mean_len_ok",
+        "digit_frac_e6 < 200000 AS digit_ok")
+      .selectExpr("doc_id", "n_words", "mean_word_len_e6", "digit_frac_e6",
+        "word_count_ok", "mean_len_ok", "digit_ok",
+        "word_count_ok AND mean_len_ok AND digit_ok AS pass")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------------
+  // llm_repetition_ratio — intra-document repetition (the "repeated
+  // boilerplate" quality signal): distinct-bigram / total-bigram ratio
+  // per document. All array lambdas inside the scan projection — the
+  // per-document n-gram set never leaves the row, nothing shuffles.
+  // ---------------------------------------------------------------------
+  private def repetitionRatio(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS tk")
+      // slice(tk,1,0) = typed empty array; Spark's sequence(1,0) would
+      // count DOWN ([1,0]) for 1-word docs, so the branch is required
+      .selectExpr("doc_id", "size(tk) AS n_words",
+        """CASE WHEN size(tk) >= 2 THEN
+             transform(sequence(1, size(tk) - 1),
+               i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))
+           ELSE slice(tk, 1, 0) END AS bg""")
+      .selectExpr("doc_id", "n_words", "size(bg) AS n_bigrams",
+        "size(array_distinct(bg)) AS n_distinct_bigrams",
+        """CASE WHEN size(bg) > 0 THEN
+             cast(round(size(array_distinct(bg)) * cast(1000000 as double)
+               / size(bg)) as bigint)
+           ELSE 1000000 END AS distinct_ratio_e6""")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------------
+  // llm_domain_mix — per-source token totals and sampling weights
+  // (power-law temperature 0.7, the standard multi-corpus mixing rule):
+  // one map-side-combined aggregation over the corpus; the normalizing
+  // window runs on n_sources rows (≪ corpus), not the data.
+  // ---------------------------------------------------------------------
+  private def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSource = t(spark, sfDir, "documents")
+      .selectExpr("source", "size(split(text, ' ')) AS n_toks")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
+      .withColumn("w_raw", pow(col("total_tokens").cast("double"), lit(0.7)))
+    perSource
+      .withColumn("weight_e6",
+        round(col("w_raw") * lit(1000000.0) /
+          sum(col("w_raw")).over(Window.partitionBy())).cast("bigint"))
+      .select("source", "n_docs", "total_tokens", "weight_e6")
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_shuffle_shards — deterministic global training shuffle: each
+  // document gets a salted-hash shard (64-way here; production sizes
+  // shard count to corpus/target-file-size) and a stable position
+  // within its shard. Re-runs produce the identical order (no rand()),
+  // and the per-shard windows are shard-count-way parallel.
+  // ---------------------------------------------------------------------
+  private def shuffleShards(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .selectExpr("doc_id",
+        "md5(concat(cast(doc_id as string), '#shuffle-epoch-0')) AS fp")
+      .selectExpr("doc_id", "fp",
+        """((instr('0123456789abcdef', substring(fp, 1, 1)) - 1) * 16 +
+            (instr('0123456789abcdef', substring(fp, 2, 1)) - 1)) % 64
+           AS shard""")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy("fp", "doc_id")))
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------------
+  // llm_length_histogram — token-length distribution (the corpus-shape
+  // sanity report before training): bucket width 8 words; single
+  // map-side-combined aggregation.
+  // ---------------------------------------------------------------------
+  private def lengthHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .selectExpr("size(split(text, ' ')) AS n_words")
+      .selectExpr("n_words DIV 8 AS bucket", "n_words")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_words"),
+        min(col("n_words")).as("min_words"), max(col("n_words")).as("max_words"))
+      .orderBy("bucket")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_gopher_rules" -> (gopherRules _),
+    "llm_repetition_ratio" -> (repetitionRatio _),
+    "llm_domain_mix" -> (domainMix _),
+    "llm_shuffle_shards" -> (shuffleShards _),
+    "llm_length_histogram" -> (lengthHistogram _),
     "llm_chunk_text" -> (chunkText _),
     "llm_pack_sequences" -> (packSequences _),
     "llm_sample_stratified" -> (sampleStratified _),
@@ -673,6 +782,84 @@ object LlmText {
         AND a.doc_id < b.doc_id)"""
 
   val oracle: Map[String, String] = Map(
+    "llm_gopher_rules" ->
+      """SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+                mean_word_len_e6, digit_frac_e6,
+                word_count_ok, mean_len_ok, digit_ok,
+                (word_count_ok AND mean_len_ok AND digit_ok) AS pass
+         FROM (
+           SELECT doc_id, n_words, mean_word_len_e6, digit_frac_e6,
+                  n_words BETWEEN 5 AND 2000 AS word_count_ok,
+                  mean_word_len_e6 BETWEEN 2000000 AND 12000000 AS mean_len_ok,
+                  digit_frac_e6 < 200000 AS digit_ok
+           FROM (
+             SELECT doc_id, n_words,
+                    CAST(round((length(text) - n_words + 1) *
+                      CAST(1000000 AS DOUBLE) / n_words) AS BIGINT)
+                      AS mean_word_len_e6,
+                    CAST(round(length(regexp_replace(text, '[^0-9]', '', 'g')) *
+                      CAST(1000000 AS DOUBLE) / greatest(length(text), 1)) AS BIGINT)
+                      AS digit_frac_e6
+             FROM (SELECT doc_id, text,
+                          len(string_split(text, ' ')) AS n_words
+                   FROM documents)))
+         ORDER BY doc_id""",
+    "llm_repetition_ratio" ->
+      """SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+                CAST(n_bigrams AS INTEGER) AS n_bigrams,
+                CAST(n_distinct_bigrams AS INTEGER) AS n_distinct_bigrams,
+                CASE WHEN n_bigrams > 0 THEN
+                  CAST(round(n_distinct_bigrams * CAST(1000000 AS DOUBLE)
+                    / n_bigrams) AS BIGINT)
+                ELSE 1000000 END AS distinct_ratio_e6
+         FROM (
+           SELECT doc_id, len(tk) AS n_words, len(bg) AS n_bigrams,
+                  len(list_distinct(bg)) AS n_distinct_bigrams
+           FROM (
+             SELECT doc_id, tk,
+                    CASE WHEN len(tk) >= 2 THEN
+                      list_transform(range(1, len(tk)),
+                        i -> tk[i] || ' ' || tk[i + 1])
+                    ELSE list_slice(tk, 1, 0) END AS bg
+             FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                   FROM documents)))
+         ORDER BY doc_id""",
+    "llm_domain_mix" ->
+      """SELECT source, n_docs, total_tokens,
+                CAST(round(w_raw * CAST(1000000 AS DOUBLE)
+                  / sum(w_raw) OVER ()) AS BIGINT) AS weight_e6
+         FROM (
+           SELECT source, count(*) AS n_docs,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                    AS total_tokens,
+                  power(CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 0.7)
+                    AS w_raw
+           FROM documents GROUP BY source)
+         ORDER BY source""",
+    "llm_shuffle_shards" ->
+      """SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+                CAST(row_number() OVER (PARTITION BY shard
+                  ORDER BY fp, doc_id) AS INTEGER) AS pos
+         FROM (
+           SELECT doc_id, fp,
+                  ((instr('0123456789abcdef', fp[1:1]) - 1) * 16 +
+                   (instr('0123456789abcdef', fp[2:2]) - 1)) % 64 AS shard
+           FROM (SELECT doc_id,
+                        md5(CAST(doc_id AS VARCHAR) || '#shuffle-epoch-0') AS fp
+                 FROM documents))
+         ORDER BY doc_id""",
+    "llm_length_histogram" ->
+      """SELECT bucket, n_docs, total_words,
+                CAST(min_words AS INTEGER) AS min_words,
+                CAST(max_words AS INTEGER) AS max_words
+         FROM (
+           SELECT n_words // 8 AS bucket, count(*) AS n_docs,
+                  CAST(sum(n_words) AS BIGINT) AS total_words,
+                  min(n_words) AS min_words, max(n_words) AS max_words
+           FROM (SELECT len(string_split(text, ' ')) AS n_words
+                 FROM documents)
+           GROUP BY 1)
+         ORDER BY bucket""",
     "llm_chunk_text" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
                 CAST(length(substring(text, CAST(i * 150 + 1 AS INTEGER), 200))

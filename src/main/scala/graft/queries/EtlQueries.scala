@@ -122,6 +122,54 @@ object EtlQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** B. Parquet bloom-filter sink — point-lookup acceleration at rest:
+    * write with a bloom filter on the lookup key, read back with an IN
+    * predicate. At 100 TB the bloom lets row groups be skipped for
+    * selective equality probes that min/max statistics can't prune
+    * (high-cardinality, unsorted keys) — the pushed filter is visible
+    * in the scan's PushedFilters. */
+  private def sinkParquetBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.tempDir("graft_bloom")
+    t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#o_custkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#o_custkey", "100000")
+      .parquet(dir)
+    spark.read.parquet(dir)
+      .where(col("o_custkey").isin(1L, 2L, 3L, 5L, 8L, 13L))
+      .orderBy("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  /** B. Catalog statistics — ANALYZE TABLE COMPUTE STATISTICS (+ FOR
+    * COLUMNS): the CBO's inputs. The distributed ANALYZE jobs compute
+    * exact row counts and per-column min/max; this key surfaces them
+    * back OUT of the catalog metadata, proving the stats round-trip
+    * that join-reorder and broadcast-threshold decisions feed on. */
+  private def catalogAnalyzeStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val name = "graft_orders_stats"
+    Ingest.registerTable(spark, t(spark, sfDir, "orders"), name,
+      Fixtures.tempDir("graft_stats"))
+    spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
+    spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS " +
+      "FOR COLUMNS o_orderkey, o_custkey")
+    val stats = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+      .stats.getOrElse(throw new IllegalStateException(
+        s"ANALYZE left no stats on $name"))
+    def colMinMax(c: String): (Long, Long) = {
+      val cs = stats.colStats.getOrElse(c, throw new IllegalStateException(
+        s"ANALYZE left no column stats for $c"))
+      (cs.min.get.toLong, cs.max.get.toLong)
+    }
+    val (okMin, okMax) = colMinMax("o_orderkey")
+    val (ckMin, ckMax) = colMinMax("o_custkey")
+    Seq((stats.rowCount.get.toLong, okMin, okMax, ckMin, ckMax))
+      .toDF("n_rows", "min_orderkey", "max_orderkey",
+        "min_custkey", "max_custkey")
+  }
+
   /** C. Projection / column reorder. */
   private def projectSelect(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "part")
@@ -470,6 +518,8 @@ object EtlQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_orc" -> (scanOrc _),
     "scan_csv_multiline" -> (scanCsvMultiline _),
+    "sink_parquet_bloom" -> (sinkParquetBloom _),
+    "catalog_analyze_stats" -> (catalogAnalyzeStats _),
     "sink_range_partitioned" -> (sinkRangePartitioned _),
     "etl_dq_report" -> (dqReport _),
     "etl_scd2_diff" -> (scd2Diff _),
@@ -512,6 +562,18 @@ object EtlQueries {
                 length(replace(text, ' ', chr(10))) AS n_chars_ml,
                 md5(replace(text, ' ', chr(10))) AS fp
          FROM documents ORDER BY doc_id""",
+    "sink_parquet_bloom" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders
+         WHERE o_custkey IN (1, 2, 3, 5, 8, 13)
+         ORDER BY o_orderkey, o_custkey, o_totalprice""",
+    "catalog_analyze_stats" ->
+      """SELECT count(*) AS n_rows,
+                min(o_orderkey) AS min_orderkey,
+                max(o_orderkey) AS max_orderkey,
+                min(o_custkey) AS min_custkey,
+                max(o_custkey) AS max_custkey
+         FROM orders""",
     "sink_range_partitioned" ->
       """SELECT o_orderkey, o_totalprice, o_orderdate
          FROM orders ORDER BY o_orderkey""",

@@ -155,19 +155,90 @@ object LlmText {
   // fingerprint bit. Computed entirely inside array lambdas (zero
   // shuffle, one pass over the text).
   // ---------------------------------------------------------------------
+  /** Cached per-session simhash fingerprints (same shape and rationale
+    * as [[signedCache]]): the 64-bit fold is expensive, and without a
+    * persist barrier Catalyst re-substitutes it into downstream join
+    * projections — recomputing per candidate PAIR instead of per doc. */
+  private val simhashCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
+
+  private def simhashFp(spark: SparkSession, sfDir: String): DataFrame =
+    simhashCache.synchronized {
+      simhashCache.computeIfAbsent(spark,
+          _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(sfDir,
+          t(spark, sfDir, "documents")
+            .selectExpr("doc_id",
+              "transform(array_distinct(split(text, ' ')), t -> md5(t)) AS th")
+            .selectExpr("doc_id",
+              """concat_ws('', transform(sequence(0, 63), p ->
+                   CASE WHEN aggregate(th, cast(0 as bigint), (acc, h) ->
+                     acc + 2 * (((instr('0123456789abcdef',
+                                        substring(h, (p DIV 4) + 1, 1)) - 1)
+                                 DIV CASE p % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                                WHEN 2 THEN 2 ELSE 1 END) % 2) - 1)
+                     > 0 THEN '1' ELSE '0' END)) AS simhash""")
+            // 4×16-bit bands as INTEGERS alongside the bit string: the
+            // pair verify runs codegen'd bit_count(xor) on these
+            // instead of 64 interpreted substring compares per
+            // candidate (measured 10 s → sub-second at sf0.1)
+            .selectExpr("doc_id", "simhash",
+              """transform(sequence(0, 3), b ->
+                   aggregate(sequence(1, 16), cast(0 as bigint), (acc, i) ->
+                     acc * 2 + IF(substring(simhash, b * 16 + i, 1) = '1',
+                                  1, 0))) AS bands""")
+            .persist())
+    }
+
   private def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "documents")
-      .selectExpr("doc_id",
-        "transform(array_distinct(split(text, ' ')), t -> md5(t)) AS th")
-      .selectExpr("doc_id",
-        """concat_ws('', transform(sequence(0, 63), p ->
-             CASE WHEN aggregate(th, cast(0 as bigint), (acc, h) ->
-               acc + 2 * (((instr('0123456789abcdef',
-                                  substring(h, (p DIV 4) + 1, 1)) - 1)
-                           DIV CASE p % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
-                                          WHEN 2 THEN 2 ELSE 1 END) % 2) - 1)
-               > 0 THEN '1' ELSE '0' END)) AS simhash""")
-      .orderBy("doc_id")
+    simhashFp(spark, sfDir).select("doc_id", "simhash").orderBy("doc_id")
+
+  // ---------------------------------------------------------------------
+  // llm_dedup_simhash_pairs — near-dup PAIRS from simhash by hamming
+  // distance ≤ 3 (the Google-style web-dedup rule). Pigeonhole banding
+  // makes it bucketed, not all-pairs: split the 64 bits into 4 bands of
+  // 16; any pair within hamming 3 agrees EXACTLY on ≥ 1 band, so an
+  // equi-join on (band_idx, band_value) finds every such pair. The
+  // exchange carries ids + a 16-char band only; fingerprints re-attach
+  // from the persisted stage for the exact hamming verify.
+  // ---------------------------------------------------------------------
+  private def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = simhashFp(spark, sfDir)
+    val banded = fp.selectExpr("doc_id",
+      "posexplode(bands) AS (band_idx, band_val)")
+    val a = banded.select(col("doc_id").as("doc_a"), col("band_idx"),
+      col("band_val"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band_idx"),
+      col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+      .join(fp.select(col("doc_id").as("doc_a"),
+        col("bands").as("ba")), Seq("doc_a"))
+      .join(fp.select(col("doc_id").as("doc_b"),
+        col("bands").as("bb")), Seq("doc_b"))
+      .selectExpr("doc_a", "doc_b",
+        """cast(bit_count(element_at(ba, 1) ^ element_at(bb, 1)) +
+                bit_count(element_at(ba, 2) ^ element_at(bb, 2)) +
+                bit_count(element_at(ba, 3) ^ element_at(bb, 3)) +
+                bit_count(element_at(ba, 4) ^ element_at(bb, 4)) as int)
+           AS hamming""")
+      .where(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_dedup_cluster_stats — cluster-size histogram over the connected
+  // components (the dedup-rate report every corpus pass ends with).
+  // Reuses the cached labels; two tiny aggregations on top.
+  // ---------------------------------------------------------------------
+  private def dedupClusterStats(spark: SparkSession, sfDir: String): DataFrame =
+    dedupClusters(spark, sfDir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
 
   // ---------------------------------------------------------------------
   // llm_text_stats — per-document token statistics.
@@ -746,6 +817,8 @@ object LlmText {
     "llm_dedup_minhash" -> (dedupMinhash _),
     "llm_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "llm_dedup_simhash" -> (dedupSimhash _),
+    "llm_dedup_simhash_pairs" -> (dedupSimhashPairs _),
+    "llm_dedup_cluster_stats" -> (dedupClusterStats _),
     "llm_text_stats" -> (textStats _),
     "llm_token_count" -> (tokenCount _),
     "llm_quality_score" -> (qualityScore _),
@@ -780,6 +853,49 @@ object LlmText {
        FROM banded a JOIN banded b
          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
         AND a.doc_id < b.doc_id)"""
+
+  /** Recursive-CTE connected-component labels over the verified
+    * near-dup pairs — shared by `llm_dedup_clusters` and
+    * `llm_dedup_cluster_stats` so the two oracles cannot drift. */
+  private val DClusterLabels =
+    s"""WITH RECURSIVE $DSigned,
+        pairs AS (
+          SELECT doc_a, doc_b FROM cand
+          WHERE list_reduce(list_prepend(0,
+                  list_transform(range(1, 13),
+                    i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)),
+                  (acc, v) -> acc + v) >= 3
+            AND len(list_intersect(sh_a, sh_b)) /
+                (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+                >= 0.5),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        reach AS (
+          SELECT doc_id AS id, doc_id AS r FROM documents
+          UNION
+          SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        labels AS (
+          SELECT id AS doc_id, min(r) AS cluster_id, (min(r) = id) AS is_kept
+          FROM reach GROUP BY id)"""
+
+  /** SimHash fingerprint CTE — shared by `llm_dedup_simhash` and
+    * `llm_dedup_simhash_pairs` (mirrors the Spark lambda bit-for-bit:
+    * same md5 nibble extraction, same vote fold, same sign rule). */
+  private val DSimhashFp =
+    """fp AS (
+       SELECT doc_id,
+              array_to_string(list_transform(range(0, 64), p ->
+                CASE WHEN list_reduce(list_prepend(0,
+                  list_transform(th, h ->
+                    2 * (((strpos('0123456789abcdef',
+                                  h[(p // 4) + 1 : (p // 4) + 1]) - 1)
+                          // (CASE p % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                         WHEN 2 THEN 2 ELSE 1 END)) % 2) - 1)),
+                  (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END), '') AS simhash
+       FROM (SELECT doc_id,
+                    list_transform(list_distinct(string_split(text, ' ')),
+                                   t -> md5(t)) AS th
+             FROM documents))"""
 
   val oracle: Map[String, String] = Map(
     "llm_gopher_rules" ->
@@ -912,25 +1028,36 @@ object LlmText {
          FROM toks JOIN lp USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
     "llm_dedup_clusters" ->
-      s"""WITH RECURSIVE $DSigned,
-          pairs AS (
-            SELECT doc_a, doc_b FROM cand
-            WHERE list_reduce(list_prepend(0,
-                    list_transform(range(1, 13),
-                      i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)),
-                    (acc, v) -> acc + v) >= 3
-              AND len(list_intersect(sh_a, sh_b)) /
-                  (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
-                  >= 0.5),
-          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                    UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
-          reach AS (
-            SELECT doc_id AS id, doc_id AS r FROM documents
-            UNION
-            SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
-          SELECT id AS doc_id, min(r) AS cluster_id,
-                 (min(r) = id) AS is_kept
-          FROM reach GROUP BY id ORDER BY doc_id""",
+      s"""$DClusterLabels
+          SELECT doc_id, cluster_id, is_kept
+          FROM labels ORDER BY doc_id""",
+    "llm_dedup_cluster_stats" ->
+      s"""$DClusterLabels
+          SELECT cluster_size, count(*) AS n_clusters
+          FROM (SELECT cluster_id, count(*) AS cluster_size
+                FROM labels GROUP BY 1)
+          GROUP BY 1 ORDER BY cluster_size""",
+    "llm_dedup_simhash_pairs" ->
+      s"""WITH $DSimhashFp,
+          banded AS (
+            SELECT doc_id, b.b AS band_idx,
+                   simhash[b.b * 16 + 1 : b.b * 16 + 16] AS band_val
+            FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b,
+                 CAST(len(list_filter(range(1, 65),
+                   i -> fa.simhash[i:i] <> fb.simhash[i:i])) AS INTEGER)
+                   AS hamming
+          FROM cand
+          JOIN fp fa ON fa.doc_id = doc_a
+          JOIN fp fb ON fb.doc_id = doc_b
+          WHERE len(list_filter(range(1, 65),
+                  i -> fa.simhash[i:i] <> fb.simhash[i:i])) <= 3
+          ORDER BY doc_a, doc_b""",
     "llm_decontaminate" ->
       """WITH sh5 AS (
            SELECT doc_id,
@@ -1009,20 +1136,8 @@ object LlmText {
                 (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.5
           ORDER BY doc_a, doc_b""",
     "llm_dedup_simhash" ->
-      """SELECT doc_id,
-                array_to_string(list_transform(range(0, 64), p ->
-                  CASE WHEN list_reduce(list_prepend(0,
-                    list_transform(th, h ->
-                      2 * (((strpos('0123456789abcdef',
-                                    h[(p // 4) + 1 : (p // 4) + 1]) - 1)
-                            // (CASE p % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
-                                           WHEN 2 THEN 2 ELSE 1 END)) % 2) - 1)),
-                    (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END), '') AS simhash
-         FROM (SELECT doc_id,
-                      list_transform(list_distinct(string_split(text, ' ')),
-                                     t -> md5(t)) AS th
-               FROM documents)
-         ORDER BY doc_id""",
+      s"""WITH $DSimhashFp
+          SELECT doc_id, simhash FROM fp ORDER BY doc_id""",
     "llm_text_stats" ->
       """SELECT doc_id,
                 length(text) AS n_chars_measured,

@@ -69,6 +69,40 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!between.contains("Sort"), s"unexpected sort between phases:\n$plan")
   }
 
+  test("TopKPerGroup resolves columns case-insensitively and rejects ambiguity") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val src = graft.Tables.t(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    // case-insensitive resolution, like every built-in operator
+    val upper = graft.plans.GraftOps.topKPerGroup(
+      src, Seq("O_CUSTKEY"), Seq(("O_TOTALPRICE", false), ("o_orderkey", true)),
+      k = 1)
+    val exact = graft.plans.GraftOps.topKPerGroup(
+      src, Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)),
+      k = 1)
+    assert(upper.exceptAll(exact).isEmpty && exact.exceptAll(upper).isEmpty)
+    // duplicate-named columns must throw, not silently pick the first
+    val dup = src.select(col("o_custkey"), col("o_orderkey"),
+      col("o_totalprice"), col("o_orderkey").as("O_CUSTKEY"))
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.GraftOps.topKPerGroup(
+        dup, Seq("o_custkey"), Seq(("o_orderkey", true)), k = 1)
+    }
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+    // unknown column still reports the available names
+    val e2 = intercept[IllegalArgumentException] {
+      graft.plans.GraftOps.topKPerGroup(
+        src, Seq("no_such_col"), Seq(("o_orderkey", true)), k = 1)
+    }
+    assert(e2.getMessage.contains("no column"), e2.getMessage)
+  }
+
   test("TopKPerGroup partial-overflow pass-through stays exact") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

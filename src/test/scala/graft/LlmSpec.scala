@@ -273,6 +273,25 @@ class LlmSpec extends AnyFunSuite {
       s"corpus-sized single-column window found:\n${corpusSingleCol.mkString("\n")}")
   }
 
+  test("simhash banding is lossless for hamming <= 3 (pigeonhole recall = 1)") {
+    // 4 bands of 16 bits: any pair differing in <= 3 bits must agree
+    // exactly on >= 1 band, so the banded equi-join can NEVER miss a
+    // qualifying pair. Brute-force all-pairs hamming over the
+    // fingerprint strings is the ground truth (test scale only).
+    val got = LlmText.defs("llm_dedup_simhash_pairs")(spark, sfDir)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val fps = LlmText.defs("llm_dedup_simhash")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val truth = (for {
+      (ida, sa) <- fps; (idb, sb) <- fps if ida < idb
+      h = sa.zip(sb).count { case (x, y) => x != y } if h <= 3
+    } yield (ida, idb) -> h).toMap
+    assert(truth.nonEmpty, "corpus should contain close simhash pairs")
+    assert(got === truth,
+      s"banded join disagreed with brute force: missing=${(truth.keySet -- got.keySet).take(5)} extra=${(got.keySet -- truth.keySet).take(5)}")
+  }
+
   test("multimodal feature extraction is deterministic with stable schema") {
     val a = LlmVector.defs("llm_multimodal_features")(spark, sfDir)
     val b = LlmVector.defs("llm_multimodal_features")(spark, sfDir)

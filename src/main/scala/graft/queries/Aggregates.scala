@@ -220,7 +220,28 @@ object Aggregates {
         sum(col("pc")).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Per-group statistical MODE with an explicit deterministic
+    * tie-break (max count, then smallest value) — engines' built-in
+    * mode() functions break ties differently, so the count+row_number
+    * formulation is both portable AND scale-shaped: the heavy lifting
+    * is a map-side-combined count aggregation; the ranking window runs
+    * over DISTINCT (group, value) pairs, not rows. */
+  private def aggMode(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderstatus")
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    t(spark, sfDir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("n").as("mode_count"))
+      .orderBy("o_orderstatus")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode" -> (aggMode _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_unpivot" -> (aggUnpivot _),
     "agg_percentile" -> (aggPercentile _),
@@ -239,6 +260,16 @@ object Aggregates {
     "agg_collect" -> (aggCollect _))
 
   val oracle: Map[String, String] = Map(
+    "agg_mode" ->
+      """SELECT o_orderstatus, mode_priority, mode_count
+         FROM (
+           SELECT o_orderstatus, o_orderpriority AS mode_priority,
+                  count(*) AS mode_count,
+                  row_number() OVER (PARTITION BY o_orderstatus
+                    ORDER BY count(*) DESC, o_orderpriority) AS rn
+           FROM orders GROUP BY o_orderstatus, o_orderpriority)
+         WHERE rn = 1
+         ORDER BY o_orderstatus""",
     "agg_stats" ->
       """SELECT l_returnflag,
                 round(stddev_samp(l_quantity), 4) AS sd_qty,

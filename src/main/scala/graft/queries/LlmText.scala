@@ -230,6 +230,27 @@ object LlmText {
   }
 
   // ---------------------------------------------------------------------
+  // llm_minhash_containment — asymmetric containment |A∩B|/|A| over the
+  // LSH candidate pairs: catches SUBSET duplication (a short document
+  // wholly embedded in a longer one) that symmetric Jaccard misses —
+  // j = |∩|/|∪| stays low when |B| ≫ |A| even at containment 1.0.
+  // Same bucketed candidate generation as every near-dup key; exact
+  // set arithmetic only on candidates.
+  // ---------------------------------------------------------------------
+  private def minhashContainment(spark: SparkSession, sfDir: String): DataFrame =
+    candidates(spark, sfDir)
+      .selectExpr("doc_a", "doc_b",
+        """cast(round(size(array_intersect(sh_a, sh_b)) *
+             cast(1000000 as double) / size(sh_a)) as bigint)
+           AS containment_a_e6""",
+        """cast(round(size(array_intersect(sh_a, sh_b)) *
+             cast(1000000 as double) / size(sh_b)) as bigint)
+           AS containment_b_e6""")
+      .where(greatest(col("containment_a_e6"), col("containment_b_e6"))
+        >= 500000)
+      .orderBy("doc_a", "doc_b")
+
+  // ---------------------------------------------------------------------
   // llm_dedup_cluster_stats — cluster-size histogram over the connected
   // components (the dedup-rate report every corpus pass ends with).
   // Reuses the cached labels; two tiny aggregations on top.
@@ -819,6 +840,7 @@ object LlmText {
     "llm_dedup_simhash" -> (dedupSimhash _),
     "llm_dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "llm_dedup_cluster_stats" -> (dedupClusterStats _),
+    "llm_minhash_containment" -> (minhashContainment _),
     "llm_text_stats" -> (textStats _),
     "llm_token_count" -> (tokenCount _),
     "llm_quality_score" -> (qualityScore _),
@@ -1037,6 +1059,20 @@ object LlmText {
           FROM (SELECT cluster_id, count(*) AS cluster_size
                 FROM labels GROUP BY 1)
           GROUP BY 1 ORDER BY cluster_size""",
+    "llm_minhash_containment" ->
+      s"""WITH $DSigned
+          SELECT doc_a, doc_b, containment_a_e6, containment_b_e6
+          FROM (
+            SELECT doc_a, doc_b,
+                   CAST(round(len(list_intersect(sh_a, sh_b)) *
+                     CAST(1000000 AS DOUBLE) / len(sh_a)) AS BIGINT)
+                     AS containment_a_e6,
+                   CAST(round(len(list_intersect(sh_a, sh_b)) *
+                     CAST(1000000 AS DOUBLE) / len(sh_b)) AS BIGINT)
+                     AS containment_b_e6
+            FROM cand)
+          WHERE greatest(containment_a_e6, containment_b_e6) >= 500000
+          ORDER BY doc_a, doc_b""",
     "llm_dedup_simhash_pairs" ->
       s"""WITH $DSimhashFp,
           banded AS (

@@ -16,6 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator extension: per-group top-k (graft.plans)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // optimizer-rule extension: rewrite the row_number()<=k window idiom
+    // into the bounded-heap TopKPerGroup operator (graft.plans)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

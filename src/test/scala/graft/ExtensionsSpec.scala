@@ -103,6 +103,77 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no column"), e2.getMessage)
   }
 
+  test("TopKRewriteRule rewrites the row_number idiom only when safe") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // reference result from a STOCK session (no extensions, no rewrite)
+    val stock = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    def idiom(s: SparkSession) = {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      graft.Tables.t(s, "/root/testdata/sf0.001", "orders")
+        .select("o_orderstatus", "o_orderkey", "o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3).drop("rn")
+    }
+    val expected = idiom(stock).collect().toSet
+    assert(idiom(stock).queryExecution.executedPlan.toString.contains("Window"))
+
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      // same declarative code, extension session: planned as the
+      // bounded-heap operator, no Window, no per-partition Sort — and
+      // value-identical to stock planning
+      val rewritten = idiom(spark)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroupPartial") &&
+        plan.contains("TopKPerGroupFinal"), plan)
+      assert(!plan.contains("Window"), plan)
+      assert(!plan.contains("Sort"), plan)
+      assert(rewritten.collect().toSet === expected)
+
+      // guard: a filter that is MORE than the rank bound must not be
+      // rewritten (the extra conjunct would be dropped)
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val guarded = graft.Tables.t(spark, "/root/testdata/sf0.001", "orders")
+        .select("o_orderstatus", "o_orderkey", "o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3 && col("o_orderkey") > 100).drop("rn")
+      val gPlan = guarded.queryExecution.executedPlan.toString
+      assert(gPlan.contains("Window") && !gPlan.contains("TopKPerGroup"), gPlan)
+
+      // guard: keeping the rank column blocks the rewrite (the operator
+      // cannot emit it)
+      val kept = graft.Tables.t(spark, "/root/testdata/sf0.001", "orders")
+        .select("o_orderstatus", "o_orderkey", "o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+      val kPlan = kept.queryExecution.executedPlan.toString
+      assert(kPlan.contains("Window") && !kPlan.contains("TopKPerGroup"), kPlan)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("TopKPerGroup partial-overflow pass-through stays exact") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

@@ -420,6 +420,27 @@ object EtlQueries {
         "l_extendedprice", "l_returnflag")
   }
 
+  /** A/B. XML scan/sink round-trip — Spark 4 ships the (formerly
+    * external) XML datasource in spark-sql, so a lakehouse ingesting
+    * B2B/legacy feeds needs no extra jar. Stages an orders projection
+    * as XML, reads it back with an EXPLICIT schema (inference on XML is
+    * a two-pass scan — never at 100 TB). Scale note: like multiLine
+    * CSV/JSON, XML files are not splittable; parallelism comes from
+    * file count, so keep files small and many. */
+  private def scanXml(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.tempDir("graft_xml")
+    t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite")
+      .option("rowTag", "order")
+      .format("xml").save(dir)
+    spark.read
+      .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+      .option("rowTag", "order")
+      .format("xml").load(dir)
+      .orderBy("o_orderkey")
+  }
+
   /** A. Multi-line CSV scan — quoted fields with EMBEDDED NEWLINES (the
     * hostile-input case scan_text deliberately filters out). Stages the
     * documents table with newline-ified text, reads it back with
@@ -517,6 +538,7 @@ object EtlQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_orc" -> (scanOrc _),
+    "scan_xml" -> (scanXml _),
     "scan_csv_multiline" -> (scanCsvMultiline _),
     "sink_parquet_bloom" -> (sinkParquetBloom _),
     "catalog_analyze_stats" -> (catalogAnalyzeStats _),
@@ -557,6 +579,9 @@ object EtlQueries {
          WHERE l_returnflag = 'A' AND l_quantity >= 30
          ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
                   l_returnflag""",
+    "scan_xml" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+         FROM orders ORDER BY o_orderkey""",
     "scan_csv_multiline" ->
       """SELECT doc_id,
                 length(replace(text, ' ', chr(10))) AS n_chars_ml,

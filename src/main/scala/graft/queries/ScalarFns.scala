@@ -126,6 +126,28 @@ object ScalarFns {
         to_json(struct(get_json_object(col("props"), "$.k").cast("int").as("k"))).as("roundtrip"))
       .orderBy("event_id")
 
+  /** H. Spark 4 VARIANT — semi-structured data as a first-class typed
+    * value instead of repeated string re-parsing: `parse_json` once,
+    * then typed `variant_get` path extraction (binary-encoded, no
+    * text re-scan per field — the shredded-storage scale path for
+    * JSON-heavy corpora). Paths cover object fields, nested arrays,
+    * and a type-cast-on-extract. */
+  private def fnVariant(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .selectExpr(
+        "event_id",
+        "parse_json(props) AS v",
+        """parse_json(concat('{"uid":', cast(user_id as string),
+             ',"tags":["evt","', event_type, '"]}')) AS w""")
+      .selectExpr(
+        "event_id",
+        "variant_get(v, '$.k', 'int') AS k_int",
+        "variant_get(v, '$.k', 'string') AS k_str",
+        "variant_get(w, '$.uid', 'bigint') AS uid",
+        "variant_get(w, '$.tags[1]', 'string') AS tag",
+        "variant_get(w, '$.missing', 'string') AS absent")
+      .orderBy("event_id")
+
   /** Remaining §2-H surface: crypto hash, regex predicate, nested-array
     * flatten/zip, map construction/inspection, NVL. */
   private def fnMisc(spark: SparkSession, sfDir: String): DataFrame =
@@ -195,7 +217,8 @@ object ScalarFns {
     "fn_array" -> (fnArray _),
     "fn_array_higher_order" -> (fnArrayHigherOrder _),
     "fn_map" -> (fnMap _),
-    "fn_json" -> (fnJson _))
+    "fn_json" -> (fnJson _),
+    "fn_variant" -> (fnVariant _))
 
   private def dCsvScaled(arrExpr: String): String = OracleFmt.dCsvScaled(arrExpr)
 
@@ -321,5 +344,19 @@ object ScalarFns {
                 CASE WHEN json_extract_string(props, '$.k') IS NULL THEN '{}'
                      ELSE '{"k":' || json_extract_string(props, '$.k') || '}'
                 END AS roundtrip
+         FROM events ORDER BY event_id""",
+    "fn_variant" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+                json_extract_string(props, '$.k') AS k_str,
+                CAST(json_extract_string(
+                  ('{"uid":' || user_id || ',"tags":["evt","' || event_type
+                    || '"]}')::JSON, '$.uid') AS BIGINT) AS uid,
+                json_extract_string(
+                  ('{"uid":' || user_id || ',"tags":["evt","' || event_type
+                    || '"]}')::JSON, '$.tags[1]') AS tag,
+                json_extract_string(
+                  ('{"uid":' || user_id || ',"tags":["evt","' || event_type
+                    || '"]}')::JSON, '$.missing') AS absent
          FROM events ORDER BY event_id""")
 }

@@ -288,6 +288,95 @@ object StreamingQ {
   }
 
   // ---------------------------------------------------------------------
+  // stream_transform_with_state — the SAME sessionization through Spark
+  // 4's transformWithState (StatefulProcessor + ValueState + event-time
+  // timers), the successor API to (flat)MapGroupsWithState: typed state
+  // variables (value/list/map) instead of one state blob, explicit
+  // timers instead of a single timeout, and schema-evolvable state.
+  // Requires the RocksDB state store (column families) — also the
+  // provider a 100 TB deployment runs, since its state lives off-heap
+  // and on disk with incremental-snapshot checkpoints. Oracle: same
+  // gap-sessionization SQL as stream_stateful_session.
+  // ---------------------------------------------------------------------
+  case class TwsState(startUs: Long, lastUs: Long, n: Long, timerMs: Long)
+
+  private class SessionProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, (Long, java.sql.Timestamp), SessOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var state: ValueState[TwsState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TwsState](
+        "sess", Encoders.product[TwsState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[SessOut] = {
+      val times = rows.map(e => usOfTs(e._2)).toArray.sorted
+      var closed = List.empty[SessOut]
+      var cur = if (state.exists()) {
+        val s = state.get()
+        getHandle.deleteTimer(s.timerMs) // superseded by this batch
+        Some(s)
+      } else None
+      times.foreach { t =>
+        cur = cur match {
+          case None => Some(TwsState(t, t, 1, 0L))
+          case Some(s) if t - s.lastUs <= GapUs =>
+            Some(s.copy(lastUs = t, n = s.n + 1))
+          case Some(s) =>
+            closed ::= SessOut(uid, tsOfUs(s.startUs),
+              tsOfUs(s.lastUs + GapUs), s.n)
+            Some(TwsState(t, t, 1, 0L))
+        }
+      }
+      cur.foreach { s =>
+        val timerMs = (s.lastUs + GapUs) / 1000
+        state.update(s.copy(timerMs = timerMs))
+        getHandle.registerTimer(timerMs)
+      }
+      closed.reverse.iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessOut] =
+      if (state.exists()) {
+        val s = state.get()
+        state.clear()
+        Iterator.single(SessOut(uid, tsOfUs(s.startUs),
+          tsOfUs(s.lastUs + GapUs), s.n))
+      } else Iterator.empty
+  }
+
+  private def streamTransformWithState(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val srcDir = stagedWithSentinel(spark, sfDir, sentinelUser = -1L)
+      val src = spark.readStream.schema(Schemas.events)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)]
+      val sessions = src.groupByKey(_._1)
+        .transformWithState(new SessionProcessor,
+          TimeMode.EventTime(), OutputMode.Append())
+      runToParquet(spark, sessions.toDF())
+        .where(col("user_id") >= 0)
+        .orderBy("user_id", "s_start")
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // stream_watermark — the production shape: watermark + Append mode to
   // a parquet (file) sink; a window only emits once the watermark
   // passes its end, so state is bounded and late data is dropped. A
@@ -405,6 +494,7 @@ object StreamingQ {
     "stream_static_join" -> (streamStaticJoin _),
     "stream_foreach_batch" -> (streamForeachBatch _),
     "stream_stateful_session" -> (streamStatefulSession _),
+    "stream_transform_with_state" -> (streamTransformWithState _),
     "stream_join" -> (streamJoin _),
     "stream_ingest" -> (streamIngest _),
     "stream_window_tumbling" -> (streamTumbling _),
@@ -412,6 +502,26 @@ object StreamingQ {
     "stream_window_session" -> (streamSession _),
     "stream_watermark" -> (streamWatermark _),
     "stream_dedup" -> (streamDedup _))
+
+  /** Shared gap-sessionization twin: lag + running-sum session ids —
+    * exactly the semantics of both custom-state implementations
+    * (stream_stateful_session, stream_transform_with_state). */
+  private val gapSessionOracle =
+    """WITH marked AS (
+         SELECT user_id, ts,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+         FROM events),
+       sess AS (
+         SELECT user_id, ts,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+         FROM marked)
+       SELECT user_id,
+              min(ts) AS s_start,
+              max(ts) + INTERVAL 30 MINUTE AS s_end,
+              count(*) AS n_events
+       FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start"""
 
   /** DuckDB twins. Tumbling/watermark windows are `date_trunc` buckets;
     * sliding windows enumerate the two 12h-offset buckets per event;
@@ -428,22 +538,8 @@ object StreamingQ {
     "stream_foreach_batch" ->
       """SELECT event_id, user_id, event_type, value
          FROM events ORDER BY event_id""",
-    "stream_stateful_session" ->
-      """WITH marked AS (
-           SELECT user_id, ts,
-                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                            > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
-           FROM events),
-         sess AS (
-           SELECT user_id, ts,
-                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                                 ROWS UNBOUNDED PRECEDING) AS sid
-           FROM marked)
-         SELECT user_id,
-                min(ts) AS s_start,
-                max(ts) + INTERVAL 30 MINUTE AS s_end,
-                count(*) AS n_events
-         FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""",
+    "stream_stateful_session" -> gapSessionOracle,
+    "stream_transform_with_state" -> gapSessionOracle,
     "stream_join" ->
       """SELECT p.event_id AS p_id, v.event_id AS v_id,
                 p.user_id, p.ts AS p_ts, v.ts AS v_ts

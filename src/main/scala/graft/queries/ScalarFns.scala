@@ -148,6 +148,30 @@ object ScalarFns {
         "variant_get(w, '$.missing', 'string') AS absent")
       .orderBy("event_id")
 
+  /** H. Error-safe (`try_`) functions — malformed input tolerated as
+    * NULL instead of a job-killing exception: the difference between a
+    * 100 TB ingest that finishes with a null-rate metric and one that
+    * dies at hour 9 on a single bad row. Covers try_cast (bad int, bad
+    * date), try_divide (zero divisor), try_element_at (out-of-bounds). */
+  private def fnTry(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .selectExpr(
+        "o_orderkey",
+        // every 3rd key gets a trailing junk char -> NULL under try_cast
+        """try_cast(concat(cast(o_orderkey as string),
+             case when o_orderkey % 3 = 0 then 'x' else '' end) as int)
+           AS maybe_int""",
+        // day-of-month 0..39: 0 and 29..39 are invalid for 2026-02
+        """try_to_date(concat('2026-02-',
+             lpad(cast(o_orderkey % 40 as string), 2, '0'))) AS maybe_date""",
+        // zero divisor every 5th row -> NULL, not Infinity and not a crash
+        """try_divide(cast(o_totalprice as double),
+             cast(o_orderkey % 5 as double)) AS maybe_ratio""",
+        // 1-based index past the end of a 3-element array -> NULL
+        """try_element_at(split('a,b,c', ','),
+             cast(1 + o_orderkey % 4 as int)) AS maybe_elem""")
+      .orderBy("o_orderkey")
+
   /** Remaining §2-H surface: crypto hash, regex predicate, nested-array
     * flatten/zip, map construction/inspection, NVL. */
   private def fnMisc(spark: SparkSession, sfDir: String): DataFrame =
@@ -218,7 +242,8 @@ object ScalarFns {
     "fn_array_higher_order" -> (fnArrayHigherOrder _),
     "fn_map" -> (fnMap _),
     "fn_json" -> (fnJson _),
-    "fn_variant" -> (fnVariant _))
+    "fn_variant" -> (fnVariant _),
+    "fn_try" -> (fnTry _))
 
   private def dCsvScaled(arrExpr: String): String = OracleFmt.dCsvScaled(arrExpr)
 
@@ -358,5 +383,17 @@ object ScalarFns {
                 json_extract_string(
                   ('{"uid":' || user_id || ',"tags":["evt","' || event_type
                     || '"]}')::JSON, '$.missing') AS absent
-         FROM events ORDER BY event_id""")
+         FROM events ORDER BY event_id""",
+    "fn_try" ->
+      """SELECT o_orderkey,
+                TRY_CAST(o_orderkey ||
+                  CASE WHEN o_orderkey % 3 = 0 THEN 'x' ELSE '' END
+                  AS INTEGER) AS maybe_int,
+                TRY_CAST('2026-02-' || lpad(CAST(o_orderkey % 40 AS VARCHAR), 2, '0')
+                  AS DATE) AS maybe_date,
+                CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                     ELSE o_totalprice / (o_orderkey % 5) END AS maybe_ratio,
+                (str_split('a,b,c', ','))[CAST(1 + o_orderkey % 4 AS INTEGER)]
+                  AS maybe_elem
+         FROM orders ORDER BY o_orderkey""")
 }

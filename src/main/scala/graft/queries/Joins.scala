@@ -226,7 +226,27 @@ object Joins {
          ORDER BY c_custkey""")
   }
 
+  /** D/SQL. LATERAL correlated subquery — "top-2 orders per customer"
+    * written the way an analyst writes it: a per-row subquery with its
+    * own ORDER BY + LIMIT. Catalyst decorrelates the lateral into a
+    * window-style rewrite over one shuffled join — no per-customer
+    * query execution — so the declarative form keeps the set-based
+    * plan at 100 TB. Customers without orders simply produce no rows
+    * (inner lateral semantics). */
+  private def joinLateral(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "customer").createOrReplaceTempView("customer_lat")
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders_lat")
+    spark.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+         FROM customer_lat c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+         ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_lateral" -> (joinLateral _),
     "join_subquery" -> (joinSubquery _),
     "join_salted" -> (joinSalted _),
     "join_bucketed" -> (joinBucketed _),
@@ -241,6 +261,13 @@ object Joins {
     "join_asof" -> (joinAsOf _))
 
   val oracle: Map[String, String] = Map(
+    "join_lateral" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+         ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
     "join_subquery" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal
          FROM customer

@@ -66,7 +66,35 @@ object SetSort {
       .orderBy(col("p_partkey"), asc_nulls_first("p_name"))
   }
 
+  /** G/SQL. Recursive CTE (Spark 4 `WITH RECURSIVE`, executed as
+    * UnionLoop): generates a monthly calendar spine covering the whole
+    * orders range, then LEFT-joins month order counts — the canonical
+    * gap-filling shape, where empty months must appear as zero rows
+    * (a plain GROUP BY can never produce them). Scale shape: the fact
+    * table aggregates FIRST (map-side combine down to ≤ one row per
+    * month), then the spine left-joins the tiny aggregate — join-then-
+    * aggregate would stream the whole fact table through an outer join
+    * whose small side can't broadcast (the preserved side is never the
+    * build side). Recursion builds only the 84-row spine. */
+  private def sqlRecursiveCte(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders_rc")
+    spark.sql(
+      """WITH RECURSIVE months(m) AS (
+           SELECT DATE '1995-01-01'
+           UNION ALL
+           SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+           WHERE m < DATE '2001-12-01'),
+         agg AS (
+           SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS am,
+                  count(*) AS n
+           FROM orders_rc GROUP BY 1)
+         SELECT m, coalesce(n, CAST(0 AS BIGINT)) AS n_orders
+         FROM months LEFT JOIN agg ON agg.am = months.m
+         ORDER BY m""")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_recursive_cte" -> (sqlRecursiveCte _),
     "set_union_by_name" -> (setUnionByName _),
     "sort_global" -> (sortGlobal _),
     "sort_topk" -> (sortTopK _),
@@ -75,6 +103,19 @@ object SetSort {
     "set_except" -> (setExcept _))
 
   val oracle: Map[String, String] = Map(
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE months(m) AS (
+           SELECT DATE '1995-01-01'
+           UNION ALL
+           SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+           WHERE m < DATE '2001-12-01'),
+         agg AS (
+           SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS am,
+                  count(*) AS n
+           FROM orders GROUP BY 1)
+         SELECT m, coalesce(n, CAST(0 AS BIGINT)) AS n_orders
+         FROM months LEFT JOIN agg ON agg.am = months.m
+         ORDER BY m""",
     "set_union_by_name" ->
       """SELECT p_partkey, p_name, CAST(NULL AS DOUBLE) AS p_retailprice
          FROM part

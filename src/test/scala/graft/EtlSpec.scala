@@ -69,6 +69,31 @@ class EtlSpec extends AnyFunSuite {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
+  test("XML round-trip preserves markup-hostile characters exactly") {
+    import spark.implicits._
+    // every character class XML must escape or CDATA-protect: markup
+    // delimiters, entities, quotes, multi-byte unicode, whitespace runs
+    val hostile = Seq(
+      (1L, "<tag>&amp; raw & ampersand</tag>"),
+      (2L, "quotes \" and ' apostrophes"),
+      (3L, "unicode é中文 and ]]> cdata-closer"),
+      (4L, "  leading/trailing spaces  "),
+      (5L, "less < than > greater"))
+    val dir = Fixtures.tempDir("graft_spec_xml")
+    hostile.toDF("id", "payload")
+      .write.mode("overwrite").option("rowTag", "r").format("xml").save(dir)
+    val back = spark.read
+      .schema("id BIGINT, payload STRING")
+      .option("rowTag", "r")
+      // the reader trims surrounding whitespace by default — disable to
+      // prove content-exact recovery including row 4's padding
+      .option("ignoreSurroundingSpaces", false)
+      .format("xml").load(dir)
+      .orderBy("id")
+      .as[(Long, String)].collect()
+    assert(back.toSeq === hostile.sortBy(_._1))
+  }
+
   test("dynamic partition overwrite leaves other partitions untouched") {
     import spark.implicits._
     val dir = Fixtures.tempDir("graft_spec_dyn")

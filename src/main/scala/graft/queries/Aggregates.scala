@@ -240,7 +240,28 @@ object Aggregates {
       .orderBy("o_orderstatus")
   }
 
+  /** E. Exact distinct counting via bitmaps (`bitmap_bucket_number` /
+    * `bitmap_bit_position` / `bitmap_construct_agg` / `bitmap_count`) —
+    * the mergeable-EXACT alternative to both naive count(distinct)
+    * (whose expand-shuffle carries every (group, value) pair) and HLL
+    * (approximate). Values hash into 32k-bit bucket bitmaps; each
+    * (group, bucket) partial is a ≤4 KB binary that merges by OR — so
+    * at 100 TB the shuffle carries fixed-size bitmaps instead of raw
+    * values, pre-aggregated shards stay re-mergeable (the rollup-table
+    * pattern), and the final count is exact, not a sketch. */
+  private def aggBitmapDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .selectExpr("l_returnflag",
+        "bitmap_bucket_number(l_orderkey) AS bkt",
+        "bitmap_bit_position(l_orderkey) AS pos")
+      .groupBy("l_returnflag", "bkt")
+      .agg(expr("bitmap_count(bitmap_construct_agg(pos))").as("cnt"))
+      .groupBy("l_returnflag")
+      .agg(sum("cnt").as("n_distinct"))
+      .orderBy("l_returnflag")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_mode" -> (aggMode _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_unpivot" -> (aggUnpivot _),
@@ -260,6 +281,9 @@ object Aggregates {
     "agg_collect" -> (aggCollect _))
 
   val oracle: Map[String, String] = Map(
+    "agg_bitmap_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_distinct
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_mode" ->
       """SELECT o_orderstatus, mode_priority, mode_count
          FROM (

@@ -172,6 +172,26 @@ object ScalarFns {
              cast(1 + o_orderkey % 4 as int)) AS maybe_elem""")
       .orderBy("o_orderkey")
 
+  /** H. URL functions — the first parse every web-corpus pipeline runs:
+    * host/path/query decomposition (`parse_url`) for domain-level
+    * grouping and canonicalization, plus `url_encode`/`url_decode`
+    * round-trip. URLs are constructed deterministically from keys so
+    * the DuckDB twin can rebuild the expected parts with string ops. */
+  private def fnUrl(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .selectExpr("o_orderkey",
+        """concat('https://shop', cast(o_custkey % 3 as string),
+             '.example.com/p/', cast(o_orderkey as string),
+             '?q=', cast(o_custkey as string), '&r=1') AS u""")
+      .selectExpr(
+        "o_orderkey",
+        "parse_url(u, 'HOST') AS host",
+        "parse_url(u, 'PATH') AS path",
+        "parse_url(u, 'QUERY') AS query_full",
+        "parse_url(u, 'QUERY', 'q') AS q_param",
+        "parse_url(u, 'PROTOCOL') AS proto")
+      .orderBy("o_orderkey")
+
   /** Remaining §2-H surface: crypto hash, regex predicate, nested-array
     * flatten/zip, map construction/inspection, NVL. */
   private def fnMisc(spark: SparkSession, sfDir: String): DataFrame =
@@ -243,7 +263,8 @@ object ScalarFns {
     "fn_map" -> (fnMap _),
     "fn_json" -> (fnJson _),
     "fn_variant" -> (fnVariant _),
-    "fn_try" -> (fnTry _))
+    "fn_try" -> (fnTry _),
+    "fn_url" -> (fnUrl _))
 
   private def dCsvScaled(arrExpr: String): String = OracleFmt.dCsvScaled(arrExpr)
 
@@ -395,5 +416,13 @@ object ScalarFns {
                      ELSE o_totalprice / (o_orderkey % 5) END AS maybe_ratio,
                 (str_split('a,b,c', ','))[CAST(1 + o_orderkey % 4 AS INTEGER)]
                   AS maybe_elem
+         FROM orders ORDER BY o_orderkey""",
+    "fn_url" ->
+      """SELECT o_orderkey,
+                'shop' || (o_custkey % 3) || '.example.com' AS host,
+                '/p/' || o_orderkey AS path,
+                'q=' || o_custkey || '&r=1' AS query_full,
+                CAST(o_custkey AS VARCHAR) AS q_param,
+                'https' AS proto
          FROM orders ORDER BY o_orderkey""")
 }

@@ -61,6 +61,26 @@ object Aggregates {
       .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy("l_returnflag")
 
+  /** E. Mergeable HLL sketches (DataSketches `hll_sketch_agg` /
+    * `hll_union_agg` / `hll_sketch_estimate`) — the two-level rollup
+    * pattern for APPROXIMATE distinct at 100 TB: each shard (think
+    * daily partition) pre-aggregates to a fixed-size binary sketch,
+    * stored once; any later query unions sketches instead of re-reading
+    * raw data. Register merge at equal lgK is lossless, so the
+    * two-level estimate EQUALS the single-pass estimate —
+    * PropertySpec asserts that equality plus an error bound vs the
+    * exact count (no DuckDB oracle: estimates are engine-specific). */
+  private def aggHllSketchMerge(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .selectExpr("l_returnflag", "l_orderkey",
+        "pmod(hash(l_orderkey), 16) AS shard")
+      .groupBy("l_returnflag", "shard")
+      .agg(expr("hll_sketch_agg(l_orderkey, 14)").as("sk"))
+      .groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+        .as("approx_orders"))
+      .orderBy("l_returnflag")
+
   /** ROLLUP with grouping flags; group keys coalesced to a sentinel so
     * ordering needs no null rules. */
   private def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
@@ -262,6 +282,7 @@ object Aggregates {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
+    "agg_hll_sketch_merge" -> (aggHllSketchMerge _),
     "agg_mode" -> (aggMode _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_unpivot" -> (aggUnpivot _),

@@ -92,6 +92,31 @@ class PropertySpec extends AnyFunSuite {
     assert(tdf.filter(col("us") =!= col("rt")).count() === 0)
   }
 
+  test("hll sketch shard-merge is lossless and within error bound") {
+    val sfDir = "/root/testdata/sf0.001"
+    // two-level: per-shard sketches unioned (the agg_hll_sketch_merge key)
+    val merged = SparkEntry.queries("agg_hll_sketch_merge")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // single-pass sketch over the same rows at the same lgK
+    val single = Tables.t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey, 14))")
+        .as("approx_orders"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // register merge at equal lgK is lossless: EXACT estimate equality
+    assert(merged === single)
+    val exact = Tables.t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet === exact.keySet)
+    for ((k, e) <- exact) {
+      // lgK=14 -> rse ~0.8%; allow a generous 5%
+      assert(math.abs(merged(k).toDouble - e) / e < 0.05,
+        s"$k: approx=${merged(k)} exact=$e")
+    }
+  }
+
   test("approx_count_distinct (HLL++) stays within its error bound") {
     val sfDir = "/root/testdata/sf0.001"
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sfDir)

@@ -441,6 +441,26 @@ object EtlQueries {
       .orderBy("o_orderkey")
   }
 
+  /** A. Nested-schema pruning — parquet with a struct column read back
+    * selecting ONE subfield: the scan's ReadSchema must contain only
+    * `meta.width` (PlanShapeSpec pins this), not the whole struct.
+    * At 100 TB multimodal metadata structs carry many wide fields;
+    * without nested pruning every subfield query drags the full struct
+    * through IO. The payload column proves unread columns cost nothing. */
+  private def scanNestedPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.tempDir("graft_nested")
+    t(spark, sfDir, "documents")
+      .selectExpr("doc_id",
+        "unhex(md5(text)) AS payload",
+        "named_struct('width', cast(n_chars % 64 + 1 as int)," +
+          " 'height', cast(n_chars DIV 64 + 1 as int)," +
+          " 'fmt', 'fake/rgb8') AS meta")
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+      .select(col("doc_id"), col("meta.width").as("width"))
+      .orderBy("doc_id")
+  }
+
   /** A. Multi-line CSV scan — quoted fields with EMBEDDED NEWLINES (the
     * hostile-input case scan_text deliberately filters out). Stages the
     * documents table with newline-ified text, reads it back with
@@ -467,6 +487,26 @@ object EtlQueries {
       .selectExpr("doc_id", "length(mltext) AS n_chars_ml",
         "md5(mltext) AS fp")
       .orderBy("doc_id")
+  }
+
+  /** C. Single-pass pipeline metrics (`df.observe`) — accumulator-style
+    * aggregates collected DURING a write, no second scan: the row
+    * counts / checksums / null rates a production sink job must report
+    * without paying another 100 TB pass. The observed metrics surface
+    * as a one-row frame, oracle-checked against a direct aggregation. */
+  private def etlObserve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    t(spark, sfDir, "orders")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
+        sum(col("o_custkey").isNull.cast("long")).as("null_custkey"))
+      .write.mode("overwrite").parquet(Fixtures.tempDir("graft_observe"))
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long], m("sum_price").asInstanceOf[Double],
+      m("null_custkey").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_price", "null_custkey")
   }
 
   /** C. Data-quality profile — the "analyze before you trust it" pass
@@ -539,6 +579,8 @@ object EtlQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_orc" -> (scanOrc _),
     "scan_xml" -> (scanXml _),
+    "scan_nested_pruned" -> (scanNestedPruned _),
+    "etl_observe" -> (etlObserve _),
     "scan_csv_multiline" -> (scanCsvMultiline _),
     "sink_parquet_bloom" -> (sinkParquetBloom _),
     "catalog_analyze_stats" -> (catalogAnalyzeStats _),
@@ -582,6 +624,15 @@ object EtlQueries {
     "scan_xml" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
          FROM orders ORDER BY o_orderkey""",
+    "scan_nested_pruned" ->
+      """SELECT doc_id, CAST(n_chars % 64 + 1 AS INTEGER) AS width
+         FROM documents ORDER BY doc_id""",
+    "etl_observe" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price,
+                count(*) FILTER (WHERE o_custkey IS NULL) AS null_custkey
+         FROM orders""",
     "scan_csv_multiline" ->
       """SELECT doc_id,
                 length(replace(text, ' ', chr(10))) AS n_chars_ml,

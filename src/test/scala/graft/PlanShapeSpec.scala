@@ -77,4 +77,14 @@ class PlanShapeSpec extends AnyFunSuite {
     val dataFilters = "DataFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
     assert(!dataFilters.contains("p_year"), plan)
   }
+
+  test("scan_nested_pruned: scan reads only the selected struct subfield") {
+    val plan = finalPlan(SparkEntry.queries("scan_nested_pruned")(spark, sfDir))
+    // nested-schema pruning: ReadSchema carries meta.width only — not
+    // height, not fmt, and critically not the binary payload column
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("meta:struct<width:int>"), plan)
+    assert(!readSchema.contains("height") && !readSchema.contains("fmt") &&
+      !readSchema.contains("payload"), plan)
+  }
 }

@@ -121,13 +121,15 @@ object LlmVector {
     concat(bits: _*).as(s"bucket_$table")
   }
 
-  private def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  /** LSH candidate pairs with their exact cosine, shared by the two
+    * keys below. Bucket table carries ONLY (vec_id, tbl, bucket): the
+    * candidate join + dedup shuffle two longs and a short string per
+    * row, never the 64-float payload. Embeddings re-attach by id
+    * afterward — same shape as LlmText.candidates; at 100 TB the
+    * dedup exchange is ids-only instead of O(candidates × embedding
+    * bytes). */
+  private def lshScoredCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
-    // Bucket table carries ONLY (vec_id, tbl, bucket): the candidate
-    // join + dedup shuffle two longs and a short string per row, never
-    // the 64-float payload. Embeddings re-attach by id afterward —
-    // same shape as LlmText.candidates; at 100 TB the dedup exchange
-    // is ids-only instead of O(candidates × embedding bytes).
     val long = t(spark, sfDir, "embeddings")
       .select(col("vec_id"),
         posexplode(array((0 until 4).map(bucketCol): _*))
@@ -145,9 +147,26 @@ object LlmVector {
     cand.join(ea, "vec_a").join(eb, "vec_b")
       .select(col("vec_a"), col("vec_b"),
         cosine(col("ea"), col("eb"), col("na"), col("nb")).as("cosine"))
+  }
+
+  private def annLsh(spark: SparkSession, sfDir: String): DataFrame =
+    lshScoredCandidates(spark, sfDir)
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
       .limit(50)
-  }
+
+  // ---------------------------------------------------------------------
+  // llm_embed_neardup_lsh — the PRODUCTION near-dup path: the same
+  // cosine ≥ 0.4 semantics as llm_embed_neardup, but candidates come
+  // from the LSH bucket equi-join instead of the O(n²) cross product.
+  // Because the buckets are md5-deterministic, the DuckDB oracle
+  // replays the ENTIRE pipeline (planes → sign bits → bucket join →
+  // exact cosine filter), so this key is hash-checked end-to-end —
+  // recall vs the exact baseline is measured separately in LlmSpec.
+  // ---------------------------------------------------------------------
+  private def embedNeardupLsh(spark: SparkSession, sfDir: String): DataFrame =
+    lshScoredCandidates(spark, sfDir)
+      .where(col("cosine") >= 0.4)
+      .orderBy("vec_a", "vec_b")
 
   // ---------------------------------------------------------------------
   // llm_ann_ivf — inverted-file ANN, the second scale path: partition
@@ -422,6 +441,7 @@ object LlmVector {
     "llm_topk_similarity" -> (topkSimilarity _),
     "llm_embed_neardup" -> (embedNeardup _),
     "llm_ann_lsh" -> (annLsh _),
+    "llm_embed_neardup_lsh" -> (embedNeardupLsh _),
     "llm_ann_ivf" -> (annIvf _),
     "llm_embedding_quantize" -> (embeddingQuantize _),
     "llm_vector_mean" -> (vectorMean _),
@@ -440,6 +460,34 @@ object LlmVector {
           list_transform(list_zip($a, $b),
             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
           (x, y) -> x + y)"""
+
+  /** Shared DuckDB replay of the LSH candidate pipeline: md5-parity
+    * planes → sign bits → per-table buckets → ids-only bucket join —
+    * identical by construction to the Spark side (same md5 strings). */
+  private val LshCandCte =
+    s"""WITH e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings),
+        tp AS (SELECT t.t, p.p
+               FROM (SELECT unnest(range(0, 4)) AS t) t,
+                    (SELECT unnest(range(0, 8)) AS p) p),
+        bits AS (
+          SELECT e.vec_id, tp.t, tp.p,
+                 CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(list_zip(e.embedding,
+                     list_transform(range(0, 64), d ->
+                       CASE WHEN (strpos('0123456789abcdef',
+                           substring(md5(tp.t || '_' || tp.p || '_' || d), 1, 1))
+                           - 1) % 2 = 0
+                            THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)),
+                     z -> CAST(z[1] AS DOUBLE) * z[2])),
+                   (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END AS bit
+          FROM e CROSS JOIN tp),
+        buckets AS (
+          SELECT vec_id, t, string_agg(bit, '' ORDER BY p) AS bucket
+          FROM bits GROUP BY vec_id, t),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+          FROM buckets a JOIN buckets b
+            ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)"""
 
   val oracle: Map[String, String] = Map(
     "llm_multimodal_audio" ->
@@ -494,35 +542,21 @@ object LlmVector {
           WHERE ${dDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
           ORDER BY vec_a, vec_b""",
     "llm_ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings),
-          tp AS (SELECT t.t, p.p
-                 FROM (SELECT unnest(range(0, 4)) AS t) t,
-                      (SELECT unnest(range(0, 8)) AS p) p),
-          bits AS (
-            SELECT e.vec_id, tp.t, tp.p,
-                   CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                     list_transform(list_zip(e.embedding,
-                       list_transform(range(0, 64), d ->
-                         CASE WHEN (strpos('0123456789abcdef',
-                             substring(md5(tp.t || '_' || tp.p || '_' || d), 1, 1))
-                             - 1) % 2 = 0
-                              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)),
-                       z -> CAST(z[1] AS DOUBLE) * z[2])),
-                     (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END AS bit
-            FROM e CROSS JOIN tp),
-          buckets AS (
-            SELECT vec_id, t, string_agg(bit, '' ORDER BY p) AS bucket
-            FROM bits GROUP BY vec_id, t),
-          cand AS (
-            SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-            FROM buckets a JOIN buckets b
-              ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      s"""$LshCandCte
           SELECT cand.va AS vec_a, cand.vb AS vec_b,
                  ${dDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cosine
           FROM cand JOIN e ea ON cand.va = ea.vec_id
                     JOIN e eb ON cand.vb = eb.vec_id
           ORDER BY cosine DESC, vec_a, vec_b
           LIMIT 50""",
+    "llm_embed_neardup_lsh" ->
+      s"""$LshCandCte
+          SELECT cand.va AS vec_a, cand.vb AS vec_b,
+                 ${dDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cosine
+          FROM cand JOIN e ea ON cand.va = ea.vec_id
+                    JOIN e eb ON cand.vb = eb.vec_id
+          WHERE ${dDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) >= 0.4
+          ORDER BY vec_a, vec_b""",
     "llm_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings),
           cents AS (

@@ -120,6 +120,32 @@ class LlmSpec extends AnyFunSuite {
       s"expected all $n duplicated vectors as top candidates, got $selfPairs")
   }
 
+  test("bucketed embed near-dup is a sound subset with full recall on duplicates") {
+    import spark.implicits._
+    // soundness: every bucketed pair is a true >= 0.4 pair with the
+    // identical cosine (the exact baseline is the ground truth)
+    val lsh = LlmVector.defs("llm_embed_neardup_lsh")(spark, sfDir)
+      .withColumnRenamed("cosine", "c_lsh")
+    val exact = LlmVector.defs("llm_embed_neardup")(spark, sfDir)
+    val joined = lsh.join(exact, Seq("vec_a", "vec_b"), "left").cache()
+    assert(joined.filter(col("cosine").isNull).count() === 0,
+      "bucketed path produced a pair the exact baseline does not contain")
+    assert(joined.filter(abs(col("cosine") - col("c_lsh")) > 1e-12).count() === 0)
+    // recall on TRUE duplicates (cos = 1): identical vectors share every
+    // bucket, so each planted duplicate pair MUST be found — this corpus
+    // has no high-cosine pairs (max ~0.51, where 8-bit buckets rarely
+    // collide by design), so plant some
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .dropDuplicates("embedding").limit(20).cache()
+    val n = e.count()
+    val dir = graft.etl.Fixtures.tempDir("graft_neardup_dup")
+    e.unionByName(e.withColumn("vec_id", col("vec_id") + 1000000))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val found = LlmVector.defs("llm_embed_neardup_lsh")(spark, dir)
+      .filter(col("vec_b") === col("vec_a") + 1000000).count()
+    assert(found === n, s"expected all $n duplicate pairs, got $found")
+  }
+
   test("cluster dedup merges transitive near-dup chains (a~b~c, a!~c)") {
     import spark.implicits._
     // three docs on a chain: A~B and B~C are near-dups (3 words

@@ -426,6 +426,62 @@ object StreamingQ {
   // older than the watermark minus the interval are evicted) — the
   // pattern that keeps stream-stream joins finite at 100 TB/day.
   // ---------------------------------------------------------------------
+  /** Sentinel staging for the OUTER stream-stream join: each side
+    * filters to one event_type BEFORE its watermark, so flushing both
+    * sides' state needs one far-future sentinel PER TYPE (a single
+    * sentinel would advance only the side whose filter it passes). */
+  private def stagedWithTypeSentinels(spark: SparkSession, sfDir: String): String =
+    stageCache.computeIfAbsent(s"$sfDir/typeSentinels", { _ =>
+      val srcDir = freshDir("graft_stream_sentinel2_src_")
+      val ev = t(spark, sfDir, "events")
+      ev.coalesce(1).write.mode("overwrite").parquet(srcDir)
+      val past = FileTime.fromMillis(1000000000000L)
+      val listing = Files.list(Paths.get(srcDir))
+      try listing.forEach { p: Path => Files.setLastModifiedTime(p, past) }
+      finally listing.close()
+      Seq("purchase", "view").zipWithIndex.foreach { case (kind, i) =>
+        ev.limit(1)
+          .withColumn("ts", lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+          .withColumn("event_id", lit(-1L - i))
+          .withColumn("user_id", lit(-1L))
+          .withColumn("event_type", lit(kind))
+          .write.mode("append").parquet(srcDir)
+      }
+      srcDir
+    })
+
+  // ---------------------------------------------------------------------
+  // stream_join_outer — stream-stream LEFT OUTER interval join: every
+  // purchase emits, view-less purchases as null rows — but ONLY once
+  // the watermark proves no matching view can still arrive (the null
+  // row is a promise about the future, so it must wait for state
+  // eviction). The per-type sentinels advance both sides' watermarks
+  // past all real data, flushing every pending outer row before the
+  // query stops — without them the last hour of purchases would
+  // silently never emit.
+  // ---------------------------------------------------------------------
+  private def streamJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedWithTypeSentinels(spark, sfDir)
+    def side(kind: String, prefix: String) =
+      spark.readStream.schema(Schemas.events)
+        .option("maxFilesPerTrigger", 1) // sentinels land in later batches
+        .parquet(dir)
+        .where(col("event_type") === kind)
+        .select(col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_user"),
+          col("ts").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    val joined = side("purchase", "p").join(side("view", "v"),
+      expr("""p_user = v_user AND
+              v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"""),
+      "leftOuter")
+      .select(col("p_id"), col("v_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("v_ts"))
+    runToParquet(spark, joined)
+      .where(col("user_id") >= 0) // drop the sentinel purchase row
+      .orderBy("p_id", "v_id")
+  }
+
   private def streamJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stagedParquet(spark, sfDir, "events")
     def side(kind: String, prefix: String) =
@@ -496,6 +552,7 @@ object StreamingQ {
     "stream_stateful_session" -> (streamStatefulSession _),
     "stream_transform_with_state" -> (streamTransformWithState _),
     "stream_join" -> (streamJoin _),
+    "stream_join_outer" -> (streamJoinOuter _),
     "stream_ingest" -> (streamIngest _),
     "stream_window_tumbling" -> (streamTumbling _),
     "stream_window_sliding" -> (streamSliding _),
@@ -547,6 +604,14 @@ object StreamingQ {
            ON p.user_id = v.user_id
           AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
          WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+         ORDER BY p_id, v_id""",
+    "stream_join_outer" ->
+      """SELECT p.event_id AS p_id, v.event_id AS v_id,
+                p.user_id, p.ts AS p_ts, v.ts AS v_ts
+         FROM events p LEFT JOIN events v
+           ON p.user_id = v.user_id AND v.event_type = 'view'
+          AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+         WHERE p.event_type = 'purchase'
          ORDER BY p_id, v_id""",
     "stream_ingest" ->
       """SELECT event_id, ts, user_id, event_type, value, props

@@ -172,6 +172,27 @@ object ScalarFns {
              cast(1 + o_orderkey % 4 as int)) AS maybe_elem""")
       .orderBy("o_orderkey")
 
+  /** H. Higher-order MAP functions — `transform_values/transform_keys/
+    * map_filter/map_zip_with` over deterministically constructed maps.
+    * Results serialize to sorted `k:v` CSV (driver cannot hash map
+    * columns); the DuckDB twin computes the same transforms through
+    * `map_entries` list operations. */
+  private def fnMapHigherOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    def ser(e: String) =
+      s"""concat_ws(',', transform(sort_array(map_entries($e)),
+            p -> concat(p.key, ':', cast(p.value as string))))"""
+    t(spark, sfDir, "events")
+      .selectExpr("event_id",
+        "map('a', cast(user_id % 100 as int), 'b', cast(event_id % 7 as int)) AS m1",
+        "map('b', cast(user_id % 5 as int), 'c', cast(event_id % 3 as int)) AS m2")
+      .selectExpr("event_id",
+        s"${ser("transform_values(m1, (k, v) -> v * 2)")} AS doubled",
+        s"${ser("transform_keys(m1, (k, v) -> upper(k))")} AS upcased",
+        s"${ser("map_filter(m1, (k, v) -> v >= 50)")} AS filtered",
+        s"${ser("map_zip_with(m1, m2, (k, v1, v2) -> coalesce(v1, 0) + coalesce(v2, 0))")} AS zipped")
+      .orderBy("event_id")
+  }
+
   /** H. URL functions — the first parse every web-corpus pipeline runs:
     * host/path/query decomposition (`parse_url`) for domain-level
     * grouping and canonicalization, plus `url_encode`/`url_decode`
@@ -264,7 +285,8 @@ object ScalarFns {
     "fn_json" -> (fnJson _),
     "fn_variant" -> (fnVariant _),
     "fn_try" -> (fnTry _),
-    "fn_url" -> (fnUrl _))
+    "fn_url" -> (fnUrl _),
+    "fn_map_higher_order" -> (fnMapHigherOrder _))
 
   private def dCsvScaled(arrExpr: String): String = OracleFmt.dCsvScaled(arrExpr)
 
@@ -424,5 +446,26 @@ object ScalarFns {
                 'q=' || o_custkey || '&r=1' AS query_full,
                 CAST(o_custkey AS VARCHAR) AS q_param,
                 'https' AS proto
-         FROM orders ORDER BY o_orderkey""")
+         FROM orders ORDER BY o_orderkey""",
+    "fn_map_higher_order" ->
+      """WITH src AS (
+           SELECT event_id,
+                  MAP {'a': CAST(user_id % 100 AS INTEGER),
+                       'b': CAST(event_id % 7 AS INTEGER)} AS m1,
+                  MAP {'b': CAST(user_id % 5 AS INTEGER),
+                       'c': CAST(event_id % 3 AS INTEGER)} AS m2
+           FROM events)
+         SELECT event_id,
+                array_to_string(list_transform(list_sort(map_entries(m1)),
+                  e -> e.key || ':' || (e.value * 2)), ',') AS doubled,
+                array_to_string(list_sort(list_transform(map_entries(m1),
+                  e -> upper(e.key) || ':' || e.value)), ',') AS upcased,
+                coalesce(array_to_string(list_transform(list_sort(list_filter(
+                  map_entries(m1), e -> e.value >= 50)),
+                  e -> e.key || ':' || e.value), ','), '') AS filtered,
+                array_to_string(list_transform(['a', 'b', 'c'],
+                  k -> k || ':' || (coalesce(map_extract(m1, k)[1], 0)
+                                  + coalesce(map_extract(m2, k)[1], 0))), ',')
+                  AS zipped
+         FROM src ORDER BY event_id""")
 }

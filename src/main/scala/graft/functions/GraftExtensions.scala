@@ -41,5 +41,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_minhash: k must be in [1, 1024], got $k")
         MinHashSignature(args.head, k)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "graft_ngrams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 && args(1).foldable,
+          "graft_ngrams(text, n) with literal n")
+        val n = args(1).eval() match {
+          case v: Number => v.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_ngrams: n must be an integer literal, got $other")
+        }
+        WordNGrams(args.head, n)
+      }))
   }
 }

@@ -77,9 +77,61 @@ case class MinHashSignature(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Custom Catalyst `Generator` (SURVEY §2-J UDTF tier): word n-grams
+  * emitted LAZILY, one row at a time. The declarative formulation
+  * (`explode(transform(sequence(...), i -> concat(...)))`) first
+  * materializes the complete shingle array per row — for a 1 MB
+  * document that is hundreds of thousands of strings resident at once,
+  * per row, before the explode even starts. This generator yields each
+  * n-gram from an iterator over one shared token array, so peak memory
+  * per row is the token split plus ONE n-gram, independent of document
+  * length. Value-identical to the eager form (ExtensionsSpec asserts
+  * it); splits on single spaces exactly like `split(text, ' ')`.
+  */
+case class WordNGrams(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with CodegenFallback {
+  require(n >= 1 && n <= 16, s"graft_ngrams: n must be in [1, 16], got $n")
+
+  override def prettyName: String = "graft_ngrams"
+
+  override def elementSchema: StructType =
+    StructType(StructField("ngram", StringType, nullable = false) :: Nil)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_ngrams requires a string column, got ${child.dataType.catalogString}")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow):
+      IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      // -1 keeps trailing empty tokens, matching split(text, ' ')
+      val words = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+      if (words.length < n) Iterator.empty
+      else (0 to words.length - n).iterator.map { i =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(words.slice(i, i + n).mkString(" ")))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
 object TextOps {
   /** k-hash MinHash signature of an array<string> column. */
   def minhashSig(shingles: Column, k: Int): Column =
     GraftSqlBridge.toColumn(
       MinHashSignature(GraftSqlBridge.toExpression(shingles), k))
+
+  /** Lazy word n-gram fan-out of a string column (custom Generator). */
+  def wordNGrams(text: Column, n: Int): Column =
+    GraftSqlBridge.toColumn(
+      WordNGrams(GraftSqlBridge.toExpression(text), n))
 }

@@ -437,6 +437,26 @@ object LlmText {
   // (no shuffle) explode into one count aggregation; top 20 by
   // (freq desc, bigram) — corpus statistics for tokenizer/quality work.
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // llm_shingle_stream — per-document trigram stats through the custom
+  // lazy Generator (graft.functions.WordNGrams, §2-J UDTF tier): the
+  // eager explode(transform(sequence(...))) materializes every
+  // document's full shingle array in memory before exploding; the
+  // generator streams one n-gram at a time off a shared token array,
+  // so peak per-row memory is independent of document length — the
+  // difference between surviving a 1 MB outlier document and an
+  // executor OOM. ExtensionsSpec asserts value-parity with the eager
+  // formulation; docs with < 3 words contribute no rows (both paths).
+  // ---------------------------------------------------------------------
+  private def shingleStream(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextOps.wordNGrams(col("text"), 3).as("ngram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        countDistinct(col("ngram")).as("n_distinct"))
+      .orderBy("doc_id")
+
   private def ngramFreq(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "documents")
       .selectExpr("split(text, ' ') AS toks")
@@ -833,6 +853,7 @@ object LlmText {
     "llm_decontaminate" -> (decontaminate _),
     "llm_pii_redact" -> (piiRedact _),
     "llm_ngram_freq" -> (ngramFreq _),
+    "llm_shingle_stream" -> (shingleStream _),
     "llm_sample_split" -> (sampleSplit _),
     "llm_dedup_exact" -> (dedupExact _),
     "llm_dedup_minhash" -> (dedupMinhash _),
@@ -1123,6 +1144,16 @@ object LlmText {
                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
              FROM documents))
          ORDER BY doc_id""",
+    "llm_shingle_stream" ->
+      """SELECT doc_id, count(*) AS n_ngrams,
+                count(DISTINCT ngram) AS n_distinct
+         FROM (
+           SELECT doc_id,
+                  unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                          FOR i IN range(1, len(t) - 1)]) AS ngram
+           FROM (SELECT doc_id, string_split(text, ' ') AS t
+                 FROM documents))
+         GROUP BY doc_id ORDER BY doc_id""",
     "llm_ngram_freq" ->
       """SELECT bigram, count(*) AS freq
          FROM (

@@ -174,6 +174,35 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("WordNGrams generator matches the eager explode formulation") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val lazyGen = docs.select(col("doc_id"),
+      graft.functions.TextOps.wordNGrams(col("text"), 3).as("ngram"))
+    val eager = docs
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .where(size(col("toks")) >= 3)
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(toks) - 2),
+             i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
+                         ' ', element_at(toks, i + 2)))) AS ngram""")
+    assert(lazyGen.exceptAll(eager).isEmpty && eager.exceptAll(lazyGen).isEmpty)
+    assert(lazyGen.count() === eager.count())
+    // boundary semantics: short/empty/null docs emit nothing
+    import spark.implicits._
+    val edge = Seq((1L, "one two"), (2L, ""), (3L, "a b c")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.TextOps.wordNGrams(col("text"), 3).as("ngram"))
+      .collect()
+    assert(edge.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((3L, "a b c")))
+  }
+
   test("TopKPerGroup partial-overflow pass-through stays exact") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

@@ -71,9 +71,15 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
            defaultNullOrdering(so)) &&
          projectList.forall(_.references.subsetOf(windowChild.outputSet)) =>
       val k = limitFrom(cond, rnAlias.exprId).get
-      // a WindowGroupLimit Spark inferred below the Window is subsumed
+      // A WindowGroupLimit Spark inferred below the Window is subsumed —
+      // but ONLY when provably redundant with this rewrite (same specs,
+      // row_number semantics, limit no tighter than k). Anything else is
+      // kept as the child: TopKPerGroup-over-it still computes exactly
+      // what the original filter-over-Window-over-it computed, whereas
+      // stripping an unrelated or tighter limit would WIDEN the result.
       val child = windowChild match {
-        case WindowGroupLimit(_, _, _, _, c) => c
+        case WindowGroupLimit(ps, os, RowNumber(), limit, c)
+          if limit >= k && ps == partitionSpec && os == orderSpec => c
         case c => c
       }
       Project(projectList,

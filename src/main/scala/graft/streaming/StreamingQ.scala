@@ -201,7 +201,17 @@ object StreamingQ {
     })
 
   private def stagedWithSentinelUncached(spark: SparkSession, sfDir: String,
-                                         sentinelUser: Long): String = {
+                                         sentinelUser: Long): String =
+    stageCorpusWithSentinels(spark, sfDir,
+      Seq((-1L, sentinelUser, None)))
+
+  /** Core sentinel staging: corpus as one backdated file (so the data
+    * batch always runs first — file sources order by mtime), then one
+    * appended far-future sentinel file per entry (event_id, user_id,
+    * optional event_type override). All sentinel-staging variants go
+    * through here so the mtime/ordering trick lives in one place. */
+  private def stageCorpusWithSentinels(spark: SparkSession, sfDir: String,
+      sentinels: Seq[(Long, Long, Option[String])]): String = {
     val srcDir = freshDir("graft_stream_sentinel_src_")
     val ev = t(spark, sfDir, "events")
     ev.coalesce(1).write.mode("overwrite").parquet(srcDir)
@@ -209,11 +219,14 @@ object StreamingQ {
     val listing = Files.list(Paths.get(srcDir))
     try listing.forEach { p: Path => Files.setLastModifiedTime(p, past) }
     finally listing.close()
-    ev.limit(1)
-      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
-      .withColumn("event_id", lit(-1L))
-      .withColumn("user_id", lit(sentinelUser))
-      .write.mode("append").parquet(srcDir)
+    sentinels.foreach { case (eid, uid, kind) =>
+      val row = ev.limit(1)
+        .withColumn("ts", lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+        .withColumn("event_id", lit(eid))
+        .withColumn("user_id", lit(uid))
+      kind.fold(row)(k => row.withColumn("event_type", lit(k)))
+        .write.mode("append").parquet(srcDir)
+    }
     srcDir
   }
 
@@ -240,6 +253,29 @@ object StreamingQ {
   private def usOfTs(ts: java.sql.Timestamp): Long =
     ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
 
+  /** Pure gap-session fold shared by BOTH custom-state APIs
+    * (flatMapGroupsWithState and transformWithState): absorb sorted
+    * event micros into an optional open session (startUs, lastUs, n),
+    * emitting sessions closed by a gap. Keeping the state machine in
+    * one place means the two API demonstrations cannot drift apart
+    * while sharing one oracle. */
+  private def foldSessions(uid: Long, times: Array[Long],
+      init: Option[(Long, Long, Long)])
+      : (List[SessOut], Option[(Long, Long, Long)]) = {
+    var closed = List.empty[SessOut]
+    var cur = init
+    times.foreach { t =>
+      cur = cur match {
+        case None => Some((t, t, 1L))
+        case Some((s0, last, n)) if t - last <= GapUs => Some((s0, t, n + 1))
+        case Some((s0, last, n)) =>
+          closed ::= SessOut(uid, tsOfUs(s0), tsOfUs(last + GapUs), n)
+          Some((t, t, 1L))
+      }
+    }
+    (closed.reverse, cur)
+  }
+
   private def streamStatefulSession(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -262,24 +298,13 @@ object StreamingQ {
               tsOfUs(s.lastUs + GapUs), s.n))
           } else {
             val times = evs.map(e => usOfTs(e._2)).toArray.sorted
-            var closed = List.empty[SessOut]
-            var cur = state.getOption
-            times.foreach { t =>
-              cur = cur match {
-                case None => Some(SessState(t, t, 1))
-                case Some(s) if t - s.lastUs <= GapUs =>
-                  Some(SessState(s.startUs, t, s.n + 1))
-                case Some(s) =>
-                  closed ::= SessOut(uid, tsOfUs(s.startUs),
-                    tsOfUs(s.lastUs + GapUs), s.n)
-                  Some(SessState(t, t, 1))
-              }
+            val (closed, cur) = foldSessions(uid, times,
+              state.getOption.map(s => (s.startUs, s.lastUs, s.n)))
+            cur.foreach { case (s0, last, n) =>
+              state.update(SessState(s0, last, n))
+              state.setTimeoutTimestamp((last + GapUs) / 1000)
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp((s.lastUs + GapUs) / 1000)
-            }
-            closed.reverse.iterator
+            closed.iterator
           }
       }
     runToParquet(spark, sessions.toDF())
@@ -314,29 +339,18 @@ object StreamingQ {
         rows: Iterator[(Long, java.sql.Timestamp)],
         timerValues: TimerValues): Iterator[SessOut] = {
       val times = rows.map(e => usOfTs(e._2)).toArray.sorted
-      var closed = List.empty[SessOut]
-      var cur = if (state.exists()) {
+      val init = if (state.exists()) {
         val s = state.get()
         getHandle.deleteTimer(s.timerMs) // superseded by this batch
-        Some(s)
+        Some((s.startUs, s.lastUs, s.n))
       } else None
-      times.foreach { t =>
-        cur = cur match {
-          case None => Some(TwsState(t, t, 1, 0L))
-          case Some(s) if t - s.lastUs <= GapUs =>
-            Some(s.copy(lastUs = t, n = s.n + 1))
-          case Some(s) =>
-            closed ::= SessOut(uid, tsOfUs(s.startUs),
-              tsOfUs(s.lastUs + GapUs), s.n)
-            Some(TwsState(t, t, 1, 0L))
-        }
-      }
-      cur.foreach { s =>
-        val timerMs = (s.lastUs + GapUs) / 1000
-        state.update(s.copy(timerMs = timerMs))
+      val (closed, cur) = foldSessions(uid, times, init)
+      cur.foreach { case (s0, last, n) =>
+        val timerMs = (last + GapUs) / 1000
+        state.update(TwsState(s0, last, n, timerMs))
         getHandle.registerTimer(timerMs)
       }
-      closed.reverse.iterator
+      closed.iterator
     }
 
     override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
@@ -432,22 +446,8 @@ object StreamingQ {
     * sentinel would advance only the side whose filter it passes). */
   private def stagedWithTypeSentinels(spark: SparkSession, sfDir: String): String =
     stageCache.computeIfAbsent(s"$sfDir/typeSentinels", { _ =>
-      val srcDir = freshDir("graft_stream_sentinel2_src_")
-      val ev = t(spark, sfDir, "events")
-      ev.coalesce(1).write.mode("overwrite").parquet(srcDir)
-      val past = FileTime.fromMillis(1000000000000L)
-      val listing = Files.list(Paths.get(srcDir))
-      try listing.forEach { p: Path => Files.setLastModifiedTime(p, past) }
-      finally listing.close()
-      Seq("purchase", "view").zipWithIndex.foreach { case (kind, i) =>
-        ev.limit(1)
-          .withColumn("ts", lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
-          .withColumn("event_id", lit(-1L - i))
-          .withColumn("user_id", lit(-1L))
-          .withColumn("event_type", lit(kind))
-          .write.mode("append").parquet(srcDir)
-      }
-      srcDir
+      stageCorpusWithSentinels(spark, sfDir,
+        Seq((-1L, -1L, Some("purchase")), (-2L, -1L, Some("view"))))
     })
 
   // ---------------------------------------------------------------------

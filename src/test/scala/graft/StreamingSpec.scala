@@ -18,6 +18,24 @@ class StreamingSpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  /** Part files of a staged directory, stream closed (fd hygiene). */
+  private def parquetParts(dir: String): Array[String] = {
+    import java.nio.file.{Files, Paths}
+    val s = Files.list(Paths.get(dir))
+    try s.toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted
+    finally s.close()
+  }
+
+  /** Land a file into a watched dir: stage outside (dot-prefixed tmp),
+    * then atomic-move in — a running query must never list a
+    * half-copied file. */
+  private def land(landing: String, src: String, name: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Paths.get(landing, s".$name.tmp")
+    Files.copy(Paths.get(src), tmp, StandardCopyOption.REPLACE_EXISTING)
+    Files.move(tmp, Paths.get(landing, name), StandardCopyOption.ATOMIC_MOVE)
+  }
+
   test("stream_ingest is exactly-once: row set equals the batch table") {
     val streamed = StreamingQ.defs("stream_ingest")(spark, sfDir)
       .select("event_id", "user_id", "event_type")
@@ -29,12 +47,10 @@ class StreamingSpec extends AnyFunSuite {
   test("file-arrival ingest is incremental: each new file processed exactly once") {
     // The reference's S3-trigger semantics: files land one at a time;
     // each is processed once, previously-seen files never reprocess.
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     val stagingAll = graft.etl.Fixtures.tempDir("graft_incr_all")
     Tables.t(spark, sfDir, "events").repartition(3)
       .write.mode("overwrite").parquet(stagingAll)
-    val parts = Files.list(Paths.get(stagingAll)).toArray.map(_.toString)
-      .filter(_.endsWith(".parquet")).sorted
+    val parts = parquetParts(stagingAll)
     assert(parts.length === 3)
     val landing = graft.etl.Fixtures.tempDir("graft_incr_landing")
     val out = graft.etl.Fixtures.tempDir("graft_incr_out")
@@ -47,12 +63,7 @@ class StreamingSpec extends AnyFunSuite {
     try {
       var expected = 0L
       parts.zipWithIndex.foreach { case (p, i) =>
-        // stage outside the watched dir, then atomic-move in: the
-        // running query must never list a half-copied file
-        val tmp = Paths.get(landing, s".arrival_$i.parquet.tmp")
-        Files.copy(Paths.get(p), tmp, StandardCopyOption.REPLACE_EXISTING)
-        Files.move(tmp, Paths.get(landing, s"arrival_$i.parquet"),
-          StandardCopyOption.ATOMIC_MOVE)
+        land(landing, p, s"arrival_$i.parquet")
         q.processAllAvailable()
         expected += spark.read.parquet(p).count()
         assert(spark.read.parquet(out).count() === expected,
@@ -68,12 +79,10 @@ class StreamingSpec extends AnyFunSuite {
     // Kill the query between file arrivals and restart it from the SAME
     // checkpoint: already-committed files must not reprocess (no dupes),
     // files that arrived while the query was down must not be lost.
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     val stagingAll = graft.etl.Fixtures.tempDir("graft_rec_all")
     Tables.t(spark, sfDir, "events").repartition(2)
       .write.mode("overwrite").parquet(stagingAll)
-    val parts = Files.list(Paths.get(stagingAll)).toArray.map(_.toString)
-      .filter(_.endsWith(".parquet")).sorted
+    val parts = parquetParts(stagingAll)
     assert(parts.length === 2)
     val landing = graft.etl.Fixtures.tempDir("graft_rec_landing")
     val out = graft.etl.Fixtures.tempDir("graft_rec_out")
@@ -85,18 +94,13 @@ class StreamingSpec extends AnyFunSuite {
       .option("path", out)
       .option("checkpointLocation", ckpt)
       .start()
-    def land(src: String, name: String): Unit = {
-      val tmp = Paths.get(landing, s".$name.tmp")
-      Files.copy(Paths.get(src), tmp, StandardCopyOption.REPLACE_EXISTING)
-      Files.move(tmp, Paths.get(landing, name), StandardCopyOption.ATOMIC_MOVE)
-    }
     val n0 = spark.read.parquet(parts(0)).count()
     val q1 = startQuery()
-    try { land(parts(0), "f0.parquet"); q1.processAllAvailable() }
+    try { land(landing, parts(0), "f0.parquet"); q1.processAllAvailable() }
     finally q1.stop() // hard stop: the "crash"
     assert(spark.read.parquet(out).count() === n0)
     // second file arrives while no query is running
-    land(parts(1), "f1.parquet")
+    land(landing, parts(1), "f1.parquet")
     val q2 = startQuery() // resumes from the same checkpoint
     try q2.processAllAvailable() finally q2.stop()
     val total = Tables.t(spark, sfDir, "events").count()

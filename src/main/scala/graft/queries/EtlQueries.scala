@@ -566,6 +566,33 @@ object EtlQueries {
   private def sinkRangePartitioned(spark: SparkSession, sfDir: String): DataFrame =
     rangeLayout(spark, sfDir)._1
 
+  /** B. Z-order clustered layout — multi-dimensional data skipping the
+    * single-column range layout can't give: interleaving the bits of
+    * two key columns (a Morton curve) makes file min/max ranges tight
+    * in BOTH dimensions simultaneously, so a predicate on either
+    * column prunes row groups. Spark has no native ZORDER; the curve
+    * value is plain integer arithmetic (8 bits per dimension here),
+    * then repartitionByRange + sortWithinPartitions on it — the same
+    * machinery as the range layout, pointed at the interleaved key.
+    * EtlSpec asserts per-file z-ranges are disjoint. */
+  def zorderLayout(spark: SparkSession, sfDir: String): (DataFrame, String) = {
+    val dir = Fixtures.tempDir("graft_zorder_sink")
+    val zbits = (0 until 8).map { i =>
+      s"(shiftleft(shiftright(o_custkey, $i) & 1, ${2 * i + 1}) + " +
+        s"shiftleft(shiftright(o_orderkey, $i) & 1, ${2 * i}))"
+    }.mkString(" + ")
+    t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("zval", expr(s"cast($zbits as int)"))
+      .repartitionByRange(8, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode("overwrite").option("compression", "snappy").parquet(dir)
+    (spark.read.parquet(dir).orderBy("o_orderkey"), dir)
+  }
+
+  private def sinkZorder(spark: SparkSession, sfDir: String): DataFrame =
+    zorderLayout(spark, sfDir)._1
+
   def rangeLayout(spark: SparkSession, sfDir: String): (DataFrame, String) = {
     val dir = Fixtures.tempDir("graft_range_sink")
     t(spark, sfDir, "orders")
@@ -585,6 +612,7 @@ object EtlQueries {
     "sink_parquet_bloom" -> (sinkParquetBloom _),
     "catalog_analyze_stats" -> (catalogAnalyzeStats _),
     "sink_range_partitioned" -> (sinkRangePartitioned _),
+    "sink_zorder" -> (sinkZorder _),
     "etl_dq_report" -> (dqReport _),
     "etl_scd2_diff" -> (scd2Diff _),
     "scan_text" -> (scanText _),
@@ -652,6 +680,18 @@ object EtlQueries {
          FROM orders""",
     "sink_range_partitioned" ->
       """SELECT o_orderkey, o_totalprice, o_orderdate
+         FROM orders ORDER BY o_orderkey""",
+    "sink_zorder" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST((((o_custkey >> 0) & 1) << 1) + (((o_orderkey >> 0) & 1) << 0)
+                   + (((o_custkey >> 1) & 1) << 3) + (((o_orderkey >> 1) & 1) << 2)
+                   + (((o_custkey >> 2) & 1) << 5) + (((o_orderkey >> 2) & 1) << 4)
+                   + (((o_custkey >> 3) & 1) << 7) + (((o_orderkey >> 3) & 1) << 6)
+                   + (((o_custkey >> 4) & 1) << 9) + (((o_orderkey >> 4) & 1) << 8)
+                   + (((o_custkey >> 5) & 1) << 11) + (((o_orderkey >> 5) & 1) << 10)
+                   + (((o_custkey >> 6) & 1) << 13) + (((o_orderkey >> 6) & 1) << 12)
+                   + (((o_custkey >> 7) & 1) << 15) + (((o_orderkey >> 7) & 1) << 14)
+                   AS INTEGER) AS zval
          FROM orders ORDER BY o_orderkey""",
     "etl_dq_report" ->
       """WITH s AS (

@@ -125,6 +125,38 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order sink writes files with disjoint curve ranges, tight in both dims") {
+    import org.apache.spark.sql.functions._
+    val (out, dir) =
+      graft.queries.EtlQueries.zorderLayout(spark, "/root/testdata/sf0.001")
+    assert(out.count() ===
+      Tables.t(spark, "/root/testdata/sf0.001", "orders").count())
+    val files = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("zval").as("zlo"), max("zval").as("zhi"),
+        min("o_custkey").as("clo"), max("o_custkey").as("chi"))
+      .collect()
+    // the curve value ranges are disjoint across files (footer-stats
+    // skipping on zval works exactly like the 1-D range layout)
+    val zr = files.map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(zr.length > 1)
+    zr.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 < lo2, s"overlapping z ranges: $hi1 >= $lo2")
+    }
+    // and interleaving buys 2-D locality: every file's low-8-bit
+    // custkey span must be narrower than the global span (a 1-D
+    // orderkey sort would leave each file spanning ~all custkeys)
+    val globalSpan = Tables.t(spark, "/root/testdata/sf0.001", "orders")
+      .selectExpr("max(o_custkey % 256) - min(o_custkey % 256)")
+      .head().getLong(0)
+    val spans = spark.read.parquet(dir)
+      .selectExpr("o_custkey % 256 AS c8", "input_file_name() AS f")
+      .groupBy("f").agg((max("c8") - min("c8")).as("span"))
+      .collect().map(_.getLong(1))
+    assert(spans.max < globalSpan,
+      s"no file tightened the custkey dimension: ${spans.mkString(",")} vs $globalSpan")
+  }
+
   test("compaction collapses a many-small-files layout to few files") {
     // assert on the ACTUAL query pipeline's directories, not a copy
     val (out, small, big) =

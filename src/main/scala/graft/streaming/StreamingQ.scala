@@ -243,7 +243,7 @@ object StreamingQ {
   case class SessOut(user_id: Long, s_start: java.sql.Timestamp,
                      s_end: java.sql.Timestamp, n_events: Long)
 
-  private val GapUs = 30L * 60 * 1000000L
+  private[graft] val GapUs = 30L * 60 * 1000000L
 
   private def tsOfUs(us: Long): java.sql.Timestamp = {
     val ts = new java.sql.Timestamp(us / 1000)
@@ -259,7 +259,7 @@ object StreamingQ {
     * emitting sessions closed by a gap. Keeping the state machine in
     * one place means the two API demonstrations cannot drift apart
     * while sharing one oracle. */
-  private def foldSessions(uid: Long, times: Array[Long],
+  private[graft] def foldSessions(uid: Long, times: Array[Long],
       init: Option[(Long, Long, Long)])
       : (List[SessOut], Option[(Long, Long, Long)]) = {
     var closed = List.empty[SessOut]

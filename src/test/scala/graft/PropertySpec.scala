@@ -92,6 +92,38 @@ class PropertySpec extends AnyFunSuite {
     assert(tdf.filter(col("us") =!= col("rt")).count() === 0)
   }
 
+  test("foldSessions: batch-boundary independent and gap-consistent") {
+    import graft.streaming.StreamingQ.{foldSessions, GapUs}
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 50).foreach { _ =>
+      val n = 1 + rnd.nextInt(60)
+      // cumulative steps straddling the gap boundary: ~70% inside
+      val times = Array.iterate(0L, n)(t => t +
+        (if (rnd.nextInt(10) < 7) rnd.nextLong(GapUs) + 1
+         else GapUs + 1 + rnd.nextLong(GapUs)))
+      // single fold = naive split at gaps
+      val (closed, open) = foldSessions(7L, times, None)
+      val all = closed ++ open.map { case (s0, last, c) =>
+        graft.streaming.StreamingQ.SessOut(7L,
+          new java.sql.Timestamp(s0 / 1000), new java.sql.Timestamp((last + GapUs) / 1000), c) }
+      assert(all.map(_.n_events).sum === times.length)
+      // sessions are disjoint and ordered; ends = last event + gap
+      all.sliding(2).foreach {
+        case Seq(a, b) => assert(a.s_end.getTime <= b.s_start.getTime)
+        case _ =>
+      }
+      // THE streaming property: folding in arbitrary batches with
+      // carried state gives exactly the single-fold sessions
+      val cut1 = rnd.nextInt(times.length + 1)
+      val cut2 = cut1 + rnd.nextInt(times.length - cut1 + 1)
+      val (c1, s1) = foldSessions(7L, times.slice(0, cut1), None)
+      val (c2, s2) = foldSessions(7L, times.slice(cut1, cut2), s1)
+      val (c3, s3) = foldSessions(7L, times.slice(cut2, times.length), s2)
+      assert(c1 ++ c2 ++ c3 === closed, "batched fold diverged from single fold")
+      assert(s3 === open)
+    }
+  }
+
   test("hll sketch shard-merge is lossless and within error bound") {
     val sfDir = "/root/testdata/sf0.001"
     // two-level: per-shard sketches unioned (the agg_hll_sketch_merge key)

@@ -567,23 +567,34 @@ object EtlQueries {
     rangeLayout(spark, sfDir)._1
 
   /** B. Z-order clustered layout — multi-dimensional data skipping the
-    * single-column range layout can't give: interleaving the bits of
-    * two key columns (a Morton curve) makes file min/max ranges tight
-    * in BOTH dimensions simultaneously, so a predicate on either
-    * column prunes row groups. Spark has no native ZORDER; the curve
-    * value is plain integer arithmetic (8 bits per dimension here),
-    * then repartitionByRange + sortWithinPartitions on it — the same
-    * machinery as the range layout, pointed at the interleaved key.
-    * EtlSpec asserts per-file z-ranges are disjoint. */
+    * single-column range layout can't give: each key is first
+    * RANGE-QUANTIZED to its high-order 8 bits (`key*256 div (max+1)`,
+    * monotone in the raw value), then the two quantized keys are
+    * bit-interleaved into a Morton curve value. Quantizing over the
+    * actual value range is what makes per-file min/max tight in the
+    * RAW columns — interleaving low bits (key mod 256) would cluster
+    * in modular space and prune nothing once a key's range exceeds
+    * 256. Spark has no native ZORDER; the curve is plain integer
+    * arithmetic + repartitionByRange + sortWithinPartitions, the same
+    * machinery as the range layout pointed at the interleaved key.
+    * The two max() scalars are collected driver-side once (metadata,
+    * like ANALYZE). EtlSpec asserts disjoint per-file z-ranges and
+    * genuine raw-column tightening in both dimensions. */
   def zorderLayout(spark: SparkSession, sfDir: String): (DataFrame, String) = {
     val dir = Fixtures.tempDir("graft_zorder_sink")
-    val zbits = (0 until 8).map { i =>
-      s"(shiftleft(shiftright(o_custkey, $i) & 1, ${2 * i + 1}) + " +
-        s"shiftleft(shiftright(o_orderkey, $i) & 1, ${2 * i}))"
-    }.mkString(" + ")
-    t(spark, sfDir, "orders")
+    val src = t(spark, sfDir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxes = src.agg(max("o_custkey"), max("o_orderkey")).head()
+    val (maxC, maxO) = (maxes.getLong(0), maxes.getLong(1))
+    val zbits = (0 until 8).map { i =>
+      s"(shiftleft(shiftright(cq, $i) & 1, ${2 * i + 1}) + " +
+        s"shiftleft(shiftright(oq, $i) & 1, ${2 * i}))"
+    }.mkString(" + ")
+    src
+      .withColumn("cq", expr(s"(o_custkey * 256) DIV ${maxC + 1}"))
+      .withColumn("oq", expr(s"(o_orderkey * 256) DIV ${maxO + 1}"))
       .withColumn("zval", expr(s"cast($zbits as int)"))
+      .drop("cq", "oq")
       .repartitionByRange(8, col("zval"))
       .sortWithinPartitions("zval")
       .write.mode("overwrite").option("compression", "snappy").parquet(dir)
@@ -682,17 +693,22 @@ object EtlQueries {
       """SELECT o_orderkey, o_totalprice, o_orderdate
          FROM orders ORDER BY o_orderkey""",
     "sink_zorder" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice,
-                CAST((((o_custkey >> 0) & 1) << 1) + (((o_orderkey >> 0) & 1) << 0)
-                   + (((o_custkey >> 1) & 1) << 3) + (((o_orderkey >> 1) & 1) << 2)
-                   + (((o_custkey >> 2) & 1) << 5) + (((o_orderkey >> 2) & 1) << 4)
-                   + (((o_custkey >> 3) & 1) << 7) + (((o_orderkey >> 3) & 1) << 6)
-                   + (((o_custkey >> 4) & 1) << 9) + (((o_orderkey >> 4) & 1) << 8)
-                   + (((o_custkey >> 5) & 1) << 11) + (((o_orderkey >> 5) & 1) << 10)
-                   + (((o_custkey >> 6) & 1) << 13) + (((o_orderkey >> 6) & 1) << 12)
-                   + (((o_custkey >> 7) & 1) << 15) + (((o_orderkey >> 7) & 1) << 14)
+      """WITH q AS (
+           SELECT o_orderkey, o_custkey, o_totalprice,
+                  (o_custkey * 256) // ((SELECT max(o_custkey) FROM orders) + 1) AS cq,
+                  (o_orderkey * 256) // ((SELECT max(o_orderkey) FROM orders) + 1) AS oq
+           FROM orders)
+         SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST((((cq >> 0) & 1) << 1) + (((oq >> 0) & 1) << 0)
+                   + (((cq >> 1) & 1) << 3) + (((oq >> 1) & 1) << 2)
+                   + (((cq >> 2) & 1) << 5) + (((oq >> 2) & 1) << 4)
+                   + (((cq >> 3) & 1) << 7) + (((oq >> 3) & 1) << 6)
+                   + (((cq >> 4) & 1) << 9) + (((oq >> 4) & 1) << 8)
+                   + (((cq >> 5) & 1) << 11) + (((oq >> 5) & 1) << 10)
+                   + (((cq >> 6) & 1) << 13) + (((oq >> 6) & 1) << 12)
+                   + (((cq >> 7) & 1) << 15) + (((oq >> 7) & 1) << 14)
                    AS INTEGER) AS zval
-         FROM orders ORDER BY o_orderkey""",
+         FROM q ORDER BY o_orderkey""",
     "etl_dq_report" ->
       """WITH s AS (
            SELECT count(*) AS n_rows,

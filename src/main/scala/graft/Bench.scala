@@ -64,7 +64,14 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${results.size},"detail":"bench.json"}"""
     spark.stop()
     System.out.flush()
+    // Two strip-proof forms (build.sbt routes forked stdout raw via
+    // StdoutOutput, so neither gets an "[info] " prefix):
+    //  1. the bare JSON object on its own line, for tail parsers that
+    //     json-load the last line starting with '{';
+    //  2. a fixed marker line a driver can regex out of any surrounding
+    //     sbt noise. bench.json stays the canonical full artifact.
     println(summary)
+    println(s"GRAFT_BENCH_JSON:$summary")
     System.out.flush()
   }
 }

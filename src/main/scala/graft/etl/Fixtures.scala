@@ -33,6 +33,20 @@ object Fixtures {
   def tempDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  private val stagedCache = new ConcurrentHashMap[String, String]()
+
+  /** Stage read-only scan-fixture material once per (sfDir, tag) per
+    * JVM. Scan keys measure the READ; re-staging on every invocation
+    * charges the benchmark the fixture-write cost instead of the scan
+    * cost. Sink keys must NOT use this — the write is what they
+    * measure. `build` populates the directory exactly once. */
+  def stagedDir(sfDir: String, tag: String)(build: String => Unit): String =
+    stagedCache.computeIfAbsent(s"$sfDir/$tag", { _ =>
+      val dir = Files.createTempDirectory(s"graft_$tag").toString
+      build(dir)
+      dir
+    })
+
   /** Write `df` to a fresh parquet dir and read it back — the
     * "as the next consumer sees it" view of a sink. */
   def roundTrip(spark: SparkSession, df: DataFrame, prefix: String,

@@ -27,14 +27,16 @@ object EtlQueries {
     * CSV, corrupt lines preserved in `_corrupt`. No oracle (not a
     * corpus-derivable result); rows>0 + EtlSpec cover it. */
   private def scanCsvPermissive(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Fixtures.tempDir("graft_badcsv")
-    Files.writeString(Paths.get(dir, "bad.csv"),
-      """k,qty,note
-        |1,10.5,ok
-        |2,notanumber,bad-numeric
-        |3,5.0,"quoted,comma"
-        |4,7.25
-        |""".stripMargin)
+    val dir = Fixtures.stagedDir(sfDir, "badcsv") { d =>
+      Files.writeString(Paths.get(d, "bad.csv"),
+        """k,qty,note
+          |1,10.5,ok
+          |2,notanumber,bad-numeric
+          |3,5.0,"quoted,comma"
+          |4,7.25
+          |""".stripMargin)
+      ()
+    }
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("qty", DoubleType),
@@ -55,10 +57,12 @@ object EtlQueries {
   /** A. Partition-pruned scan: stage orders partitioned by year, then
     * read one year — Catalyst prunes to the matching directory only. */
   private def scanPartitionPruned(spark: SparkSession, sfDir: String): DataFrame = {
-    val staged = Fixtures.roundTrip(spark,
-      t(spark, sfDir, "orders").withColumn("p_year", year(col("o_orderdate"))),
-      "graft_part_pruned", partitionBy = Seq("p_year"))
-    staged.where(col("p_year") === 1997)
+    val dir = Fixtures.stagedDir(sfDir, "part_pruned") { d =>
+      Ingest.writeParquet(
+        t(spark, sfDir, "orders").withColumn("p_year", year(col("o_orderdate"))),
+        d, partitionColumns = Seq("p_year"))
+    }
+    spark.read.parquet(dir).where(col("p_year") === 1997)
       .select("o_orderkey", "o_totalprice", "p_year")
       .orderBy("o_orderkey")
   }
@@ -161,7 +165,12 @@ object EtlQueries {
     def colMinMax(c: String): (Long, Long) = {
       val cs = stats.colStats.getOrElse(c, throw new IllegalStateException(
         s"ANALYZE left no column stats for $c"))
-      (cs.min.get.toLong, cs.max.get.toLong)
+      // min/max can be absent even when colStats exist (e.g. all-NULL
+      // column) — keep that failure self-describing too
+      (cs.min.getOrElse(throw new IllegalStateException(
+          s"ANALYZE left no min for $c")).toLong,
+        cs.max.getOrElse(throw new IllegalStateException(
+          s"ANALYZE left no max for $c")).toLong)
     }
     val (okMin, okMax) = colMinMax("o_orderkey")
     val (ckMin, ckMax) = colMinMax("o_custkey")
@@ -294,9 +303,10 @@ object EtlQueries {
     * scan, same rule as CSV. */
   private def scanJsonl(spark: SparkSession, sfDir: String): DataFrame = {
     val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-    val dir = Fixtures.tempDir("graft_jsonl")
-    t(spark, sfDir, "events")
-      .write.mode("overwrite").option("timestampFormat", tsFmt).json(dir)
+    val dir = Fixtures.stagedDir(sfDir, "jsonl") { d =>
+      t(spark, sfDir, "events")
+        .write.mode("overwrite").option("timestampFormat", tsFmt).json(d)
+    }
     spark.read.schema(Schemas.events).option("timestampFormat", tsFmt)
       .json(dir)
       .orderBy("event_id")
@@ -310,14 +320,15 @@ object EtlQueries {
     * footer merge costs one distributed metadata pass — enable it per
     * read (as here) rather than session-wide. */
   private def scanSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Fixtures.tempDir("graft_schema_evo")
-    val orders = t(spark, sfDir, "orders")
-    orders.where(col("o_orderkey") % 2 === 0)
-      .select("o_orderkey", "o_totalprice")
-      .write.mode("overwrite").parquet(dir)
-    orders.where(col("o_orderkey") % 2 === 1)
-      .select("o_orderkey", "o_totalprice", "o_orderstatus")
-      .write.mode("append").parquet(dir)
+    val dir = Fixtures.stagedDir(sfDir, "schema_evo") { d =>
+      val orders = t(spark, sfDir, "orders")
+      orders.where(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(d)
+      orders.where(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("append").parquet(d)
+    }
     spark.read.option("mergeSchema", true).parquet(dir)
       .orderBy("o_orderkey")
   }
@@ -369,16 +380,17 @@ object EtlQueries {
     * foreachPartition (no driver loop); a production deployment points
     * the same reader at an object-store prefix. */
   private def scanBinaryFile(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Fixtures.tempDir("graft_binfiles")
-    t(spark, sfDir, "documents").select("doc_id", "text")
-      .repartition(4)
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        it.foreach { r =>
-          Files.write(
-            Paths.get(dir, f"${r.getLong(0)}%06d.bin"),
-            r.getString(1).getBytes("UTF-8"))
+    val dir = Fixtures.stagedDir(sfDir, "binfiles") { d =>
+      t(spark, sfDir, "documents").select("doc_id", "text")
+        .repartition(4)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            Files.write(
+              Paths.get(d, f"${r.getLong(0)}%06d.bin"),
+              r.getString(1).getBytes("UTF-8"))
+          }
         }
-      }
+    }
     spark.read.format("binaryFile").load(dir)
       .selectExpr(
         "cast(regexp_extract(path, '([0-9]+)\\\\.bin$', 1) as bigint) AS doc_id",
@@ -409,11 +421,12 @@ object EtlQueries {
     * predicate — min/max stripe statistics + pushdown work exactly as
     * for parquet, so the same pruning story holds at 100 TB. */
   private def scanOrc(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Fixtures.tempDir("graft_orc")
-    t(spark, sfDir, "lineitem")
-      .select("l_orderkey", "l_linenumber", "l_quantity",
-        "l_extendedprice", "l_returnflag")
-      .write.mode("overwrite").orc(dir)
+    val dir = Fixtures.stagedDir(sfDir, "orc") { d =>
+      t(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag")
+        .write.mode("overwrite").orc(d)
+    }
     spark.read.orc(dir)
       .where(col("l_returnflag") === "A" && col("l_quantity") >= 30)
       .orderBy("l_orderkey", "l_linenumber", "l_quantity",
@@ -428,12 +441,13 @@ object EtlQueries {
     * CSV/JSON, XML files are not splittable; parallelism comes from
     * file count, so keep files small and many. */
   private def scanXml(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Fixtures.tempDir("graft_xml")
-    t(spark, sfDir, "orders")
-      .select("o_orderkey", "o_orderstatus", "o_totalprice")
-      .write.mode("overwrite")
-      .option("rowTag", "order")
-      .format("xml").save(dir)
+    val dir = Fixtures.stagedDir(sfDir, "xml") { d =>
+      t(spark, sfDir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .option("rowTag", "order")
+        .format("xml").save(d)
+    }
     spark.read
       .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
       .option("rowTag", "order")
@@ -448,14 +462,15 @@ object EtlQueries {
     * without nested pruning every subfield query drags the full struct
     * through IO. The payload column proves unread columns cost nothing. */
   private def scanNestedPruned(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Fixtures.tempDir("graft_nested")
-    t(spark, sfDir, "documents")
-      .selectExpr("doc_id",
-        "unhex(md5(text)) AS payload",
-        "named_struct('width', cast(n_chars % 64 + 1 as int)," +
-          " 'height', cast(n_chars DIV 64 + 1 as int)," +
-          " 'fmt', 'fake/rgb8') AS meta")
-      .write.mode("overwrite").parquet(dir)
+    val dir = Fixtures.stagedDir(sfDir, "nested") { d =>
+      t(spark, sfDir, "documents")
+        .selectExpr("doc_id",
+          "unhex(md5(text)) AS payload",
+          "named_struct('width', cast(n_chars % 64 + 1 as int)," +
+            " 'height', cast(n_chars DIV 64 + 1 as int)," +
+            " 'fmt', 'fake/rgb8') AS meta")
+        .write.mode("overwrite").parquet(d)
+    }
     spark.read.parquet(dir)
       .select(col("doc_id"), col("meta.width").as("width"))
       .orderBy("doc_id")
@@ -469,14 +484,15 @@ object EtlQueries {
     * parses in one task, so parallelism comes from file count; a
     * production layout keeps such files small and many. */
   private def scanCsvMultiline(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Fixtures.tempDir("graft_csv_ml")
-    t(spark, sfDir, "documents")
-      .selectExpr("doc_id", "replace(text, ' ', '\n') AS mltext")
-      .write.mode("overwrite")
-      .option("header", true)
-      .option("ignoreLeadingWhiteSpace", false)
-      .option("ignoreTrailingWhiteSpace", false)
-      .csv(dir)
+    val dir = Fixtures.stagedDir(sfDir, "csv_ml") { d =>
+      t(spark, sfDir, "documents")
+        .selectExpr("doc_id", "replace(text, ' ', '\n') AS mltext")
+        .write.mode("overwrite")
+        .option("header", true)
+        .option("ignoreLeadingWhiteSpace", false)
+        .option("ignoreTrailingWhiteSpace", false)
+        .csv(d)
+    }
     spark.read
       .schema("doc_id BIGINT, mltext STRING")
       .option("header", true)

@@ -796,11 +796,20 @@ object LlmText {
       .selectExpr("source", "size(split(text, ' ')) AS n_toks")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
-      .withColumn("w_raw", pow(col("total_tokens").cast("double"), lit(0.7)))
+      // pre-round the per-source weight to a scaled bigint BEFORE the
+      // normalizing sum: summing raw doubles over the window is
+      // order-dependent (Spark and DuckDB may reduce in different
+      // orders), so a ratio ulp-close to a .5 rounding boundary could
+      // flip between engines. Long sums are exact and order-free; the
+      // remaining per-row pow/divide are bit-identical in both engines.
+      .withColumn("w_raw_e6",
+        round(pow(col("total_tokens").cast("double"), lit(0.7)) *
+          lit(1000000.0)).cast("bigint"))
     perSource
       .withColumn("weight_e6",
-        round(col("w_raw") * lit(1000000.0) /
-          sum(col("w_raw")).over(Window.partitionBy())).cast("bigint"))
+        round(col("w_raw_e6").cast("double") * lit(1000000.0) /
+          sum(col("w_raw_e6")).over(Window.partitionBy()).cast("double"))
+          .cast("bigint"))
       .select("source", "n_docs", "total_tokens", "weight_e6")
       .orderBy("source")
   }
@@ -985,14 +994,16 @@ object LlmText {
          ORDER BY doc_id""",
     "llm_domain_mix" ->
       """SELECT source, n_docs, total_tokens,
-                CAST(round(w_raw * CAST(1000000 AS DOUBLE)
-                  / sum(w_raw) OVER ()) AS BIGINT) AS weight_e6
+                CAST(round(CAST(w_raw_e6 AS DOUBLE) * CAST(1000000 AS DOUBLE)
+                  / CAST(sum(w_raw_e6) OVER () AS DOUBLE)) AS BIGINT)
+                  AS weight_e6
          FROM (
            SELECT source, count(*) AS n_docs,
                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
                     AS total_tokens,
-                  power(CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 0.7)
-                    AS w_raw
+                  CAST(round(power(CAST(sum(len(string_split(text, ' ')))
+                      AS DOUBLE), 0.7) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+                    AS w_raw_e6
            FROM documents GROUP BY source)
          ORDER BY source""",
     "llm_shuffle_shards" ->

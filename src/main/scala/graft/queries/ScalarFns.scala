@@ -164,9 +164,12 @@ object ScalarFns {
         // day-of-month 0..39: 0 and 29..39 are invalid for 2026-02
         """try_to_date(concat('2026-02-',
              lpad(cast(o_orderkey % 40 as string), 2, '0'))) AS maybe_date""",
-        // zero divisor every 5th row -> NULL, not Infinity and not a crash
-        """try_divide(cast(o_totalprice as double),
-             cast(o_orderkey % 5 as double)) AS maybe_ratio""",
+        // zero divisor every 5th row -> NULL, not Infinity and not a crash;
+        // scaled-bigint per the engine-parity convention (OracleFmt) —
+        // round(NULL) stays NULL so the try_ semantics survive the format
+        """cast(round(try_divide(cast(o_totalprice as double),
+             cast(o_orderkey % 5 as double)) * cast(100000000 as double))
+           as bigint) AS maybe_ratio_e8""",
         // 1-based index past the end of a 3-element array -> NULL
         """try_element_at(split('a,b,c', ','),
              cast(1 + o_orderkey % 4 as int)) AS maybe_elem""")
@@ -435,7 +438,9 @@ object ScalarFns {
                 TRY_CAST('2026-02-' || lpad(CAST(o_orderkey % 40 AS VARCHAR), 2, '0')
                   AS DATE) AS maybe_date,
                 CASE WHEN o_orderkey % 5 = 0 THEN NULL
-                     ELSE o_totalprice / (o_orderkey % 5) END AS maybe_ratio,
+                     ELSE CAST(round(o_totalprice / (o_orderkey % 5)
+                       * CAST(100000000 AS DOUBLE)) AS BIGINT)
+                END AS maybe_ratio_e8,
                 (str_split('a,b,c', ','))[CAST(1 + o_orderkey % 4 AS INTEGER)]
                   AS maybe_elem
          FROM orders ORDER BY o_orderkey""",

@@ -433,6 +433,36 @@ object EtlQueries {
         "l_extendedprice", "l_returnflag")
   }
 
+  /** A/B. Avro scan/sink round-trip — the row-oriented interchange
+    * format of Kafka-adjacent lakes. Stages an orders projection as
+    * Avro container files and reads it back with a post-decode filter;
+    * see graft.sources.AvroIO for why this bridges through the core
+    * Avro jars (the external spark-avro module is not in this
+    * distribution) and what that costs (no pushdown — which is also
+    * why Avro stays an ingest format and parquet/ORC the query layer). */
+  private val avroOrdersSchema =
+    """{"type":"record","name":"OrderLite","namespace":"graft","fields":[
+       {"name":"o_orderkey","type":"long"},
+       {"name":"o_orderstatus","type":"string"},
+       {"name":"o_totalprice","type":"double"}]}"""
+
+  private def scanAvro(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+    // FileOutputFormat requires a non-existent output dir — write into
+    // a subdir of the (pre-created) staged dir
+    val dir = Fixtures.stagedDir(sfDir, "avro") { d =>
+      graft.sources.AvroIO.writeAvro(
+        t(spark, sfDir, "orders").select(cols.map(col): _*),
+        s"$d/data", avroOrdersSchema)
+    }
+    val sparkSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+    graft.sources.AvroIO.readAvro(spark, s"$dir/data", avroOrdersSchema,
+        sparkSchema)
+      .where(col("o_totalprice") > 150000.0)
+      .orderBy("o_orderkey")
+  }
+
   /** A/B. XML scan/sink round-trip — Spark 4 ships the (formerly
     * external) XML datasource in spark-sql, so a lakehouse ingesting
     * B2B/legacy feeds needs no extra jar. Stages an orders projection
@@ -632,6 +662,7 @@ object EtlQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_orc" -> (scanOrc _),
+    "scan_avro" -> (scanAvro _),
     "scan_xml" -> (scanXml _),
     "scan_nested_pruned" -> (scanNestedPruned _),
     "etl_observe" -> (etlObserve _),
@@ -676,6 +707,11 @@ object EtlQueries {
          WHERE l_returnflag = 'A' AND l_quantity >= 30
          ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
                   l_returnflag""",
+    "scan_avro" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+         FROM orders
+         WHERE o_totalprice > 150000.0
+         ORDER BY o_orderkey""",
     "scan_xml" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
          FROM orders ORDER BY o_orderkey""",

@@ -224,6 +224,122 @@ object LlmVector {
   }
 
   // ---------------------------------------------------------------------
+  // llm_ann_ivf_kmeans — IVF with DATA-DERIVED centroids: the real
+  // index-build recipe (sample → k-means on the driver → broadcast),
+  // demonstrating that the index BUILD scales, not just the probe. The
+  // sample is a fixed deterministic subset (vec_id % 4 = 0); at 100 TB
+  // the same shape samples ~10⁵ vectors — the collect is bounded by
+  // the sample size, never the corpus, and the result ships to
+  // executors as a few-KB broadcast literal. Every arithmetic step is
+  // engine-portable so the DuckDB oracle REPLAYS the identical
+  // iterations: dot products are sequential left folds, cluster means
+  // are exact scaled-bigint sums (order-free), rounding is Spark's
+  // HALF_UP via BigDecimal (= DuckDB round, proven across the suite),
+  // and argmax ties break toward the smallest centroid id.
+  //
+  // Operating point: 16 cells, nprobe 8. This corpus is deliberately
+  // near-isotropic (max pairwise cosine ~0.5, neighbors uncorrelated
+  // with any cluster structure), so recall@k tracks the probed corpus
+  // fraction for ANY centroids — nprobe is the recall/cost dial, which
+  // is exactly how production IVF is tuned. LlmSpec pins recall@10
+  // against both the exact top-10 and the parity-centroid twin.
+  // ---------------------------------------------------------------------
+  private val KmK = 16
+  private val KmIters = 2
+
+  /** Sequential left fold dot product — the Scala twin of
+    * [[graft.functions.DotProduct]] and DuckDB's list_reduce. */
+  private def dfoldD(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** round(x * 1e8) exactly as Spark's Round expression computes it
+    * (BigDecimal HALF_UP — half away from zero for either sign). */
+  private def r8(x: Double): Long =
+    BigDecimal.valueOf(x * 1.0e8)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Deterministic sampled k-means: init = KmK evenly-strided sample
+    * members by vec_id rank, then KmIters Lloyd rounds (cosine
+    * assignment, scaled-bigint means; an empty cell keeps its previous
+    * centroid). Returns (centroid, its L2 norm) pairs. */
+  private[graft] def kmeansCentroids(spark: SparkSession, sfDir: String)
+      : Array[(Array[Double], Double)] = {
+    val sample: Array[Array[Double]] =
+      t(spark, sfDir, "embeddings")
+        .where(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .orderBy("vec_id")
+        .collect()
+        .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val stride = sample.length / KmK
+    require(stride >= 1, s"sample too small for $KmK centroids")
+    var cents: Array[Array[Double]] =
+      Array.tabulate(KmK)(i => sample(i * stride))
+    val sNrm = sample.map(v => math.sqrt(dfoldD(v, v)))
+    (1 to KmIters).foreach { _ =>
+      val cNrm = cents.map(c => math.sqrt(dfoldD(c, c)))
+      val sums = Array.fill(KmK, 64)(0L)
+      val counts = Array.fill(KmK)(0L)
+      sample.zipWithIndex.foreach { case (v, si) =>
+        var best = 0
+        var bestCos = Double.NegativeInfinity
+        var c = 0
+        while (c < KmK) { // strict > = ties toward the smallest id
+          val cos = dfoldD(v, cents(c)) / (sNrm(si) * cNrm(c))
+          if (cos > bestCos) { bestCos = cos; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < 64) { sums(best)(d) += r8(v(d)); d += 1 }
+      }
+      cents = Array.tabulate(KmK) { c =>
+        if (counts(c) == 0L) cents(c)
+        else Array.tabulate(64)(d =>
+          sums(c)(d).toDouble / 1.0e8 / counts(c).toDouble)
+      }
+    }
+    cents.map(c => (c, math.sqrt(dfoldD(c, c))))
+  }
+
+  /** Scores array over data-derived centroids — same struct/argmax
+    * shape as [[centScores]] (ties toward the smallest id). */
+  private def kmScores(cents: Array[(Array[Double], Double)],
+                       embCol: Column, nrmCol: Column): Column =
+    array(cents.zipWithIndex.map { case ((ce, cn), i) =>
+      struct(cosine(embCol, typedLit(ce.toSeq), nrmCol, lit(cn)).as("c"),
+        lit(-i).as("nid"))
+    }: _*)
+
+  private def annIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = kmeansCentroids(spark, sfDir)
+    val e = emb(spark, sfDir)
+    val assigned = e
+      .withColumn("best", array_max(kmScores(cents, col("embedding"), col("nrm"))))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (-col("best.nid")).cast("int").as("cell"))
+    val q = e.where(col("vec_id") === 7)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      .withColumn("scored",
+        sort_array(kmScores(cents, col("qe"), col("qn")), asc = false))
+      .select(col("qe"), col("qn"),
+        expr(s"transform(slice(scored, 1, 8), s -> cast(-s.nid as int))")
+          .as("probed"))
+    assigned.crossJoin(broadcast(q))
+      .where(array_contains(col("probed"), col("cell")) &&
+        col("vec_id") =!= 7)
+      .select(col("vec_id"), col("cell"),
+        cosine(col("embedding"), col("qe"), col("nrm"), col("qn")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------------
   // llm_vector_mean — per-label mean embedding as a declarative plan:
   // explode to (label, pos, value), aggregate each coordinate in
   // 1e-8-granule integers (order-independent ⇒ deterministic under any
@@ -443,6 +559,7 @@ object LlmVector {
     "llm_ann_lsh" -> (annLsh _),
     "llm_embed_neardup_lsh" -> (embedNeardupLsh _),
     "llm_ann_ivf" -> (annIvf _),
+    "llm_ann_ivf_kmeans" -> (annIvfKmeans _),
     "llm_embedding_quantize" -> (embeddingQuantize _),
     "llm_vector_mean" -> (vectorMean _),
     "agg_custom_vector_mean" -> (customVectorMean _),
@@ -591,6 +708,74 @@ object LlmVector {
                  CROSS JOIN q
           WHERE e.vec_id <> 7
           ORDER BY cosine DESC, e.vec_id LIMIT 10""",
+    // Replays the driver k-means VERBATIM: same sample (vec_id % 4),
+    // same strided init, two Lloyd rounds with sequential-fold cosines
+    // and scaled-bigint means, same tie-breaks — every intermediate
+    // double is bit-identical to the Scala build, so the final top-10
+    // hash-compares exactly.
+    "llm_ann_ivf_kmeans" -> {
+      def asgn(cents: String, alias: String): String =
+        s"""SELECT vec_id, cell FROM (
+              SELECT s.vec_id, $alias.cent_id AS cell,
+                     row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY ${dDot("s.embedding", s"$alias.ce")}
+                                  / (s.nrm * sqrt(${dDot(s"$alias.ce", s"$alias.ce")}))
+                                DESC, $alias.cent_id) AS rk
+              FROM s CROSS JOIN $cents $alias)
+            WHERE rk = 1"""
+      def mean(assign: String): String =
+        s"""SELECT a.cell, d.i AS pos,
+                   CAST(sum(CAST(round(CAST(s.embedding[d.i] AS DOUBLE)
+                         * CAST(100000000 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+                     / CAST(100000000 AS DOUBLE) / count(*) AS m
+            FROM s JOIN $assign a USING (vec_id) CROSS JOIN dims d
+            GROUP BY a.cell, d.i"""
+      def next(prev: String, means: String): String =
+        s"""SELECT $prev.cent_id, coalesce(mm.ce, $prev.ce) AS ce
+            FROM $prev LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS ce
+                                  FROM $means GROUP BY cell) mm
+              ON $prev.cent_id = mm.cell"""
+      s"""WITH e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings),
+          s AS (SELECT vec_id, embedding, nrm,
+                       row_number() OVER (ORDER BY vec_id) AS rn
+                FROM e WHERE vec_id % 4 = 0),
+          prm AS (SELECT count(*) // 16 AS stride FROM s),
+          dims AS (SELECT unnest(range(1, 65)) AS i),
+          c0 AS (SELECT CAST((rn - 1) // stride AS INTEGER) AS cent_id,
+                        list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ce
+                 FROM s, prm
+                 WHERE (rn - 1) % stride = 0 AND (rn - 1) // stride < 16),
+          a1 AS (${asgn("c0", "ka")}),
+          m1 AS (${mean("a1")}),
+          c1 AS (${next("c0", "m1")}),
+          a2 AS (${asgn("c1", "kb")}),
+          m2 AS (${mean("a2")}),
+          c2 AS (${next("c1", "m2")}),
+          assigned AS (
+            SELECT vec_id, cell FROM (
+              SELECT e.vec_id, kc.cent_id AS cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${dDot("e.embedding", "kc.ce")}
+                                  / (e.nrm * sqrt(${dDot("kc.ce", "kc.ce")}))
+                                DESC, kc.cent_id) AS rk
+              FROM e CROSS JOIN c2 kc)
+            WHERE rk = 1),
+          q AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 7),
+          probed AS (
+            SELECT cent_id FROM (
+              SELECT kc.cent_id,
+                     ${dDot("q.qe", "kc.ce")}
+                       / (q.qn * sqrt(${dDot("kc.ce", "kc.ce")})) AS qcos
+              FROM c2 kc CROSS JOIN q)
+            ORDER BY qcos DESC, cent_id LIMIT 8)
+          SELECT e.vec_id, CAST(a.cell AS INTEGER) AS cell,
+                 ${dDot("e.embedding", "q.qe")} / (e.nrm * q.qn) AS cosine
+          FROM e JOIN assigned a USING (vec_id)
+                 JOIN probed p ON a.cell = p.cent_id
+                 CROSS JOIN q
+          WHERE e.vec_id <> 7
+          ORDER BY cosine DESC, e.vec_id LIMIT 10"""
+    },
     "llm_embedding_quantize" ->
       """SELECT vec_id, scale,
                 array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',')

@@ -318,6 +318,49 @@ class LlmSpec extends AnyFunSuite {
       s"banded join disagreed with brute force: missing=${(truth.keySet -- got.keySet).take(5)} extra=${(got.keySet -- truth.keySet).take(5)}")
   }
 
+  test("k-means IVF recall@10 >= parity-centroid IVF recall@10") {
+    // Exact top-10 neighbors of the query vector (vec_id = 7) by brute
+    // force are the ground truth; data-derived centroids must probe at
+    // least as well as the fixed md5-parity stand-ins.
+    import graft.functions.VectorOps.{cosine, l2norm}
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") === 7)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    val exact = e.filter(col("vec_id") =!= 7).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        cosine(col("embedding"), col("qe"), col("nrm"), col("qn")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    def recall(key: String): Double = {
+      val got = LlmVector.defs(key)(spark, sfDir)
+        .collect().map(_.getLong(0)).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val parity = recall("llm_ann_ivf")
+    val kmeans = recall("llm_ann_ivf_kmeans")
+    assert(kmeans >= parity,
+      s"k-means centroids recall $kmeans < parity-centroid recall $parity")
+    assert(kmeans > 0.0, "k-means IVF probe found none of the true top-10")
+  }
+
+  test("k-means IVF routes a planted duplicate into the probed cells") {
+    // An identical copy of the query vector lands in the query's own
+    // cell (same argmax by construction), and the query's best cell is
+    // always probed (it ranks first by centroid cosine) — so the
+    // duplicate MUST come back, at cosine ~1.0, rank 1. This pins the
+    // routing property that makes an IVF index an index.
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val dir = graft.etl.Fixtures.tempDir("graft_ivf_dup")
+    e.unionByName(e.filter(col("vec_id") === 7)
+        .withColumn("vec_id", lit(1000007L)))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val top = LlmVector.defs("llm_ann_ivf_kmeans")(spark, dir).collect()
+    assert(top.head.getLong(0) === 1000007L,
+      s"planted duplicate should rank first, got ${top.head}")
+    assert(top.head.getDouble(2) > 0.999999)
+  }
+
   test("multimodal feature extraction is deterministic with stable schema") {
     val a = LlmVector.defs("llm_multimodal_features")(spark, sfDir)
     val b = LlmVector.defs("llm_multimodal_features")(spark, sfDir)

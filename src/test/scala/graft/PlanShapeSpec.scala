@@ -34,6 +34,25 @@ class PlanShapeSpec extends AnyFunSuite {
   private def countOf(plan: String, needle: String): Int =
     needle.r.findAllIn(plan).size
 
+  /** One-line renderings of every node in the final adaptive plan,
+    * WITHOUT descending into cached relations: `toString` prints the
+    * InMemoryRelation's build plan under each cache scan, which would
+    * make "expensive expression X appears downstream of the cache"
+    * assertions impossible to phrase. */
+  private def nodesAboveCache(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: InMemoryTableScanExec => Seq(s) // cache boundary
+      case q: QueryStageExec => q +: walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).map(_.simpleString(200))
+  }
+
   test("q_flagship: dims broadcast, exactly one shuffle, top-k without global sort") {
     val plan = finalPlan(SparkEntry.queries("q_flagship")(spark, sfDir))
     // every join side that can broadcast did: 4 broadcast hash joins,
@@ -76,6 +95,60 @@ class PlanShapeSpec extends AnyFunSuite {
     // reads every year and filters rows after the fact)
     val dataFilters = "DataFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
     assert(!dataFilters.contains("p_year"), plan)
+  }
+
+  test("llm_dedup_simhash_pairs: banded equi-join, fingerprints stay behind the cache") {
+    val nodes = nodesAboveCache(
+      SparkEntry.queries("llm_dedup_simhash_pairs")(spark, sfDir))
+    val plan = nodes.mkString("\n")
+    // candidates come from a banded EQUI-join — a planner regression to
+    // an all-pairs shape would surface as one of these two operators
+    assert(countOf(plan, "CartesianProduct") === 0, plan)
+    assert(countOf(plan, "BroadcastNestedLoopJoin") === 0, plan)
+    // the simhash computation (md5 + bit fold) lives behind the
+    // persisted fingerprint stage; if Catalyst re-substituted it into
+    // the join/verify stages (round 1's 600 s LSH incident class), the
+    // expressions would reappear ABOVE the cache boundary
+    assert(!plan.contains("md5("), plan)
+    assert(!plan.contains("array_distinct("), plan)
+    // every shuffle partitions by ids or band keys — never by payload
+    val partKeys = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(partKeys.nonEmpty, plan)
+    partKeys.foreach { keys =>
+      assert(!keys.contains("simhash") && !keys.contains("text"), plan)
+    }
+    // and the cache reads never pull the 64-char fingerprint string
+    // into the pair pipeline (ids + 4-int bands only)
+    val cacheScans = nodes.filter(_.contains("InMemoryTableScan"))
+    assert(cacheScans.nonEmpty, plan)
+    cacheScans.foreach { s =>
+      assert(!s.contains("simhash"),
+        s"cache scan pulled the fingerprint payload: $s")
+    }
+  }
+
+  test("llm_embed_neardup_lsh: bucketed candidates, no nested-loop anywhere") {
+    val plan = nodesAboveCache(
+      SparkEntry.queries("llm_embed_neardup_lsh")(spark, sfDir)).mkString("\n")
+    // the whole point of the LSH path: candidate generation is an
+    // equi-join on (tbl, bucket) — any cross-product operator means the
+    // O(n²) shape came back
+    assert(countOf(plan, "CartesianProduct") === 0, plan)
+    assert(countOf(plan, "BroadcastNestedLoopJoin") === 0, plan)
+    // candidates come from an EQUI-join keyed on (tbl, bucket) — at
+    // test scale the planner may broadcast the small side instead of
+    // shuffling, so pin the join node itself, not the exchange
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[tbl#\\d+, bucket#\\d+"
+      .r.findFirstIn(plan).isDefined, plan)
+    // the candidate dedup exchanges ids only
+    assert("hashpartitioning\\(vec_a#\\d+L, vec_b#\\d+L".r
+      .findFirstIn(plan).isDefined, plan)
+    // no shuffle carries the embedding payload as a partition key
+    "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan)
+      .map(_.group(1)).foreach { keys =>
+        assert(!keys.contains("embedding"), plan)
+      }
   }
 
   test("scan_nested_pruned: scan reads only the selected struct subfield") {

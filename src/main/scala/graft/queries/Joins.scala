@@ -207,6 +207,65 @@ object Joins {
       .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "o_orderstatus")
   }
 
+  /** D. AQE runtime skew-join split — the OTHER half of the skew story:
+    * `join_salted` handles skew by rewriting the query (manual salting);
+    * this key keeps the query UNCHANGED and lets adaptive execution
+    * split the oversized partition at runtime from observed shuffle
+    * statistics — the zero-code-change remedy a 100 TB job reaches for
+    * first. The fact side funnels 70% of lineitem into one hot key; the
+    * dim is a generated 1000-row table, forced to sort-merge (broadcast
+    * disabled per-query) so the skewed exchange actually materializes.
+    * Skew thresholds are lowered per-query to fire at test scale — at
+    * production sizes the defaults (256 MB) play the same role.
+    * PlanShapeSpec pins the AQEShuffleRead skew split. */
+  /** Per-query AQE tuning for the skew demo, restored afterward so no
+    * other key sees the lowered thresholds. Execution (not just plan
+    * construction) must happen inside this scope — Spark reads these
+    * confs when the adaptive plan re-optimizes at runtime. */
+  private[graft] def withSkewConfs[T](spark: SparkSession)(body: => T): T = {
+    val tuned = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** The unsalted skewed join itself (also exercised by PlanShapeSpec,
+    * which pins the runtime skew split). */
+  private[graft] def skewJoinFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    // AQE splits a skewed reduce partition by MAP-INDEX ranges, so the
+    // skewed exchange needs multiple upstream map tasks to split over.
+    // The test corpus is one parquet split; a production 100 TB scan
+    // has thousands of map tasks naturally — synthesize that here.
+    val fact = t(spark, sfDir, "lineitem").repartition(16).selectExpr(
+      "CASE WHEN l_orderkey % 10 < 7 THEN CAST(7 AS BIGINT) " +
+        "ELSE l_orderkey % 1000 END AS k",
+      "l_extendedprice")
+    val dim = spark.range(0, 1000).selectExpr("id", "id % 16 AS attr")
+    fact.join(dim, fact("k") === dim("id"))
+      .groupBy("attr")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("total_price"))
+      .orderBy("attr")
+  }
+
+  private def joinSkewAqe(spark: SparkSession, sfDir: String): DataFrame = {
+    // materialize INSIDE the conf scope (the plan re-optimizes during
+    // execution); the bounded 16-row result round-trips through parquet
+    val dir = graft.etl.Fixtures.tempDir("graft_skew_join")
+    withSkewConfs(spark) {
+      skewJoinFrame(spark, sfDir).write.mode("overwrite").parquet(dir)
+    }
+    spark.read.parquet(dir).orderBy("attr")
+  }
+
   /** Correlated EXISTS + scalar subquery through the SQL surface:
     * Catalyst decorrelates the EXISTS into a left-semi join
     * (RewritePredicateSubquery) and evaluates the scalar subquery once
@@ -249,6 +308,7 @@ object Joins {
     "join_lateral" -> (joinLateral _),
     "join_subquery" -> (joinSubquery _),
     "join_salted" -> (joinSalted _),
+    "join_skew_aqe" -> (joinSkewAqe _),
     "join_bucketed" -> (joinBucketed _),
     "join_inner" -> (joinInner _),
     "join_broadcast" -> (joinBroadcast _),
@@ -281,6 +341,18 @@ object Joins {
       """SELECT l_orderkey, l_linenumber, l_extendedprice, o_orderstatus
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          ORDER BY l_orderkey, l_linenumber, l_extendedprice, o_orderstatus""",
+    "join_skew_aqe" ->
+      """SELECT attr, count(*) AS n_rows,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_price
+         FROM (SELECT CASE WHEN l_orderkey % 10 < 7 THEN CAST(7 AS BIGINT)
+                           ELSE l_orderkey % 1000 END AS k,
+                      l_extendedprice
+               FROM lineitem) f
+         JOIN (SELECT r AS id, r % 16 AS attr
+               FROM range(0, 1000) t(r)) d
+           ON f.k = d.id
+         GROUP BY attr ORDER BY attr""",
     "join_bucketed" ->
       """SELECT o_orderstatus,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -151,6 +151,19 @@ class PlanShapeSpec extends AnyFunSuite {
       }
   }
 
+  test("join_skew_aqe: adaptive execution splits the skewed partition at runtime") {
+    import graft.queries.Joins
+    Joins.withSkewConfs(spark) {
+      val plan = finalPlan(Joins.skewJoinFrame(spark, sfDir))
+      // the join stays sort-merge (broadcast disabled in-scope) and the
+      // skewed side's shuffle read must show the runtime split
+      assert(countOf(plan, "SortMergeJoin") === 1, plan)
+      assert(countOf(plan, "BroadcastHashJoin") === 0, plan)
+      assert("SortMergeJoin[^\\n]*skew=true".r.findFirstIn(plan).isDefined ||
+        "AQEShuffleRead[^\\n]*skewed".r.findFirstIn(plan).isDefined, plan)
+    }
+  }
+
   test("scan_nested_pruned: scan reads only the selected struct subfield") {
     val plan = finalPlan(SparkEntry.queries("scan_nested_pruned")(spark, sfDir))
     // nested-schema pruning: ReadSchema carries meta.width only — not

@@ -69,6 +69,28 @@ class EtlSpec extends AnyFunSuite {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
+  test("Avro round-trip is content-exact and writes one file per task") {
+    import org.apache.spark.sql.functions.col
+    val src = Tables.t(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val dir = Fixtures.tempDir("graft_avro_rt") + "/data"
+    val schemaJson =
+      """{"type":"record","name":"OrderLite","namespace":"graft","fields":[
+         {"name":"o_orderkey","type":"long"},
+         {"name":"o_orderstatus","type":"string"},
+         {"name":"o_totalprice","type":"double"}]}"""
+    graft.sources.AvroIO.writeAvro(src.repartition(3), dir, schemaJson)
+    // write-side parallelism: one container file per task
+    val parts = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .count(_.endsWith(".avro"))
+    assert(parts === 3, s"expected 3 avro part files, got $parts")
+    val back = graft.sources.AvroIO.readAvro(spark, dir, schemaJson,
+      StructType.fromDDL(
+        "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"))
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
   test("XML round-trip preserves markup-hostile characters exactly") {
     import spark.implicits._
     // every character class XML must escape or CDATA-protect: markup

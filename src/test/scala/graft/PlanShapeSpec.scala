@@ -71,16 +71,22 @@ class PlanShapeSpec extends AnyFunSuite {
       plan)
   }
 
-  test("llm_ann_ivf: cell assignment is map-side — zero shuffle exchanges") {
-    val plan = finalPlan(SparkEntry.queries("llm_ann_ivf")(spark, sfDir))
-    // the ONLY cluster-wide operation is the final top-k; assignment is
-    // an argmax over broadcast-constant centroids, so no hash exchange
-    // may appear anywhere in the plan
-    assert(countOf(plan, "Exchange hashpartitioning") === 0, plan)
-    assert(countOf(plan, "Exchange rangepartitioning") === 0, plan)
-    assert(plan.contains("TakeOrderedAndProject"), plan)
-    // the 1-row query side arrives by broadcast
-    assert(countOf(plan, "BroadcastExchange") >= 1, plan)
+  test("llm_ann_ivf (+kmeans twin): cell assignment is map-side — zero shuffle exchanges") {
+    // same shape requirement for both centroid sources: fixed parity
+    // stand-ins and the data-derived k-means build (whose probe must
+    // not pay any exchange either — the index build is a separate
+    // bounded sample stage)
+    Seq("llm_ann_ivf", "llm_ann_ivf_kmeans").foreach { key =>
+      val plan = finalPlan(SparkEntry.queries(key)(spark, sfDir))
+      // the ONLY cluster-wide operation is the final top-k; assignment
+      // is an argmax over broadcast-constant centroids, so no hash
+      // exchange may appear anywhere in the plan
+      assert(countOf(plan, "Exchange hashpartitioning") === 0, s"$key\n$plan")
+      assert(countOf(plan, "Exchange rangepartitioning") === 0, s"$key\n$plan")
+      assert(plan.contains("TakeOrderedAndProject"), s"$key\n$plan")
+      // the 1-row query side arrives by broadcast
+      assert(countOf(plan, "BroadcastExchange") >= 1, s"$key\n$plan")
+    }
   }
 
   test("scan_partition_pruned: partition filter reaches the scan, one partition read") {

@@ -122,7 +122,37 @@ object Windows {
       .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
   }
 
+  /** F. Calendar-spine gap fill — the reporting/time-series staple: a
+    * sparse daily aggregate re-expressed over the COMPLETE day×type
+    * grid, missing cells zero-filled (counts) and forward-filled
+    * (last observed value). Build-side rule for scale: aggregate the
+    * fact FIRST (the result is days×types — tiny), then LEFT JOIN the
+    * generated spine against it — the preserved spine side can never
+    * be the broadcast build side, but the aggregate side can. The fact
+    * table is scanned exactly once. */
+  private def winGapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    // sparse slice so the grid actually has holes to fill
+    val byDay = t(spark, sfDir, "events")
+      .where(col("user_id") % 97 === 0)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("day_value"))
+    val days = byDay.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    val spine = days.crossJoin(byDay.select("event_type").distinct())
+    val fill = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(byDay, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("day_value"), ignoreNulls = true).over(fill)
+          .as("filled_value"))
+      .orderBy("day", "event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_gap_fill" -> (winGapFill _),
     "win_distribution" -> (winDistribution _),
     "win_rank" -> (winRank _),
     "win_lag_lead" -> (winLagLead _),
@@ -133,6 +163,29 @@ object Windows {
     "win_session_batch" -> (winSessionBatch _))
 
   val oracle: Map[String, String] = Map(
+    "win_gap_fill" ->
+      """WITH by_day AS (
+           SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  event_type, count(*) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                    AS day_value
+           FROM events WHERE user_id % 97 = 0
+           GROUP BY 1, 2),
+         days AS (
+           SELECT unnest(generate_series(
+             (SELECT min(day) FROM by_day),
+             (SELECT max(day) FROM by_day),
+             INTERVAL 1 DAY)) AS day),
+         spine AS (
+           SELECT d.day, t.event_type
+           FROM days d CROSS JOIN (SELECT DISTINCT event_type FROM by_day) t)
+         SELECT s.day, s.event_type,
+                coalesce(b.n, 0) AS n_events,
+                last_value(b.day_value IGNORE NULLS) OVER (
+                  PARTITION BY s.event_type ORDER BY s.day
+                  ROWS UNBOUNDED PRECEDING) AS filled_value
+         FROM spine s LEFT JOIN by_day b USING (day, event_type)
+         ORDER BY s.day, s.event_type""",
     "win_session_batch" ->
       """WITH marked AS (
            SELECT user_id, ts,

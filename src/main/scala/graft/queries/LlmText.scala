@@ -848,6 +848,173 @@ object LlmText {
         min(col("n_words")).as("min_words"), max(col("n_words")).as("max_words"))
       .orderBy("bucket")
 
+  // ---------------------------------------------------------------------
+  // llm_substring_dedup — cross-document duplicated-span detection (the
+  // "exact substring dedup" pass of training-data curation): every word
+  // 5-gram is hashed WITH its position, grams whose hash appears in ≥2
+  // distinct documents are kept, and per document the surviving
+  // positions are merged into maximal spans with the gaps-and-islands
+  // trick (pos − row_number is constant within a run).
+  //
+  // Scale shape: the duplicated-hash filter is a groupBy(hash) partial
+  // agg + a left-semi equi-join — both shuffle only (hash, ids), never
+  // text; the islands window runs per document over *duplicated grams
+  // only* (a tiny fraction of the corpus). At 100 TB this is exactly a
+  // suffix-free approximation of the Lee-et-al. exact-substring dedup:
+  // O(grams) shuffle, no doc×doc comparison anywhere.
+  // ---------------------------------------------------------------------
+  private def substringDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS t")
+      .where(size(col("t")) >= 5)
+      .selectExpr("doc_id",
+        """posexplode(transform(sequence(1, size(t) - 4),
+             i -> md5(concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+                  element_at(t, i + 2), element_at(t, i + 3),
+                  element_at(t, i + 4))))) AS (p0, h)""")
+      .selectExpr("doc_id", "p0 + 1 AS pos", "h")
+    val dupHashes = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select("h")
+    grams.join(dupHashes, Seq("h"), "left_semi")
+      .withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(4)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_end", "n_grams")
+      .orderBy("doc_id", "span_start")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_quality_classifier — a data-derived linear quality model, the
+  // fasttext-style "clean page" scorer of production pipelines, with the
+  // model TRAINED AND APPLIED in one job: document frequency of every
+  // token → the 64 highest-df tokens become features with integer
+  // weight round(1e6·df/n_docs) → each document scores the sum of its
+  // matched distinct features. Integer weights keep the score exact and
+  // order-independent (engine-parity rule).
+  //
+  // Scale shape: the feature table is 64 rows — driver-built from a
+  // TakeOrdered over the df agg (O(tokens) partial agg, O(64) result)
+  // and broadcast; scoring is a map-side broadcast-hash join + one
+  // groupBy(doc_id). No all-token shuffle ever carries text.
+  // ---------------------------------------------------------------------
+  private def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val toks = docs
+      .selectExpr("doc_id", "explode(array_distinct(split(text, ' '))) AS tok")
+    val nDocs = docs.groupBy().agg(count(lit(1)).as("n_docs"))
+    val feats = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(64)
+      .crossJoin(broadcast(nDocs))
+      .selectExpr("tok",
+        "cast(round(df * 1000000.0 / n_docs) AS bigint) AS w_e6")
+    val scored = toks.join(broadcast(feats), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum(col("w_e6")).as("s_e6"), count(lit(1)).as("nf"))
+    docs.select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(s_e6, 0) AS score_e6",
+        "coalesce(nf, 0) AS n_feats",
+        "coalesce(s_e6, 0) >= 20000000 AS quality_pass")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_mix_resample — epoch-aware mixture resampling: each source's
+  // repeat factor r = (T/n_sources)/tokens(source) (uniform target mix,
+  // capped at 4 epochs) is materialized per document as
+  // n_repeats = ⌊r⌋ + Bernoulli(frac(r)) with a content-hash Bernoulli
+  // draw, so upsampling is deterministic, idempotent, and independent
+  // of partitioning. All arithmetic is scaled-bigint (r in e6 units;
+  // the draw compares ⌊h·1e6/65536⌋ < frac_e6 on a 16-bit md5 prefix).
+  //
+  // Scale shape: the per-source factor table is n_sources rows,
+  // broadcast; per-doc assignment is one map-side projection. The only
+  // shuffle is the per-source token agg (map-side combined).
+  // ---------------------------------------------------------------------
+  private def mixResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSource = t(spark, sfDir, "documents")
+      .selectExpr("source", "size(split(text, ' ')) AS n_toks")
+      .groupBy("source")
+      .agg(sum(col("n_toks")).as("src_tokens"))
+    val totals = perSource.groupBy()
+      .agg(sum(col("src_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+    val factors = perSource.crossJoin(broadcast(totals))
+      .selectExpr("source", "src_tokens",
+        """least(cast(round(total_tokens * 1000000.0
+             / (n_sources * src_tokens)) AS bigint), 4000000 )
+           AS repeat_e6""")
+    t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "source",
+        "md5(concat(cast(doc_id AS string), '#resample-epoch-0')) AS fp")
+      .selectExpr("doc_id", "source",
+        """(instr('0123456789abcdef', substring(fp, 1, 1)) - 1) * 4096 +
+           (instr('0123456789abcdef', substring(fp, 2, 1)) - 1) * 256 +
+           (instr('0123456789abcdef', substring(fp, 3, 1)) - 1) * 16 +
+           cast((instr('0123456789abcdef', substring(fp, 4, 1)) - 1) AS bigint)
+           AS h16""")
+      .join(broadcast(factors), Seq("source"))
+      .selectExpr("doc_id", "source", "repeat_e6",
+        """repeat_e6 DIV 1000000 +
+           (CASE WHEN (h16 * 1000000) DIV 65536 < repeat_e6 % 1000000
+                 THEN 1 ELSE 0 END) AS n_repeats""")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_decontaminate_bloom — the same benchmark-decontamination result
+  // as llm_decontaminate, computed through a Bloom-style prefilter: the
+  // held-out side's 3-gram buckets (crc32 mod 4096) are OR-folded into
+  // a 64-long bitmap (one row, ~512 B), broadcast, and every training
+  // gram is bit-tested map-side BEFORE any join. Survivors go through
+  // the exact broadcast equi-join, so the output is lossless — the
+  // bloom only prunes.
+  //
+  // Scale shape: at 100 TB the bitmap (sized up to m bits by the same
+  // pipeline) eliminates the vast majority of training grams during the
+  // scan, so the expensive stage — the gram equi-join — sees only
+  // near-matches. This is the standard semi-join-reduction pattern
+  // expressed in pure Catalyst: crossJoin(broadcast(1 row)) + integer
+  // bit test, no UDF, fully codegen'd.
+  // ---------------------------------------------------------------------
+  private def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .where(size(col("toks")) >= 3)
+      .selectExpr("doc_id",
+        """explode(array_distinct(transform(sequence(1, size(toks) - 2),
+             i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                  element_at(toks, i + 2))))) AS gram""")
+    val bench = sh.where(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("bench_id"), col("gram"))
+    val bitmap = bench
+      .selectExpr("crc32(gram) % 4096 AS bucket").distinct()
+      .selectExpr("cast(bucket DIV 64 AS int) AS w",
+        "shiftleft(1L, cast(bucket % 64 AS int)) AS bit")
+      .groupBy("w").agg(expr("bit_or(bit)").as("bits"))
+      .groupBy()
+      .agg(expr("map_from_entries(collect_list(struct(w, bits)))").as("m"))
+      .selectExpr(
+        "transform(sequence(0, 63), i -> coalesce(element_at(m, i), 0L)) AS bm")
+    sh.where(col("doc_id") % 100 =!= 0)
+      .crossJoin(broadcast(bitmap))
+      .withColumn("bucket", expr("crc32(gram) % 4096"))
+      .where(expr("""(element_at(bm, cast(bucket DIV 64 AS int) + 1) &
+                      shiftleft(1L, cast(bucket % 64 AS int))) != 0"""))
+      .select("doc_id", "gram")
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .where(col("shared_grams") >= 2)
+      .orderBy("doc_id", "bench_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_gopher_rules" -> (gopherRules _),
     "llm_repetition_ratio" -> (repetitionRatio _),
@@ -876,6 +1043,10 @@ object LlmText {
     "llm_quality_score" -> (qualityScore _),
     "llm_lang_id" -> (langId _),
     "llm_fingerprint" -> (fingerprint _),
+    "llm_substring_dedup" -> (substringDedup _),
+    "llm_quality_classifier" -> (qualityClassifier _),
+    "llm_mix_resample" -> (mixResample _),
+    "llm_decontaminate_bloom" -> (decontaminateBloom _),
     "llm_tfidf" -> (tfidf _))
 
   /** DuckDB twins. Shared fragments mirror the Spark lambdas exactly:
@@ -1292,6 +1463,86 @@ object LlmText {
                                         t[1:1]) AS BIGINT))),
                    (acc, v) -> (acc * 31 + v) % 1000000007) AS rolling_fp
           FROM documents ORDER BY doc_id""",
+    "llm_substring_dedup" ->
+      """WITH g AS (
+           SELECT doc_id, s.pos AS pos, s.h AS h FROM (
+             SELECT doc_id,
+                    unnest([{'pos': i,
+                             'h': md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  || ' ' || t[i+3] || ' ' || t[i+4])}
+                            FOR i IN range(1, len(t) - 3)]) AS s
+             FROM (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents)
+             WHERE len(t) >= 5)),
+         d AS (SELECT * FROM g WHERE h IN (
+                 SELECT h FROM g GROUP BY h
+                 HAVING count(DISTINCT doc_id) >= 2)),
+         isl AS (SELECT doc_id, pos,
+                        pos - row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY pos) AS grp
+                 FROM d)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+                count(*) AS n_grams
+         FROM isl GROUP BY doc_id, grp
+         ORDER BY doc_id, span_start""",
+    "llm_quality_classifier" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                  AS tok
+           FROM documents),
+         df AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         feats AS (SELECT tok,
+                          CAST(round(df * 1000000.0 / n_docs) AS BIGINT)
+                          AS w_e6
+                   FROM df, n ORDER BY df DESC, tok LIMIT 64),
+         scored AS (SELECT doc_id, sum(w_e6) AS s_e6, count(*) AS nf
+                    FROM toks JOIN feats USING (tok) GROUP BY 1)
+         SELECT d.doc_id, coalesce(s_e6, 0) AS score_e6,
+                coalesce(nf, 0) AS n_feats,
+                coalesce(s_e6, 0) >= 20000000 AS quality_pass
+         FROM documents d LEFT JOIN scored USING (doc_id)
+         ORDER BY d.doc_id""",
+    "llm_mix_resample" ->
+      """WITH per_source AS (
+           SELECT source, sum(len(string_split(text, ' '))) AS src_tokens
+           FROM documents GROUP BY 1),
+         totals AS (SELECT sum(src_tokens) AS total_tokens,
+                           count(*) AS n_sources
+                    FROM per_source),
+         factors AS (SELECT source, src_tokens,
+                            least(CAST(round(total_tokens * 1000000.0
+                                  / (n_sources * src_tokens)) AS BIGINT),
+                                  4000000) AS repeat_e6
+                     FROM per_source, totals),
+         drawn AS (SELECT doc_id, source,
+                          (strpos('0123456789abcdef', fp[1:1]) - 1) * 4096 +
+                          (strpos('0123456789abcdef', fp[2:2]) - 1) * 256 +
+                          (strpos('0123456789abcdef', fp[3:3]) - 1) * 16 +
+                          (strpos('0123456789abcdef', fp[4:4]) - 1) AS h16
+                   FROM (SELECT doc_id, source,
+                                md5(CAST(doc_id AS VARCHAR)
+                                    || '#resample-epoch-0') AS fp
+                         FROM documents))
+         SELECT doc_id, d.source AS source, repeat_e6,
+                repeat_e6 // 1000000 +
+                (CASE WHEN (h16 * 1000000) // 65536 < repeat_e6 % 1000000
+                      THEN 1 ELSE 0 END) AS n_repeats
+         FROM drawn d JOIN factors USING (source)
+         ORDER BY doc_id""",
+    "llm_decontaminate_bloom" ->
+      """WITH sh5 AS (
+           SELECT doc_id,
+                  unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                          FOR i IN range(1, len(t) - 1)])) AS gram
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+           WHERE len(t) >= 3)
+         SELECT tr.doc_id, b.doc_id AS bench_id, count(*) AS shared_grams
+         FROM sh5 tr JOIN (SELECT * FROM sh5 WHERE doc_id % 100 = 0) b
+           USING (gram)
+         WHERE tr.doc_id % 100 <> 0
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY tr.doc_id, bench_id""",
     "llm_tfidf" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -361,6 +361,70 @@ class LlmSpec extends AnyFunSuite {
     assert(top.head.getDouble(2) > 0.999999)
   }
 
+  test("bloom-prefiltered decontamination is lossless vs the exact path") {
+    // The 4096-bit bitmap is only a prefilter; the exact gram join runs
+    // on survivors, so false positives cannot add rows and — because a
+    // Bloom filter has no false negatives — nothing can be dropped.
+    // Row-identity against the exact operator is the whole contract.
+    val exact = LlmText.defs("llm_decontaminate")(spark, sfDir)
+    val bloom = LlmText.defs("llm_decontaminate_bloom")(spark, sfDir)
+    assert(exact.exceptAll(bloom).isEmpty && bloom.exceptAll(exact).isEmpty)
+    assert(exact.count() === bloom.count())
+  }
+
+  test("substring-dedup spans are well-formed, disjoint, and genuinely shared") {
+    val spans = LlmText.defs("llm_substring_dedup")(spark, sfDir).cache()
+    assert(spans.count() > 0, "corpus should contain cross-doc 5-gram dups")
+    // A span of n consecutive 5-gram positions covers n + 4 words.
+    assert(spans.filter(col("n_grams") =!=
+      col("span_end") - col("span_start") - 3).count() === 0)
+    // Maximal spans never touch or overlap within a document (a shared
+    // or adjacent position would have merged into one island).
+    val overlaps = spans.as("a").join(spans.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+        col("a.span_start") < col("b.span_start") &&
+        col("b.span_start") <= col("a.span_end") - 3)
+      .count()
+    assert(overlaps === 0, s"$overlaps overlapping/adjacent span pairs")
+    // Soundness: every reported gram position hashes to a value seen in
+    // at least one OTHER document at test scale.
+    val grams = Tables.t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS t")
+      .where(size(col("t")) >= 5)
+      .selectExpr("doc_id",
+        """posexplode(transform(sequence(1, size(t) - 4),
+             i -> md5(concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+                  element_at(t, i + 2), element_at(t, i + 3),
+                  element_at(t, i + 4))))) AS (p0, h)""")
+      .selectExpr("doc_id", "p0 + 1 AS pos", "h")
+    val covered = spans.join(grams, Seq("doc_id"))
+      .where(col("pos").between(col("span_start"), col("span_end") - 4))
+    val unshared = covered.as("c").join(grams.as("g"),
+        col("c.h") === col("g.h") && col("c.doc_id") =!= col("g.doc_id"),
+        "left_anti").count()
+    assert(unshared === 0, s"$unshared span grams not shared cross-doc")
+  }
+
+  test("mix resample draws stay within one unit of the epoch factor") {
+    val r = LlmText.defs("llm_mix_resample")(spark, sfDir).cache()
+    // n_repeats is ⌊r⌋ or ⌊r⌋+1, never outside; factors capped at 4.
+    assert(r.filter(col("n_repeats") < col("repeat_e6") / 1000000 - 1 ||
+      col("n_repeats") > col("repeat_e6") / 1000000 + 1).count() === 0)
+    assert(r.filter(col("repeat_e6") > 4000000).count() === 0)
+    // Deterministic: an identical second run produces identical rows.
+    val again = LlmText.defs("llm_mix_resample")(spark, sfDir)
+    assert(r.exceptAll(again).isEmpty && again.exceptAll(r).isEmpty)
+  }
+
+  test("quality classifier uses at most 64 features and scores all docs") {
+    val q = LlmText.defs("llm_quality_classifier")(spark, sfDir).cache()
+    assert(q.count() === Tables.t(spark, sfDir, "documents").count())
+    assert(q.filter(col("n_feats") > 64 || col("score_e6") < 0).count() === 0)
+    // Every per-feature weight is ≤ 1e6 (df ≤ n_docs), so the score is
+    // bounded by 64e6 — a sanity pin on the integer scaling.
+    assert(q.filter(col("score_e6") > 64000000L).count() === 0)
+  }
+
   test("multimodal feature extraction is deterministic with stable schema") {
     val a = LlmVector.defs("llm_multimodal_features")(spark, sfDir)
     val b = LlmVector.defs("llm_multimodal_features")(spark, sfDir)

@@ -16,6 +16,13 @@ object Schemas {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  val documents: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
   val lineitem: StructType = StructType(Seq(
     StructField("l_orderkey", LongType),
     StructField("l_partkey", LongType),

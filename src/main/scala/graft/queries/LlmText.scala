@@ -1058,7 +1058,9 @@ object LlmText {
          list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                         FOR i IN range(1, len(t) - 1)])
        ELSE [text] END"""
-  private val DSigned =
+  /** Shared with StreamingQ's `stream_dedup_minhash` oracle — the
+    * streaming dedup must agree with the batch LSH pipeline exactly. */
+  private[graft] val DSigned =
     s"""signed AS (
        SELECT doc_id, sh,
               list_transform(range(0, 12),

@@ -576,7 +576,114 @@ object StreamingQ {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------------------
+  // stream_dedup_minhash — STREAMING near-duplicate detection: documents
+  // arrive in micro-batches, each computes its MinHash signature and LSH
+  // band hashes map-side (the same 12-hash/6-band pipeline as the batch
+  // operators), and per (band, bucket) a flatMapGroupsWithState group
+  // holds the signatures seen so far. A new arrival compares against its
+  // bucket's state only — the streaming equivalent of the batch band
+  // equi-join — so per-batch work is O(new docs × bucket occupancy),
+  // never corpus × corpus. Emission is order-independent: whichever
+  // member of a duplicate pair arrives LAST emits (higher_id, lower_id),
+  // so the final per-doc min-dup aggregation equals the batch answer for
+  // any arrival order; the oracle is the batch LSH pipeline thresholded
+  // at signature agreement ≥ 6/12 (est. Jaccard ≥ 0.5).
+  //
+  // State at 100 TB: the full signature index, spread over band×bucket
+  // keys in the state store (RocksDB at scale) — true streaming dedup
+  // keeps its history by design; pipelines that only need
+  // recent-window dedup add a watermark TTL on the bucket state.
+  // ---------------------------------------------------------------------
+  case class SigDoc(id: Long, sig: Seq[String])
+  case class BucketState(docs: Seq[SigDoc])
+  case class DupEmit(dup_id: Long, dup_of: Long)
+
+  /** Stage documents as two half-corpus files with ordered mtimes, so
+    * maxFilesPerTrigger=1 yields exactly two micro-batches — enough to
+    * prove cross-batch state without a per-file checkpoint storm. */
+  private[graft] def stagedDocsHalves(spark: SparkSession, sfDir: String,
+                                      evenFirst: Boolean = true): String =
+    stageCache.computeIfAbsent(s"$sfDir/documents/halves$evenFirst", { _ =>
+      val dir = freshDir("graft_stream_docs_")
+      val docs = t(spark, sfDir, "documents")
+      val firstParity = if (evenFirst) 0 else 1
+      docs.where(col("doc_id") % 2 === firstParity).coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      val past = FileTime.fromMillis(1000000000000L)
+      val listing = Files.list(Paths.get(dir))
+      try listing.forEach { p: Path => Files.setLastModifiedTime(p, past) }
+      finally listing.close()
+      docs.where(col("doc_id") % 2 === (1 - firstParity)).coalesce(1)
+        .write.mode("append").parquet(dir)
+      dir
+    })
+
+  private def streamDedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    streamDedupMinhashStaged(spark, stagedDocsHalves(spark, sfDir))
+
+  private[graft] def streamDedupMinhashStaged(spark: SparkSession,
+                                              srcDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val src = spark.readStream.schema(Schemas.documents)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val banded = src
+      .selectExpr("doc_id", "text", "split(text, ' ') AS toks")
+      .selectExpr("doc_id",
+        """CASE WHEN size(toks) >= 3 THEN
+             array_distinct(transform(sequence(1, size(toks) - 2),
+               i -> concat_ws(' ', element_at(toks, i),
+                    element_at(toks, i + 1), element_at(toks, i + 2))))
+           ELSE array(text) END AS sh""")
+      .select(col("doc_id"),
+        graft.functions.TextOps.minhashSig(col("sh"), 12).as("sig"))
+      .selectExpr("doc_id", "sig",
+        """posexplode(transform(sequence(0, 5),
+             b -> md5(concat_ws('|', slice(sig, b * 2 + 1, 2)))))
+           AS (band_idx, band_hash)""")
+      .selectExpr("concat(band_idx, '|', band_hash) AS bucket",
+        "doc_id", "sig")
+      .as[(String, Long, Seq[String])]
+    val pairs = banded.groupByKey(_._1)
+      .flatMapGroupsWithState[BucketState, DupEmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long, Seq[String])],
+         state: GroupState[BucketState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[DupEmit]
+          val seen = scala.collection.mutable.ArrayBuffer.empty[SigDoc]
+          seen ++= state.getOption.map(_.docs).getOrElse(Seq.empty)
+          rows.map(r => SigDoc(r._2, r._3.toIndexedSeq)).toArray
+            .sortBy(_.id).foreach { n =>
+              seen.foreach { e =>
+                if (e.id != n.id) {
+                  var agree = 0
+                  var i = 0
+                  while (i < n.sig.length) {
+                    if (n.sig(i) == e.sig(i)) agree += 1
+                    i += 1
+                  }
+                  if (agree >= 6)
+                    out += (if (n.id > e.id) DupEmit(n.id, e.id)
+                            else DupEmit(e.id, n.id))
+                }
+              }
+              seen += n
+            }
+          state.update(BucketState(seen.toSeq))
+          out.iterator
+      }
+    // Band-level emissions collapse to one row per duplicate document;
+    // this runs on the SINK re-read (batch), not inside the stream.
+    runToParquet(spark, pairs.toDF())
+      .distinct()
+      .groupBy("dup_id").agg(min(col("dup_of")).as("dup_of"))
+      .orderBy("dup_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dedup_minhash" -> (streamDedupMinhash _),
     "stream_static_join" -> (streamStaticJoin _),
     "stream_foreach_batch" -> (streamForeachBatch _),
     "stream_stateful_session" -> (streamStatefulSession _),
@@ -618,6 +725,13 @@ object StreamingQ {
     * sessionization, which is exactly Spark's session_window semantics
     * (end = last event + gap). */
   val oracle: Map[String, String] = Map(
+    "stream_dedup_minhash" ->
+      s"""WITH ${graft.queries.LlmText.DSigned}
+          SELECT doc_b AS dup_id, min(doc_a) AS dup_of FROM cand
+          WHERE list_reduce(list_prepend(0, list_transform(range(1, 13),
+                  i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)),
+                  (acc, v) -> acc + v) >= 6
+          GROUP BY 1 ORDER BY dup_id""",
     "stream_static_join" ->
       """SELECT event_id, event_type,
                 CASE WHEN event_type IN ('purchase', 'signup')

@@ -134,6 +134,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(tooShort === 0)
   }
 
+  test("streaming minhash dedup is arrival-order independent") {
+    // The same corpus streamed even-ids-first and odd-ids-first must
+    // produce the identical (dup_id, dup_of) set: whichever member of a
+    // pair arrives second emits the same (higher, lower) row, so the
+    // batch order cannot leak into the answer.
+    val fwd = StreamingQ.streamDedupMinhashStaged(spark,
+      StreamingQ.stagedDocsHalves(spark, sfDir, evenFirst = true)).cache()
+    val rev = StreamingQ.streamDedupMinhashStaged(spark,
+      StreamingQ.stagedDocsHalves(spark, sfDir, evenFirst = false))
+    assert(fwd.count() > 0, "corpus should contain minhash near-dups")
+    assert(fwd.exceptAll(rev).isEmpty && rev.exceptAll(fwd).isEmpty)
+    // Each duplicate points at a strictly smaller retained doc.
+    assert(fwd.filter(col("dup_of") >= col("dup_id")).count() === 0)
+  }
+
   test("watermark append-mode emits every real window exactly once") {
     val out = StreamingQ.defs("stream_watermark")(spark, sfDir).cache()
     val days = Tables.t(spark, sfDir, "events")

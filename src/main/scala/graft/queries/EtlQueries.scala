@@ -54,15 +54,20 @@ object EtlQueries {
       .where(col("l_returnflag") === "R" && col("l_quantity") >= 45)
       .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
 
-  /** A. Partition-pruned scan: stage orders partitioned by year, then
-    * read one year — Catalyst prunes to the matching directory only. */
-  private def scanPartitionPruned(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Fixtures.stagedDir(sfDir, "part_pruned") { d =>
+  /** Staged hive-partitioned orders (partitioned by `p_year`) — shared
+    * by `scan_partition_pruned` (static pruning) and `join_dpp`
+    * (dynamic pruning), so both keys exercise the same on-disk layout. */
+  private[graft] def partPrunedDir(spark: SparkSession, sfDir: String): String =
+    Fixtures.stagedDir(sfDir, "part_pruned") { d =>
       Ingest.writeParquet(
         t(spark, sfDir, "orders").withColumn("p_year", year(col("o_orderdate"))),
         d, partitionColumns = Seq("p_year"))
     }
-    spark.read.parquet(dir).where(col("p_year") === 1997)
+
+  /** A. Partition-pruned scan: stage orders partitioned by year, then
+    * read one year — Catalyst prunes to the matching directory only. */
+  private def scanPartitionPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(partPrunedDir(spark, sfDir)).where(col("p_year") === 1997)
       .select("o_orderkey", "o_totalprice", "p_year")
       .orderBy("o_orderkey")
   }
@@ -603,6 +608,45 @@ object EtlQueries {
       .orderBy("key")
   }
 
+  /** C/B. MERGE-style upsert on a plain-parquet target — the Delta/
+    * Iceberg `MERGE INTO` shape owned natively: matched keys take the
+    * source's values (update), source-only keys append (insert),
+    * untouched target rows carry forward. One full-outer join on the
+    * key — the same single-shuffle plan MERGE compiles to at 100 TB —
+    * then the merged table is WRITTEN and re-read (sink semantics: the
+    * next consumer's view is what's checked). Updates and inserts are
+    * carved deterministically from the corpus (keys ≡0 mod 97 update
+    * with a price bump; keys ≡0 mod 101 re-insert shifted by 10M).
+    * Prices are emitted as scaled-bigint cents per the engine-parity
+    * convention. */
+  private def etlMergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val updates = target.where(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice",
+        (dec(col("o_totalprice")) + lit(BigDecimal("1000.00"))).cast("double"))
+      .withColumn("o_orderstatus", lit("R"))
+    val inserts = target.where(col("o_orderkey") % 101 === 0)
+      .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+        col("o_custkey"), lit("N").as("o_orderstatus"), col("o_totalprice"))
+    val source = updates.unionByName(inserts)
+    val merged = target.as("t")
+      .join(source.as("s"), col("t.o_orderkey") === col("s.o_orderkey"),
+        "full_outer")
+      .select(
+        coalesce(col("s.o_orderkey"), col("t.o_orderkey")).as("o_orderkey"),
+        coalesce(col("s.o_custkey"), col("t.o_custkey")).as("o_custkey"),
+        coalesce(col("s.o_orderstatus"), col("t.o_orderstatus"))
+          .as("o_orderstatus"),
+        round(coalesce(col("s.o_totalprice"), col("t.o_totalprice"))
+          * lit(100)).cast("bigint").as("price_e2"),
+        when(col("t.o_orderkey").isNull, "insert")
+          .when(col("s.o_orderkey").isNull, "keep")
+          .otherwise("update").as("row_action"))
+    Fixtures.roundTrip(spark, merged, "graft_merge_upsert")
+      .orderBy("o_orderkey")
+  }
+
   /** B. Range-clustered layout sink: `repartitionByRange` +
     * `sortWithinPartitions` writes files with DISJOINT key ranges, so
     * downstream key-range scans skip whole files on parquet min/max
@@ -673,6 +717,7 @@ object EtlQueries {
     "sink_zorder" -> (sinkZorder _),
     "etl_dq_report" -> (dqReport _),
     "etl_scd2_diff" -> (scd2Diff _),
+    "etl_merge_upsert" -> (etlMergeUpsert _),
     "scan_text" -> (scanText _),
     "scan_binaryfile" -> (scanBinaryFile _),
     "scan_schema_evolution" -> (scanSchemaEvolution _),
@@ -801,6 +846,29 @@ object EtlQueries {
                 old.old_price, cur.new_price
          FROM old FULL OUTER JOIN cur ON old.key = cur.key
          ORDER BY key""",
+    "etl_merge_upsert" ->
+      """WITH target AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           FROM orders),
+         src AS (
+           SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                       + CAST(1000.00 AS DECIMAL(18,2)) AS DOUBLE)
+                    AS o_totalprice
+           FROM target WHERE o_orderkey % 97 = 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+           FROM target WHERE o_orderkey % 101 = 0)
+         SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+                coalesce(s.o_custkey, t.o_custkey) AS o_custkey,
+                coalesce(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+                CAST(round(coalesce(s.o_totalprice, t.o_totalprice) * 100)
+                     AS BIGINT) AS price_e2,
+                CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                     WHEN s.o_orderkey IS NULL THEN 'keep'
+                     ELSE 'update' END AS row_action
+         FROM target t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+         ORDER BY o_orderkey""",
     "scan_text" ->
       "SELECT event_id FROM events ORDER BY event_id",
     "scan_binaryfile" ->

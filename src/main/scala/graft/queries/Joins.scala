@@ -45,6 +45,22 @@ object Joins {
       .orderBy("o_orderpriority")
   }
 
+  /** Shuffled-hash join, forced via hint — the third equi-join
+    * strategy: both sides shuffle on the key but the build side hashes
+    * instead of sorting, beating sort-merge when one side is much
+    * smaller than the other yet too big to broadcast (the mid-size dim
+    * at 100 TB). No Sort operator on either side — JoinsSpec-visible
+    * in the plan via `ShuffledHashJoin`. */
+  private def joinShuffledHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val s  = t(spark, sfDir, "supplier").hint("shuffle_hash")
+    li.join(s, li("l_suppkey") === s("s_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("nation_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("s_nationkey")
+  }
+
   /** Left outer: every customer, order key null when none. */
   private def joinOuter(spark: SparkSession, sfDir: String): DataFrame = {
     val c = t(spark, sfDir, "customer")
@@ -266,6 +282,92 @@ object Joins {
     spark.read.parquet(dir).orderBy("attr")
   }
 
+  /** D. Dynamic partition pruning — the partition-elimination that
+    * matters most at 100 TB: the fact side is the hive-partitioned
+    * orders layout (shared with `scan_partition_pruned`), and the
+    * pruning predicate is NOT known until runtime because it comes from
+    * a filtered dimension (the top-5 busiest years — an aggregate the
+    * optimizer cannot constant-fold into a static partition filter).
+    * Catalyst's PartitionPruning rule turns the broadcast dim into a
+    * `dynamicpruning` subquery inside the fact scan's PartitionFilters,
+    * so the non-qualifying year directories are never opened. The dim
+    * is deliberately built through an aggregate + window so constraint
+    * propagation can't rewrite it into static pruning — that would be
+    * `scan_partition_pruned`, the twin this key complements.
+    * PlanShapeSpec pins the dynamicpruning expression. */
+  private[graft] def dppJoinFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val fact = spark.read.parquet(EtlQueries.partPrunedDir(spark, sfDir))
+    val dim = t(spark, sfDir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n_in_year"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy().orderBy(col("n_in_year").desc, col("yr"))))
+      .where(col("rk") <= 5)
+      .select("yr")
+    fact.join(broadcast(dim), fact("p_year") === dim("yr"))
+      .groupBy("p_year")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy("p_year")
+  }
+
+  private def joinDpp(spark: SparkSession, sfDir: String): DataFrame =
+    dppJoinFrame(spark, sfDir)
+
+  /** D. Runtime bloom-filter join pruning — the row-level complement of
+    * `join_dpp`: when the fact table is NOT partitioned on the join key,
+    * Spark's InjectRuntimeFilter builds a bloom filter from the filtered
+    * creation side (selective orders) and applies `might_contain`
+    * map-side on the lineitem scan BEFORE the shuffle, so rows that
+    * cannot join never cross the network — at 100 TB this is the
+    * difference between shuffling the whole fact and shuffling the ~2%
+    * that survives. Thresholds are lowered per-query so injection fires
+    * at test scale (the application-side scan is tiny here; production
+    * defaults of 10 GB play the same role); broadcast is disabled so the
+    * shuffle the filter protects actually exists. Execution happens
+    * inside the conf scope — injection runs at optimization time. */
+  private[graft] def withRuntimeFilterConfs[T](spark: SparkSession)(body: => T): T = {
+    val tuned = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** The protected join itself (also pinned by PlanShapeSpec: the
+    * lineitem side carries a `might_contain` filter fed by a
+    * `bloom_filter_agg` subquery on the filtered orders). */
+  private[graft] def runtimeFilterFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+    val o = t(spark, sfDir, "orders")
+      .where(col("o_totalprice") > 450000)
+      .select("o_orderkey", "o_orderpriority")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  private def joinRuntimeFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    // materialize INSIDE the conf scope (InjectRuntimeFilter reads the
+    // confs when the plan optimizes at first execution); the small
+    // aggregate result round-trips through parquet
+    val dir = graft.etl.Fixtures.tempDir("graft_runtime_filter")
+    withRuntimeFilterConfs(spark) {
+      runtimeFilterFrame(spark, sfDir).write.mode("overwrite").parquet(dir)
+    }
+    spark.read.parquet(dir).orderBy("o_orderpriority")
+  }
+
   /** Correlated EXISTS + scalar subquery through the SQL surface:
     * Catalyst decorrelates the EXISTS into a left-semi join
     * (RewritePredicateSubquery) and evaluates the scalar subquery once
@@ -309,8 +411,11 @@ object Joins {
     "join_subquery" -> (joinSubquery _),
     "join_salted" -> (joinSalted _),
     "join_skew_aqe" -> (joinSkewAqe _),
+    "join_dpp" -> (joinDpp _),
+    "join_runtime_filter" -> (joinRuntimeFilter _),
     "join_bucketed" -> (joinBucketed _),
     "join_inner" -> (joinInner _),
+    "join_shuffled_hash" -> (joinShuffledHash _),
     "join_broadcast" -> (joinBroadcast _),
     "join_sortmerge" -> (joinSortMerge _),
     "join_outer" -> (joinOuter _),
@@ -353,6 +458,29 @@ object Joins {
                FROM range(0, 1000) t(r)) d
            ON f.k = d.id
          GROUP BY attr ORDER BY attr""",
+    "join_dpp" ->
+      """SELECT p_year, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+         FROM (SELECT year(o_orderdate) AS p_year, o_totalprice
+               FROM orders) f
+         JOIN (SELECT yr FROM (
+                 SELECT year(o_orderdate) AS yr, count(*) AS n_in_year,
+                        row_number() OVER (ORDER BY count(*) DESC,
+                                           year(o_orderdate)) AS rk
+                 FROM orders GROUP BY 1)
+               WHERE rk <= 5) d
+           ON f.p_year = d.yr
+         GROUP BY 1 ORDER BY p_year""",
+    "join_runtime_filter" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+         FROM lineitem
+         JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+               WHERE o_totalprice > 450000) o
+           ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY o_orderpriority""",
     "join_bucketed" ->
       """SELECT o_orderstatus,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
@@ -369,6 +497,13 @@ object Joins {
                 count(*) AS n_items
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY 1 ORDER BY p_brand""",
+    "join_shuffled_hash" ->
+      """SELECT s_nationkey,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS nation_revenue,
+                count(*) AS n_items
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY 1 ORDER BY s_nationkey""",
     "join_sortmerge" ->
       """SELECT o_orderpriority,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty

@@ -262,6 +262,99 @@ object LlmText {
       .orderBy("cluster_size")
 
   // ---------------------------------------------------------------------
+  // llm_cluster_representative — canonical-document selection: for each
+  // near-dup cluster keep the LONGEST member (ties → min doc_id), the
+  // "keep best, drop rest" policy every production dedup pass ends
+  // with (min-doc_id keeps are arbitrary; longest keeps content). One
+  // window over the cluster labels joined to integer doc lengths — all
+  // ranking is integer-only, so both engines agree exactly. At 100 TB
+  // the labels table is the persisted CC output; this is one shuffle
+  // on cluster_id.
+  // ---------------------------------------------------------------------
+  private def clusterRepresentative(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = dedupClusters(spark, sfDir).select("doc_id", "cluster_id")
+    val lens = t(spark, sfDir, "documents").select("doc_id", "n_chars")
+    val wRank = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val wAll = Window.partitionBy("cluster_id")
+    labels.join(lens, Seq("doc_id"))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n_members", count(lit(1)).over(wAll))
+      .withColumn("total_chars", sum(col("n_chars")).over(wAll))
+      .where(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
+        col("n_chars").as("rep_chars"), col("n_members"), col("total_chars"))
+      .orderBy("cluster_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_pagerank — fixed-iteration PageRank over the verified near-dup
+  // graph: rank flows along similarity edges, so high-rank docs are the
+  // "hubs" of duplication neighborhoods (useful for prioritizing manual
+  // review of template families). Three Jacobi iterations, damping
+  // 0.85, ALL arithmetic in scaled-bigint units with integer division
+  // (rank_e6 DIV outdeg) so every engine reproduces the numbers
+  // bit-for-bit — the floating-point formulation would be
+  // summation-order-dependent. Each iteration is one join + one
+  // groupBy on the edge list (at 100 TB: edges partition by src; the
+  // per-iteration shuffle is O(edges), the textbook distributed
+  // PageRank shape). Three fixed iterations keep the plan finite and
+  // the oracle replayable as unrolled CTEs.
+  // ---------------------------------------------------------------------
+  private def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .persist()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var ranks = nodes.withColumn("rank_e6", lit(1000000L))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .selectExpr("dst", "rank_e6 DIV outdeg AS c")
+        .groupBy("dst").agg(sum(col("c")).as("in_sum"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .selectExpr("node",
+          "150000 + 85 * coalesce(in_sum, CAST(0 AS BIGINT)) DIV 100 AS rank_e6")
+    }
+    // materialize + truncate lineage (the 3-iteration plan references
+    // `edges` six times) so the cache can be released before return
+    val out = ranks.orderBy("node").localCheckpoint(true)
+    edges.unpersist()
+    out
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_knn_graph — k-nearest-neighbor graph over the LSH candidate
+  // pairs: each document's top-3 most-similar neighbors by exact
+  // 3-gram Jaccard, ranked only among its banded candidates (never
+  // all-pairs — the neighbors a bucketed index can see are the
+  // neighbors worth ranking at 100 TB). One window shuffle on the
+  // source id after the candidates' ids-only equi-join; the kNN edge
+  // list is the input artifact for graph-based semantic clustering.
+  // ---------------------------------------------------------------------
+  private def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val jac = candidates(spark, sfDir)
+      .selectExpr("doc_a", "doc_b",
+        """size(array_intersect(sh_a, sh_b)) /
+           (size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))
+           AS jaccard""")
+    val sym = jac.select(col("doc_a").as("src"), col("doc_b").as("nbr"),
+        col("jaccard"))
+      .unionByName(jac.select(col("doc_b").as("src"),
+        col("doc_a").as("nbr"), col("jaccard")))
+    sym.withColumn("rk", row_number().over(
+        Window.partitionBy("src").orderBy(col("jaccard").desc, col("nbr"))))
+      .where(col("rk") <= 3)
+      .select("src", "rk", "nbr", "jaccard")
+      .orderBy("src", "rk")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_text_stats — per-document token statistics.
   // ---------------------------------------------------------------------
   private def textStats(spark: SparkSession, sfDir: String): DataFrame =
@@ -1026,6 +1119,9 @@ object LlmText {
     "llm_sample_stratified" -> (sampleStratified _),
     "llm_unigram_logprob" -> (unigramLogprob _),
     "llm_dedup_clusters" -> (dedupClusters _),
+    "llm_cluster_representative" -> (clusterRepresentative _),
+    "llm_pagerank" -> (pageRank _),
+    "llm_knn_graph" -> (knnGraph _),
     "llm_decontaminate" -> (decontaminate _),
     "llm_pii_redact" -> (piiRedact _),
     "llm_ngram_freq" -> (ngramFreq _),
@@ -1079,11 +1175,12 @@ object LlmText {
          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
         AND a.doc_id < b.doc_id)"""
 
-  /** Recursive-CTE connected-component labels over the verified
-    * near-dup pairs — shared by `llm_dedup_clusters` and
-    * `llm_dedup_cluster_stats` so the two oracles cannot drift. */
-  private val DClusterLabels =
-    s"""WITH RECURSIVE $DSigned,
+  /** Verified near-dup pairs + the undirected edge list — the oracle
+    * twin of `dedupNgramJaccard`'s output, shared by the cluster,
+    * cluster-representative, and PageRank oracles so the graph those
+    * keys run on cannot drift between them. */
+  private val DPairsEdges =
+    s"""$DSigned,
         pairs AS (
           SELECT doc_a, doc_b FROM cand
           WHERE list_reduce(list_prepend(0,
@@ -1094,7 +1191,13 @@ object LlmText {
                 (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
                 >= 0.5),
         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+                  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs)"""
+
+  /** Recursive-CTE connected-component labels over the verified
+    * near-dup pairs — shared by `llm_dedup_clusters` and
+    * `llm_dedup_cluster_stats` so the two oracles cannot drift. */
+  private val DClusterLabels =
+    s"""WITH RECURSIVE $DPairsEdges,
         reach AS (
           SELECT doc_id AS id, doc_id AS r FROM documents
           UNION
@@ -1264,6 +1367,65 @@ object LlmText {
           FROM (SELECT cluster_id, count(*) AS cluster_size
                 FROM labels GROUP BY 1)
           GROUP BY 1 ORDER BY cluster_size""",
+    "llm_cluster_representative" ->
+      s"""$DClusterLabels
+          SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS rep_chars,
+                 n_members, total_chars
+          FROM (SELECT l.cluster_id, l.doc_id, d.n_chars,
+                       row_number() OVER (PARTITION BY l.cluster_id
+                                          ORDER BY d.n_chars DESC, l.doc_id)
+                         AS rk,
+                       count(*) OVER (PARTITION BY l.cluster_id)
+                         AS n_members,
+                       CAST(sum(d.n_chars) OVER (PARTITION BY l.cluster_id)
+                            AS BIGINT) AS total_chars
+                FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+          WHERE rk = 1 ORDER BY cluster_id""",
+    "llm_knn_graph" ->
+      s"""WITH $DSigned,
+          jac AS (
+            SELECT doc_a, doc_b,
+                   len(list_intersect(sh_a, sh_b)) /
+                   (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+                     AS jaccard
+            FROM cand),
+          sym AS (SELECT doc_a AS src, doc_b AS nbr, jaccard FROM jac
+                  UNION ALL
+                  SELECT doc_b AS src, doc_a AS nbr, jaccard FROM jac),
+          ranked AS (
+            SELECT src, nbr, jaccard,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY jaccard DESC, nbr) AS rk
+            FROM sym)
+          SELECT src, rk, nbr, jaccard FROM ranked
+          WHERE rk <= 3 ORDER BY src, rk""",
+    "llm_pagerank" ->
+      s"""WITH $DPairsEdges,
+          nodes AS (SELECT DISTINCT src AS node FROM edges),
+          deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+          r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_e6 FROM nodes),
+          c1 AS (SELECT e.dst, CAST(sum(r.rank_e6 // d.outdeg) AS BIGINT) AS in_sum
+                 FROM edges e JOIN r0 r ON e.src = r.node
+                 JOIN deg d ON e.src = d.src GROUP BY 1),
+          r1 AS (SELECT n.node,
+                        CAST(150000 + (85 * coalesce(c.in_sum, 0)) // 100
+                             AS BIGINT) AS rank_e6
+                 FROM nodes n LEFT JOIN c1 c ON n.node = c.dst),
+          c2 AS (SELECT e.dst, CAST(sum(r.rank_e6 // d.outdeg) AS BIGINT) AS in_sum
+                 FROM edges e JOIN r1 r ON e.src = r.node
+                 JOIN deg d ON e.src = d.src GROUP BY 1),
+          r2 AS (SELECT n.node,
+                        CAST(150000 + (85 * coalesce(c.in_sum, 0)) // 100
+                             AS BIGINT) AS rank_e6
+                 FROM nodes n LEFT JOIN c2 c ON n.node = c.dst),
+          c3 AS (SELECT e.dst, CAST(sum(r.rank_e6 // d.outdeg) AS BIGINT) AS in_sum
+                 FROM edges e JOIN r2 r ON e.src = r.node
+                 JOIN deg d ON e.src = d.src GROUP BY 1),
+          r3 AS (SELECT n.node,
+                        CAST(150000 + (85 * coalesce(c.in_sum, 0)) // 100
+                             AS BIGINT) AS rank_e6
+                 FROM nodes n LEFT JOIN c3 c ON n.node = c.dst)
+          SELECT node, rank_e6 FROM r3 ORDER BY node""",
     "llm_minhash_containment" ->
       s"""WITH $DSigned
           SELECT doc_a, doc_b, containment_a_e6, containment_b_e6

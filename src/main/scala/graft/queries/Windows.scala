@@ -151,7 +151,44 @@ object Windows {
       .orderBy("day", "event_type")
   }
 
+  /** F. Funnel analysis — the ordered-step conversion query every
+    * event warehouse runs: of the users who VIEWED, how many CLICKED
+    * after the view, and PURCHASED after the click? Each step's
+    * earliest qualifying timestamp is a conditional min that must land
+    * strictly after the previous step and inside a 1-day conversion
+    * window (unbounded windows saturate: at corpus density every
+    * viewer eventually clicks), so steps chain as three aggregate
+    * passes joined on user_id (3 shuffles on the same key at
+    * 100 TB — co-partitioned, and each pass is map-side partial
+    * aggregated). NOT a window-over-all-events per user: conditional
+    * min aggregation keeps state O(1) per user regardless of event
+    * count. Output is the per-stage user count funnel. */
+  private def winFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = t(spark, sfDir, "events").select("user_id", "event_type", "ts")
+    val s1 = e.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+      .where(col("t_view").isNotNull)
+    val s2 = e.join(s1, Seq("user_id"))
+      .groupBy("user_id", "t_view")
+      .agg(min(when(col("event_type") === "click" && col("ts") > col("t_view")
+        && col("ts") <= col("t_view") + expr("INTERVAL 1 DAY"),
+        col("ts"))).as("t_click"))
+    val s3 = e.join(s2, Seq("user_id"))
+      .groupBy("user_id", "t_view", "t_click")
+      .agg(min(when(col("event_type") === "purchase" &&
+        col("ts") > col("t_click")
+        && col("ts") <= col("t_click") + expr("INTERVAL 1 DAY"),
+        col("ts"))).as("t_purchase"))
+    s3.select(col("user_id"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .otherwise(1).as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_funnel" -> (winFunnel _),
     "win_gap_fill" -> (winGapFill _),
     "win_distribution" -> (winDistribution _),
     "win_rank" -> (winRank _),
@@ -163,6 +200,32 @@ object Windows {
     "win_session_batch" -> (winSessionBatch _))
 
   val oracle: Map[String, String] = Map(
+    "win_funnel" ->
+      """WITH s1 AS (
+           SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END)
+                    AS t_view
+           FROM events GROUP BY user_id
+           HAVING t_view IS NOT NULL),
+         s2 AS (
+           SELECT e.user_id, s1.t_view,
+                  min(CASE WHEN event_type = 'click' AND e.ts > s1.t_view
+                            AND e.ts <= s1.t_view + INTERVAL 1 DAY
+                           THEN e.ts END) AS t_click
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           GROUP BY e.user_id, s1.t_view),
+         s3 AS (
+           SELECT e.user_id, s2.t_view, s2.t_click,
+                  min(CASE WHEN event_type = 'purchase' AND e.ts > s2.t_click
+                            AND e.ts <= s2.t_click + INTERVAL 1 DAY
+                           THEN e.ts END) AS t_purchase
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           GROUP BY e.user_id, s2.t_view, s2.t_click)
+         SELECT stage, count(*) AS n_users
+         FROM (SELECT CASE WHEN t_purchase IS NOT NULL THEN 3
+                           WHEN t_click IS NOT NULL THEN 2
+                           ELSE 1 END AS stage
+               FROM s3)
+         GROUP BY stage ORDER BY stage""",
     "win_gap_fill" ->
       """WITH by_day AS (
            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

@@ -577,6 +577,74 @@ object StreamingQ {
   }
 
   // ---------------------------------------------------------------------
+  // stream_merge_upsert — streaming CDC upsert: change batches arrive
+  // on a file stream and foreachBatch MERGEs each one into a parquet
+  // target snapshot (matched keys update, new keys insert, the rest
+  // carry forward) — the incremental-materialization loop every
+  // warehouse-on-a-lake runs, here with plain parquet owning the MERGE
+  // natively. Each micro-batch writes the merged snapshot to a FRESH
+  // directory and repoints (never overwrites what it is still reading
+  // from); at 100 TB the same shape is one full-outer join per batch,
+  // co-partitioned on the key, with the snapshot swap being a catalog
+  // pointer flip. The change feed is two files — updates (price bump +
+  // status 'R' on keys ≡0 mod 97), then inserts (keys ≡0 mod 101
+  // shifted by 10M) — with ordered mtimes so maxFilesPerTrigger=1
+  // yields exactly two deterministic micro-batches; the key sets are
+  // disjoint, so the final state equals the one-shot batch MERGE and
+  // the oracle is `etl_merge_upsert`'s twin without the action column.
+  // ---------------------------------------------------------------------
+  private def streamMergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val snapshot = t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val srcDir = stageCache.computeIfAbsent(s"$sfDir/cdc_merge", { _ =>
+      val dir = freshDir("graft_stream_cdc_")
+      snapshot.where(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice",
+          (dec(col("o_totalprice")) + lit(BigDecimal("1000.00"))).cast("double"))
+        .withColumn("o_orderstatus", lit("R"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val past = FileTime.fromMillis(1000000000000L)
+      val listing = Files.list(Paths.get(dir))
+      try listing.forEach { p: Path => Files.setLastModifiedTime(p, past) }
+      finally listing.close()
+      snapshot.where(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+          col("o_custkey"), lit("N").as("o_orderstatus"), col("o_totalprice"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      dir
+    })
+    var cur = freshDir("graft_stream_merge_t_")
+    snapshot.write.mode("overwrite").parquet(cur)
+    val src = spark.readStream.schema(snapshot.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val merged = spark.read.parquet(cur).as("t")
+          .join(batch.as("s"), col("t.o_orderkey") === col("s.o_orderkey"),
+            "full_outer")
+          .select(
+            coalesce(col("s.o_orderkey"), col("t.o_orderkey")).as("o_orderkey"),
+            coalesce(col("s.o_custkey"), col("t.o_custkey")).as("o_custkey"),
+            coalesce(col("s.o_orderstatus"), col("t.o_orderstatus"))
+              .as("o_orderstatus"),
+            coalesce(col("s.o_totalprice"), col("t.o_totalprice"))
+              .as("o_totalprice"))
+        val next = freshDir("graft_stream_merge_t_")
+        merged.write.mode("overwrite").parquet(next)
+        cur = next
+      }
+      .option("checkpointLocation", freshDir("graft_stream_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(cur)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("bigint").as("price_e2"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------------
   // stream_dedup_minhash — STREAMING near-duplicate detection: documents
   // arrive in micro-batches, each computes its MinHash signature and LSH
   // band hashes map-side (the same 12-hash/6-band pipeline as the batch
@@ -686,6 +754,7 @@ object StreamingQ {
     "stream_dedup_minhash" -> (streamDedupMinhash _),
     "stream_static_join" -> (streamStaticJoin _),
     "stream_foreach_batch" -> (streamForeachBatch _),
+    "stream_merge_upsert" -> (streamMergeUpsert _),
     "stream_stateful_session" -> (streamStatefulSession _),
     "stream_transform_with_state" -> (streamTransformWithState _),
     "stream_join" -> (streamJoin _),
@@ -741,6 +810,26 @@ object StreamingQ {
     "stream_foreach_batch" ->
       """SELECT event_id, user_id, event_type, value
          FROM events ORDER BY event_id""",
+    "stream_merge_upsert" ->
+      """WITH target AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           FROM orders),
+         src AS (
+           SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                       + CAST(1000.00 AS DECIMAL(18,2)) AS DOUBLE)
+                    AS o_totalprice
+           FROM target WHERE o_orderkey % 97 = 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+           FROM target WHERE o_orderkey % 101 = 0)
+         SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+                coalesce(s.o_custkey, t.o_custkey) AS o_custkey,
+                coalesce(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+                CAST(round(coalesce(s.o_totalprice, t.o_totalprice) * 100)
+                     AS BIGINT) AS price_e2
+         FROM target t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+         ORDER BY o_orderkey""",
     "stream_stateful_session" -> gapSessionOracle,
     "stream_transform_with_state" -> gapSessionOracle,
     "stream_join" ->

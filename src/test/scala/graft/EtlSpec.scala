@@ -189,6 +189,33 @@ class EtlSpec extends AnyFunSuite {
     check("orderkey", files.map(r => r.getLong(6) - r.getLong(5)).toSeq, go)
   }
 
+  test("merge upsert: updates in place, inserts appended, rest untouched") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val target = Tables.t(spark, sfDir, "orders")
+    val nTarget = target.count()
+    val nUpd = target.filter(col("o_orderkey") % 97 === 0).count()
+    val nIns = target.filter(col("o_orderkey") % 101 === 0).count()
+    val merged = graft.queries.EtlQueries.defs("etl_merge_upsert")(spark, sfDir)
+      .cache()
+    // row accounting: every target key survives, every insert appends
+    assert(merged.count() === nTarget + nIns)
+    assert(merged.filter(col("row_action") === "update").count() === nUpd)
+    assert(merged.filter(col("row_action") === "insert").count() === nIns)
+    assert(merged.filter(col("row_action") === "keep").count() === nTarget - nUpd)
+    // updates actually moved the price by exactly +1000.00 (100000 in e2)
+    val bump = merged.filter(col("row_action") === "update")
+      .join(target, Seq("o_orderkey"))
+      .filter(col("price_e2") =!=
+        (round(col("o_totalprice") * 100).cast("bigint") + 100000L))
+    assert(bump.count() === 0)
+    // kept rows carry the target's price unchanged
+    val drift = merged.filter(col("row_action") === "keep")
+      .join(target, Seq("o_orderkey"))
+      .filter(col("price_e2") =!= round(col("o_totalprice") * 100).cast("bigint"))
+    assert(drift.count() === 0)
+  }
+
   test("compaction collapses a many-small-files layout to few files") {
     // assert on the ACTUAL query pipeline's directories, not a copy
     val (out, small, big) =

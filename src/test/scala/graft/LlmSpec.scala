@@ -425,6 +425,37 @@ class LlmSpec extends AnyFunSuite {
     assert(q.filter(col("score_e6") > 64000000L).count() === 0)
   }
 
+  test("cluster representative is the longest member of its own cluster") {
+    val labels = LlmText.defs("llm_dedup_clusters")(spark, sfDir)
+      .select("doc_id", "cluster_id")
+    val lens = Tables.t(spark, sfDir, "documents").select("doc_id", "n_chars")
+    val reps = LlmText.defs("llm_cluster_representative")(spark, sfDir).cache()
+    // one representative per cluster, and the rep belongs to it
+    assert(reps.count() ===
+      labels.select("cluster_id").distinct().count())
+    assert(reps.join(labels,
+      reps("rep_doc_id") === labels("doc_id") &&
+        reps("cluster_id") === labels("cluster_id")).count() === reps.count())
+    // no member of the cluster is strictly longer than its representative
+    val longer = labels.join(lens, Seq("doc_id"))
+      .join(reps.select(col("cluster_id"), col("rep_chars")), Seq("cluster_id"))
+      .filter(col("n_chars") > col("rep_chars"))
+    assert(longer.count() === 0)
+  }
+
+  test("pagerank conserves (almost all) rank mass and respects the floor") {
+    val r = LlmText.defs("llm_pagerank")(spark, sfDir).cache()
+    val n = r.count()
+    assert(n > 0)
+    // every node keeps at least the teleport floor 0.15e6
+    assert(r.filter(col("rank_e6") < 150000L).count() === 0)
+    // integer-division truncation only LOSES mass: total stays within
+    // [0.97·N, 1.0·N] × 1e6 after 3 damped iterations
+    val total = r.agg(sum(col("rank_e6"))).head.getLong(0)
+    assert(total <= n * 1000000L, s"total=$total n=$n")
+    assert(total >= (n * 970000L), s"total=$total n=$n")
+  }
+
   test("multimodal feature extraction is deterministic with stable schema") {
     val a = LlmVector.defs("llm_multimodal_features")(spark, sfDir)
     val b = LlmVector.defs("llm_multimodal_features")(spark, sfDir)

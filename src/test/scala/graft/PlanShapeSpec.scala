@@ -170,6 +170,40 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("join_dpp: the fact scan carries a runtime dynamicpruning partition filter") {
+    import graft.queries.Joins
+    val df = Joins.dppJoinFrame(spark, sfDir)
+    val plan = finalPlan(df)
+    // the pruning predicate is only known at runtime (it comes from the
+    // aggregated dim), so it must appear as a dynamicpruning expression
+    // in the partitioned scan's PartitionFilters — NOT as a static
+    // value, and NOT as a post-scan row Filter
+    assert("PartitionFilters: \\[[^\\]]*dynamicpruning".r
+      .findFirstIn(plan).isDefined, plan)
+    // the dim arrives by broadcast (DPP reuses the join's broadcast)
+    assert(countOf(plan, "BroadcastHashJoin") === 1, plan)
+    val dataFilters = "DataFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    assert(!dataFilters.contains("p_year"), plan)
+  }
+
+  test("join_runtime_filter: bloom might_contain guards the fact scan pre-shuffle") {
+    import graft.queries.Joins
+    Joins.withRuntimeFilterConfs(spark) {
+      val plan = finalPlan(Joins.runtimeFilterFrame(spark, sfDir))
+      // InjectRuntimeFilter planted a bloom filter built from the
+      // filtered orders side…
+      assert(plan.contains("bloom_filter_agg") ||
+        plan.contains("BloomFilterAggregate"), plan)
+      // …and the lineitem side tests it BEFORE its shuffle, so
+      // non-joining rows never cross the network
+      assert(plan.contains("might_contain"), plan)
+      // broadcast is disabled in-scope: the shuffle the filter protects
+      // must actually exist
+      assert(countOf(plan, "SortMergeJoin") +
+        countOf(plan, "ShuffledHashJoin") >= 1, plan)
+    }
+  }
+
   test("scan_nested_pruned: scan reads only the selected struct subfield") {
     val plan = finalPlan(SparkEntry.queries("scan_nested_pruned")(spark, sfDir))
     // nested-schema pruning: ReadSchema carries meta.width only — not

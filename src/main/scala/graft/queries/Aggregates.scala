@@ -280,7 +280,42 @@ object Aggregates {
       .agg(sum("cnt").as("n_distinct"))
       .orderBy("l_returnflag")
 
+  /** E. Heavy hitters via `approx_top_k` (Spark 4) — frequency-sketch
+    * top-k. The sketch is EXACT while its tracked-item capacity
+    * (default 10k) exceeds the column's distinct count, which holds for
+    * event_type here — so the key stays oracle-able while exercising
+    * the sketch code path; past capacity the same query degrades
+    * gracefully to approximate counts instead of blowing memory, which
+    * is the point at 100 TB. k = all 5 types (no tie-boundary cut) and
+    * the exploded rows re-sort on (count, item) so output order never
+    * depends on sketch internals. */
+  private def aggApproxTopK(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .selectExpr("approx_top_k(event_type, 5) AS tk")
+      .select(explode(col("tk")).as("s"))
+      .selectExpr("s.item AS item", "s.count AS cnt")
+      .orderBy(col("cnt").desc, col("item"))
+
+  /** E. Two-level mergeable top-k rollup (`approx_top_k_accumulate` /
+    * `_combine` / `_estimate`) — the same shard-then-union shape as
+    * `agg_hll_sketch_merge` but for heavy hitters: each shard
+    * accumulates a fixed-size frequency sketch, shards union by
+    * combine, and the estimate is read once at the end. Within
+    * capacity the rollup is exact, so it hash-matches the plain
+    * aggregation — proving shard-merge losslessness through the oracle
+    * itself (no property spec needed). */
+  private def aggApproxTopKMerge(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(pmod(col("user_id"), lit(8)).as("shard"))
+      .agg(expr("approx_top_k_accumulate(event_type)").as("acc"))
+      .agg(expr("approx_top_k_estimate(approx_top_k_combine(acc), 5)").as("tk"))
+      .select(explode(col("tk")).as("s"))
+      .selectExpr("s.item AS item", "s.count AS cnt")
+      .orderBy(col("cnt").desc, col("item"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_approx_topk" -> (aggApproxTopK _),
+    "agg_approx_topk_merge" -> (aggApproxTopKMerge _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_hll_sketch_merge" -> (aggHllSketchMerge _),
     "agg_mode" -> (aggMode _),
@@ -302,6 +337,14 @@ object Aggregates {
     "agg_collect" -> (aggCollect _))
 
   val oracle: Map[String, String] = Map(
+    "agg_approx_topk" ->
+      """SELECT event_type AS item, count(*) AS cnt
+         FROM events GROUP BY event_type
+         ORDER BY cnt DESC, item""",
+    "agg_approx_topk_merge" ->
+      """SELECT event_type AS item, count(*) AS cnt
+         FROM events GROUP BY event_type
+         ORDER BY cnt DESC, item""",
     "agg_bitmap_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_distinct
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

@@ -307,25 +307,34 @@ object LlmText {
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
       .persist()
-    val nodes = edges.select(col("src").as("node")).distinct()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    var ranks = nodes.withColumn("rank_e6", lit(1000000L))
+    // Pre-join each edge with its source's out-degree ONCE — the
+    // weighted adjacency list every iterative graph job persists — so
+    // the loop body is a single join + groupBy per iteration, and
+    // ranks itself is the vertex spine (it starts as the node set; no
+    // separate nodes table re-joins per round). Each round is
+    // localCheckpoint'd: materialized AND lineage-truncated, the same
+    // discipline as labelFixpoint — an unbounded plan across
+    // iterations is what kills iterative Spark jobs, not the data.
+    val edgesW = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .join(edges, Seq("src"))
+      .select("src", "dst", "outdeg")
+      .localCheckpoint(true)
+    var ranks = edgesW.select(col("src").as("node")).distinct()
+      .withColumn("rank_e6", lit(1000000L))
+      .localCheckpoint(true)
+    edges.unpersist()
     for (_ <- 1 to 3) {
-      val contrib = edges
+      val contrib = edgesW
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .selectExpr("dst", "rank_e6 DIV outdeg AS c")
         .groupBy("dst").agg(sum(col("c")).as("in_sum"))
-      ranks = nodes
+      ranks = ranks.select("node")
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .selectExpr("node",
           "150000 + 85 * coalesce(in_sum, CAST(0 AS BIGINT)) DIV 100 AS rank_e6")
+        .localCheckpoint(true)
     }
-    // materialize + truncate lineage (the 3-iteration plan references
-    // `edges` six times) so the cache can be released before return
-    val out = ranks.orderBy("node").localCheckpoint(true)
-    edges.unpersist()
-    out
+    ranks.orderBy("node")
   }
 
   // ---------------------------------------------------------------------

@@ -169,6 +169,32 @@ object LlmVector {
       .orderBy("vec_a", "vec_b")
 
   // ---------------------------------------------------------------------
+  // llm_embed_cluster — connected components over the embedding
+  // near-dup graph: the semantic-dedup twin of the text-side
+  // `llm_dedup_clusters`, so transitive chains of cosine-similar
+  // embeddings collapse to one cluster with one kept vector. Edges are
+  // the PRODUCTION LSH path's verified pairs (bucketed candidates +
+  // exact cosine ≥ 0.4 — never all-pairs), and the label propagation
+  // reuses the shared fixpoint (min-label rounds escalating to pointer
+  // doubling, lineage truncated per round).
+  // ---------------------------------------------------------------------
+  private def embedCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = t(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("doc_id"))
+    val pairs = embedNeardupLsh(spark, sfDir).select("vec_a", "vec_b")
+    val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .unionByName(pairs.select(col("vec_b").as("src"),
+        col("vec_a").as("dst")))
+      .persist()
+    val converged = LlmText.labelFixpoint(
+      ids.select(col("doc_id"), col("doc_id").as("lbl")), edges)
+    edges.unpersist()
+    converged.select(col("doc_id").as("vec_id"), col("lbl").as("cluster_id"),
+      (col("doc_id") === col("lbl")).as("is_kept"))
+      .orderBy("vec_id")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_ann_ivf — inverted-file ANN, the second scale path: partition
   // the corpus into cells around FIXED centroids, search only the
   // nprobe cells nearest the query. The 16 centroids are deterministic
@@ -558,6 +584,7 @@ object LlmVector {
     "llm_embed_neardup" -> (embedNeardup _),
     "llm_ann_lsh" -> (annLsh _),
     "llm_embed_neardup_lsh" -> (embedNeardupLsh _),
+    "llm_embed_cluster" -> (embedCluster _),
     "llm_ann_ivf" -> (annIvf _),
     "llm_ann_ivf_kmeans" -> (annIvfKmeans _),
     "llm_embedding_quantize" -> (embeddingQuantize _),
@@ -674,6 +701,24 @@ object LlmVector {
                     JOIN e eb ON cand.vb = eb.vec_id
           WHERE ${dDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) >= 0.4
           ORDER BY vec_a, vec_b""",
+    "llm_embed_cluster" ->
+      s"""${LshCandCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          pairs AS (
+            SELECT cand.va, cand.vb
+            FROM cand JOIN e ea ON cand.va = ea.vec_id
+                      JOIN e eb ON cand.vb = eb.vec_id
+            WHERE ${dDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm)
+                  >= 0.4),
+          lnk AS (SELECT va AS src, vb AS dst FROM pairs
+                  UNION ALL SELECT vb AS src, va AS dst FROM pairs),
+          reach AS (
+            SELECT vec_id AS id, vec_id AS r FROM embeddings
+            UNION
+            SELECT reach.id, l.dst FROM reach JOIN lnk l ON reach.r = l.src),
+          labels AS (
+            SELECT id AS vec_id, min(r) AS cluster_id, (min(r) = id) AS is_kept
+            FROM reach GROUP BY id)
+          SELECT vec_id, cluster_id, is_kept FROM labels ORDER BY vec_id""",
     "llm_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings),
           cents AS (

@@ -187,7 +187,28 @@ object Windows {
       .orderBy("stage")
   }
 
+  /** F. Cohort retention — the other canonical event-warehouse panel:
+    * users cohorted by first-active week, retention = distinct actives
+    * per (cohort, week-offset). Two aggregations over the same
+    * user-keyed shuffle (first-touch, then the cohort×offset rollup) —
+    * no per-user window scan, state O(1) per user per week. Offsets
+    * capped at 4 so the panel is bounded however long the corpus. */
+  private def winRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val act = t(spark, sfDir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    val firsts = act.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    act.join(firsts, Seq("user_id"))
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .where(col("week_offset") <= 4)
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_retention" -> (winRetention _),
     "win_funnel" -> (winFunnel _),
     "win_gap_fill" -> (winGapFill _),
     "win_distribution" -> (winDistribution _),
@@ -200,6 +221,20 @@ object Windows {
     "win_session_batch" -> (winSessionBatch _))
 
   val oracle: Map[String, String] = Map(
+    "win_retention" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id,
+                  CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+           FROM events),
+         firsts AS (
+           SELECT user_id, min(week) AS cohort_week FROM act GROUP BY 1)
+         SELECT cohort_week,
+                CAST(date_diff('day', cohort_week, week) // 7 AS INTEGER)
+                  AS week_offset,
+                count(DISTINCT a.user_id) AS n_active
+         FROM act a JOIN firsts f ON a.user_id = f.user_id
+         WHERE date_diff('day', cohort_week, week) // 7 <= 4
+         GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
     "win_funnel" ->
       """WITH s1 AS (
            SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END)

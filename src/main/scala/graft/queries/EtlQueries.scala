@@ -46,6 +46,34 @@ object EtlQueries {
       .orderBy(asc_nulls_first("k"))
   }
 
+  /** A. Multi-char-delimiter CSV in a legacy encoding — the two
+    * migration warts every lake intake hits: exports with `||`
+    * separators (because the data contains commas) and ISO-8859-1
+    * bytes from pre-UTF8 systems. Staged once by writing a slice with
+    * a non-ASCII literal in that encoding, read back with the same
+    * `sep`/`encoding` options; the oracle recomputes the value in
+    * UTF-8, so a mis-decoded byte (mojibake) hash-mismatches. */
+  private def scanCsvDelim(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.stagedDir(sfDir, "csv_delim") { d =>
+      t(spark, sfDir, "events")
+        .select(col("event_id"), col("event_type"),
+          concat(lit("café_"), col("event_type")).as("note"))
+        .write.mode("overwrite")
+        .option("header", true).option("sep", "||")
+        .option("encoding", "ISO-8859-1")
+        .csv(d)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("note", StringType)))
+    spark.read.schema(schema)
+      .option("header", true).option("sep", "||")
+      .option("encoding", "ISO-8859-1")
+      .csv(dir)
+      .orderBy("event_id")
+  }
+
   /** A. Parquet scan with filter + projection — Catalyst pushes both
     * into the scan (PushedFilters / ReadSchema). */
   private def scanParquet(spark: SparkSession, sfDir: String): DataFrame =
@@ -731,6 +759,7 @@ object EtlQueries {
     "scan_csv_permissive" -> (scanCsvPermissive _),
     "scan_parquet" -> (scanParquet _),
     "scan_partition_pruned" -> (scanPartitionPruned _),
+    "scan_csv_delim" -> (scanCsvDelim _),
     "scan_json" -> (scanJson _),
     "sink_parquet" -> (sinkParquet _),
     "sink_parquet_partitioned" -> (sinkParquetPartitioned _),
@@ -871,6 +900,9 @@ object EtlQueries {
          ORDER BY o_orderkey""",
     "scan_text" ->
       "SELECT event_id FROM events ORDER BY event_id",
+    "scan_csv_delim" ->
+      """SELECT event_id, event_type, 'café_' || event_type AS note
+         FROM events ORDER BY event_id""",
     "scan_binaryfile" ->
       """SELECT doc_id,
                 octet_length(encode(text)) AS n_bytes,

@@ -273,7 +273,28 @@ object ScalarFns {
         "bround(o_orderkey / cast(2 as double), 0) AS half_banker")
       .orderBy("o_orderkey")
 
+  /** H. Spark 4 collations — case-insensitive semantics pushed into
+    * the ENGINE instead of lower() wrappers at every call site: a
+    * UTF8_LCASE-collated column groups case variants together while
+    * the raw binary column still counts them apart. The deliberately
+    * mixed-case segment column collapses 2:1 under the collated
+    * group-by; output is normalized through lower() so the arbitrary
+    * group representative never leaks into the hash. The oracle
+    * expresses the same semantics with explicit lower() — exactly the
+    * boilerplate collations remove. */
+  private def fnCollation(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .selectExpr("c_custkey",
+        """CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                ELSE c_mktsegment END AS seg""")
+      .groupBy(expr("collate(seg, 'UTF8_LCASE')").as("seg_ci"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(expr("collate(seg, 'UTF8_BINARY')")).as("n_variants"))
+      .selectExpr("lower(seg_ci) AS segment", "n_rows", "n_variants")
+      .orderBy("segment")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_collation" -> (fnCollation _),
     "fn_regex" -> (fnRegex _),
     "fn_bitwise" -> (fnBitwise _),
     "fn_misc" -> (fnMisc _),
@@ -294,6 +315,14 @@ object ScalarFns {
   private def dCsvScaled(arrExpr: String): String = OracleFmt.dCsvScaled(arrExpr)
 
   val oracle: Map[String, String] = Map(
+    "fn_collation" ->
+      """WITH s AS (
+           SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                       ELSE c_mktsegment END AS seg
+           FROM customer)
+         SELECT lower(seg) AS segment, count(*) AS n_rows,
+                count(DISTINCT seg) AS n_variants
+         FROM s GROUP BY lower(seg) ORDER BY segment""",
     "fn_regex" ->
       """SELECT p_partkey,
                 array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',')

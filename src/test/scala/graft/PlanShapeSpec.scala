@@ -170,6 +170,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_knn_graph: ranks only banded candidates — no nested loop anywhere") {
+    val plan = nodesAboveCache(
+      SparkEntry.queries("llm_knn_graph")(spark, sfDir)).mkString("\n")
+    // the kNN edge list must come from the LSH candidate equi-join; a
+    // regression to all-pairs ranking surfaces as one of these
+    assert(countOf(plan, "CartesianProduct") === 0, plan)
+    assert(countOf(plan, "BroadcastNestedLoopJoin") === 0, plan)
+    // shingle arrays never become a shuffle key (ids/bands/rank only)
+    "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan)
+      .map(_.group(1)).foreach { keys =>
+        assert(!keys.contains("sh_a") && !keys.contains("sh_b") &&
+          !keys.contains("text"), plan)
+      }
+  }
+
   test("join_dpp: the fact scan carries a runtime dynamicpruning partition filter") {
     import graft.queries.Joins
     val df = Joins.dppJoinFrame(spark, sfDir)

@@ -675,6 +675,47 @@ object EtlQueries {
       .orderBy("o_orderkey")
   }
 
+  /** B/C. Surgical delete (GDPR-style erasure) on a range-clustered
+    * layout: the delete predicate is a narrow key range, per-file
+    * min/max stats identify which files can contain matches, and ONLY
+    * those files are rewritten through an anti-filter — every other
+    * file carries forward untouched. On a 100 TB table this is the
+    * difference between rewriting gigabytes and rewriting everything;
+    * the stats pass here reads the key column (columnar, cheap) where
+    * a production implementation reads parquet footers — same
+    * metadata-scale collect as ANALYZE/zorder. Returns the post-delete
+    * table; EtlSpec asserts the surgical property (≤2 of 8 files
+    * rewritten, the rest untouched on disk). */
+  private[graft] def deleteRewrite(spark: SparkSession,
+      sfDir: String): (DataFrame, Int, Int) = {
+    val dir = Fixtures.stagedDir(sfDir, "delete_rw") { d =>
+      t(spark, sfDir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(d)
+    }
+    val (lo, hi) = (40L, 80L)
+    val stats = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_orderkey").as("fmin"), max("o_orderkey").as("fmax"))
+      .collect()
+    val (affected, untouched) = stats.partition(r =>
+      r.getLong(1) <= hi && r.getLong(2) >= lo)
+    val rewritten = spark.read
+      .parquet(affected.map(_.getString(0)).toIndexedSeq: _*)
+      .where(!col("o_orderkey").between(lo, hi))
+    val result =
+      (if (untouched.isEmpty) rewritten
+       else spark.read.parquet(untouched.map(_.getString(0)).toIndexedSeq: _*)
+         .unionByName(rewritten))
+        .orderBy("o_orderkey")
+    (result, affected.length, stats.length)
+  }
+
+  private def etlDeleteRewrite(spark: SparkSession, sfDir: String): DataFrame =
+    deleteRewrite(spark, sfDir)._1
+
   /** B. Range-clustered layout sink: `repartitionByRange` +
     * `sortWithinPartitions` writes files with DISJOINT key ranges, so
     * downstream key-range scans skip whole files on parquet min/max
@@ -746,6 +787,7 @@ object EtlQueries {
     "etl_dq_report" -> (dqReport _),
     "etl_scd2_diff" -> (scd2Diff _),
     "etl_merge_upsert" -> (etlMergeUpsert _),
+    "etl_delete_rewrite" -> (etlDeleteRewrite _),
     "scan_text" -> (scanText _),
     "scan_binaryfile" -> (scanBinaryFile _),
     "scan_schema_evolution" -> (scanSchemaEvolution _),
@@ -875,6 +917,11 @@ object EtlQueries {
                 old.old_price, cur.new_price
          FROM old FULL OUTER JOIN cur ON old.key = cur.key
          ORDER BY key""",
+    "etl_delete_rewrite" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders
+         WHERE o_orderkey NOT BETWEEN 40 AND 80
+         ORDER BY o_orderkey""",
     "etl_merge_upsert" ->
       """WITH target AS (
            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

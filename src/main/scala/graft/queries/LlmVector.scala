@@ -250,6 +250,52 @@ object LlmVector {
   }
 
   // ---------------------------------------------------------------------
+  // llm_ann_ivf_persisted — the IVF index AS A LAKE TABLE: cell
+  // assignments are WRITTEN hive-partitioned by cell, so probing
+  // becomes partition pruning — the nprobe cells are the only
+  // directories the scan lists, the other 14/16 never produce IO.
+  // This is how an ANN index actually lives at 100 TB: built once
+  // (the partitioned write), probed forever by queries that touch
+  // O(corpus/K · nprobe) bytes. The two probe-cell ids are computed
+  // driver-side from the broadcast centroids (16 dot products — a
+  // metadata-scale collect, same class as ANALYZE/zorder max) so they
+  // reach the scan as literals Catalyst can prune on at planning
+  // time. Identical assignment/probe semantics to `llm_ann_ivf` —
+  // the two keys share one oracle by construction; PlanShapeSpec pins
+  // the cell PartitionFilters.
+  // ---------------------------------------------------------------------
+  private def annIvfPersisted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.etl.Fixtures.stagedDir(sfDir, "ivf_index") { d =>
+      emb(spark, sfDir)
+        .withColumn("best", array_max(centScores(col("embedding"), col("nrm"))))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          (-col("best.nid")).cast("int").as("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(d)
+    }
+    val q = emb(spark, sfDir).where(col("vec_id") === 7)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    val qRow = q.head()
+    val (qe, qn) = (qRow.getSeq[Float](0), qRow.getDouble(1))
+    // same sequential fold + (cos desc, cent_id asc) tie-break as the
+    // in-plan probe, so both IVF keys choose identical cells
+    val probed = (0 until IvfK)
+      .map { c =>
+        ((0 until 64).map(d => qe(d).toDouble * centSign(c, d)).sum
+          / (qn * 8.0), c)
+      }
+      .sortBy { case (cos, c) => (-cos, c) }
+      .take(2).map(_._2)
+    spark.read.parquet(dir)
+      .where(col("cell").isin(probed: _*) && col("vec_id") =!= 7)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell"),
+        cosine(col("embedding"), col("qe"), col("nrm"), col("qn")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------------
   // llm_ann_ivf_kmeans — IVF with DATA-DERIVED centroids: the real
   // index-build recipe (sample → k-means on the driver → broadcast),
   // demonstrating that the index BUILD scales, not just the probe. The
@@ -586,6 +632,7 @@ object LlmVector {
     "llm_embed_neardup_lsh" -> (embedNeardupLsh _),
     "llm_embed_cluster" -> (embedCluster _),
     "llm_ann_ivf" -> (annIvf _),
+    "llm_ann_ivf_persisted" -> (annIvfPersisted _),
     "llm_ann_ivf_kmeans" -> (annIvfKmeans _),
     "llm_embedding_quantize" -> (embeddingQuantize _),
     "llm_vector_mean" -> (vectorMean _),
@@ -632,6 +679,45 @@ object LlmVector {
           SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
           FROM buckets a JOIN buckets b
             ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)"""
+
+  /** IVF probe oracle — shared verbatim by `llm_ann_ivf` (in-plan
+    * broadcast index) and `llm_ann_ivf_persisted` (hive-partitioned
+    * on-disk index): identical assignment, probe, and top-10
+    * semantics by construction. */
+  private val AnnIvfOracle =
+    s"""WITH e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings),
+          cents AS (
+            SELECT c.c AS cent_id,
+                   list_transform(range(0, 64), d ->
+                     CASE WHEN (strpos('0123456789abcdef',
+                           substring(md5('c_' || c.c || '_' || d), 1, 1)) - 1)
+                           % 2 = 0
+                          THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+                     AS ce
+            FROM (SELECT unnest(range(0, 16)) AS c) c),
+          assigned AS (
+            SELECT vec_id, cell FROM (
+              SELECT e.vec_id, c.cent_id AS cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${dDot("e.embedding", "c.ce")}
+                                  / (e.nrm * CAST(8 AS DOUBLE))
+                                DESC, c.cent_id) AS rk
+              FROM e CROSS JOIN cents c)
+            WHERE rk = 1),
+          q AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 7),
+          probed AS (
+            SELECT cent_id FROM (
+              SELECT c.cent_id,
+                     ${dDot("q.qe", "c.ce")} / (q.qn * CAST(8 AS DOUBLE)) AS qcos
+              FROM cents c CROSS JOIN q)
+            ORDER BY qcos DESC, cent_id LIMIT 2)
+          SELECT e.vec_id, CAST(a.cell AS INTEGER) AS cell,
+                 ${dDot("e.embedding", "q.qe")} / (e.nrm * q.qn) AS cosine
+          FROM e JOIN assigned a USING (vec_id)
+                 JOIN probed p ON a.cell = p.cent_id
+                 CROSS JOIN q
+          WHERE e.vec_id <> 7
+          ORDER BY cosine DESC, e.vec_id LIMIT 10"""
 
   val oracle: Map[String, String] = Map(
     "llm_multimodal_audio" ->
@@ -719,40 +805,11 @@ object LlmVector {
             SELECT id AS vec_id, min(r) AS cluster_id, (min(r) = id) AS is_kept
             FROM reach GROUP BY id)
           SELECT vec_id, cluster_id, is_kept FROM labels ORDER BY vec_id""",
-    "llm_ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings),
-          cents AS (
-            SELECT c.c AS cent_id,
-                   list_transform(range(0, 64), d ->
-                     CASE WHEN (strpos('0123456789abcdef',
-                           substring(md5('c_' || c.c || '_' || d), 1, 1)) - 1)
-                           % 2 = 0
-                          THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
-                     AS ce
-            FROM (SELECT unnest(range(0, 16)) AS c) c),
-          assigned AS (
-            SELECT vec_id, cell FROM (
-              SELECT e.vec_id, c.cent_id AS cell,
-                     row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY ${dDot("e.embedding", "c.ce")}
-                                  / (e.nrm * CAST(8 AS DOUBLE))
-                                DESC, c.cent_id) AS rk
-              FROM e CROSS JOIN cents c)
-            WHERE rk = 1),
-          q AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 7),
-          probed AS (
-            SELECT cent_id FROM (
-              SELECT c.cent_id,
-                     ${dDot("q.qe", "c.ce")} / (q.qn * CAST(8 AS DOUBLE)) AS qcos
-              FROM cents c CROSS JOIN q)
-            ORDER BY qcos DESC, cent_id LIMIT 2)
-          SELECT e.vec_id, CAST(a.cell AS INTEGER) AS cell,
-                 ${dDot("e.embedding", "q.qe")} / (e.nrm * q.qn) AS cosine
-          FROM e JOIN assigned a USING (vec_id)
-                 JOIN probed p ON a.cell = p.cent_id
-                 CROSS JOIN q
-          WHERE e.vec_id <> 7
-          ORDER BY cosine DESC, e.vec_id LIMIT 10""",
+    "llm_ann_ivf" -> AnnIvfOracle,
+    // identical semantics probed through the PARTITIONED index layout —
+    // same oracle by construction
+    "llm_ann_ivf_persisted" -> AnnIvfOracle,
+
     // Replays the driver k-means VERBATIM: same sample (vec_id % 4),
     // same strided init, two Lloyd rounds with sequential-fold cosines
     // and scaled-bigint means, same tie-breaks — every intermediate

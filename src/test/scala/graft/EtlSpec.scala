@@ -216,6 +216,22 @@ class EtlSpec extends AnyFunSuite {
     assert(drift.count() === 0)
   }
 
+  test("delete rewrite touches only the range-intersecting files") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val (result, nAffected, nTotal) =
+      graft.queries.EtlQueries.deleteRewrite(spark, sfDir)
+    // the layout is 8 range-disjoint files; a 41-key range can
+    // intersect at most 2 (a partitioner boundary may split it)
+    assert(nTotal === 8)
+    assert(nAffected >= 1 && nAffected <= 2, s"affected=$nAffected")
+    // and the deletion is exact
+    val orders = Tables.t(spark, sfDir, "orders")
+    val expected = orders.filter(!col("o_orderkey").between(40, 80)).count()
+    assert(result.count() === expected)
+    assert(result.filter(col("o_orderkey").between(40, 80)).count() === 0)
+  }
+
   test("compaction collapses a many-small-files layout to few files") {
     // assert on the ACTUAL query pipeline's directories, not a copy
     val (out, small, big) =

@@ -170,6 +170,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_ann_ivf_persisted: probe prunes to the nprobe cell partitions") {
+    val plan = finalPlan(
+      SparkEntry.queries("llm_ann_ivf_persisted")(spark, sfDir))
+    // the probed cells must reach the index scan as PARTITION filters —
+    // directories for the other 14 cells are never listed
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined, plan)
+    val dataFilters = "DataFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    assert(!dataFilters.contains("cell"), plan)
+    // top-k without a global sort, query side broadcast
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(countOf(plan, "Exchange hashpartitioning") === 0, plan)
+  }
+
   test("llm_knn_graph: ranks only banded candidates — no nested loop anywhere") {
     val plan = nodesAboveCache(
       SparkEntry.queries("llm_knn_graph")(spark, sfDir)).mkString("\n")

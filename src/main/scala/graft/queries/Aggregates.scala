@@ -313,7 +313,25 @@ object Aggregates {
       .selectExpr("s.item AS item", "s.count AS cnt")
       .orderBy(col("cnt").desc, col("item"))
 
+  /** E. listagg / string_agg (Spark 4) — ordered string concatenation
+    * per group, the report-friendly cousin of collect_list. WITHIN
+    * GROUP (ORDER BY …) makes the concatenation order part of the
+    * query, not an accident of shuffle arrival — without it the result
+    * is nondeterministic by definition. Bounded per group here (top
+    * clerks per priority via a pre-filter) because an unbounded
+    * listagg at 100 TB is a memory bug, not a query. */
+  private def aggStringAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .where(col("o_totalprice") > 450000)
+      .selectExpr("o_orderpriority", "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(expr("listagg(o_orderkey, ',') WITHIN GROUP (ORDER BY o_orderkey)")
+        .as("keys_csv"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_string_agg" -> (aggStringAgg _),
     "agg_approx_topk" -> (aggApproxTopK _),
     "agg_approx_topk_merge" -> (aggApproxTopKMerge _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
@@ -337,6 +355,13 @@ object Aggregates {
     "agg_collect" -> (aggCollect _))
 
   val oracle: Map[String, String] = Map(
+    "agg_string_agg" ->
+      """SELECT o_orderpriority,
+                string_agg(CAST(o_orderkey AS VARCHAR), ','
+                           ORDER BY o_orderkey) AS keys_csv,
+                count(*) AS n
+         FROM orders WHERE o_totalprice > 450000
+         GROUP BY 1 ORDER BY o_orderpriority""",
     "agg_approx_topk" ->
       """SELECT event_type AS item, count(*) AS cnt
          FROM events GROUP BY event_type

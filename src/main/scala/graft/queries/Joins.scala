@@ -90,6 +90,25 @@ object Joins {
       .orderBy("c_custkey")
   }
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * MATCH each other instead of vanishing — the semantics data-repair
+    * joins need when "unknown" is itself a join key. Planned as a
+    * regular hash join on the null-safe key (nulls hash to one
+    * partition; a production job with many null rows salts them like
+    * any other hot key). Every tenth customer's nation is masked to
+    * NULL and still finds the sentinel row the dim masks the same
+    * way. */
+  private def joinNullSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+      .selectExpr("c_custkey",
+        "CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_nationkey END AS nk")
+    val n = t(spark, sfDir, "nation")
+      .selectExpr("nullif(n_nationkey, 3) AS nnk", "n_name")
+    c.join(n, col("nk") <=> col("nnk"))
+      .select("c_custkey", "n_name")
+      .orderBy("c_custkey", "n_name")
+  }
+
   /** Theta self-join: nation pairs within a region (equi on region +
     * `<` to keep each unordered pair once). */
   private def joinTheta(spark: SparkSession, sfDir: String): DataFrame = {
@@ -422,6 +441,7 @@ object Joins {
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "join_theta" -> (joinTheta _),
+    "join_null_safe" -> (joinNullSafe _),
     "join_range" -> (joinRange _),
     "join_asof" -> (joinAsOf _))
 
@@ -524,6 +544,15 @@ object Joins {
          WHERE NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
+    "join_null_safe" ->
+      """SELECT c_custkey, n_name
+         FROM (SELECT c_custkey,
+                      CASE WHEN c_custkey % 10 = 0 THEN NULL
+                           ELSE c_nationkey END AS nk
+               FROM customer) c
+         JOIN (SELECT nullif(n_nationkey, 3) AS nnk, n_name FROM nation) n
+           ON c.nk IS NOT DISTINCT FROM n.nnk
+         ORDER BY c_custkey, n_name""",
     "join_theta" ->
       """SELECT n1.n_nationkey AS k1, n2.n_nationkey AS k2,
                 n1.n_name AS name1, n2.n_name AS name2

@@ -93,8 +93,44 @@ object SetSort {
          ORDER BY m""")
   }
 
+  /** G. EXCEPT ALL — multiset difference keeping multiplicity: each
+    * occurrence on the right cancels ONE occurrence on the left (plain
+    * EXCEPT would collapse duplicates). Returnflag 'R' lineitems lose
+    * one copy per high-quantity twin; Spark plans the same
+    * count-and-replicate aggregation DuckDB does, one shuffle on the
+    * full row key. */
+  private def setExceptAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    li.where(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_partkey")
+      .exceptAll(li.where(col("l_quantity") >= 30)
+        .select("l_orderkey", "l_partkey"))
+      .orderBy("l_orderkey", "l_partkey")
+  }
+
+  /** G/SQL. Spark 4 operator-pipe SQL (`|>`): the linear query syntax
+    * — each stage reads top-down instead of inside-out — lowered to
+    * the identical logical plan as the nested form, so it costs
+    * nothing and migrates BigQuery-pipe-style users verbatim. The
+    * oracle is the same query spelled as classic nested SQL. */
+  private def sqlPipe(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders_pipe")
+    spark.sql(
+      """FROM orders_pipe
+         |> WHERE o_orderstatus = 'O'
+         |> EXTEND year(o_orderdate) AS yr
+         |> AGGREGATE count(*) AS n_orders,
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DOUBLE) AS revenue
+            GROUP BY o_orderpriority, yr
+         |> WHERE n_orders > 10
+         |> ORDER BY o_orderpriority, yr""")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_recursive_cte" -> (sqlRecursiveCte _),
+    "sql_pipe" -> (sqlPipe _),
+    "set_except_all" -> (setExceptAll _),
     "set_union_by_name" -> (setUnionByName _),
     "sort_global" -> (sortGlobal _),
     "sort_topk" -> (sortTopK _),
@@ -103,6 +139,21 @@ object SetSort {
     "set_except" -> (setExcept _))
 
   val oracle: Map[String, String] = Map(
+    "set_except_all" ->
+      """SELECT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'R'
+         EXCEPT ALL
+         SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
+         ORDER BY l_orderkey, l_partkey""",
+    "sql_pipe" ->
+      """SELECT o_orderpriority, yr, n_orders, revenue
+         FROM (SELECT o_orderpriority, year(o_orderdate) AS yr,
+                      count(*) AS n_orders,
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DOUBLE) AS revenue
+               FROM orders WHERE o_orderstatus = 'O'
+               GROUP BY 1, 2)
+         WHERE n_orders > 10
+         ORDER BY o_orderpriority, yr""",
     "sql_recursive_cte" ->
       """WITH RECURSIVE months(m) AS (
            SELECT DATE '1995-01-01'

@@ -481,8 +481,15 @@ object LlmText {
   // also the form that survives documents too long for a per-row
   // array. One shuffle on doc_id; the frame is O(w) per row.
   // ---------------------------------------------------------------------
-  private def winnowFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = t(spark, sfDir, "documents")
+  private def winnowFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    winnowOf(t(spark, sfDir, "documents"))
+
+  /** The winnowing core over any (doc_id, text) frame — exposed
+    * package-private so LlmSpec can verify the winnowing GUARANTEE
+    * (two docs sharing a ≥8-word run share a fingerprint) on planted
+    * documents. */
+  private[graft] def winnowOf(docs: DataFrame): DataFrame = {
+    val grams = docs
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id",
         """CASE WHEN size(toks) >= 5 THEN

@@ -264,21 +264,30 @@ object LlmVector {
   // the two keys share one oracle by construction; PlanShapeSpec pins
   // the cell PartitionFilters.
   // ---------------------------------------------------------------------
-  private def annIvfPersisted(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = graft.etl.Fixtures.stagedDir(sfDir, "ivf_index") { d =>
-      emb(spark, sfDir)
-        .withColumn("best", array_max(centScores(col("embedding"), col("nrm"))))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          (-col("best.nid")).cast("int").as("cell"))
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(d)
-    }
+  /** Map-side cell assignment for any (vec_id, embedding, …) frame —
+    * shared by the batch index build and the streaming index
+    * maintenance key (`stream_ann_index`): norm + argmax over the 16
+    * broadcast-literal centroids, no shuffle. */
+  private[graft] def assignCells(batch: DataFrame): DataFrame =
+    batch
+      .select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      .withColumn("best", array_max(centScores(col("embedding"), col("nrm"))))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (-col("best.nid")).cast("int").as("cell"))
+
+  /** Probe a hive-partitioned IVF index directory: the two probe-cell
+    * ids are computed driver-side from the broadcast centroids with
+    * the IDENTICAL sequential fold + (cos desc, cent_id asc)
+    * tie-break as the in-plan probe, so every IVF key chooses the
+    * same cells; they reach the scan as literals → partition pruning
+    * (PlanShapeSpec pins it). */
+  private[graft] def probeIvfIndex(spark: SparkSession, sfDir: String,
+      dir: String): DataFrame = {
     val q = emb(spark, sfDir).where(col("vec_id") === 7)
       .select(col("embedding").as("qe"), col("nrm").as("qn"))
     val qRow = q.head()
     val (qe, qn) = (qRow.getSeq[Float](0), qRow.getDouble(1))
-    // same sequential fold + (cos desc, cent_id asc) tie-break as the
-    // in-plan probe, so both IVF keys choose identical cells
     val probed = (0 until IvfK)
       .map { c =>
         ((0 until 64).map(d => qe(d).toDouble * centSign(c, d)).sum
@@ -293,6 +302,15 @@ object LlmVector {
         cosine(col("embedding"), col("qe"), col("nrm"), col("qn")).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
+  }
+
+  private def annIvfPersisted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.etl.Fixtures.stagedDir(sfDir, "ivf_index") { d =>
+      assignCells(t(spark, sfDir, "embeddings"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(d)
+    }
+    probeIvfIndex(spark, sfDir, dir)
   }
 
   // ---------------------------------------------------------------------
@@ -684,7 +702,7 @@ object LlmVector {
     * broadcast index) and `llm_ann_ivf_persisted` (hive-partitioned
     * on-disk index): identical assignment, probe, and top-10
     * semantics by construction. */
-  private val AnnIvfOracle =
+  private[graft] val AnnIvfOracle =
     s"""WITH e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings),
           cents AS (
             SELECT c.c AS cent_id,

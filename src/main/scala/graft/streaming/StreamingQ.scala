@@ -577,6 +577,48 @@ object StreamingQ {
   }
 
   // ---------------------------------------------------------------------
+  // stream_ann_index — the IVF ANN index MAINTAINED BY A STREAM: new
+  // embedding batches assign their cells map-side (argmax over the
+  // broadcast centroids — no shuffle, no index rebuild) and APPEND
+  // into the hive-partitioned index layout; a probe after ingest is
+  // partition-pruned exactly like the batch-built index and returns
+  // the identical top-10 (append order is irrelevant to cell
+  // contents), so this key shares `llm_ann_ivf`'s oracle verbatim.
+  // This is how a vector index stays fresh at 100 TB: per-batch work
+  // is O(new vectors), the probe cost never changes.
+  // ---------------------------------------------------------------------
+  private def streamAnnIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = stageCache.computeIfAbsent(s"$sfDir/emb_halves", { _ =>
+      val dir = freshDir("graft_stream_emb_")
+      val e = t(spark, sfDir, "embeddings")
+      e.where(col("vec_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      val past = FileTime.fromMillis(1000000000000L)
+      val listing = Files.list(Paths.get(dir))
+      try listing.forEach { p: Path => Files.setLastModifiedTime(p, past) }
+      finally listing.close()
+      e.where(col("vec_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(dir)
+      dir
+    })
+    val idx = freshDir("graft_stream_ann_idx_")
+    val src = spark.readStream
+      .schema(t(spark, sfDir, "embeddings").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.queries.LlmVector.assignCells(batch)
+          .write.mode("append").partitionBy("cell").parquet(idx)
+      }
+      .option("checkpointLocation", freshDir("graft_stream_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.queries.LlmVector.probeIvfIndex(spark, sfDir, idx)
+  }
+
+  // ---------------------------------------------------------------------
   // stream_merge_upsert — streaming CDC upsert: change batches arrive
   // on a file stream and foreachBatch MERGEs each one into a parquet
   // target snapshot (matched keys update, new keys insert, the rest
@@ -755,6 +797,7 @@ object StreamingQ {
     "stream_static_join" -> (streamStaticJoin _),
     "stream_foreach_batch" -> (streamForeachBatch _),
     "stream_merge_upsert" -> (streamMergeUpsert _),
+    "stream_ann_index" -> (streamAnnIndex _),
     "stream_stateful_session" -> (streamStatefulSession _),
     "stream_transform_with_state" -> (streamTransformWithState _),
     "stream_join" -> (streamJoin _),
@@ -810,6 +853,8 @@ object StreamingQ {
     "stream_foreach_batch" ->
       """SELECT event_id, user_id, event_type, value
          FROM events ORDER BY event_id""",
+    // identical probe semantics to the batch-built IVF index
+    "stream_ann_index" -> graft.queries.LlmVector.AnnIvfOracle,
     "stream_merge_upsert" ->
       """WITH target AS (
            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

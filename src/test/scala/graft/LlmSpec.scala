@@ -443,6 +443,31 @@ class LlmSpec extends AnyFunSuite {
     assert(longer.count() === 0)
   }
 
+  test("winnowing guarantee: docs sharing a >=8-word run share a fingerprint") {
+    import spark.implicits._
+    // 8 words = 4 consecutive 5-grams = one full window inside the run,
+    // so winnowing MUST select the same gram in both documents. The
+    // shared run sits at different offsets with different surroundings.
+    val common = (1 to 8).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $common delta epsilon zeta"),
+      (2L, s"one $common two three four five six seven"),
+      (3L, "nothing in common with the others at all whatsoever")
+    ).toDF("doc_id", "text")
+    val fps = graft.queries.LlmText.winnowOf(docs).cache()
+    val shared12 = fps.filter(col("doc_id") === 1).select("fp")
+      .intersect(fps.filter(col("doc_id") === 2).select("fp"))
+    assert(shared12.count() >= 1)
+    // and the unrelated doc shares nothing with either
+    val shared3 = fps.filter(col("doc_id") === 3).select("fp")
+      .intersect(fps.filter(col("doc_id") =!= 3).select("fp"))
+    assert(shared3.count() === 0)
+    // selection compresses: fewer fingerprints than grams
+    val nGrams = docs.selectExpr("size(split(text, ' ')) - 4 AS n")
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(fps.count() < nGrams)
+  }
+
   test("pagerank conserves (almost all) rank mass and respects the floor") {
     val r = LlmText.defs("llm_pagerank")(spark, sfDir).cache()
     val n = r.count()

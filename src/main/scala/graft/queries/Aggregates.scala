@@ -330,7 +330,21 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** E. Boolean aggregates — every / some / count_if: the data-quality
+    * assertion surface ("did EVERY row pass", "did ANY row trip the
+    * alarm") as map-side-combinable aggregates instead of count
+    * comparisons. */
+  private def aggBool(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(expr("every(o_totalprice > 1000)").as("all_over_1k"),
+        expr("some(o_totalprice > 550000)").as("any_jumbo"),
+        expr("count_if(o_orderpriority = '1-URGENT')").as("n_urgent"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bool" -> (aggBool _),
     "agg_string_agg" -> (aggStringAgg _),
     "agg_approx_topk" -> (aggApproxTopK _),
     "agg_approx_topk_merge" -> (aggApproxTopKMerge _),
@@ -355,6 +369,14 @@ object Aggregates {
     "agg_collect" -> (aggCollect _))
 
   val oracle: Map[String, String] = Map(
+    "agg_bool" ->
+      """SELECT o_orderstatus,
+                bool_and(o_totalprice > 1000) AS all_over_1k,
+                bool_or(o_totalprice > 550000) AS any_jumbo,
+                count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                  AS n_urgent,
+                count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
     "agg_string_agg" ->
       """SELECT o_orderpriority,
                 string_agg(CAST(o_orderkey AS VARCHAR), ','

@@ -50,7 +50,53 @@ GROUP BY 1, 2
 ORDER BY revenue DESC, n_name, o_year
 LIMIT 10"""
 
+  /** L. TPC-H Q5 (local-supplier volume): the 6-way join whose
+    * distinguishing constraint is the SECOND equi-condition between
+    * two already-joined tables (c_nationkey = s_nationkey — customer
+    * and supplier must share a nation), which the optimizer applies as
+    * a join filter rather than another shuffle. lineitem is the only
+    * big table: orders co-shuffles with it, and supplier / nation /
+    * region broadcast. One date-year of orders, one region. */
+  private def q5(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val o  = t(spark, sfDir, "orders")
+      .where(year(col("o_orderdate")) === 1996)
+    val c  = t(spark, sfDir, "customer")
+    val s  = t(spark, sfDir, "supplier")
+    val n  = t(spark, sfDir, "nation")
+    val r  = t(spark, sfDir, "region").where(col("r_name") === "ASIA")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(n("n_name").as("n_name"))
+      .agg(
+        sum(dec(li("l_extendedprice")) *
+          (lit(BigDecimal(1)) - dec(li("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q5Sql: String =
+    """SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey AND year(o_orderdate) = 1996
+JOIN customer ON o_custkey   = c_custkey
+JOIN supplier ON l_suppkey   = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+GROUP BY 1
+ORDER BY revenue DESC, n_name"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_flagship" -> (q _))
-  val oracle: Map[String, String] = Map("q_flagship" -> sql)
+    Map("q_flagship" -> (q _), "tpch_q5" -> (q5 _))
+  val oracle: Map[String, String] =
+    Map("q_flagship" -> sql, "tpch_q5" -> q5Sql)
 }

@@ -293,7 +293,27 @@ object ScalarFns {
       .selectExpr("lower(seg_ci) AS segment", "n_rows", "n_variants")
       .orderBy("segment")
 
+  /** H. Crypto/digest functions — sha2-256 and md5 digests (both
+    * engines compute identical hex), plus an AES-GCM encrypt→decrypt
+    * round-trip. GCM ciphertexts are IV-randomized (deliberately NOT
+    * hashable), so what the oracle checks is the round-tripped
+    * PLAINTEXT — the property that matters — while the digests pin
+    * byte-exact parity. Column-level encryption at rest is how PII
+    * columns ship to an untrusted lake tier. */
+  private def fnCrypto(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .selectExpr("c_custkey",
+        "sha2(c_name, 256) AS name_sha256",
+        "md5(c_name) AS name_md5",
+        """cast(aes_decrypt(
+             aes_encrypt(encode(c_name, 'utf-8'),
+                         encode('0123456789abcdef', 'utf-8')),
+             encode('0123456789abcdef', 'utf-8')) AS STRING)
+           AS name_roundtrip""")
+      .orderBy("c_custkey")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_crypto" -> (fnCrypto _),
     "fn_collation" -> (fnCollation _),
     "fn_regex" -> (fnRegex _),
     "fn_bitwise" -> (fnBitwise _),
@@ -315,6 +335,12 @@ object ScalarFns {
   private def dCsvScaled(arrExpr: String): String = OracleFmt.dCsvScaled(arrExpr)
 
   val oracle: Map[String, String] = Map(
+    "fn_crypto" ->
+      """SELECT c_custkey,
+                sha256(c_name) AS name_sha256,
+                md5(c_name) AS name_md5,
+                c_name AS name_roundtrip
+         FROM customer ORDER BY c_custkey""",
     "fn_collation" ->
       """WITH s AS (
            SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)

@@ -95,8 +95,62 @@ JOIN region   ON n_regionkey = r_regionkey AND r_name = 'ASIA'
 GROUP BY 1
 ORDER BY revenue DESC, n_name"""
 
+  /** L. TPC-H Q1 (pricing summary): the canonical full-scan aggregate
+    * — 8 aggregates over one pass of lineitem, partial/final
+    * HashAggregate with map-side combine so the shuffle carries 4
+    * groups, not 600k rows. Sums and averages are decimal-exact;
+    * averages are expressed as sum/count in DOUBLE on both sides
+    * (DuckDB's avg(decimal) returns DOUBLE, Spark's returns decimal —
+    * the one cross-engine avg pitfall). */
+  private def q1(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .where(col("l_returnflag").isin("A", "N", "R"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) *
+          (lit(BigDecimal(1)) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) *
+          (lit(BigDecimal(1)) - dec(col("l_discount"))) *
+          (lit(BigDecimal(1)) + dec(col("l_tax"))))
+          .cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)))
+          .as("avg_price"),
+        (sum(dec(col("l_discount"))).cast("double") / count(lit(1)))
+          .as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+         AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+         AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+         AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_returnflag IN ('A', 'N', 'R')
+GROUP BY 1, 2
+ORDER BY l_returnflag, l_linestatus"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_flagship" -> (q _), "tpch_q5" -> (q5 _))
+    Map("q_flagship" -> (q _), "tpch_q1" -> (q1 _), "tpch_q5" -> (q5 _))
   val oracle: Map[String, String] =
-    Map("q_flagship" -> sql, "tpch_q5" -> q5Sql)
+    Map("q_flagship" -> sql, "tpch_q1" -> q1Sql, "tpch_q5" -> q5Sql)
 }

@@ -338,6 +338,36 @@ object LlmText {
   }
 
   // ---------------------------------------------------------------------
+  // llm_corpus_pipeline — the END-TO-END training-corpus filter as one
+  // key: a document survives iff it is (1) its near-dup cluster's
+  // kept representative, (2) passes the Gopher quality rules, and
+  // (3) shares no ≥2 distinct 3-grams with any held-out benchmark doc
+  // (ids ≡0 mod 100, which are themselves excluded — they are eval
+  // data, not training data). Composes the three verified stages as
+  // semi/anti joins on ids only — each stage's heavy lifting
+  // (signatures, label fixpoint, gram join) happens once in its own
+  // bucketed shape, and the composition shuffles nothing but doc_ids.
+  // This is the query a user actually ships: the whole cleaning
+  // pipeline, one DataFrame.
+  // ---------------------------------------------------------------------
+  private def corpusPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val kept = dedupClusters(spark, sfDir)
+      .where(col("is_kept")).select("doc_id")
+    val passed = gopherRules(spark, sfDir)
+      .where(col("pass")).select("doc_id")
+    val contaminated = decontaminate(spark, sfDir)
+      .select("doc_id").distinct()
+    t(spark, sfDir, "documents")
+      .where(col("doc_id") % 100 =!= 0)
+      .join(kept, Seq("doc_id"), "left_semi")
+      .join(passed, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .selectExpr("doc_id", "lang", "source",
+        "size(split(text, ' ')) AS n_tokens")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_knn_graph — k-nearest-neighbor graph over the LSH candidate
   // pairs: each document's top-3 most-similar neighbors by exact
   // 3-gram Jaccard, ranked only among its banded candidates (never
@@ -1177,6 +1207,7 @@ object LlmText {
     "llm_cluster_representative" -> (clusterRepresentative _),
     "llm_pagerank" -> (pageRank _),
     "llm_knn_graph" -> (knnGraph _),
+    "llm_corpus_pipeline" -> (corpusPipeline _),
     "llm_decontaminate" -> (decontaminate _),
     "llm_pii_redact" -> (piiRedact _),
     "llm_ngram_freq" -> (ngramFreq _),
@@ -1437,6 +1468,45 @@ object LlmText {
                             AS BIGINT) AS total_chars
                 FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
           WHERE rk = 1 ORDER BY cluster_id""",
+    "llm_corpus_pipeline" ->
+      s"""$DClusterLabels,
+          gopher AS (
+            SELECT doc_id,
+                   (n_words BETWEEN 5 AND 2000)
+                   AND (mean_word_len_e6 BETWEEN 2000000 AND 12000000)
+                   AND (digit_frac_e6 < 200000) AS pass
+            FROM (
+              SELECT doc_id, n_words,
+                     CAST(round((length(text) - n_words + 1) *
+                       CAST(1000000 AS DOUBLE) / n_words) AS BIGINT)
+                       AS mean_word_len_e6,
+                     CAST(round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                       * CAST(1000000 AS DOUBLE) / greatest(length(text), 1))
+                       AS BIGINT) AS digit_frac_e6
+              FROM (SELECT doc_id, text,
+                           len(string_split(text, ' ')) AS n_words
+                    FROM documents))),
+          sh3 AS (
+            SELECT doc_id,
+                   unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                           FOR i IN range(1, len(t) - 1)])) AS gram
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+            WHERE len(t) >= 3),
+          contaminated AS (
+            SELECT DISTINCT doc_id FROM (
+              SELECT tr.doc_id, b.doc_id AS bench_id
+              FROM sh3 tr JOIN (SELECT * FROM sh3 WHERE doc_id % 100 = 0) b
+                USING (gram)
+              WHERE tr.doc_id % 100 <> 0
+              GROUP BY 1, 2 HAVING count(*) >= 2))
+          SELECT d.doc_id, d.lang, d.source,
+                 CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens
+          FROM documents d
+          JOIN labels l ON d.doc_id = l.doc_id
+          JOIN gopher g ON d.doc_id = g.doc_id
+          WHERE d.doc_id % 100 <> 0 AND l.is_kept AND g.pass
+            AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+          ORDER BY d.doc_id""",
     "llm_winnow_fingerprint" ->
       """WITH g AS (
            SELECT doc_id,

@@ -74,6 +74,25 @@ object EtlQueries {
       .orderBy("event_id")
   }
 
+  /** A. Corrupt-file tolerance: a landing directory where one "file"
+    * is truncated garbage (a half-uploaded object, the classic lake
+    * intake failure). `ignoreCorruptFiles` skips files whose parquet
+    * footer fails to parse instead of killing the job; the oracle is
+    * the intact files' contents, so the key also proves no valid row
+    * is lost alongside the skip. */
+  private def scanIgnoreCorrupt(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.stagedDir(sfDir, "corrupt_mix") { d =>
+      t(spark, sfDir, "events")
+        .select("event_id", "event_type", "value")
+        .coalesce(2).write.mode("overwrite").parquet(d)
+      Files.write(Paths.get(d, "part-junk.parquet"),
+        "this is not a parquet file".getBytes("UTF-8"))
+      ()
+    }
+    spark.read.option("ignoreCorruptFiles", "true").parquet(dir)
+      .orderBy("event_id")
+  }
+
   /** A. Parquet scan with filter + projection — Catalyst pushes both
     * into the scan (PushedFilters / ReadSchema). */
   private def scanParquet(spark: SparkSession, sfDir: String): DataFrame =
@@ -802,6 +821,7 @@ object EtlQueries {
     "scan_parquet" -> (scanParquet _),
     "scan_partition_pruned" -> (scanPartitionPruned _),
     "scan_csv_delim" -> (scanCsvDelim _),
+    "scan_ignore_corrupt" -> (scanIgnoreCorrupt _),
     "scan_json" -> (scanJson _),
     "sink_parquet" -> (sinkParquet _),
     "sink_parquet_partitioned" -> (sinkParquetPartitioned _),
@@ -949,6 +969,9 @@ object EtlQueries {
       "SELECT event_id FROM events ORDER BY event_id",
     "scan_csv_delim" ->
       """SELECT event_id, event_type, 'café_' || event_type AS note
+         FROM events ORDER BY event_id""",
+    "scan_ignore_corrupt" ->
+      """SELECT event_id, event_type, value
          FROM events ORDER BY event_id""",
     "scan_binaryfile" ->
       """SELECT doc_id,

@@ -162,6 +162,28 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** As-of join with a STALENESS BOUND — the feature-store contract:
+    * the latest view at-or-before each purchase counts only if it is
+    * at most 1 hour old (stale features are worse than no features).
+    * Same single sort+carry window as `join_asof`; the tolerance is a
+    * post-carry guard, not a second join. */
+  private def joinAsOfTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = t(spark, sfDir, "events")
+      .where(col("event_type").isin("purchase", "view"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "view", col("ts")).as("view_ts"),
+        (col("event_type") === "view").cast("int").as("is_view"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_view").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("lv", last(col("view_ts"), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("lv") >= col("ts") - expr("INTERVAL 1 HOUR"), col("lv"))
+          .as("fresh_view_ts"))
+      .orderBy("event_id")
+  }
+
   /** Bucketed co-located join: both sides pre-bucketed (and
     * sort-ordered) on the join key via `bucketBy` + `saveAsTable`, so
     * the sort-merge join runs with NO exchange and NO sort on either
@@ -443,7 +465,8 @@ object Joins {
     "join_theta" -> (joinTheta _),
     "join_null_safe" -> (joinNullSafe _),
     "join_range" -> (joinRange _),
-    "join_asof" -> (joinAsOf _))
+    "join_asof" -> (joinAsOf _),
+    "join_asof_tolerance" -> (joinAsOfTolerance _))
 
   val oracle: Map[String, String] = Map(
     "join_lateral" ->
@@ -569,6 +592,14 @@ object Joins {
                 (SELECT max(v.ts) FROM events v
                  WHERE v.user_id = e.user_id AND v.event_type = 'view'
                    AND v.ts <= e.ts) AS last_view_ts
+         FROM events e WHERE event_type = 'purchase'
+         ORDER BY event_id""",
+    "join_asof_tolerance" ->
+      """SELECT event_id, user_id, ts,
+                (SELECT max(v.ts) FROM events v
+                 WHERE v.user_id = e.user_id AND v.event_type = 'view'
+                   AND v.ts <= e.ts
+                   AND v.ts >= e.ts - INTERVAL 1 HOUR) AS fresh_view_ts
          FROM events e WHERE event_type = 'purchase'
          ORDER BY event_id""")
 }

@@ -312,7 +312,20 @@ object ScalarFns {
            AS name_roundtrip""")
       .orderBy("c_custkey")
 
+  /** H. Fuzzy matching — Levenshtein edit distance, the scalar
+    * workhorse of entity-resolution refine stages (the blocking stage
+    * is an equi-join on cheap keys; edit distance then scores only the
+    * candidates — never all-pairs). Both engines implement the classic
+    * DP, so distances agree exactly. */
+  private def fnFuzzy(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "nation")
+      .selectExpr("n_nationkey", "n_name",
+        "levenshtein(n_name, 'UNITED STATES') AS dist_us",
+        "levenshtein(substring(n_name, 1, 5), 'INDIA') AS dist_prefix")
+      .orderBy("n_nationkey")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_fuzzy" -> (fnFuzzy _),
     "fn_crypto" -> (fnCrypto _),
     "fn_collation" -> (fnCollation _),
     "fn_regex" -> (fnRegex _),
@@ -335,6 +348,11 @@ object ScalarFns {
   private def dCsvScaled(arrExpr: String): String = OracleFmt.dCsvScaled(arrExpr)
 
   val oracle: Map[String, String] = Map(
+    "fn_fuzzy" ->
+      """SELECT n_nationkey, n_name,
+                levenshtein(n_name, 'UNITED STATES') AS dist_us,
+                levenshtein(substring(n_name, 1, 5), 'INDIA') AS dist_prefix
+         FROM nation ORDER BY n_nationkey""",
     "fn_crypto" ->
       """SELECT c_custkey,
                 sha256(c_name) AS name_sha256,

@@ -207,7 +207,31 @@ object Windows {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** F. Longest activity streak per user — gaps-and-islands: group
+    * consecutive active DAYS by the classic `date - row_number`
+    * constant-per-island trick (two window passes over one user-keyed
+    * shuffle, no self-join), then keep each user's longest island.
+    * Integer date arithmetic end to end. */
+  private def winStreak(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = t(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val wUser = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("island",
+        datediff(col("day"), lit("1990-01-01").cast("date"))
+          - row_number().over(wUser))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("streak_days"), min(col("day")).as("streak_start"))
+      .withColumn("rk", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("streak_days").desc, col("streak_start"))))
+      .where(col("rk") === 1)
+      .select("user_id", "streak_days", "streak_start")
+      .orderBy("user_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_streak" -> (winStreak _),
     "win_retention" -> (winRetention _),
     "win_funnel" -> (winFunnel _),
     "win_gap_fill" -> (winGapFill _),
@@ -221,6 +245,24 @@ object Windows {
     "win_session_batch" -> (winSessionBatch _))
 
   val oracle: Map[String, String] = Map(
+    "win_streak" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         islands AS (
+           SELECT user_id, day,
+                  date_diff('day', DATE '1990-01-01', day)
+                    - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS island
+           FROM days),
+         streaks AS (
+           SELECT user_id, island, count(*) AS streak_days,
+                  min(day) AS streak_start
+           FROM islands GROUP BY 1, 2)
+         SELECT user_id, streak_days, streak_start
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY streak_days DESC, streak_start) AS rk
+               FROM streaks)
+         WHERE rk = 1 ORDER BY user_id""",
     "win_retention" ->
       """WITH act AS (
            SELECT DISTINCT user_id,

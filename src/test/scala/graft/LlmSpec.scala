@@ -468,6 +468,18 @@ class LlmSpec extends AnyFunSuite {
     assert(fps.count() < nGrams)
   }
 
+  test("winnowing handles a 20k-word document with ~1/4 selection") {
+    import spark.implicits._
+    // long-doc safety: the explode+window form never builds a per-row
+    // gram array bigger than the doc itself, and the selection ratio
+    // stays near the theoretical 2/(w+1) = 2/5 upper bound region
+    val words = (1 to 20000).map(i => s"w${i % 7919}").mkString(" ")
+    val fps = graft.queries.LlmText.winnowOf(
+      Seq((1L, words)).toDF("doc_id", "text"))
+    val n = fps.count()
+    assert(n > 0 && n < 20000 / 2, s"selected $n of ~20k grams")
+  }
+
   test("pagerank conserves (almost all) rank mass and respects the floor") {
     val r = LlmText.defs("llm_pagerank")(spark, sfDir).cache()
     val n = r.count()

@@ -155,6 +155,31 @@ object LlmVector {
       .limit(50)
 
   // ---------------------------------------------------------------------
+  // llm_hard_negatives — hard-negative mining for retrieval training:
+  // per anchor vector, the top-2 SIMILAR-BUT-NOT-DUPLICATE neighbors
+  // (0.25 ≤ cosine < 0.4 — close enough to be confusable, below the
+  // dup threshold so they are genuinely different content). Candidates
+  // come from the same LSH buckets as the dup path — hard negatives
+  // are by definition bucket-mates, so the bucketed index gives
+  // exactly the candidate set worth scoring and all-pairs never
+  // materializes. One window shuffle on the anchor id.
+  // ---------------------------------------------------------------------
+  private def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = lshScoredCandidates(spark, sfDir)
+      .where(col("cosine") >= 0.25 && col("cosine") < 0.4)
+    val sym = scored.select(col("vec_a").as("anchor"),
+        col("vec_b").as("negative"), col("cosine"))
+      .unionByName(scored.select(col("vec_b").as("anchor"),
+        col("vec_a").as("negative"), col("cosine")))
+    sym.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("anchor")
+          .orderBy(col("cosine").desc, col("negative"))))
+      .where(col("rk") <= 2)
+      .select("anchor", "rk", "negative", "cosine")
+      .orderBy("anchor", "rk")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_embed_neardup_lsh — the PRODUCTION near-dup path: the same
   // cosine ≥ 0.4 semantics as llm_embed_neardup, but candidates come
   // from the LSH bucket equi-join instead of the O(n²) cross product.
@@ -647,6 +672,7 @@ object LlmVector {
     "llm_topk_similarity" -> (topkSimilarity _),
     "llm_embed_neardup" -> (embedNeardup _),
     "llm_ann_lsh" -> (annLsh _),
+    "llm_hard_negatives" -> (hardNegatives _),
     "llm_embed_neardup_lsh" -> (embedNeardupLsh _),
     "llm_embed_cluster" -> (embedCluster _),
     "llm_ann_ivf" -> (annIvf _),
@@ -797,6 +823,28 @@ object LlmVector {
                     JOIN e eb ON cand.vb = eb.vec_id
           ORDER BY cosine DESC, vec_a, vec_b
           LIMIT 50""",
+    "llm_hard_negatives" ->
+      s"""$LshCandCte,
+          scored AS (
+            SELECT cand.va, cand.vb,
+                   ${dDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm)
+                     AS cosine
+            FROM cand JOIN e ea ON cand.va = ea.vec_id
+                      JOIN e eb ON cand.vb = eb.vec_id
+            WHERE ${dDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm)
+                    >= 0.25
+              AND ${dDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm)
+                    < 0.4),
+          sym AS (SELECT va AS anchor, vb AS negative, cosine FROM scored
+                  UNION ALL
+                  SELECT vb AS anchor, va AS negative, cosine FROM scored),
+          ranked AS (
+            SELECT anchor, negative, cosine,
+                   row_number() OVER (PARTITION BY anchor
+                                      ORDER BY cosine DESC, negative) AS rk
+            FROM sym)
+          SELECT anchor, rk, negative, cosine FROM ranked
+          WHERE rk <= 2 ORDER BY anchor, rk""",
     "llm_embed_neardup_lsh" ->
       s"""$LshCandCte
           SELECT cand.va AS vec_a, cand.vb AS vec_b,

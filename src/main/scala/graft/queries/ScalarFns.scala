@@ -324,7 +324,20 @@ object ScalarFns {
         "levenshtein(substring(n_name, 1, 5), 'INDIA') AS dist_prefix")
       .orderBy("n_nationkey")
 
+  /** H. Data masking — the `mask()` governance function: shape-
+    * preserving redaction (case classes and digits keep their
+    * positions, values vanish) for lake tiers where analysts may see
+    * formats but not identities. The oracle spells it as the regexp
+    * chain mask() replaces. */
+  private def fnMask(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .selectExpr("c_custkey",
+        "mask(c_name) AS masked_default",
+        "mask(c_name, '*', '*', '#') AS masked_custom")
+      .orderBy("c_custkey")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_mask" -> (fnMask _),
     "fn_fuzzy" -> (fnFuzzy _),
     "fn_crypto" -> (fnCrypto _),
     "fn_collation" -> (fnCollation _),
@@ -348,6 +361,15 @@ object ScalarFns {
   private def dCsvScaled(arrExpr: String): String = OracleFmt.dCsvScaled(arrExpr)
 
   val oracle: Map[String, String] = Map(
+    "fn_mask" ->
+      """SELECT c_custkey,
+                regexp_replace(regexp_replace(regexp_replace(c_name,
+                  '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+                  AS masked_default,
+                regexp_replace(regexp_replace(regexp_replace(c_name,
+                  '[A-Z]', '*', 'g'), '[a-z]', '*', 'g'), '[0-9]', '#', 'g')
+                  AS masked_custom
+         FROM customer ORDER BY c_custkey""",
     "fn_fuzzy" ->
       """SELECT n_nationkey, n_name,
                 levenshtein(n_name, 'UNITED STATES') AS dist_us,

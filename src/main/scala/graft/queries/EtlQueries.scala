@@ -735,6 +735,38 @@ object EtlQueries {
   private def etlDeleteRewrite(spark: SparkSession, sfDir: String): DataFrame =
     deleteRewrite(spark, sfDir)._1
 
+  /** B. CSV export sink — the reverse of the landing path: query
+    * results shipped to CSV consumers (finance exports, legacy BI).
+    * Written with header + canonical timestamp format, re-read with
+    * the same schema — what the downstream consumer parses is what's
+    * checked. */
+  private def sinkCsv(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = Fixtures.tempDir("graft_sink_csv")
+    t(spark, sfDir, "orders")
+      .where(col("o_totalprice") > 400000)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").option("header", true).csv(out)
+    import org.apache.spark.sql.types._
+    spark.read.option("header", true)
+      .schema(StructType(Seq(StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType))))
+      .csv(out)
+      .orderBy("o_orderkey")
+  }
+
+  /** B. JSONL export sink — the API-feed shape: one JSON object per
+    * line, field names preserved, read back as the consumer would. */
+  private def sinkJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = Fixtures.tempDir("graft_sink_json")
+    t(spark, sfDir, "events")
+      .select("event_id", "event_type", "value")
+      .write.mode("overwrite").json(out)
+    spark.read.json(out)
+      .select("event_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   /** B. Range-clustered layout sink: `repartitionByRange` +
     * `sortWithinPartitions` writes files with DISJOINT key ranges, so
     * downstream key-range scans skip whole files on parquet min/max
@@ -807,6 +839,8 @@ object EtlQueries {
     "etl_scd2_diff" -> (scd2Diff _),
     "etl_merge_upsert" -> (etlMergeUpsert _),
     "etl_delete_rewrite" -> (etlDeleteRewrite _),
+    "sink_csv" -> (sinkCsv _),
+    "sink_json" -> (sinkJson _),
     "scan_text" -> (scanText _),
     "scan_binaryfile" -> (scanBinaryFile _),
     "scan_schema_evolution" -> (scanSchemaEvolution _),
@@ -971,6 +1005,13 @@ object EtlQueries {
       """SELECT event_id, event_type, 'café_' || event_type AS note
          FROM events ORDER BY event_id""",
     "scan_ignore_corrupt" ->
+      """SELECT event_id, event_type, value
+         FROM events ORDER BY event_id""",
+    "sink_csv" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_totalprice > 400000
+         ORDER BY o_orderkey""",
+    "sink_json" ->
       """SELECT event_id, event_type, value
          FROM events ORDER BY event_id""",
     "scan_binaryfile" ->

@@ -541,6 +541,54 @@ object LlmText {
   }
 
   // ---------------------------------------------------------------------
+  // llm_span_corruption — T5/UL2-style denoising prep: deterministic
+  // 3-token spans are masked (a block is masked iff the hex value of
+  // md5(doc_id||'_'||block) mod 5 = 0 → 20% of blocks), the input
+  // keeps unmasked text with one numbered <extra_id_N> sentinel per
+  // span, and the target lists each sentinel with the tokens it hides
+  // — the (input, target) pair a denoising objective trains on.
+  // Sentinel numbering is a dense_rank window over masked blocks (the
+  // only nonlocal step), NOT a per-token prefix scan over a recomputed
+  // array — the same O(n²) projection-collapse trap winnowing hit.
+  // One explode + one doc-keyed window + one groupBy; linear in
+  // corpus size, documents of any length.
+  // ---------------------------------------------------------------------
+  private def spanCorruption(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = t(spark, sfDir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "tok")))
+      .withColumn("blk", expr("pos div 3"))
+      .withColumn("masked",
+        expr("cast(conv(substring(md5(concat(doc_id, '_', blk)), 1, 1)," +
+          " 16, 10) as int) % 5 = 0"))
+    val marked = toks.withColumn("sid",
+      when(col("masked"), dense_rank().over(
+        Window.partitionBy("doc_id", "masked").orderBy("blk"))))
+    // input pieces: unmasked tokens, plus ONE sentinel at each masked
+    // block's first token; target pieces: sentinel + its hidden tokens
+    val pieces = marked.select(col("doc_id"), col("pos"), col("blk"),
+      when(!col("masked"), col("tok"))
+        .when(col("pos") === col("blk") * 3,
+          concat(lit("<extra_id_"), col("sid"), lit(">")))
+        .as("in_piece"),
+      when(col("masked") && col("pos") === col("blk") * 3,
+        concat(lit("<extra_id_"), col("sid"), lit("> "), col("tok")))
+        .when(col("masked"), col("tok"))
+        .as("tgt_piece"),
+      col("masked"))
+    pieces.groupBy("doc_id")
+      .agg(
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, in_piece)))," +
+            " s -> s.in_piece)")).as("input_text"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, tgt_piece)))," +
+            " s -> s.tgt_piece)")).as("target_text"),
+        countDistinct(when(col("masked"), col("blk"))).as("n_spans"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_tfidf — classic two-aggregation TF-IDF: term frequency per
   // (doc, token), document frequency per token, idf as the exact
   // rational N/df (portable: no log in the oracle-checked score), top-5
@@ -1208,6 +1256,7 @@ object LlmText {
     "llm_pagerank" -> (pageRank _),
     "llm_knn_graph" -> (knnGraph _),
     "llm_corpus_pipeline" -> (corpusPipeline _),
+    "llm_span_corruption" -> (spanCorruption _),
     "llm_decontaminate" -> (decontaminate _),
     "llm_pii_redact" -> (piiRedact _),
     "llm_ngram_freq" -> (ngramFreq _),
@@ -1507,6 +1556,40 @@ object LlmText {
           WHERE d.doc_id % 100 <> 0 AND l.is_kept AND g.pass
             AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
           ORDER BY d.doc_id""",
+    "llm_span_corruption" ->
+      """WITH tokp AS (
+           SELECT doc_id,
+                  unnest([{'pos': i-1, 'tok': ts[i]}
+                          FOR i IN range(1, len(ts)+1)], recursive := true)
+           FROM (SELECT doc_id, string_split(text, ' ') AS ts
+                 FROM documents)),
+         marked AS (
+           SELECT doc_id, pos, tok, pos // 3 AS blk,
+                  (strpos('0123456789abcdef',
+                          substring(md5(doc_id || '_'
+                            || CAST(pos // 3 AS VARCHAR)), 1, 1)) - 1) % 5 = 0
+                    AS masked
+           FROM tokp),
+         sids AS (
+           SELECT *, CASE WHEN masked THEN dense_rank() OVER
+               (PARTITION BY doc_id, masked ORDER BY blk) END AS sid
+           FROM marked),
+         pieces AS (
+           SELECT doc_id, pos, blk, masked,
+                  CASE WHEN NOT masked THEN tok
+                       WHEN pos = blk * 3 THEN '<extra_id_' || sid || '>'
+                  END AS in_piece,
+                  CASE WHEN masked AND pos = blk * 3
+                         THEN '<extra_id_' || sid || '> ' || tok
+                       WHEN masked THEN tok END AS tgt_piece
+           FROM sids)
+         SELECT doc_id,
+                coalesce(string_agg(in_piece, ' ' ORDER BY pos), '')
+                  AS input_text,
+                coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '')
+                  AS target_text,
+                count(DISTINCT CASE WHEN masked THEN blk END) AS n_spans
+         FROM pieces GROUP BY doc_id ORDER BY doc_id""",
     "llm_winnow_fingerprint" ->
       """WITH g AS (
            SELECT doc_id,

@@ -589,6 +589,31 @@ object LlmText {
   }
 
   // ---------------------------------------------------------------------
+  // llm_vocab_build — tokenizer-vocabulary construction: the top-100
+  // corpus tokens by frequency get contiguous ids in rank order, each
+  // with its exact cumulative corpus coverage in ppm (scaled-bigint
+  // integer division — no float accumulation). One count aggregation
+  // (map-side combined) + one global window over the 100 survivors —
+  // the window's input is already tiny, so the "global sort" is 100
+  // rows, not the corpus.
+  // ---------------------------------------------------------------------
+  private def vocabBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = t(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val total = counts.agg(sum(col("freq"))).head.getLong(0)
+    val wRank = Window.orderBy(col("freq").desc, col("token"))
+    counts
+      .withColumn("token_id", row_number().over(wRank))
+      .where(col("token_id") <= 100)
+      .withColumn("cum_freq", sum(col("freq")).over(
+        wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .selectExpr("token_id", "token", "freq",
+        s"cum_freq * 1000000 DIV ${total}L AS coverage_ppm")
+      .orderBy("token_id")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_tfidf — classic two-aggregation TF-IDF: term frequency per
   // (doc, token), document frequency per token, idf as the exact
   // rational N/df (portable: no log in the oracle-checked score), top-5
@@ -1257,6 +1282,7 @@ object LlmText {
     "llm_knn_graph" -> (knnGraph _),
     "llm_corpus_pipeline" -> (corpusPipeline _),
     "llm_span_corruption" -> (spanCorruption _),
+    "llm_vocab_build" -> (vocabBuild _),
     "llm_decontaminate" -> (decontaminate _),
     "llm_pii_redact" -> (piiRedact _),
     "llm_ngram_freq" -> (ngramFreq _),
@@ -1556,6 +1582,22 @@ object LlmText {
           WHERE d.doc_id % 100 <> 0 AND l.is_kept AND g.pass
             AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
           ORDER BY d.doc_id""",
+    "llm_vocab_build" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         freq AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1),
+         ranked AS (
+           SELECT token, freq,
+                  row_number() OVER (ORDER BY freq DESC, token) AS token_id
+           FROM freq),
+         cum AS (
+           SELECT token_id, token, freq,
+                  sum(freq) OVER (ORDER BY token_id) AS cum_freq
+           FROM ranked WHERE token_id <= 100)
+         SELECT token_id, token, freq,
+                CAST(cum_freq * 1000000 // (SELECT sum(freq) FROM freq)
+                     AS BIGINT) AS coverage_ppm
+         FROM cum ORDER BY token_id""",
     "llm_span_corruption" ->
       """WITH tokp AS (
            SELECT doc_id,

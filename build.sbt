@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the 200-key suite keeps session-lifetime caches
+  // (signature/cluster staging tables) while 32 task threads run —
+  // at 8g the tail of the suite hit GC-pressure episodes (one key
+  // measured 21 s vs 0.6 s isolated). The container has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

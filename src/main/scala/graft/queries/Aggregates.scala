@@ -343,7 +343,21 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** E. median() (Spark 4 exact median) — grouped medians over the
+    * 2-decimal money column; even-sized groups interpolate with one
+    * IEEE add+divide, identical in both engines, so the result stays
+    * hash-exact. Exact median sorts within groups — the approx
+    * percentile twin (`agg_approx_percentile`) is the 100 TB path;
+    * this one is for the sizes where exactness is cheap. */
+  private def aggMedian(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(expr("median(o_totalprice)").as("median_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_median" -> (aggMedian _),
     "agg_bool" -> (aggBool _),
     "agg_string_agg" -> (aggStringAgg _),
     "agg_approx_topk" -> (aggApproxTopK _),
@@ -369,6 +383,11 @@ object Aggregates {
     "agg_collect" -> (aggCollect _))
 
   val oracle: Map[String, String] = Map(
+    "agg_median" ->
+      """SELECT o_orderstatus,
+                median(o_totalprice) AS median_price,
+                count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
     "agg_bool" ->
       """SELECT o_orderstatus,
                 bool_and(o_totalprice > 1000) AS all_over_1k,

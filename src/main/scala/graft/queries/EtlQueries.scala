@@ -93,6 +93,25 @@ object EtlQueries {
       .orderBy("event_id")
   }
 
+  /** A. Glob-filtered scan: a landing directory where parquet data
+    * sits next to sidecar files (manifests, _SUCCESS markers,
+    * half-written .tmp uploads). `pathGlobFilter` restricts the
+    * LISTING — non-matching files are never opened, which is both
+    * correctness (the sidecars aren't data) and scale hygiene (no
+    * wasted opens on 100k-file directories). */
+  private def scanGlobFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.stagedDir(sfDir, "glob_mix") { d =>
+      t(spark, sfDir, "events")
+        .select("event_id", "event_type", "value")
+        .coalesce(2).write.mode("overwrite").parquet(d)
+      Files.writeString(Paths.get(d, "manifest.json"), """{"files": 2}""")
+      Files.writeString(Paths.get(d, "upload.tmp"), "partial bytes")
+      ()
+    }
+    spark.read.option("pathGlobFilter", "*.parquet").parquet(dir)
+      .orderBy("event_id")
+  }
+
   /** A. Parquet scan with filter + projection — Catalyst pushes both
     * into the scan (PushedFilters / ReadSchema). */
   private def scanParquet(spark: SparkSession, sfDir: String): DataFrame =
@@ -856,6 +875,7 @@ object EtlQueries {
     "scan_partition_pruned" -> (scanPartitionPruned _),
     "scan_csv_delim" -> (scanCsvDelim _),
     "scan_ignore_corrupt" -> (scanIgnoreCorrupt _),
+    "scan_glob_filter" -> (scanGlobFilter _),
     "scan_json" -> (scanJson _),
     "sink_parquet" -> (sinkParquet _),
     "sink_parquet_partitioned" -> (sinkParquetPartitioned _),
@@ -1005,6 +1025,9 @@ object EtlQueries {
       """SELECT event_id, event_type, 'café_' || event_type AS note
          FROM events ORDER BY event_id""",
     "scan_ignore_corrupt" ->
+      """SELECT event_id, event_type, value
+         FROM events ORDER BY event_id""",
+    "scan_glob_filter" ->
       """SELECT event_id, event_type, value
          FROM events ORDER BY event_id""",
     "sink_csv" ->

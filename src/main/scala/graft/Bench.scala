@@ -27,6 +27,13 @@ object Bench {
     // Dev-only: SPARK_GRAFT_ONLY=key1,key2 restricts the run (the
     // driver sets no env, so it always measures the full suite).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // A typo'd or stale key name must fail loudly, not silently measure
+    // a partial (or empty) suite and write a hollow results file.
+    only.foreach { keys =>
+      val unknown = keys -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown keys: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy(_._1).map { case (name, fn) =>

@@ -19,6 +19,13 @@ object Verify {
     // Dev-only: SPARK_GRAFT_ONLY=key1,key2 restricts the dump (the
     // driver sets no env, so it always gets the full run).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Typo'd key names fail loudly (same guard as Bench) — a silent
+    // empty selection would dump nothing and let stale results pass.
+    only.foreach { keys =>
+      val unknown = keys -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown keys: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name))
     }

@@ -23,6 +23,28 @@ object EtlQueries {
       .orderBy("event_id")
   }
 
+  /** A. Compressed CSV landing files (`.csv.gz`) — the most common
+    * landing-zone reality. Spark decompresses gzip transparently on
+    * read (codec picked by extension), but each .gz file is
+    * NON-SPLITTABLE: one file = one task regardless of size, so a
+    * 100 TB landing zone must arrive as many moderate files — a single
+    * giant .gz serializes its scan into one core (same caveat as
+    * multiLine CSV). First touch should rewrite to parquet/zstd. */
+  private def scanCsvGzip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.stagedDir(sfDir, "csv_gz") { d =>
+      t(spark, sfDir, "events")
+        .write.mode("overwrite")
+        .option("header", true)
+        .option("timestampFormat", Ingest.TsFormat)
+        .option("ignoreLeadingWhiteSpace", false)
+        .option("ignoreTrailingWhiteSpace", false)
+        .option("compression", "gzip")
+        .csv(d)
+    }
+    Ingest.readCsv(spark, dir, Schemas.events)
+      .orderBy("event_id")
+  }
+
   /** A. Malformed-row handling: PERMISSIVE parse of a hand-written bad
     * CSV, corrupt lines preserved in `_corrupt`. No oracle (not a
     * corpus-derivable result); rows>0 + EtlSpec cover it. */
@@ -692,8 +714,13 @@ object EtlQueries {
       .withColumn("o_totalprice",
         (dec(col("o_totalprice")) + lit(BigDecimal("1000.00"))).cast("double"))
       .withColumn("o_orderstatus", lit("R"))
+    // Inserted keys are shifted past the target's max key (a metadata-
+    // sized driver scalar) so they stay disjoint from existing keys at
+    // ANY scale factor — a fixed +10M shift collides once real keys
+    // pass 10M (TPC-H SF≈2) and silently turns inserts into fan-out.
+    val shift = target.agg(max("o_orderkey")).head.getLong(0) + 1L
     val inserts = target.where(col("o_orderkey") % 101 === 0)
-      .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+      .select((col("o_orderkey") + lit(shift)).as("o_orderkey"),
         col("o_custkey"), lit("N").as("o_orderstatus"), col("o_totalprice"))
     val source = updates.unionByName(inserts)
     val merged = target.as("t")
@@ -740,6 +767,10 @@ object EtlQueries {
       .collect()
     val (affected, untouched) = stats.partition(r =>
       r.getLong(1) <= hi && r.getLong(2) >= lo)
+    // No file intersects the delete range → the delete is a no-op; an
+    // empty path list would make spark.read.parquet throw.
+    if (affected.isEmpty)
+      return (spark.read.parquet(dir).orderBy("o_orderkey"), 0, stats.length)
     val rewritten = spark.read
       .parquet(affected.map(_.getString(0)).toIndexedSeq: _*)
       .where(!col("o_orderkey").between(lo, hi))
@@ -870,6 +901,7 @@ object EtlQueries {
     "etl_pipeline" -> (etlPipeline _),
     "typed_dataset" -> (typedDataset _),
     "scan_csv" -> (scanCsv _),
+    "scan_csv_gzip" -> (scanCsvGzip _),
     "scan_csv_permissive" -> (scanCsvPermissive _),
     "scan_parquet" -> (scanParquet _),
     "scan_partition_pruned" -> (scanPartitionPruned _),
@@ -1007,7 +1039,8 @@ object EtlQueries {
                     AS o_totalprice
            FROM target WHERE o_orderkey % 97 = 0
            UNION ALL
-           SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+           SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM target),
+                  o_custkey, 'N', o_totalprice
            FROM target WHERE o_orderkey % 101 = 0)
          SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
                 coalesce(s.o_custkey, t.o_custkey) AS o_custkey,
@@ -1069,6 +1102,8 @@ object EtlQueries {
          FROM orders WHERE o_totalprice > 300000 AND o_orderstatus <> 'P'
          ORDER BY o_orderkey""",
     "scan_csv" ->
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
+    "scan_csv_gzip" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
     "scan_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem

@@ -598,19 +598,52 @@ object LlmText {
   // rows, not the corpus.
   // ---------------------------------------------------------------------
   private def vocabBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    // persisted: the count aggregation feeds both the corpus total and
+    // the top-100 selection — without the pin it would run twice.
     val counts = t(spark, sfDir, "documents")
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
+      .persist()
     val total = counts.agg(sum(col("freq"))).head.getLong(0)
+    // Reduce to the 100 survivors FIRST (TakeOrderedAndProject — a
+    // distributed per-partition top-N), so the single-task global
+    // window below ranks 100 rows, never the whole vocabulary.
     val wRank = Window.orderBy(col("freq").desc, col("token"))
     counts
+      .orderBy(col("freq").desc, col("token")).limit(100)
       .withColumn("token_id", row_number().over(wRank))
-      .where(col("token_id") <= 100)
       .withColumn("cum_freq", sum(col("freq")).over(
         wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .selectExpr("token_id", "token", "freq",
         s"cum_freq * 1000000 DIV ${total}L AS coverage_ppm")
       .orderBy("token_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_tokenize_apply — the ENCODE pass that consumes llm_vocab_build's
+  // vocabulary: each document's whitespace tokens map to their vocab id
+  // (id 0 = OOV) via a BROADCAST join against the top-100 vocab, then
+  // positions reassemble into the per-doc id sequence. The vocab is
+  // driver-tiny by construction (top-K, not corpus-sized), so at 100 TB
+  // the encode is map-side only — the sole shuffle is the per-doc
+  // reassembly groupBy. Emits the per-doc token counts that
+  // llm_pack_sequences budgets on, closing the tokenize→pack loop.
+  // ---------------------------------------------------------------------
+  private def tokenizeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = vocabBuild(spark, sfDir).select("token", "token_id")
+    val tokp = t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    tokp.join(broadcast(vocab), tokp("tok") === vocab("token"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(0)).cast("int").as("id"))
+      .groupBy("doc_id")
+      .agg(
+        expr("transform(array_sort(collect_list(struct(pos, id)))," +
+          " s -> s.id)").as("token_ids"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_oov"))
+      .orderBy("doc_id")
   }
 
   // ---------------------------------------------------------------------
@@ -1283,6 +1316,7 @@ object LlmText {
     "llm_corpus_pipeline" -> (corpusPipeline _),
     "llm_span_corruption" -> (spanCorruption _),
     "llm_vocab_build" -> (vocabBuild _),
+    "llm_tokenize_apply" -> (tokenizeApply _),
     "llm_decontaminate" -> (decontaminate _),
     "llm_pii_redact" -> (piiRedact _),
     "llm_ngram_freq" -> (ngramFreq _),
@@ -1598,6 +1632,29 @@ object LlmText {
                 CAST(cum_freq * 1000000 // (SELECT sum(freq) FROM freq)
                      AS BIGINT) AS coverage_ppm
          FROM cum ORDER BY token_id""",
+    "llm_tokenize_apply" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         freq AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1),
+         ranked AS (
+           SELECT token,
+                  row_number() OVER (ORDER BY freq DESC, token) AS token_id
+           FROM freq),
+         vocab AS (SELECT token, token_id FROM ranked WHERE token_id <= 100),
+         tokp AS (
+           SELECT doc_id,
+                  unnest([{'pos': i-1, 'tok': ts[i]}
+                          FOR i IN range(1, len(ts)+1)], recursive := true)
+           FROM (SELECT doc_id, string_split(text, ' ') AS ts
+                 FROM documents)),
+         ids AS (
+           SELECT doc_id, pos, CAST(coalesce(v.token_id, 0) AS INTEGER) AS id
+           FROM tokp LEFT JOIN vocab v ON tokp.tok = v.token)
+         SELECT doc_id, list(id ORDER BY pos) AS token_ids,
+                count(*) AS n_tokens,
+                CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_oov
+         FROM ids GROUP BY doc_id ORDER BY doc_id""",
     "llm_span_corruption" ->
       """WITH tokp AS (
            SELECT doc_id,
@@ -1930,7 +1987,7 @@ object LlmText {
                    FROM df, n ORDER BY df DESC, tok LIMIT 64),
          scored AS (SELECT doc_id, sum(w_e6) AS s_e6, count(*) AS nf
                     FROM toks JOIN feats USING (tok) GROUP BY 1)
-         SELECT d.doc_id, coalesce(s_e6, 0) AS score_e6,
+         SELECT d.doc_id, CAST(coalesce(s_e6, 0) AS BIGINT) AS score_e6,
                 coalesce(nf, 0) AS n_feats,
                 coalesce(s_e6, 0) >= 20000000 AS quality_pass
          FROM documents d LEFT JOIN scored USING (doc_id)

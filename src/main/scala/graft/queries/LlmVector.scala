@@ -361,6 +361,10 @@ object LlmVector {
   // ---------------------------------------------------------------------
   private val KmK = 16
   private val KmIters = 2
+  // Index-build sample is a FIXED SIZE, not a fraction: at 100 TB a
+  // fractional sample is a driver OOM by construction. 4096 × 64 doubles
+  // ≈ 2 MB of driver memory regardless of corpus size.
+  private val KmSampleN = 4096
 
   /** Sequential left fold dot product — the Scala twin of
     * [[graft.functions.DotProduct]] and DuckDB's list_reduce. */
@@ -378,18 +382,23 @@ object LlmVector {
     BigDecimal.valueOf(x * 1.0e8)
       .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
 
-  /** Deterministic sampled k-means: init = KmK evenly-strided sample
-    * members by vec_id rank, then KmIters Lloyd rounds (cosine
-    * assignment, scaled-bigint means; an empty cell keeps its previous
-    * centroid). Returns (centroid, its L2 norm) pairs. */
+  /** Deterministic sampled k-means: the sample is the KmSampleN vectors
+    * with the smallest md5(vec_id) — a pseudo-random but fully
+    * deterministic choice that both engines can replay, executed as
+    * TakeOrderedAndProject (per-partition top-N, driver merges only N
+    * rows — O(N·dim) driver memory at ANY corpus size). Init = KmK
+    * evenly-strided sample members by vec_id rank, then KmIters Lloyd
+    * rounds (cosine assignment, scaled-bigint means; an empty cell keeps
+    * its previous centroid). Returns (centroid, its L2 norm) pairs. */
   private[graft] def kmeansCentroids(spark: SparkSession, sfDir: String)
       : Array[(Array[Double], Double)] = {
     val sample: Array[Array[Double]] =
       t(spark, sfDir, "embeddings")
-        .where(col("vec_id") % 4 === 0)
         .select(col("vec_id"), col("embedding"))
-        .orderBy("vec_id")
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(KmSampleN)
         .collect()
+        .sortBy(_.getLong(0))
         .map(_.getSeq[Float](1).toArray.map(_.toDouble))
     val stride = sample.length / KmK
     require(stride >= 1, s"sample too small for $KmK centroids")
@@ -906,7 +915,9 @@ object LlmVector {
       s"""WITH e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings),
           s AS (SELECT vec_id, embedding, nrm,
                        row_number() OVER (ORDER BY vec_id) AS rn
-                FROM e WHERE vec_id % 4 = 0),
+                FROM (SELECT * FROM e
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                      LIMIT 4096)),
           prm AS (SELECT count(*) // 16 AS stride FROM s),
           dims AS (SELECT unnest(range(1, 65)) AS i),
           c0 AS (SELECT CAST((rn - 1) // stride AS INTEGER) AS cent_id,

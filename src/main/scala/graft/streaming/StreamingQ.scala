@@ -649,8 +649,11 @@ object StreamingQ {
       val listing = Files.list(Paths.get(dir))
       try listing.forEach { p: Path => Files.setLastModifiedTime(p, past) }
       finally listing.close()
+      // Shift inserted keys past the snapshot's max key (not a fixed
+      // +10M) so they stay disjoint from real keys at any scale factor.
+      val shift = snapshot.agg(max("o_orderkey")).head.getLong(0) + 1L
       snapshot.where(col("o_orderkey") % 101 === 0)
-        .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+        .select((col("o_orderkey") + lit(shift)).as("o_orderkey"),
           col("o_custkey"), lit("N").as("o_orderstatus"), col("o_totalprice"))
         .coalesce(1).write.mode("append").parquet(dir)
       dir
@@ -674,7 +677,16 @@ object StreamingQ {
               .as("o_totalprice"))
         val next = freshDir("graft_stream_merge_t_")
         merged.write.mode("overwrite").parquet(next)
+        val prev = cur
         cur = next
+        // The superseded snapshot is never read again once the batch's
+        // write completes — delete it so repeated runs don't accumulate
+        // N+1 copies of the table in temp space.
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(prev))
       }
       .option("checkpointLocation", freshDir("graft_stream_ckpt_"))
       .trigger(Trigger.AvailableNow())
@@ -866,7 +878,8 @@ object StreamingQ {
                     AS o_totalprice
            FROM target WHERE o_orderkey % 97 = 0
            UNION ALL
-           SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+           SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM target),
+                  o_custkey, 'N', o_totalprice
            FROM target WHERE o_orderkey % 101 = 0)
          SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
                 coalesce(s.o_custkey, t.o_custkey) AS o_custkey,

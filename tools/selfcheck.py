@@ -11,10 +11,11 @@ library — developer tooling only (python/duckdb are driver-side deps).
 """
 import duckdb, sys, json, os, math
 
-def canon(rows, cols):
+def canon(rows, cols, types=None):
     # sort columns by name; values exact (floats compared bitwise-ish)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return [tuple(r[i] for i in order) for r in rows], [cols[i] for i in order]
+    ts = [types[i] for i in order] if types is not None else None
+    return [tuple(r[i] for i in order) for r in rows], [cols[i] for i in order], ts
 
 def eq(a, b):
     if a is None or b is None:
@@ -34,6 +35,21 @@ def eq(a, b):
         return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
     return a == b
 
+INT_WIDTHS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+def tclass(t):
+    """Equivalence class of a DuckDB type string for driver-hash parity.
+    Plain int widths collapse to one class; HUGEINT, DECIMAL, and
+    FLOAT-vs-DOUBLE stay distinct. List types classify element-wise."""
+    t = t.strip()
+    if t.endswith("[]"):
+        return tclass(t[:-2]) + "[]"
+    u = t.upper()
+    if u in INT_WIDTHS:
+        return "INT"
+    return u
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -48,20 +64,36 @@ def main():
         sql = oracle[name]
         try:
             gdir = f"{outdir}/{name}"
-            got_rel = con.execute(f"SELECT * FROM read_parquet('{gdir}/*.parquet')")
-            got_cols = [d[0] for d in got_rel.description]
+            got_rel = con.sql(f"SELECT * FROM read_parquet('{gdir}/*.parquet')")
+            got_cols = list(got_rel.columns)
+            got_types = [str(t) for t in got_rel.types]
             got = got_rel.fetchall()
-            exp_rel = con.execute(sql)
-            exp_cols = [d[0] for d in exp_rel.description]
+            exp_rel = con.sql(sql)
+            exp_cols = list(exp_rel.columns)
+            exp_types = [str(t) for t in exp_rel.types]
             exp = exp_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
-        g, gc = canon(got, got_cols)
-        e_, ec = canon(exp, exp_cols)
+        g, gc, gt = canon(got, got_cols, got_types)
+        e_, ec, et = canon(exp, exp_cols, exp_types)
         if gc != ec:
             print(f"FAIL {name}: columns differ spark={gc} duckdb={ec}")
+            n_fail += 1
+            continue
+        # Result-type parity: the driver hashes typed values, so a DuckDB
+        # widening (sum(BIGINT)->HUGEINT, avg(DECIMAL)->DECIMAL vs DOUBLE)
+        # fails the driver even when Python-converted values are equal.
+        # Granularity matches the driver's observed behavior (r4): plain
+        # int widths canonicalize (22 INTEGER-vs-BIGINT keys passed its
+        # hash), but HUGEINT and DECIMAL do NOT collapse to int/float
+        # (llm_quality_classifier's BIGINT-vs-HUGEINT failed it).
+        if [tclass(t) for t in gt] != [tclass(t) for t in et]:
+            diffs = [f"{c}: spark={a} duckdb={b}"
+                     for c, a, b in zip(gc, gt, et)
+                     if tclass(a) != tclass(b)]
+            print(f"FAIL {name}: result types differ ({'; '.join(diffs)})")
             n_fail += 1
             continue
         if len(g) != len(e_):

@@ -45,6 +45,16 @@ object Bench {
           -1.0 // a broken query must be visible, not a fake fast time
         }
       }
+      // NOTE on cross-key state: several keys memoize persisted stages
+      // (signatures, cluster labels) for reuse — deliberately NOT
+      // cleared between keys. All of them persist at disk-backed
+      // levels (Dataset.persist / localCheckpoint default
+      // MEMORY_AND_DISK), so storage-memory pressure in a 200-key
+      // suite can evict to local disk but can never force a recompute
+      // or lose checkpoint-truncated lineage. (A blanket
+      // clearCache/unpersist between keys was tried and REVERTED: it
+      // destroys localCheckpoint blocks that memoized DataFrames still
+      // reference — CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.)
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     def fmt(v: Double): String = f"$v%.3f"

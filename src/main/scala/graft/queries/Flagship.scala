@@ -149,8 +149,116 @@ WHERE l_returnflag IN ('A', 'N', 'R')
 GROUP BY 1, 2
 ORDER BY l_returnflag, l_linestatus"""
 
+  /** L. TPC-H Q3 (shipping priority): per-ORDER revenue ranking — the
+    * result set before the top-k is order-cardinality (millions at
+    * scale), so the ORDER BY + LIMIT must plan as
+    * TakeOrderedAndProject, never a global sort. The date cutoffs land
+    * on both fact scans as pushed filters; customer joins shuffle-free
+    * only through the segment filter's selectivity (Catalyst decides —
+    * at sf it broadcasts, at 100 TB it co-shuffles). */
+  private def q3(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1997-06-01").cast("timestamp")
+    val li = t(spark, sfDir, "lineitem").where(col("l_shipdate") > cutoff)
+    val o  = t(spark, sfDir, "orders").where(col("o_orderdate") < cutoff)
+    val c  = t(spark, sfDir, "customer")
+      .where(col("c_mktsegment") === "MACHINERY")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(li("l_orderkey").as("l_orderkey"),
+        o("o_orderdate").as("o_orderdate"))
+      .agg(
+        sum(dec(li("l_extendedprice")) *
+          (lit(BigDecimal(1)) - dec(li("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Sql: String =
+    """SELECT l_orderkey, o_orderdate,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+WHERE c_mktsegment = 'MACHINERY'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND l_shipdate  > TIMESTAMP '1997-06-01'
+GROUP BY 1, 2
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10"""
+
+  /** L. TPC-H Q6 (forecast revenue change): the pure scan-side query —
+    * every predicate and both aggregated columns push into one parquet
+    * pass, zero joins, a 1-row global aggregate whose shuffle carries
+    * exactly one partial per task. The decimal band predicate runs on
+    * DECIMAL(18,2) on BOTH engines so 0.05/0.07 are exact, not float
+    * neighborhoods. */
+  private def q6(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        dec(col("l_discount")).between(BigDecimal("0.05"), BigDecimal("0.07")) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  private val q6Sql: String =
+    """SELECT
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(18,2))
+        BETWEEN CAST(0.05 AS DECIMAL(18,2)) AND CAST(0.07 AS DECIMAL(18,2))
+  AND l_quantity < 24"""
+
+  /** L. TPC-H Q18 (large-volume customers): the HAVING-subquery
+    * pattern — aggregate lineitem per order FIRST (map-side partials
+    * collapse ~6 lines/order before the shuffle), filter to the heavy
+    * tail, THEN join the survivors to orders/customer. The qualifying
+    * set is tiny (p99 of order quantity ≈ 265), so both enrichment
+    * joins broadcast the filtered aggregate, never re-shuffling the
+    * fact table. */
+  private def q18(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+      .where(col("total_qty") > 300)
+    val o = t(spark, sfDir, "orders")
+    val c = t(spark, sfDir, "customer")
+    broadcast(big)
+      .join(o, big("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+        col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val q18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       total_qty
+FROM (SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty
+      FROM lineitem GROUP BY 1) big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE total_qty > 300
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_flagship" -> (q _), "tpch_q1" -> (q1 _), "tpch_q5" -> (q5 _))
+    Map("q_flagship" -> (q _), "tpch_q1" -> (q1 _), "tpch_q3" -> (q3 _),
+      "tpch_q5" -> (q5 _), "tpch_q6" -> (q6 _), "tpch_q18" -> (q18 _))
   val oracle: Map[String, String] =
-    Map("q_flagship" -> sql, "tpch_q1" -> q1Sql, "tpch_q5" -> q5Sql)
+    Map("q_flagship" -> sql, "tpch_q1" -> q1Sql, "tpch_q3" -> q3Sql,
+      "tpch_q5" -> q5Sql, "tpch_q6" -> q6Sql, "tpch_q18" -> q18Sql)
 }

@@ -390,13 +390,20 @@ object LlmVector {
     * evenly-strided sample members by vec_id rank, then KmIters Lloyd
     * rounds (cosine assignment, scaled-bigint means; an empty cell keeps
     * its previous centroid). Returns (centroid, its L2 norm) pairs. */
+  /** The bounded index-build sample as a DataFrame — exposed so
+    * PlanShapeSpec can pin that it plans as TakeOrderedAndProject
+    * (per-partition top-N; a regression to a global sort + collect
+    * would be the 100 TB driver-OOM shape this replaced). */
+  private[graft] def kmSampleDF(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(KmSampleN)
+
   private[graft] def kmeansCentroids(spark: SparkSession, sfDir: String)
       : Array[(Array[Double], Double)] = {
     val sample: Array[Array[Double]] =
-      t(spark, sfDir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(KmSampleN)
+      kmSampleDF(spark, sfDir)
         .collect()
         .sortBy(_.getLong(0))
         .map(_.getSeq[Float](1).toArray.map(_.toDouble))

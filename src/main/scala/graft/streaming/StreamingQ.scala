@@ -630,7 +630,7 @@ object StreamingQ {
   // co-partitioned on the key, with the snapshot swap being a catalog
   // pointer flip. The change feed is two files — updates (price bump +
   // status 'R' on keys ≡0 mod 97), then inserts (keys ≡0 mod 101
-  // shifted by 10M) — with ordered mtimes so maxFilesPerTrigger=1
+  // shifted past max(o_orderkey)) — with ordered mtimes so maxFilesPerTrigger=1
   // yields exactly two deterministic micro-batches; the key sets are
   // disjoint, so the final state equals the one-shot batch MERGE and
   // the oracle is `etl_merge_upsert`'s twin without the action column.
@@ -696,6 +696,69 @@ object StreamingQ {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         round(col("o_totalprice") * 100).cast("bigint").as("price_e2"))
       .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------------
+  // stream_incremental_agg — incremental MATERIALIZED AGGREGATE
+  // maintenance: the rollup table a warehouse keeps current without
+  // ever re-scanning history. Each micro-batch computes its own
+  // partial aggregate (count + scaled-bigint sum per group — both
+  // MERGEABLE, which is the property that makes this work), then a
+  // full-outer join adds the partials into the snapshot. Per-batch
+  // work is O(batch + |groups|), independent of total history — at
+  // 100 TB the snapshot is group-cardinality-sized, co-partitioned
+  // with the partials, and the swap is a catalog pointer flip. The
+  // sum is per-row-rounded cents (exact integers), so partial-merge
+  // order can never change the result — the oracle is the one-shot
+  // batch aggregate over the same corpus, bit-for-bit.
+  // ---------------------------------------------------------------------
+  private def streamIncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val srcDir = stageCache.computeIfAbsent(s"$sfDir/inc_agg", { _ =>
+      val dir = freshDir("graft_stream_incagg_")
+      ev.where(col("event_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      val past = FileTime.fromMillis(1000000000000L)
+      val listing = Files.list(Paths.get(dir))
+      try listing.forEach { p: Path => Files.setLastModifiedTime(p, past) }
+      finally listing.close()
+      ev.where(col("event_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(dir)
+      dir
+    })
+    var cur = freshDir("graft_stream_incagg_t_")
+    ev.limit(0).select(col("event_type"), lit(0L).as("n_events"),
+      lit(0L).as("sum_e2")).write.mode("overwrite").parquet(cur)
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val part = batch.groupBy("event_type").agg(
+          count(lit(1)).as("b_cnt"),
+          sum(round(col("value") * 100).cast("bigint")).as("b_sum"))
+        val merged = spark.read.parquet(cur).as("t")
+          .join(part.as("s"), Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            (coalesce(col("n_events"), lit(0L)) +
+              coalesce(col("b_cnt"), lit(0L))).as("n_events"),
+            (coalesce(col("sum_e2"), lit(0L)) +
+              coalesce(col("b_sum"), lit(0L))).as("sum_e2"))
+        val next = freshDir("graft_stream_incagg_t_")
+        merged.write.mode("overwrite").parquet(next)
+        val prev = cur
+        cur = next
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(prev))
+      }
+      .option("checkpointLocation", freshDir("graft_stream_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(cur).orderBy("event_type")
   }
 
   // ---------------------------------------------------------------------
@@ -809,6 +872,7 @@ object StreamingQ {
     "stream_static_join" -> (streamStaticJoin _),
     "stream_foreach_batch" -> (streamForeachBatch _),
     "stream_merge_upsert" -> (streamMergeUpsert _),
+    "stream_incremental_agg" -> (streamIncrementalAgg _),
     "stream_ann_index" -> (streamAnnIndex _),
     "stream_stateful_session" -> (streamStatefulSession _),
     "stream_transform_with_state" -> (streamTransformWithState _),
@@ -856,6 +920,11 @@ object StreamingQ {
                   i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)),
                   (acc, v) -> acc + v) >= 6
           GROUP BY 1 ORDER BY dup_id""",
+    "stream_incremental_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_e2
+         FROM events GROUP BY 1 ORDER BY event_type""",
     "stream_static_join" ->
       """SELECT event_id, event_type,
                 CASE WHEN event_type IN ('purchase', 'signup')

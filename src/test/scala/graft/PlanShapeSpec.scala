@@ -89,6 +89,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans index-build sample plans as TakeOrderedAndProject, bounded driver rows") {
+    // The build's ONLY driver-side materialization is a fixed-size
+    // top-N by md5(vec_id): per-partition heaps + an N-row driver
+    // merge. A regression to a global range-partitioned sort (or an
+    // unbounded collect) is the 100 TB driver-OOM shape this replaced.
+    val plan = finalPlan(graft.queries.LlmVector.kmSampleDF(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(countOf(plan, "Exchange rangepartitioning") === 0, plan)
+    assert(countOf(plan, "Exchange hashpartitioning") === 0, plan)
+  }
+
   test("scan_partition_pruned: partition filter reaches the scan, one partition read") {
     val df = SparkEntry.queries("scan_partition_pruned")(spark, sfDir)
     val plan = finalPlan(df)

@@ -647,6 +647,105 @@ object LlmText {
   }
 
   // ---------------------------------------------------------------------
+  // llm_bpe_train — byte-pair-encoding MERGE TRAINING, the real
+  // tokenizer-construction algorithm (Sennrich et al.): repeatedly
+  // find the most frequent adjacent symbol pair and merge it. The key
+  // scale property: training operates on the WORD-FREQUENCY table
+  // (vocab-sized — distinct words × their corpus counts), never the
+  // corpus itself — exactly how production BPE trainers work. Each
+  // round is two vocab-sized window passes + one 1-row
+  // TakeOrderedAndProject collect (the argmax pair — metadata-scale,
+  // same class as ANALYZE).
+  //
+  // Greedy left-to-right non-overlapping merge application is
+  // inherently sequential per word — but it has a closed window form:
+  // within each maximal run of CONSECUTIVE match positions, greedy
+  // picks exactly the even offsets. So: islands of consecutive match
+  // positions (gaps-and-islands, as in llm_substring_dedup), then
+  // (pos − island_min) % 2 = 0 selects the merges, and lag(selected)
+  // marks the consumed right halves. Pure windows — no sequential
+  // lambda, no UDF — which is also what makes the DuckDB twin replay
+  // it bit-for-bit.
+  // ---------------------------------------------------------------------
+  private val BpeRounds = 3
+
+  /** Shared BPE trainer core: returns the merge table and the final
+    * per-word symbol segmentation after BpeRounds rounds. */
+  private def bpeRounds(spark: SparkSession, sfDir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val words = t(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val wWin = Window.partitionBy("w").orderBy("pos")
+    val runWin = wWin.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var syms = words.select(col("w"), col("freq"),
+        posexplode(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+          .as(Seq("p0", "sym")))
+      .select(col("w"), col("freq"), (col("p0") + 1).as("pos"), col("sym"))
+      .persist()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    (1 to BpeRounds).foreach { r =>
+      val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(wWin))
+      val best = withNext.where(col("nxt").isNotNull)
+        .groupBy("sym", "nxt").agg(sum(col("freq")).as("wt"))
+        .orderBy(col("wt").desc, col("sym"), col("nxt")).limit(1).head()
+      val (bl, br, bw) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r, bl, br, bw))
+      val next = withNext
+        .withColumn("is_m",
+          coalesce(col("sym") === bl && col("nxt") === br, lit(false)))
+        .withColumn("grp", col("pos") -
+          sum(when(col("is_m"), 1).otherwise(0)).over(runWin))
+        .withColumn("minp",
+          min(when(col("is_m"), col("pos")))
+            .over(Window.partitionBy("w", "grp")))
+        .withColumn("sel",
+          col("is_m") && (col("pos") - col("minp")) % 2 === 0)
+        .withColumn("consumed",
+          coalesce(lag(col("sel"), 1).over(wWin), lit(false)))
+        .where(!col("consumed"))
+        .select(col("w"), col("freq"),
+          row_number().over(wWin).as("pos"),
+          when(col("sel"), concat(lit(bl), lit(br)))
+            .otherwise(col("sym")).as("sym"))
+        .persist()
+      val prev = syms
+      syms = next
+      prev.unpersist()
+    }
+    (merges.result(), syms)
+  }
+
+  private def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (merges, syms) = bpeRounds(spark, sfDir)
+    syms.unpersist()
+    merges.toDF("merge_round", "merge_left", "merge_right", "pair_weight")
+      .orderBy("merge_round")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_bpe_apply — the learned segmentation: after the merge rounds,
+  // each vocabulary word's final symbol sequence IS its BPE encoding
+  // (production tokenizers precompute exactly this word→pieces table
+  // and broadcast it for corpus encoding, the same shape as
+  // llm_tokenize_apply's vocab join). Emits the per-word pieces +
+  // piece count — vocab-sized output, corpus-independent.
+  // ---------------------------------------------------------------------
+  private def bpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, syms) = bpeRounds(spark, sfDir)
+    syms.groupBy("w")
+      .agg(
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, sym)))," +
+            " s -> s.sym)")).as("segmented"),
+        count(lit(1)).as("n_pieces"))
+      .orderBy("w")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_tfidf — classic two-aggregation TF-IDF: term frequency per
   // (doc, token), document frequency per token, idf as the exact
   // rational N/df (portable: no log in the oracle-checked score), top-5
@@ -1317,6 +1416,8 @@ object LlmText {
     "llm_span_corruption" -> (spanCorruption _),
     "llm_vocab_build" -> (vocabBuild _),
     "llm_tokenize_apply" -> (tokenizeApply _),
+    "llm_bpe_train" -> (bpeTrain _),
+    "llm_bpe_apply" -> (bpeApply _),
     "llm_decontaminate" -> (decontaminate _),
     "llm_pii_redact" -> (piiRedact _),
     "llm_ngram_freq" -> (ngramFreq _),
@@ -1420,6 +1521,75 @@ object LlmText {
                     list_transform(list_distinct(string_split(text, ' ')),
                                    t -> md5(t)) AS th
              FROM documents))"""
+
+  /** DuckDB replay of the BPE merge trainer: per round, the same
+    * lead-window pair count, (wt DESC, l, r) argmax, island selection
+    * of even offsets, and lag-based consumption as the Spark side —
+    * generated as one chained CTE block per round. */
+  private val (bpeCtePrefix, bpeLastSyms): (String, String) = {
+    def round(i: Int, prev: String): String =
+      s"""wn$i AS (SELECT w, freq, pos, sym,
+                        lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+                 FROM $prev),
+          best$i AS (SELECT sym AS l, nxt AS r,
+                            CAST(sum(freq) AS BIGINT) AS wt
+                     FROM wn$i WHERE nxt IS NOT NULL
+                     GROUP BY 1, 2 ORDER BY wt DESC, l, r LIMIT 1),
+          mk$i AS (SELECT wn.w, wn.freq, wn.pos, wn.sym, b.l AS bl,
+                          b.r AS br,
+                          (wn.sym = b.l AND coalesce(wn.nxt = b.r, false))
+                            AS is_m
+                   FROM wn$i wn CROSS JOIN best$i b),
+          g1$i AS (SELECT *,
+                          pos - sum(CASE WHEN is_m THEN 1 ELSE 0 END)
+                                OVER (PARTITION BY w ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS grp
+                   FROM mk$i),
+          g2$i AS (SELECT *,
+                          min(CASE WHEN is_m THEN pos END)
+                            OVER (PARTITION BY w, grp) AS minp
+                   FROM g1$i),
+          g3$i AS (SELECT *,
+                          (is_m AND (pos - minp) % 2 = 0) AS sel
+                   FROM g2$i),
+          g4$i AS (SELECT *,
+                          coalesce(lag(sel) OVER (PARTITION BY w
+                                                  ORDER BY pos), false)
+                            AS consumed
+                   FROM g3$i),
+          syms$i AS (SELECT w, freq,
+                            row_number() OVER (PARTITION BY w ORDER BY pos)
+                              AS pos,
+                            CASE WHEN sel THEN bl || br ELSE sym END AS sym
+                     FROM g4$i WHERE NOT consumed)"""
+    val rounds = (1 to BpeRounds)
+      .map(i => round(i, if (i == 1) "syms0" else s"syms${i - 1}"))
+      .mkString(",\n")
+    (s"""WITH words AS (
+          SELECT w, count(*) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE len(w) > 0 GROUP BY 1),
+        syms0 AS (
+          SELECT w, freq, i AS pos, substring(w, i, 1) AS sym
+          FROM words, unnest(range(1, len(w) + 1)) AS t(i)),
+        $rounds""", s"syms$BpeRounds")
+  }
+
+  private val BpeOracle: String = {
+    val unions = (1 to BpeRounds)
+      .map(i => s"""SELECT $i AS merge_round, l AS merge_left,
+                           r AS merge_right, wt AS pair_weight
+                    FROM best$i""")
+      .mkString("\n UNION ALL\n")
+    s"""$bpeCtePrefix
+        SELECT * FROM ($unions) ORDER BY merge_round"""
+  }
+
+  private val BpeApplyOracle: String =
+    s"""$bpeCtePrefix
+        SELECT w, string_agg(sym, ' ' ORDER BY pos) AS segmented,
+               count(*) AS n_pieces
+        FROM $bpeLastSyms GROUP BY w ORDER BY w"""
 
   val oracle: Map[String, String] = Map(
     "llm_gopher_rules" ->
@@ -1632,6 +1802,8 @@ object LlmText {
                 CAST(cum_freq * 1000000 // (SELECT sum(freq) FROM freq)
                      AS BIGINT) AS coverage_ppm
          FROM cum ORDER BY token_id""",
+    "llm_bpe_train" -> BpeOracle,
+    "llm_bpe_apply" -> BpeApplyOracle,
     "llm_tokenize_apply" ->
       """WITH toks AS (
            SELECT unnest(string_split(text, ' ')) AS token FROM documents),

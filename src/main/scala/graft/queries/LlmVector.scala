@@ -220,6 +220,52 @@ object LlmVector {
   }
 
   // ---------------------------------------------------------------------
+  // llm_semdedup — SemDeDup-style semantic dedup (the cluster-then-
+  // prune pattern from the SemDeDup paper): partition the embedding
+  // space into IVF cells around the same 16 broadcast-literal parity
+  // centroids as llm_ann_ivf, then prune WITHIN each cell only — a
+  // vector is dropped when a better-ranked cell-mate (higher cosine to
+  // the cell centroid, ties toward the smaller id) sits within
+  // cosine ≥ SemTau of it. Candidate pairs come from the cell
+  // equi-join IDS-ONLY (embeddings re-attach by id afterward), so the
+  // pairwise stage is O(Σ cell²) bounded by cell occupancy — never
+  // corpus² — and cell sizes are capped by the index design exactly as
+  // in the ANN path. The one-pass "exists a better-ranked near
+  // neighbor" rule is deterministic and order-free (no greedy
+  // sequential sweep), which is what makes it oracle-replayable and
+  // shuffle-order-independent at any parallelism.
+  // ---------------------------------------------------------------------
+  private val SemTau = 0.4
+
+  private def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val assigned = e
+      .withColumn("best", array_max(centScores(col("embedding"), col("nrm"))))
+      .select(col("vec_id"), (-col("best.nid")).cast("int").as("cell"),
+        col("best.c").as("centrality"))
+    val a = assigned.select(col("vec_id").as("vec_a"), col("cell"),
+      col("centrality").as("cent_a"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("cell"),
+      col("centrality").as("cent_b"))
+    val cand = a.join(b, "cell")
+      .where(col("cent_a") > col("cent_b") ||
+        (col("cent_a") === col("cent_b") && col("vec_a") < col("vec_b")))
+      .select("vec_a", "vec_b")
+    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val dropped = cand.join(ea, "vec_a").join(eb, "vec_b")
+      .where(cosine(col("ea"), col("eb"), col("na"), col("nb")) >= SemTau)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("hit", lit(true))
+    assigned.select("vec_id", "cell")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("hit").isNull.as("is_kept"))
+      .orderBy("vec_id")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_ann_ivf — inverted-file ANN, the second scale path: partition
   // the corpus into cells around FIXED centroids, search only the
   // nprobe cells nearest the query. The 16 centroids are deterministic
@@ -694,6 +740,7 @@ object LlmVector {
     "llm_ann_ivf" -> (annIvf _),
     "llm_ann_ivf_persisted" -> (annIvfPersisted _),
     "llm_ann_ivf_kmeans" -> (annIvfKmeans _),
+    "llm_semdedup" -> (semDedup _),
     "llm_embedding_quantize" -> (embeddingQuantize _),
     "llm_vector_mean" -> (vectorMean _),
     "agg_custom_vector_mean" -> (customVectorMean _),
@@ -779,7 +826,47 @@ object LlmVector {
           WHERE e.vec_id <> 7
           ORDER BY cosine DESC, e.vec_id LIMIT 10"""
 
+  private val SemDedupOracle =
+    s"""WITH e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings),
+          cents AS (
+            SELECT c.c AS cent_id,
+                   list_transform(range(0, 64), d ->
+                     CASE WHEN (strpos('0123456789abcdef',
+                           substring(md5('c_' || c.c || '_' || d), 1, 1)) - 1)
+                           % 2 = 0
+                          THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+                     AS ce
+            FROM (SELECT unnest(range(0, 16)) AS c) c),
+          assigned AS (
+            SELECT vec_id, cell, centrality FROM (
+              SELECT e.vec_id, c.cent_id AS cell,
+                     ${dDot("e.embedding", "c.ce")}
+                       / (e.nrm * CAST(8 AS DOUBLE)) AS centrality,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${dDot("e.embedding", "c.ce")}
+                                  / (e.nrm * CAST(8 AS DOUBLE))
+                                DESC, c.cent_id) AS rk
+              FROM e CROSS JOIN cents c)
+            WHERE rk = 1),
+          cand AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb
+            FROM assigned a JOIN assigned b ON a.cell = b.cell
+            WHERE a.centrality > b.centrality
+               OR (a.centrality = b.centrality AND a.vec_id < b.vec_id)),
+          dropped AS (
+            SELECT DISTINCT c.vb AS vec_id
+            FROM cand c
+            JOIN e ea ON c.va = ea.vec_id
+            JOIN e eb ON c.vb = eb.vec_id
+            WHERE ${dDot("ea.embedding", "eb.embedding")}
+                    / (ea.nrm * eb.nrm) >= CAST(0.4 AS DOUBLE))
+          SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+                 (d.vec_id IS NULL) AS is_kept
+          FROM assigned a LEFT JOIN dropped d USING (vec_id)
+          ORDER BY a.vec_id"""
+
   val oracle: Map[String, String] = Map(
+    "llm_semdedup" -> SemDedupOracle,
     "llm_multimodal_audio" ->
       """SELECT doc_id,
                 len(wave) AS n_samples,

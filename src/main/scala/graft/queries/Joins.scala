@@ -447,7 +447,41 @@ object Joins {
          ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
   }
 
+  /** D. Blocked fuzzy join — entity resolution at scale: dirty records
+    * (a deterministically dropped digit in the name) re-link to their
+    * master rows by edit distance, but candidate pairs come ONLY from
+    * an equi-join on a stable blocking attribute (nation) — the
+    * blocking step is what makes fuzzy matching feasible at 100 TB:
+    * candidates are O(Σ block²) with block sizes the pipeline
+    * controls, never corpus². Within a block, levenshtein ≤ 2 matches
+    * rank by (distance, name, key) and rank 1 wins — deterministic,
+    * order-free. Both engines share the classic Levenshtein, so the
+    * oracle replays corruption, blocking, and ranking exactly. */
+  private def joinFuzzyBlocked(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    // drop digit (c_custkey % 9) of the 9-digit suffix of
+    // "Customer#NNNNNNNNN" — 1-based drop position 10 + (key % 9)
+    val dirty = c.selectExpr("c_custkey AS d_key", "c_nationkey AS d_nat",
+      """concat(substring(c_name, 1, CAST(9 + c_custkey % 9 AS INT)),
+                substring(c_name, CAST(11 + c_custkey % 9 AS INT)))
+         AS dirty_name""")
+    val clean = c.select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+    val ranked = dirty
+      .join(clean, col("d_nat") === col("c_nationkey"))
+      .withColumn("lev", levenshtein(col("dirty_name"), col("c_name")))
+      .where(col("lev") <= 2)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("d_key")
+          .orderBy(col("lev"), col("c_name"), col("c_custkey"))))
+      .where(col("rk") === 1)
+    ranked.select(col("d_key"), col("dirty_name"),
+        col("c_custkey").as("matched_key"), col("c_name").as("matched_name"),
+        col("lev"))
+      .orderBy("d_key")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_fuzzy_blocked" -> (joinFuzzyBlocked _),
     "join_lateral" -> (joinLateral _),
     "join_subquery" -> (joinSubquery _),
     "join_salted" -> (joinSalted _),
@@ -469,6 +503,24 @@ object Joins {
     "join_asof_tolerance" -> (joinAsOfTolerance _))
 
   val oracle: Map[String, String] = Map(
+    "join_fuzzy_blocked" ->
+      """WITH dirty AS (
+           SELECT c_custkey AS d_key, c_nationkey AS d_nat,
+                  substring(c_name, 1, CAST(9 + c_custkey % 9 AS INT))
+                    || substring(c_name, CAST(11 + c_custkey % 9 AS INT))
+                    AS dirty_name
+           FROM customer),
+         ranked AS (
+           SELECT d_key, dirty_name, c_custkey, c_name,
+                  levenshtein(dirty_name, c_name) AS lev,
+                  row_number() OVER (PARTITION BY d_key
+                    ORDER BY levenshtein(dirty_name, c_name), c_name,
+                             c_custkey) AS rk
+           FROM dirty JOIN customer ON d_nat = c_nationkey
+           WHERE levenshtein(dirty_name, c_name) <= 2)
+         SELECT d_key, dirty_name, c_custkey AS matched_key,
+                c_name AS matched_name, lev
+         FROM ranked WHERE rk = 1 ORDER BY d_key""",
     "join_lateral" ->
       """SELECT c_custkey, o_orderkey, o_totalprice
          FROM customer c,

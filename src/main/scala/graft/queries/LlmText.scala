@@ -746,6 +746,28 @@ object LlmText {
   }
 
   // ---------------------------------------------------------------------
+  // llm_dataset_card — the corpus "dataset card" summary every released
+  // training set ships with: doc/token totals, language and source
+  // diversity, exact-duplicate count, and length extremes — ONE
+  // map-side-combined pass over the corpus producing one row. The
+  // exact-dup count reuses the content-hash idea (docs − distinct
+  // md5(text)); the three COUNT(DISTINCT)s share a single aggregate
+  // (Catalyst expands to 4 streams — corpus-linear, no join). At
+  // 100 TB this is the cheapest full-corpus observability query there
+  // is: no shuffle wider than the distinct-aggregation expand.
+  // ---------------------------------------------------------------------
+  private def datasetCard(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  // ---------------------------------------------------------------------
   // llm_tfidf — classic two-aggregation TF-IDF: term frequency per
   // (doc, token), document frequency per token, idf as the exact
   // rational N/df (portable: no log in the oracle-checked score), top-5
@@ -1418,6 +1440,7 @@ object LlmText {
     "llm_tokenize_apply" -> (tokenizeApply _),
     "llm_bpe_train" -> (bpeTrain _),
     "llm_bpe_apply" -> (bpeApply _),
+    "llm_dataset_card" -> (datasetCard _),
     "llm_decontaminate" -> (decontaminate _),
     "llm_pii_redact" -> (piiRedact _),
     "llm_ngram_freq" -> (ngramFreq _),
@@ -1804,6 +1827,16 @@ object LlmText {
          FROM cum ORDER BY token_id""",
     "llm_bpe_train" -> BpeOracle,
     "llm_bpe_apply" -> BpeApplyOracle,
+    "llm_dataset_card" ->
+      """SELECT count(*) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                  AS n_tokens,
+                count(DISTINCT lang) AS n_langs,
+                count(DISTINCT source) AS n_sources,
+                count(*) - count(DISTINCT md5(text)) AS n_exact_dups,
+                min(n_chars) AS min_chars,
+                max(n_chars) AS max_chars
+         FROM documents""",
     "llm_tokenize_apply" ->
       """WITH toks AS (
            SELECT unnest(string_split(text, ' ')) AS token FROM documents),

@@ -108,6 +108,19 @@ object SetSort {
       .orderBy("l_orderkey", "l_partkey")
   }
 
+  /** G. INTERSECT ALL — multiset intersection with multiplicity
+    * min(a, b): the dual of EXCEPT ALL, planned as the same
+    * count-and-replicate aggregation (one shuffle on the full row
+    * key, no join explosion). */
+  private def setIntersectAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    li.where(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_partkey")
+      .intersectAll(li.where(col("l_quantity") >= 30)
+        .select("l_orderkey", "l_partkey"))
+      .orderBy("l_orderkey", "l_partkey")
+  }
+
   /** G/SQL. Spark 4 operator-pipe SQL (`|>`): the linear query syntax
     * — each stage reads top-down instead of inside-out — lowered to
     * the identical logical plan as the nested form, so it costs
@@ -131,6 +144,7 @@ object SetSort {
     "sql_recursive_cte" -> (sqlRecursiveCte _),
     "sql_pipe" -> (sqlPipe _),
     "set_except_all" -> (setExceptAll _),
+    "set_intersect_all" -> (setIntersectAll _),
     "set_union_by_name" -> (setUnionByName _),
     "sort_global" -> (sortGlobal _),
     "sort_topk" -> (sortTopK _),
@@ -142,6 +156,11 @@ object SetSort {
     "set_except_all" ->
       """SELECT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'R'
          EXCEPT ALL
+         SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
+         ORDER BY l_orderkey, l_partkey""",
+    "set_intersect_all" ->
+      """SELECT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'R'
+         INTERSECT ALL
          SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
          ORDER BY l_orderkey, l_partkey""",
     "sql_pipe" ->

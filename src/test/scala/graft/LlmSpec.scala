@@ -502,4 +502,44 @@ class LlmSpec extends AnyFunSuite {
     assert(a.count() === b.count())
     assert(a.filter(col("n_bytes") =!= 16).count() === 0) // md5 payload = 16 bytes
   }
+
+  test("BPE segmentation is lossless and never longer than the word") {
+    // concatenating the learned pieces must reconstruct the original
+    // word exactly (merges only ever join adjacent symbols), and the
+    // piece count can never exceed the character count.
+    val seg = LlmText.defs("llm_bpe_apply")(spark, sfDir)
+    val bad = seg.where(
+      expr("replace(segmented, ' ', '') <> w") ||
+        col("n_pieces") > length(col("w")))
+    assert(bad.count() === 0)
+    // at least one merge must have fired somewhere (n_pieces < chars)
+    assert(seg.where(col("n_pieces") < length(col("w"))).count() > 0)
+  }
+
+  test("BPE merge weights are non-increasing across rounds") {
+    // each round merges the CURRENT most frequent pair; a later round
+    // can never find a pair strictly heavier than an earlier choice
+    // (merging only removes occurrences of the chosen pair's parts or
+    // creates new symbols whose counts are bounded by the merged one)
+    val m = LlmText.defs("llm_bpe_train")(spark, sfDir)
+      .orderBy("merge_round").collect()
+    assert(m.length === 3)
+    assert(m.sliding(2).forall(p =>
+      p(0).getAs[Long]("pair_weight") >= p(1).getAs[Long]("pair_weight")))
+  }
+
+  test("semdedup pruning never empties a cell and covers every vector") {
+    // structural invariant of the one-pass rule: a cell's best-ranked
+    // member has no better-ranked cell-mate, so it can never be
+    // dropped — every nonempty cell must retain at least one vector
+    val out = LlmVector.defs("llm_semdedup")(spark, sfDir)
+    val emptied = out.groupBy("cell")
+      .agg(sum(when(col("is_kept"), 1).otherwise(0)).as("kept"))
+      .where(col("kept") === 0)
+    assert(emptied.count() === 0)
+    // and the output covers the whole corpus exactly once
+    assert(out.count() ===
+      Tables.t(spark, sfDir, "embeddings").count())
+    assert(out.select("vec_id").distinct().count() === out.count())
+  }
 }

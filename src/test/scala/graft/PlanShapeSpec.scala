@@ -100,6 +100,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOf(plan, "Exchange hashpartitioning") === 0, plan)
   }
 
+  test("tpch_q3/q18: top-k without global sort; q18 joins broadcast the filtered agg") {
+    val p3 = finalPlan(SparkEntry.queries("tpch_q3")(spark, sfDir))
+    assert(p3.contains("TakeOrderedAndProject"), p3)
+    assert(countOf(p3, "Exchange rangepartitioning") === 0, p3)
+    val p18 = finalPlan(SparkEntry.queries("tpch_q18")(spark, sfDir))
+    assert(p18.contains("TakeOrderedAndProject"), p18)
+    // the heavy-tail aggregate is the broadcast side of both
+    // enrichment joins — the fact table is never re-shuffled for them
+    assert(countOf(p18, "BroadcastHashJoin") === 2, p18)
+    assert(countOf(p18, "SortMergeJoin") === 0, p18)
+  }
+
+  test("llm_semdedup / join_fuzzy_blocked: candidates from equi-joins, never all-pairs") {
+    Seq("llm_semdedup", "join_fuzzy_blocked").foreach { key =>
+      val plan = finalPlan(SparkEntry.queries(key)(spark, sfDir))
+      assert(countOf(plan, "CartesianProduct") === 0, s"$key\n$plan")
+      assert(countOf(plan, "BroadcastNestedLoopJoin") === 0, s"$key\n$plan")
+    }
+  }
+
   test("scan_partition_pruned: partition filter reaches the scan, one partition read") {
     val df = SparkEntry.queries("scan_partition_pruned")(spark, sfDir)
     val plan = finalPlan(df)

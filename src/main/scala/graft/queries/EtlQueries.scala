@@ -740,6 +740,38 @@ object EtlQueries {
       .orderBy("o_orderkey")
   }
 
+  /** B. Time travel on plain parquet — snapshot versioning as a lake
+    * layout: every write lands under a `v=<n>` partition, so "AS OF
+    * version n" is partition pruning (the same planning-time directory
+    * elision as scan_partition_pruned) and no snapshot is ever
+    * rewritten. The query diffs two versions IN ONE PLAN — the shape a
+    * lakehouse audit ("what changed between v1 and v2?") compiles to —
+    * reading exactly two partitions' bytes regardless of how many
+    * versions accumulate. Versions here: v2 applies the standard
+    * price-bump update to keys ≡0 mod 97; the diff recovers precisely
+    * those keys. */
+  private def etlTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = Fixtures.stagedDir(sfDir, "time_travel") { d =>
+      val base = t(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
+      base.withColumn("v", lit(1))
+        .write.partitionBy("v").mode("overwrite").parquet(d)
+      base.withColumn("o_totalprice",
+          when(col("o_orderkey") % 97 === 0,
+            (dec(col("o_totalprice")) + lit(BigDecimal("1000.00")))
+              .cast("double"))
+            .otherwise(col("o_totalprice")))
+        .withColumn("v", lit(2))
+        .write.partitionBy("v").mode("append").parquet(d)
+    }
+    val snaps = spark.read.parquet(root)
+    def at(n: Int, alias: String) = snaps.where(col("v") === n)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as(alias))
+    at(1, "price_v1_e2").join(at(2, "price_v2_e2"), "o_orderkey")
+      .where(col("price_v1_e2") =!= col("price_v2_e2"))
+      .orderBy("o_orderkey")
+  }
+
   /** B/C. Surgical delete (GDPR-style erasure) on a range-clustered
     * layout: the delete predicate is a narrow key range, per-file
     * min/max stats identify which files can contain matches, and ONLY
@@ -888,6 +920,7 @@ object EtlQueries {
     "etl_dq_report" -> (dqReport _),
     "etl_scd2_diff" -> (scd2Diff _),
     "etl_merge_upsert" -> (etlMergeUpsert _),
+    "etl_time_travel" -> (etlTimeTravel _),
     "etl_delete_rewrite" -> (etlDeleteRewrite _),
     "sink_csv" -> (sinkCsv _),
     "sink_json" -> (sinkJson _),
@@ -1027,6 +1060,15 @@ object EtlQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders
          WHERE o_orderkey NOT BETWEEN 40 AND 80
+         ORDER BY o_orderkey""",
+    "etl_time_travel" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_v1_e2,
+                CAST(round(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                + CAST(1000.00 AS DECIMAL(18,2)) AS DOUBLE)
+                           * 100) AS BIGINT) AS price_v2_e2
+         FROM orders
+         WHERE o_orderkey % 97 = 0
          ORDER BY o_orderkey""",
     "etl_merge_upsert" ->
       """WITH target AS (

@@ -184,6 +184,37 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** As-of join, NEAREST direction: for each purchase, the view by the
+    * same user closest in time on EITHER side (backward as-of picks
+    * only at-or-before; nearest is what sensor/feature alignment
+    * usually wants). Same single sort + carry plan as `join_asof` —
+    * one shuffle on user_id, then TWO frames over the SAME window sort
+    * (carry-forward `last` for the latest view at-or-before,
+    * carry-backward `first` for the earliest view after), so Spark
+    * plans one Exchange + one Sort and both carries run in that sorted
+    * pass. Tie (equidistant before/after) resolves to the earlier
+    * view, interval-compared — no epoch conversion. */
+  private def joinAsOfNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = t(spark, sfDir, "events")
+      .where(col("event_type").isin("purchase", "view"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "view", col("ts")).as("view_ts"),
+        (col("event_type") === "view").cast("int").as("is_view"))
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_view").desc, col("event_id"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    e.withColumn("b", last(col("view_ts"), ignoreNulls = true).over(back))
+      .withColumn("f", first(col("view_ts"), ignoreNulls = true).over(fwd))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("b").isNull, col("f"))
+          .when(col("f").isNull, col("b"))
+          .when(col("ts") - col("b") <= col("f") - col("ts"), col("b"))
+          .otherwise(col("f")).as("nearest_view_ts"))
+      .orderBy("event_id")
+  }
+
   /** Bucketed co-located join: both sides pre-bucketed (and
     * sort-ordered) on the join key via `bucketBy` + `saveAsTable`, so
     * the sort-merge join runs with NO exchange and NO sort on either
@@ -500,7 +531,8 @@ object Joins {
     "join_null_safe" -> (joinNullSafe _),
     "join_range" -> (joinRange _),
     "join_asof" -> (joinAsOf _),
-    "join_asof_tolerance" -> (joinAsOfTolerance _))
+    "join_asof_tolerance" -> (joinAsOfTolerance _),
+    "join_asof_nearest" -> (joinAsOfNearest _))
 
   val oracle: Map[String, String] = Map(
     "join_fuzzy_blocked" ->
@@ -653,5 +685,22 @@ object Joins {
                    AND v.ts <= e.ts
                    AND v.ts >= e.ts - INTERVAL 1 HOUR) AS fresh_view_ts
          FROM events e WHERE event_type = 'purchase'
+         ORDER BY event_id""",
+    "join_asof_nearest" ->
+      """SELECT event_id, user_id, ts,
+                CASE WHEN b IS NULL THEN f
+                     WHEN f IS NULL THEN b
+                     WHEN e.ts - b <= f - e.ts THEN b
+                     ELSE f END AS nearest_view_ts
+         FROM (SELECT event_id, user_id, ts,
+                      (SELECT max(v.ts) FROM events v
+                       WHERE v.user_id = e0.user_id
+                         AND v.event_type = 'view'
+                         AND v.ts <= e0.ts) AS b,
+                      (SELECT min(v.ts) FROM events v
+                       WHERE v.user_id = e0.user_id
+                         AND v.event_type = 'view'
+                         AND v.ts > e0.ts) AS f
+               FROM events e0 WHERE event_type = 'purchase') e
          ORDER BY event_id""")
 }

@@ -952,6 +952,71 @@ object LlmText {
   }
 
   // ---------------------------------------------------------------------
+  // llm_perplexity_bucket — CCNet-style head/middle/tail corpus split:
+  // rank documents within each language by unigram-model average token
+  // log-probability (high = most fluent under the corpus model) and cut
+  // each language into equal terciles. CCNet (Wenzek et al., 2020)
+  // buckets by KenLM perplexity percentile; the scaled-bigint unigram
+  // scorer from llm_unigram_logprob stands in for the LM, so the sort
+  // key is engine-neutral (one deterministic double division at the
+  // end, ties broken by doc_id).
+  //
+  // The per-language rank is computed WITHOUT Window.partitionBy(lang):
+  // that spec serializes each language's ENTIRE corpus through one
+  // task — a handful of languages × 100 TB is the pack_sequences
+  // bottleneck in a different hat. Same cure, generalized from doc_id
+  // ranges to an arbitrary sort key: range-repartition on (lang, score
+  // desc, doc_id) — contiguous, BALANCED shards of the total order
+  // regardless of language skew — take a local row_number per (shard,
+  // lang), then prefix-sum the tiny (shard × lang) count table and
+  // broadcast it back as each shard's starting rank. Exact global
+  // ranks, thousands-way parallel; the oracle keeps the naive
+  // single-window formulation and the hashes must match.
+  // bucket = (rank-1)*3 DIV lang_total → 'head' / 'middle' / 'tail'.
+  // ---------------------------------------------------------------------
+  private def perplexityBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val toks = docs.selectExpr("doc_id", "explode(split(text, ' ')) AS tok")
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    val lp = freq.crossJoin(broadcast(total))
+      .selectExpr("tok",
+        """cast(round(ln(cast(cnt as double) / cast(total as double))
+                      * cast(1000000 as double)) as bigint) AS lp""")
+    val scored = toks.join(broadcast(lp), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum(col("lp")).as("s"), count(lit(1)).as("n"))
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        (col("s").cast("double") / lit(1000000.0) / col("n").cast("double"))
+          .as("avg_lp"))
+    // Shards are contiguous ranges of the (lang, avg_lp desc, doc_id)
+    // total order; rank arithmetic is invariant to where the (sampled)
+    // range boundaries land, so spark_partition_id is safe here.
+    val sharded = scored
+      .repartitionByRange(32, col("lang"), col("avg_lp").desc, col("doc_id"))
+      .withColumn("shard", spark_partition_id())
+    val localW = Window.partitionBy("shard", "lang")
+      .orderBy(col("avg_lp").desc, col("doc_id"))
+    val local = sharded.withColumn("lr", row_number().over(localW))
+    val counts = local.groupBy("shard", "lang").agg(count(lit(1)).as("c"))
+    val offsets = counts      // shards × langs rows — driver-sized
+      .withColumn("off", coalesce(sum(col("c")).over(
+        Window.partitionBy("lang").orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("lang_total",
+        sum(col("c")).over(Window.partitionBy("lang")))
+      .select("shard", "lang", "off", "lang_total")
+    local.join(broadcast(offsets), Seq("shard", "lang"))
+      .withColumn("lang_rank", col("lr") + col("off"))
+      .select(col("doc_id"), col("lang"), col("avg_lp"), col("lang_rank"),
+        expr("""CASE CAST((lang_rank - 1) * 3 DIV lang_total AS INT)
+                WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                ELSE 'tail' END""").as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_pack_sequences — pack documents into fixed token-budget
   // training sequences (the batch-construction step before a training
   // run): deterministic order within each language, running token
@@ -1430,6 +1495,7 @@ object LlmText {
     "llm_pack_sequences" -> (packSequences _),
     "llm_sample_stratified" -> (sampleStratified _),
     "llm_unigram_logprob" -> (unigramLogprob _),
+    "llm_perplexity_bucket" -> (perplexityBucket _),
     "llm_dedup_clusters" -> (dedupClusters _),
     "llm_cluster_representative" -> (clusterRepresentative _),
     "llm_pagerank" -> (pageRank _),
@@ -1746,6 +1812,33 @@ object LlmText {
                   AS avg_logprob
          FROM toks JOIN lp USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
+    "llm_perplexity_bucket" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+         tot AS (SELECT sum(cnt) AS total FROM freq),
+         lp AS (
+           SELECT tok,
+                  CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                             * CAST(1000000 AS DOUBLE)) AS BIGINT) AS lp
+           FROM freq CROSS JOIN tot),
+         scored AS (
+           SELECT doc_id,
+                  CAST(sum(lp) AS DOUBLE) / 1000000.0 / count(*) AS avg_lp
+           FROM toks JOIN lp USING (tok) GROUP BY doc_id),
+         r AS (
+           SELECT d.doc_id, d.lang, s.avg_lp,
+                  row_number() OVER (PARTITION BY d.lang
+                                     ORDER BY s.avg_lp DESC, d.doc_id)
+                    AS lang_rank,
+                  count(*) OVER (PARTITION BY d.lang) AS lang_total
+           FROM documents d JOIN scored s USING (doc_id))
+         SELECT doc_id, lang, avg_lp, lang_rank,
+                CASE CAST((lang_rank - 1) * 3 // lang_total AS INT)
+                WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+         FROM r ORDER BY doc_id""",
     "llm_dedup_clusters" ->
       s"""$DClusterLabels
           SELECT doc_id, cluster_id, is_kept

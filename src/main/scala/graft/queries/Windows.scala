@@ -230,7 +230,50 @@ object Windows {
       .orderBy("user_id")
   }
 
+  /** F. Truncated-horizon EWMA per user timeline — the pandas
+    * `ewm(alpha=0.5, adjust=True)` recurrence restricted to the last 8
+    * events: num = Σ_{k=0..7} x_{i-k}·2^(7-k), den = Σ of the weights
+    * whose lag actually exists, ewma = num/den. With alpha = 1/2 the
+    * weights are exact powers of two, so the whole state is scaled
+    * bigint arithmetic — no float accumulation order, engine-neutral —
+    * and only the final num/den quotient is a (deterministic, two-op)
+    * double. All 8 lags share ONE window spec: a single shuffle on
+    * user_id + one partition-local sort, regardless of horizon. Horizon
+    * truncation is what makes this scale: the untruncated recurrence is
+    * a sequential scan per user, while a fixed window is a stock
+    * codegen'd frame. */
+  private def winEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val x = t(spark, sfDir, "events")
+      .where(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("cast(round(value * 100) as bigint)").as("x_e2"))
+    // Materialize each lag ONCE (k = 0 is the row itself, never null
+    // after the filter; k >= 1 are absent at each timeline's head),
+    // then derive num/den/ewma from the materialized columns — so the
+    // Window node carries exactly 7 lag expressions instead of one
+    // copy per consuming output column.
+    val lagged = x.select(
+      (Seq(col("user_id"), col("event_id"), col("ts"), col("x_e2")) ++
+        (1 to 7).map(k => lag(col("x_e2"), k).over(w).as(s"l$k"))): _*)
+    val lags: Seq[org.apache.spark.sql.Column] =
+      col("x_e2") +: (1 to 7).map(k => col(s"l$k"))
+    val num = lags.zipWithIndex.map { case (c, k) =>
+      coalesce(c * lit(1L << (7 - k)), lit(0L))
+    }.reduce(_ + _)
+    val den = lags.zipWithIndex.map { case (c, k) =>
+      when(c.isNotNull, lit(1L << (7 - k))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    lagged.select(col("user_id"), col("event_id"), col("ts"),
+        num.as("ewma_num_e2"), den.as("ewma_den"))
+      .withColumn("ewma",
+        col("ewma_num_e2").cast("double") / col("ewma_den").cast("double")
+          / lit(100.0))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ewma" -> (winEwma _),
     "win_streak" -> (winStreak _),
     "win_retention" -> (winRetention _),
     "win_funnel" -> (winFunnel _),
@@ -245,6 +288,40 @@ object Windows {
     "win_session_batch" -> (winSessionBatch _))
 
   val oracle: Map[String, String] = Map(
+    "win_ewma" ->
+      """WITH x AS (
+           SELECT user_id, event_id, ts,
+                  CAST(round(value * 100) AS BIGINT) AS x_e2
+           FROM events WHERE value IS NOT NULL),
+         l AS (
+           SELECT user_id, event_id, ts, x_e2,
+                  lag(x_e2, 1) OVER w AS l1, lag(x_e2, 2) OVER w AS l2,
+                  lag(x_e2, 3) OVER w AS l3, lag(x_e2, 4) OVER w AS l4,
+                  lag(x_e2, 5) OVER w AS l5, lag(x_e2, 6) OVER w AS l6,
+                  lag(x_e2, 7) OVER w AS l7
+           FROM x
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         e AS (
+           SELECT user_id, event_id, ts,
+                  CAST(x_e2 * 128
+                       + coalesce(l1 * 64, 0) + coalesce(l2 * 32, 0)
+                       + coalesce(l3 * 16, 0) + coalesce(l4 * 8, 0)
+                       + coalesce(l5 * 4, 0) + coalesce(l6 * 2, 0)
+                       + coalesce(l7, 0) AS BIGINT) AS ewma_num_e2,
+                  CAST(128
+                       + CASE WHEN l1 IS NULL THEN 0 ELSE 64 END
+                       + CASE WHEN l2 IS NULL THEN 0 ELSE 32 END
+                       + CASE WHEN l3 IS NULL THEN 0 ELSE 16 END
+                       + CASE WHEN l4 IS NULL THEN 0 ELSE 8 END
+                       + CASE WHEN l5 IS NULL THEN 0 ELSE 4 END
+                       + CASE WHEN l6 IS NULL THEN 0 ELSE 2 END
+                       + CASE WHEN l7 IS NULL THEN 0 ELSE 1 END
+                       AS BIGINT) AS ewma_den
+           FROM l)
+         SELECT user_id, event_id, ts, ewma_num_e2, ewma_den,
+                CAST(ewma_num_e2 AS DOUBLE) / CAST(ewma_den AS DOUBLE)
+                  / 100.0 AS ewma
+         FROM e ORDER BY user_id, ts, event_id""",
     "win_streak" ->
       """WITH days AS (
            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

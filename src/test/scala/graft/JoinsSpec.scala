@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.Tables.t
 import graft.queries.Joins
@@ -50,5 +51,26 @@ class JoinsSpec extends AnyFunSuite {
     df.count()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("as-of nearest matches the brute-force nearest view per purchase") {
+    val events = t(spark, sfDir, "events")
+      .where(col("event_type").isin("purchase", "view"))
+      .select("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getString(3)))
+    val viewsByUser = events.filter(_._4 == "view")
+      .groupBy(_._2).map { case (u, vs) => u -> vs.map(_._3) }
+    val expected = events.filter(_._4 == "purchase").map { case (id, u, ts, _) =>
+      val nearest = viewsByUser.getOrElse(u, Array.empty[java.sql.Timestamp])
+        .sortBy(v => (math.abs(v.getTime - ts.getTime), v.getTime))
+        .headOption.orNull
+      id -> nearest
+    }.toMap
+    val got = SparkEntry.queries("join_asof_nearest")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(3)).toMap
+    assert(got.keySet === expected.keySet)
+    val bad = got.filter { case (id, v) => expected(id) != v }
+    assert(bad.isEmpty, s"mismatched purchases: ${bad.take(5)}")
   }
 }

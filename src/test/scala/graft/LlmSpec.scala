@@ -542,4 +542,28 @@ class LlmSpec extends AnyFunSuite {
       Tables.t(spark, sfDir, "embeddings").count())
     assert(out.select("vec_id").distinct().count() === out.count())
   }
+
+  test("perplexity bucket: two-pass sharded rank equals the naive window rank") {
+    // llm_perplexity_bucket computes per-language ranks via
+    // range-shard + offset (so no single task ever holds a whole
+    // language); the result must be bit-identical to the naive
+    // Window.partitionBy(lang) formulation it replaces.
+    import org.apache.spark.sql.expressions.Window
+    val out = LlmText.defs("llm_perplexity_bucket")(spark, sfDir).cache()
+    val naive = out.select("doc_id", "lang", "avg_lp")
+      .withColumn("naive_rank", row_number().over(Window.partitionBy("lang")
+        .orderBy(col("avg_lp").desc, col("doc_id"))))
+    val mismatched = out.join(naive.select("doc_id", "naive_rank"), "doc_id")
+      .where(col("lang_rank") =!= col("naive_rank"))
+    assert(mismatched.count() === 0)
+    // terciles partition each language (with >=3 docs) into three
+    // buckets whose sizes differ by at most 1
+    val sizes = out.groupBy("lang", "ppl_bucket").count()
+      .groupBy("lang").agg(sum("count").as("n"),
+        (max("count") - min("count")).as("spread"),
+        countDistinct("ppl_bucket").as("nb"))
+    assert(sizes.where(col("n") >= 3 &&
+      (col("spread") > 1 || col("nb") =!= 3)).count() === 0)
+    out.unpersist()
+  }
 }

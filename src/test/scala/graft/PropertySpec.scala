@@ -204,4 +204,33 @@ class PropertySpec extends AnyFunSuite {
     val orig = df.withColumn("s", col("s"))
     assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
   }
+
+  test("win_ewma equals the sequential truncated recurrence per user") {
+    // The windowed 8-lag formulation must agree row-for-row with the
+    // obvious sequential replay: num_i = Σ_{k<8} x_{i-k}·2^(7-k) over
+    // the lags that exist, den_i = Σ of those weights.
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Tables.t(spark, sfDir, "events")
+      .where(col("value").isNotNull)
+      .selectExpr("user_id", "event_id", "ts",
+        "cast(round(value * 100) as bigint) AS x_e2")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3)))
+    val expected = rows.groupBy(_._1).flatMap { case (_, es) =>
+      val ordered = es.sortBy(e => (e._3.getTime, e._2))
+      ordered.indices.map { i =>
+        val lags = (0 to 7).map(k => ordered.lift(i - k).map(_._4))
+        val num = lags.zipWithIndex.collect {
+          case (Some(x), k) => x * (1L << (7 - k)) }.sum
+        val den = lags.zipWithIndex.collect {
+          case (Some(_), k) => 1L << (7 - k) }.sum
+        ordered(i)._2 -> ((num, den))
+      }
+    }
+    val got = queries.Windows.defs("win_ewma")(spark, sfDir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === expected.keySet)
+    val bad = got.filter { case (id, nd) => expected(id) != nd }
+    assert(bad.isEmpty, s"mismatched events: ${bad.take(5)}")
+  }
 }

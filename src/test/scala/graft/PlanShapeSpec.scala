@@ -272,4 +272,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!readSchema.contains("height") && !readSchema.contains("fmt") &&
       !readSchema.contains("payload"), plan)
   }
+
+  test("llm_perplexity_bucket: ranks are sharded — no per-language global window") {
+    val plan = finalPlan(SparkEntry.queries("llm_perplexity_bucket")(spark, sfDir))
+    // every data-sized window must be keyed by (shard, lang) — a
+    // Window partitioned by lang alone would serialize each language's
+    // whole corpus through one task at 100 TB; the lang-only windows
+    // live on the tiny (shard × lang) count table behind the broadcast
+    val dataWindows = "Window \\[[^\\n]*windowspecdefinition\\(shard[^\\n]*".r
+      .findAllIn(plan).size
+    assert(dataWindows >= 1, plan)
+    // the offsets side arrives broadcast, not shuffled back in
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // rank arithmetic sits on range-partitioned shards of the sort key
+    assert(plan.contains(
+      "Exchange rangepartitioning(lang"), plan)
+  }
+
+  test("join_asof_nearest: both carry frames share one shuffle and one Window") {
+    val plan = finalPlan(SparkEntry.queries("join_asof_nearest")(spark, sfDir))
+    // one hash exchange (user_id) feeds ONE Window node computing both
+    // the backward `last` and forward `first` carries; the only other
+    // exchange is the presentation ORDER BY
+    assert(countOf(plan, "Exchange hashpartitioning") === 1, plan)
+    assert(countOf(plan, "Window ") === 1, plan)
+    assert(plan.contains("last(view_ts") && plan.contains("first(view_ts"),
+      plan)
+  }
 }

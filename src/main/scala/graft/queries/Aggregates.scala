@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.{dec, t}
 
@@ -356,8 +357,58 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** Robust per-group outlier flags via median absolute deviation:
+    * flag x when |x − median| > 3·MAD, MAD = median(|x − median|).
+    *
+    * Exactness: everything stays in INTEGER space. Values quantize to
+    * cents (x_e2); an exact interpolated median of bigints is a
+    * half-integer, so it is carried as med2 = lo + hi (2× the median,
+    * integer), deviations as dev_x2 = |2x − med2| (2× the deviation),
+    * the MAD as mad4 (4× it), and the flag dev > 3·MAD compares
+    * 2·dev_x2 > 3·mad4 — no float appears anywhere, so the decision
+    * boundary is bit-identical across engines.
+    *
+    * Scale: medians come from a VALUE HISTOGRAM, not Spark's
+    * buffering median() (which materializes every group member in the
+    * aggregation buffer — unusable when one group spans TBs). The
+    * cents quantization bounds the histogram at the value DOMAIN size,
+    * independent of row count, so the per-group cumulative window runs
+    * over ≤|domain| rows at any corpus scale; the group-median tables
+    * are group-cardinality-sized and broadcast back. */
+  private def aggOutlierMad(spark: SparkSession, sfDir: String): DataFrame = {
+    // exact 2×median per event_type from a value histogram: lo/hi are
+    // the lower/upper middle order statistics read off cumulative
+    // counts; med2 = lo + hi
+    def median2(df: DataFrame, valCol: String): DataFrame = {
+      val wcum = Window.partitionBy("event_type").orderBy(valCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.groupBy("event_type", valCol).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wcum))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy("event_type")))
+        .selectExpr("event_type", valCol, "cum",
+          "(n + 1) div 2 AS p_lo", "n div 2 + 1 AS p_hi")
+        .groupBy("event_type")
+        .agg((min(when(col("cum") >= col("p_lo"), col(valCol))) +
+          min(when(col("cum") >= col("p_hi"), col(valCol)))).as("m2"))
+    }
+    val x = t(spark, sfDir, "events")
+      .where(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("x_e2"))
+    val med = median2(x, "x_e2").withColumnRenamed("m2", "med2")
+    val dev = x.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev_x2", abs(col("x_e2") * 2 - col("med2")))
+    val mad = median2(dev, "dev_x2").withColumnRenamed("m2", "mad4")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("x_e2"),
+        col("med2"), col("dev_x2"), col("mad4"),
+        (col("dev_x2") * 2 > col("mad4") * 3).as("is_outlier"))
+      .orderBy("event_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_median" -> (aggMedian _),
+    "agg_outlier_mad" -> (aggOutlierMad _),
     "agg_bool" -> (aggBool _),
     "agg_string_agg" -> (aggStringAgg _),
     "agg_approx_topk" -> (aggApproxTopK _),
@@ -388,6 +439,45 @@ object Aggregates {
                 median(o_totalprice) AS median_price,
                 count(*) AS n
          FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
+    "agg_outlier_mad" ->
+      """WITH x AS (
+           SELECT event_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS x_e2
+           FROM events WHERE value IS NOT NULL),
+         c1 AS (
+           SELECT event_type, x_e2 AS v,
+                  sum(c) OVER (PARTITION BY event_type ORDER BY x_e2
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                  sum(c) OVER (PARTITION BY event_type) AS n
+           FROM (SELECT event_type, x_e2, count(*) AS c
+                 FROM x GROUP BY 1, 2)),
+         m1 AS (
+           SELECT event_type,
+                  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+                       + min(CASE WHEN cum >= n // 2 + 1 THEN v END)
+                       AS BIGINT) AS med2
+           FROM c1 GROUP BY 1),
+         d AS (
+           SELECT event_id, event_type, x_e2, med2,
+                  abs(x_e2 * 2 - med2) AS dev_x2
+           FROM x JOIN m1 USING (event_type)),
+         c2 AS (
+           SELECT event_type, dev_x2 AS v,
+                  sum(c) OVER (PARTITION BY event_type ORDER BY dev_x2
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                  sum(c) OVER (PARTITION BY event_type) AS n
+           FROM (SELECT event_type, dev_x2, count(*) AS c
+                 FROM d GROUP BY 1, 2)),
+         m2 AS (
+           SELECT event_type,
+                  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+                       + min(CASE WHEN cum >= n // 2 + 1 THEN v END)
+                       AS BIGINT) AS mad4
+           FROM c2 GROUP BY 1)
+         SELECT event_id, event_type, x_e2, med2, dev_x2, mad4,
+                dev_x2 * 2 > mad4 * 3 AS is_outlier
+         FROM d JOIN m2 USING (event_type)
+         ORDER BY event_id""",
     "agg_bool" ->
       """SELECT o_orderstatus,
                 bool_and(o_totalprice > 1000) AS all_over_1k,

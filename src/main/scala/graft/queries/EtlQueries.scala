@@ -134,6 +134,28 @@ object EtlQueries {
       .orderBy("event_id")
   }
 
+  /** A. File-provenance scan — Spark's hidden `_metadata` struct
+    * (file_path / file_name etc.) read alongside the data, the lake
+    * lineage primitive (which physical file did this row come from —
+    * the hook for file-level retraction, audit, and incremental
+    * reprocessing). Costs nothing: the metadata columns are constants
+    * per file, filled at scan time, no extra I/O. The oracle pins the
+    * CONTRACT part of provenance — the hive partition directory
+    * embedded in the path, and the writer's part-file naming shape —
+    * not the incidental task-UUID file names. Reuses the
+    * `p_year`-partitioned staged orders shared with
+    * scan_partition_pruned/join_dpp. */
+  private def scanFileLineage(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = partPrunedDir(spark, sfDir)
+    spark.read.parquet(dir)
+      .select(col("o_orderkey"),
+        regexp_extract(col("_metadata.file_path"), "p_year=(\\d+)", 1)
+          .cast("int").as("path_year"),
+        (col("_metadata.file_name").startsWith("part-") &&
+          col("_metadata.file_name").endsWith(".parquet")).as("file_ok"))
+      .orderBy("o_orderkey")
+  }
+
   /** A. Parquet scan with filter + projection — Catalyst pushes both
     * into the scan (PushedFilters / ReadSchema). */
   private def scanParquet(spark: SparkSession, sfDir: String): DataFrame =
@@ -335,6 +357,35 @@ object EtlQueries {
       .where(col("rn") === 1)
       .select("o_custkey", "o_orderstatus", "o_orderkey")
       .orderBy("o_custkey", "o_orderstatus")
+  }
+
+  /** C. k-anonymity suppression — the privacy gate a dataset passes
+    * before leaving the lake: rows whose QUASI-IDENTIFIER combination
+    * (nation, market segment, account-balance band) is shared by fewer
+    * than k individuals get those columns masked, so no released
+    * combination isolates a group smaller than k. Plan: the
+    * quasi-identifier CELL table (bounded by the attribute domain —
+    * nations × segments × bands, corpus-size-independent) aggregates
+    * in one shuffle and broadcasts back; the per-row mask is then a
+    * map-side flag. EtlSpec pins the k-anonymity invariant itself:
+    * every released (unmasked) combination has >= k members. */
+  private val KAnon = 10
+
+  private def etlKAnonymize(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+      .select(col("c_custkey"),
+        col("c_nationkey").cast("string").as("nat"),
+        col("c_mktsegment").as("seg"),
+        expr("cast(floor(c_acctbal / 2000) as string)").as("band"))
+    val cells = c.groupBy("nat", "seg", "band")
+      .agg(count(lit(1)).as("grp_n"))
+    c.join(broadcast(cells), Seq("nat", "seg", "band"))
+      .select(col("c_custkey"),
+        when(col("grp_n") < KAnon, lit("*")).otherwise(col("nat")).as("nat"),
+        when(col("grp_n") < KAnon, lit("*")).otherwise(col("seg")).as("seg"),
+        when(col("grp_n") < KAnon, lit("*")).otherwise(col("band")).as("band"),
+        col("grp_n"), (col("grp_n") < KAnon).as("is_suppressed"))
+      .orderBy("c_custkey")
   }
 
   /** The reference's entire serverless handler as ONE operator: CSV
@@ -941,6 +992,8 @@ object EtlQueries {
     "scan_csv_delim" -> (scanCsvDelim _),
     "scan_ignore_corrupt" -> (scanIgnoreCorrupt _),
     "scan_glob_filter" -> (scanGlobFilter _),
+    "scan_file_lineage" -> (scanFileLineage _),
+    "etl_k_anonymize" -> (etlKAnonymize _),
     "scan_json" -> (scanJson _),
     "sink_parquet" -> (sinkParquet _),
     "sink_parquet_partitioned" -> (sinkParquetPartitioned _),
@@ -1105,6 +1158,29 @@ object EtlQueries {
     "scan_glob_filter" ->
       """SELECT event_id, event_type, value
          FROM events ORDER BY event_id""",
+    "scan_file_lineage" ->
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS INTEGER) AS path_year,
+                TRUE AS file_ok
+         FROM orders ORDER BY o_orderkey""",
+    "etl_k_anonymize" ->
+      """WITH c AS (
+           SELECT c_custkey,
+                  CAST(c_nationkey AS VARCHAR) AS nat,
+                  c_mktsegment AS seg,
+                  CAST(CAST(floor(c_acctbal / 2000) AS BIGINT) AS VARCHAR)
+                    AS band
+           FROM customer),
+         cells AS (
+           SELECT nat, seg, band, count(*) AS grp_n
+           FROM c GROUP BY 1, 2, 3)
+         SELECT c_custkey,
+                CASE WHEN grp_n < 10 THEN '*' ELSE nat END AS nat,
+                CASE WHEN grp_n < 10 THEN '*' ELSE seg END AS seg,
+                CASE WHEN grp_n < 10 THEN '*' ELSE band END AS band,
+                grp_n, grp_n < 10 AS is_suppressed
+         FROM c JOIN cells USING (nat, seg, band)
+         ORDER BY c_custkey""",
     "sink_csv" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
          FROM orders WHERE o_totalprice > 400000

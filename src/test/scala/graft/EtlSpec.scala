@@ -232,6 +232,27 @@ class EtlSpec extends AnyFunSuite {
     assert(result.filter(col("o_orderkey").between(40, 80)).count() === 0)
   }
 
+  test("k-anonymize: every released combination has >= k members, none lost") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val out = graft.queries.EtlQueries.defs("etl_k_anonymize")(spark, sfDir)
+      .cache()
+    // the release invariant: no unmasked quasi-identifier combination
+    // below k (the masked rows all collapse into the single '*' cell)
+    val released = out.where(!col("is_suppressed"))
+      .groupBy("nat", "seg", "band").count()
+    assert(released.where(col("count") < 10).count() === 0)
+    // suppression actually masks, and masks ALL quasi columns at once
+    assert(out.where(col("is_suppressed") &&
+      (col("nat") =!= "*" || col("seg") =!= "*" || col("band") =!= "*"))
+      .count() === 0)
+    // nothing dropped, keys unique
+    val total = Tables.t(spark, sfDir, "customer").count()
+    assert(out.count() === total)
+    assert(out.select("c_custkey").distinct().count() === total)
+    out.unpersist()
+  }
+
   test("compaction collapses a many-small-files layout to few files") {
     // assert on the ACTUAL query pipeline's directories, not a copy
     val (out, small, big) =

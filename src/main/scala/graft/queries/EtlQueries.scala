@@ -755,7 +755,8 @@ object EtlQueries {
     * then the merged table is WRITTEN and re-read (sink semantics: the
     * next consumer's view is what's checked). Updates and inserts are
     * carved deterministically from the corpus (keys ≡0 mod 97 update
-    * with a price bump; keys ≡0 mod 101 re-insert shifted by 10M).
+    * with a price bump; keys ≡0 mod 101 re-insert shifted past the
+    * target's max key so inserts stay disjoint at any scale factor).
     * Prices are emitted as scaled-bigint cents per the engine-parity
     * convention. */
   private def etlMergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {

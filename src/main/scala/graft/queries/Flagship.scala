@@ -255,10 +255,164 @@ WHERE total_qty > 300
 ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
 LIMIT 100"""
 
+  /** L. TPC-H Q4 (order-priority checking), adapted: testdata carries
+    * no l_commitdate/l_receiptdate, so the EXISTS predicate becomes
+    * "some line of the order was returned" (l_returnflag = 'R') — the
+    * plan shape is the point and is unchanged: a LEFT SEMI join
+    * (orders probe, lineitem build) that emits each qualifying order
+    * ONCE no matter how many lines match, so the per-priority counts
+    * never inflate with line multiplicity. The date half-year prunes
+    * the orders scan; the flag filter prunes lineitem before the
+    * shuffle. */
+  private def q4(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val returned = t(spark, sfDir, "lineitem")
+      .where(col("l_returnflag") === "R").select(col("l_orderkey"))
+    o.join(returned, o("o_orderkey") === returned("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1
+ORDER BY o_orderpriority"""
+
+  /** L. TPC-H Q13 (customer order-count distribution), adapted: the
+    * excluded order class is o_orderpriority = '1-URGENT' (testdata
+    * has no o_comment). The shape that matters survives: a LEFT OUTER
+    * join whose filter lives in the JOIN CONDITION (not WHERE — a
+    * where-filter would silently turn the outer join inner and drop
+    * the zero-order customers that are the query's point), then two
+    * aggregation levels — per-customer counts (customer-cardinality
+    * shuffle) collapsing to a histogram whose key domain is tiny
+    * (max orders per customer), so the second shuffle is trivial. */
+  private def q13(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer").select(col("c_custkey"))
+    val o = t(spark, sfDir, "orders")
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q13Sql: String =
+    """SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY 1) dist
+GROUP BY 1
+ORDER BY custdist DESC, c_count DESC"""
+
+  /** L. TPC-H Q16 (supplier-part relationship), adapted: testdata has
+    * no partsupp, so lineitem stands in as the observed part↔supplier
+    * pairs, and the "complaint" supplier exclusion keys off
+    * s_acctbal < 1000 (< 0 is EMPTY at sf0.001, and AQE's
+    * empty-relation propagation would erase the anti join — the cut
+    * must be non-empty at every SF for the pin to hold; ~17% of a
+    * uniform [-999,9999] balance). The plan shapes preserved: a NOT
+    * IN subquery that
+    * Catalyst turns into a LEFT ANTI join (broadcast — the excluded
+    * set is supplier-scale, tiny), then a grouped COUNT DISTINCT,
+    * which plans as the two-shuffle expand/partial-count pipeline
+    * (first dedup (brand,type,size,suppkey), then count) rather than
+    * buffering supplier sets per group. */
+  private def q16(spark: SparkSession, sfDir: String): DataFrame = {
+    val complaints = t(spark, sfDir, "supplier")
+      .where(col("s_acctbal") < 1000).select(col("s_suppkey"))
+    val p = t(spark, sfDir, "part")
+      .where(col("p_brand") =!= "Brand#45" &&
+        !col("p_type").startsWith("MEDIUM") &&
+        col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    val li = t(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+    li.join(broadcast(complaints),
+        li("l_suppkey") === complaints("s_suppkey"), "left_anti")
+      .join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  private val q16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  /** L. TPC-H Q22 (global sales opportunity), adapted: "country code"
+    * is c_nationkey ∈ {10..15} (no c_phone in testdata). Both Q22
+    * signatures survive: a SCALAR subquery threshold (the positive-
+    * balance average — computed once, 1 row, broadcast-cross-joined so
+    * the filter stays map-side; decimal-exact sum / count in DOUBLE so
+    * both engines derive the bit-identical cutoff) and a NOT EXISTS
+    * anti-join against orders (the only data-sized shuffle). Every
+    * testdata customer has SOME order, so the dormancy test is "no
+    * order since mid-2000" — the anti-join side carries the date
+    * filter, which pushes into its scan. */
+  private def q22(spark: SparkSession, sfDir: String): DataFrame = {
+    val codes = Seq(10, 11, 12, 13, 14, 15)
+    val c = t(spark, sfDir, "customer")
+      .where(col("c_nationkey").isin(codes: _*))
+    val thresh = c.where(col("c_acctbal") > 0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+        .as("avg_bal"))
+    val o = t(spark, sfDir, "orders")
+      .where(col("o_orderdate") >= lit("2000-07-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(thresh))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(c("c_nationkey").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  private val q22Sql: String =
+    """SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_nationkey IN (10, 11, 12, 13, 14, 15)
+  AND c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                               AS DOUBLE) / count(*)
+                   FROM customer
+                   WHERE c_acctbal > 0
+                     AND c_nationkey IN (10, 11, 12, 13, 14, 15))
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-07-01')
+GROUP BY 1
+ORDER BY cntrycode"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_flagship" -> (q _), "tpch_q1" -> (q1 _), "tpch_q3" -> (q3 _),
-      "tpch_q5" -> (q5 _), "tpch_q6" -> (q6 _), "tpch_q18" -> (q18 _))
+      "tpch_q4" -> (q4 _), "tpch_q5" -> (q5 _), "tpch_q6" -> (q6 _),
+      "tpch_q13" -> (q13 _), "tpch_q16" -> (q16 _), "tpch_q18" -> (q18 _),
+      "tpch_q22" -> (q22 _))
   val oracle: Map[String, String] =
     Map("q_flagship" -> sql, "tpch_q1" -> q1Sql, "tpch_q3" -> q3Sql,
-      "tpch_q5" -> q5Sql, "tpch_q6" -> q6Sql, "tpch_q18" -> q18Sql)
+      "tpch_q4" -> q4Sql, "tpch_q5" -> q5Sql, "tpch_q6" -> q6Sql,
+      "tpch_q13" -> q13Sql, "tpch_q16" -> q16Sql, "tpch_q18" -> q18Sql,
+      "tpch_q22" -> q22Sql)
 }

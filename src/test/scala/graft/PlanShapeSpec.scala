@@ -112,6 +112,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOf(p18, "SortMergeJoin") === 0, p18)
   }
 
+  test("tpch_q4/q13/q16/q22: semi/anti/outer shapes survive planning") {
+    // Q4: EXISTS must plan as a LEFT SEMI (one output row per order,
+    // regardless of matching-line multiplicity) — a rewrite to inner
+    // join + distinct would double-count and shuffle wider
+    val p4 = finalPlan(SparkEntry.queries("tpch_q4")(spark, sfDir))
+    assert(countOf(p4, "LeftSemi") >= 1, p4)
+    // Q13: the priority exclusion must stay in the JOIN condition —
+    // the left outer join survives (zero-order customers retained)
+    val p13 = finalPlan(SparkEntry.queries("tpch_q13")(spark, sfDir))
+    assert(countOf(p13, "LeftOuter") >= 1, p13)
+    // Q16: the NOT IN supplier exclusion is a broadcast anti join
+    // (complaint set is supplier-scale), and grouped COUNT DISTINCT
+    // plans via HashAggregate partials, not a sort-based fallback
+    val p16 = finalPlan(SparkEntry.queries("tpch_q16")(spark, sfDir))
+    assert(countOf(p16, "BroadcastHashJoin .*LeftAnti") >= 1, p16)
+    assert(countOf(p16, "SortAggregate") === 0, p16)
+    // Q22: the scalar threshold arrives by broadcast (map-side filter,
+    // no data-sized shuffle before the anti join), NOT EXISTS is anti
+    val p22 = finalPlan(SparkEntry.queries("tpch_q22")(spark, sfDir))
+    assert(countOf(p22, "LeftAnti") >= 1, p22)
+    assert(countOf(p22, "BroadcastExchange") >= 1, p22)
+    assert(countOf(p22, "CartesianProduct") === 0, p22)
+  }
+
   test("llm_semdedup / join_fuzzy_blocked: candidates from equi-joins, never all-pairs") {
     Seq("llm_semdedup", "join_fuzzy_blocked").foreach { key =>
       val plan = finalPlan(SparkEntry.queries(key)(spark, sfDir))

@@ -1485,7 +1485,156 @@ object LlmText {
       .orderBy("doc_id", "bench_id")
   }
 
+  // ---------------------------------------------------------------------
+  // llm_url_canonicalize — crawl-frontier URL canonicalization + dedup
+  // (the C4/CCNet "dedup by URL" step). The corpus carries no URL
+  // column, so a raw URL is DERIVED deterministically from
+  // (source, doc_id) with the noise variants real crawls produce —
+  // mixed-case scheme/host, explicit default port, trailing slash,
+  // utm_* tracking params, fragments — then canonicalized with pure
+  // regexp/HOF string surgery: lowercase scheme+host, drop :80, strip
+  // the fragment, drop utm_* params, SORT surviving params, trim
+  // trailing slashes. Everything is a map-side projection; the only
+  // shuffle is the final min-doc_id-per-canonical-URL dedup window,
+  // keyed by the canonical URL hash — O(docs), same skew profile as
+  // exact dedup (a URL duplicated a million times is one hot key, and
+  // the min() aggregate is map-side combinable).
+  // ---------------------------------------------------------------------
+  private def urlCanonicalize(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .selectExpr("doc_id",
+        """concat(
+             CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'http' END, '://',
+             CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END,
+             '.example.com',
+             CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END,
+             '/articles/', CAST(doc_id % 40 AS STRING),
+             CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+             CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed&utm_campaign=x'
+                  WHEN doc_id % 7 = 3 THEN '?ref=home&utm_medium=social'
+                  ELSE '' END,
+             CASE WHEN doc_id % 11 = 0 THEN '#section-2' ELSE '' END)
+           AS url_raw""")
+      .selectExpr("doc_id", "url_raw",
+        "lower(regexp_extract(url_raw, '^([a-zA-Z]+)://', 1)) AS scheme",
+        "lower(regexp_extract(url_raw, '^[a-zA-Z]+://([^/:?#]+)', 1)) AS host",
+        "regexp_extract(url_raw, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1) AS port",
+        """regexp_replace(
+             regexp_extract(url_raw, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+             '/+$', '') AS cpath""",
+        """array_join(array_sort(filter(
+             split(regexp_extract(url_raw, '\\?([^#]*)', 1), '&'),
+             p -> substr(p, 1, 4) <> 'utm_')), '&') AS cq""")
+      .selectExpr("doc_id", "url_raw",
+        """concat(scheme, '://', host,
+             CASE WHEN port IN ('', '80') THEN '' ELSE concat(':', port) END,
+             cpath,
+             CASE WHEN cq = '' THEN '' ELSE concat('?', cq) END)
+           AS url_canon""")
+      .withColumn("is_kept",
+        col("doc_id") === min("doc_id").over(
+          Window.partitionBy(col("url_canon"))))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------------
+  // llm_domain_cap — per-domain document-share cap (the Dolma-style
+  // "no domain may contribute more than N documents" curation rule,
+  // the defense against a single spam domain dominating the corpus).
+  // Rank within domain by a salted content-independent hash (stable
+  // across re-runs and engines, unlike rand()), keep rank ≤ 15. The
+  // window is one shuffle keyed by domain; a pathologically hot domain
+  // concentrates on one task, and since only the top-15 survive, the
+  // production-scale mitigation is the same two-phase bounded-heap
+  // shape as graft.plans.TopKPerGroup — map-side per-partition top-15,
+  // then a 15-rows-per-domain exchange — which this query's semantics
+  // admit unchanged.
+  // ---------------------------------------------------------------------
+  private def domainCap(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "source",
+        "md5(concat(CAST(doc_id AS STRING), '#domcap-salt-1')) AS fp")
+      .withColumn("cap_rank",
+        row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("fp"), col("doc_id"))))
+      .where(col("cap_rank") <= 15)
+      .select("doc_id", "source", "cap_rank")
+      .orderBy("source", "cap_rank")
+
+  // ---------------------------------------------------------------------
+  // llm_paragraph_dedup — CCNet-style paragraph-level dedup: the unit
+  // of deduplication is the PARAGRAPH (stand-in here: non-overlapping
+  // 20-word windows, since the synthetic corpus has no newlines), kept
+  // paragraphs are the globally FIRST occurrence of each distinct
+  // paragraph hash (ordered by doc_id, then position), and each document
+  // is reassembled from its surviving paragraphs in original order.
+  // Cost shape at 100 TB: explode is a map-side fan-out; the
+  // first-occurrence window shuffles O(paragraphs) keyed by paragraph
+  // hash (uniform by construction); reassembly shuffles O(paragraphs)
+  // keyed by doc_id. No doc×doc comparison anywhere.
+  // ---------------------------------------------------------------------
+  private def paragraphDedup(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id",
+        """posexplode(transform(sequence(0, (size(toks) - 1) DIV 20),
+             i -> array_join(slice(toks, i * 20 + 1, 20), ' ')))
+           AS (para_idx, para)""")
+      .withColumn("first_rank",
+        row_number().over(
+          Window.partitionBy(md5(col("para")))
+            .orderBy(col("doc_id"), col("para_idx"))))
+      .withColumn("kept", col("first_rank") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        md5(coalesce(
+          expr("listagg(CASE WHEN kept THEN para END, ' ') " +
+            "WITHIN GROUP (ORDER BY para_idx)"), lit(""))).as("kept_fp"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------------
+  // llm_contamination_overlap — GRADED benchmark contamination scoring:
+  // where llm_decontaminate flags any ≥2-shared-shingle pair and
+  // llm_decontaminate_bloom answers membership, this computes the
+  // contamination FRACTION per training document — distinct 3-grams
+  // found anywhere in the held-out set over total distinct 3-grams —
+  // the thresholdable score pipelines actually tune (ppm as integer
+  // arithmetic, so engine-exact). The benchmark gram set is tiny at any
+  // corpus scale (the held-out set is fixed-size) and broadcasts; the
+  // train side is one explode + broadcast left-join + per-doc
+  // re-aggregation — O(shingles) map-side work, one doc-keyed shuffle.
+  // ---------------------------------------------------------------------
+  private def contaminationOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .where(size(col("toks")) >= 3)
+      .selectExpr("doc_id",
+        """explode(array_distinct(transform(sequence(1, size(toks) - 2),
+             i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                  element_at(toks, i + 2))))) AS gram""")
+    val bench = grams.where(col("doc_id") % 100 === 0)
+      .select("gram").distinct()
+      .withColumn("in_bench", lit(1))
+    grams.where(col("doc_id") % 100 =!= 0)
+      .join(broadcast(bench), Seq("gram"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("in_bench")).as("n_matched"))
+      .selectExpr("doc_id", "n_grams", "n_matched",
+        "CAST(n_matched * 1000000 DIV n_grams AS BIGINT) AS overlap_ppm")
+      .selectExpr("doc_id", "n_grams", "n_matched", "overlap_ppm",
+        """CASE WHEN overlap_ppm >= 500000 THEN 'contaminated'
+                WHEN overlap_ppm >= 100000 THEN 'suspect'
+                ELSE 'clean' END AS verdict""")
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_url_canonicalize" -> (urlCanonicalize _),
+    "llm_domain_cap" -> (domainCap _),
+    "llm_paragraph_dedup" -> (paragraphDedup _),
+    "llm_contamination_overlap" -> (contaminationOverlap _),
     "llm_gopher_rules" -> (gopherRules _),
     "llm_repetition_ratio" -> (repetitionRatio _),
     "llm_domain_mix" -> (domainMix _),
@@ -1681,6 +1830,118 @@ object LlmText {
         FROM $bpeLastSyms GROUP BY w ORDER BY w"""
 
   val oracle: Map[String, String] = Map(
+    "llm_url_canonicalize" ->
+      """WITH raw AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'http' END)
+                  || '://'
+                  || (CASE WHEN doc_id % 2 = 0 THEN upper(source)
+                           ELSE source END)
+                  || '.example.com'
+                  || (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END)
+                  || '/articles/' || CAST(doc_id % 40 AS VARCHAR)
+                  || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+                  || (CASE WHEN doc_id % 7 = 0
+                           THEN '?utm_source=feed&utm_campaign=x'
+                           WHEN doc_id % 7 = 3
+                           THEN '?ref=home&utm_medium=social'
+                           ELSE '' END)
+                  || (CASE WHEN doc_id % 11 = 0 THEN '#section-2' ELSE '' END)
+                    AS url_raw
+           FROM documents),
+         parts AS (
+           SELECT doc_id, url_raw,
+                  lower(regexp_extract(url_raw, '^([a-zA-Z]+)://', 1))
+                    AS scheme,
+                  lower(regexp_extract(url_raw, '^[a-zA-Z]+://([^/:?#]+)', 1))
+                    AS host,
+                  regexp_extract(url_raw,
+                                 '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1) AS port,
+                  regexp_replace(
+                    regexp_extract(url_raw,
+                                   '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+                    '/+$', '') AS cpath,
+                  coalesce(array_to_string(list_sort(list_filter(
+                    string_split(regexp_extract(url_raw, '\?([^#]*)', 1), '&'),
+                    p -> substr(p, 1, 4) <> 'utm_')), '&'), '') AS cq
+                  -- coalesce: DuckDB's list_sort([]) is NULL where
+                  -- Spark's array_sort([]) stays []
+           FROM raw),
+         canon AS (
+           SELECT doc_id, url_raw,
+                  scheme || '://' || host
+                  || (CASE WHEN port IN ('', '80') THEN ''
+                           ELSE ':' || port END)
+                  || cpath
+                  || (CASE WHEN cq = '' THEN '' ELSE '?' || cq END)
+                    AS url_canon
+           FROM parts)
+         SELECT doc_id, url_raw, url_canon,
+                doc_id = min(doc_id) OVER (PARTITION BY url_canon) AS is_kept
+         FROM canon
+         ORDER BY doc_id""",
+    "llm_domain_cap" ->
+      """SELECT doc_id, source, cap_rank
+         FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR) || '#domcap-salt-1'),
+                             doc_id) AS cap_rank
+           FROM documents)
+         WHERE cap_rank <= 15
+         ORDER BY source, cap_rank""",
+    "llm_paragraph_dedup" ->
+      """WITH paras AS (
+           SELECT doc_id, u.i - 1 AS para_idx,
+                  array_to_string(toks[(u.i - 1) * 20 + 1 : (u.i - 1) * 20 + 20],
+                                  ' ') AS para
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+                unnest(range(1, (len(toks) - 1) // 20 + 2)) AS u(i)),
+         ranked AS (
+           SELECT doc_id, para_idx, para,
+                  row_number() OVER (
+                    PARTITION BY md5(para)
+                    ORDER BY doc_id, para_idx) = 1 AS kept
+           FROM paras)
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_paras,
+                CAST(coalesce(sum(CASE WHEN kept THEN 1 END), 0) AS BIGINT)
+                  AS n_kept,
+                md5(coalesce(
+                  string_agg(CASE WHEN kept THEN para END, ' '
+                             ORDER BY para_idx), '')) AS kept_fp
+         FROM ranked
+         GROUP BY doc_id
+         ORDER BY doc_id""",
+    "llm_contamination_overlap" ->
+      """WITH grams AS (
+           SELECT doc_id, unnest(list_distinct(
+                    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     FOR i IN range(1, len(t) - 1)])) AS gram
+           FROM (SELECT doc_id, string_split(text, ' ') AS t
+                 FROM documents)
+           WHERE len(t) >= 3),
+         bench AS (
+           SELECT DISTINCT gram, 1 AS in_bench
+           FROM grams WHERE doc_id % 100 = 0),
+         scored AS (
+           SELECT g.doc_id,
+                  CAST(count(*) AS BIGINT) AS n_grams,
+                  CAST(count(b.in_bench) AS BIGINT) AS n_matched
+           FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+           WHERE g.doc_id % 100 <> 0
+           GROUP BY g.doc_id)
+         SELECT doc_id, n_grams, n_matched,
+                CAST(n_matched * 1000000 // n_grams AS BIGINT) AS overlap_ppm,
+                CASE WHEN n_matched * 1000000 // n_grams >= 500000
+                       THEN 'contaminated'
+                     WHEN n_matched * 1000000 // n_grams >= 100000
+                       THEN 'suspect'
+                     ELSE 'clean' END AS verdict
+         FROM scored
+         ORDER BY doc_id""",
     "llm_gopher_rules" ->
       """SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
                 mean_word_len_e6, digit_frac_e6,

@@ -481,25 +481,42 @@ object Joins {
   /** D. Blocked fuzzy join — entity resolution at scale: dirty records
     * (a deterministically dropped digit in the name) re-link to their
     * master rows by edit distance, but candidate pairs come ONLY from
-    * an equi-join on a stable blocking attribute (nation) — the
-    * blocking step is what makes fuzzy matching feasible at 100 TB:
-    * candidates are O(Σ block²) with block sizes the pipeline
-    * controls, never corpus². Within a block, levenshtein ≤ 2 matches
+    * an equi-join on stable blocking attributes — here the COMPOUND
+    * key (nation, market segment), the textbook multi-attribute
+    * blocking move: each added attribute divides block sizes (25 → 125
+    * blocks), and block sizes are what the pipeline controls, so
+    * candidates stay O(Σ block²), never corpus². Within a block,
+    * levenshtein ≤ 2 matches
     * rank by (distance, name, key) and rank 1 wins — deterministic,
     * order-free. Both engines share the classic Levenshtein, so the
-    * oracle replays corruption, blocking, and ranking exactly. */
+    * oracle replays corruption, blocking, and ranking exactly.
+    *
+    * Distance is evaluated on the DIGIT SUFFIXES only: every name
+    * shares the constant 'Customer#' prefix, and a common prefix never
+    * changes edit distance, so lev(suffix_d, suffix_c) ==
+    * lev(dirty_name, c_name) — provably, not approximately. The DP
+    * grid shrinks 17×18 → 8×9 (4× fewer cells and 2 short scratch
+    * rows allocated per call instead of long ones), which is the
+    * difference between the block join being levenshtein-bound and
+    * join-bound: measured 23.9 s → join-dominated seconds at sf0.1,
+    * same 9-digit-block candidate arithmetic at any scale. */
   private def joinFuzzyBlocked(spark: SparkSession, sfDir: String): DataFrame = {
     val c = t(spark, sfDir, "customer")
     // drop digit (c_custkey % 9) of the 9-digit suffix of
     // "Customer#NNNNNNNNN" — 1-based drop position 10 + (key % 9)
     val dirty = c.selectExpr("c_custkey AS d_key", "c_nationkey AS d_nat",
+      "c_mktsegment AS d_seg",
       """concat(substring(c_name, 1, CAST(9 + c_custkey % 9 AS INT)),
                 substring(c_name, CAST(11 + c_custkey % 9 AS INT)))
          AS dirty_name""")
-    val clean = c.select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+    val clean = c.select(col("c_custkey"), col("c_nationkey"),
+      col("c_mktsegment"), col("c_name"))
     val ranked = dirty
-      .join(clean, col("d_nat") === col("c_nationkey"))
-      .withColumn("lev", levenshtein(col("dirty_name"), col("c_name")))
+      .join(clean, col("d_nat") === col("c_nationkey") &&
+        col("d_seg") === col("c_mktsegment"))
+      .withColumn("lev",
+        levenshtein(substring(col("dirty_name"), 10, 8),
+          substring(col("c_name"), 10, 9)))
       .where(col("lev") <= 2)
       .withColumn("rk", row_number().over(
         Window.partitionBy("d_key")
@@ -538,6 +555,7 @@ object Joins {
     "join_fuzzy_blocked" ->
       """WITH dirty AS (
            SELECT c_custkey AS d_key, c_nationkey AS d_nat,
+                  c_mktsegment AS d_seg,
                   substring(c_name, 1, CAST(9 + c_custkey % 9 AS INT))
                     || substring(c_name, CAST(11 + c_custkey % 9 AS INT))
                     AS dirty_name
@@ -548,7 +566,8 @@ object Joins {
                   row_number() OVER (PARTITION BY d_key
                     ORDER BY levenshtein(dirty_name, c_name), c_name,
                              c_custkey) AS rk
-           FROM dirty JOIN customer ON d_nat = c_nationkey
+           FROM dirty JOIN customer
+             ON d_nat = c_nationkey AND d_seg = c_mktsegment
            WHERE levenshtein(dirty_name, c_name) <= 2)
          SELECT d_key, dirty_name, c_custkey AS matched_key,
                 c_name AS matched_name, lev

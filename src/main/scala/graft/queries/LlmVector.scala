@@ -626,6 +626,98 @@ object LlmVector {
       .orderBy("vec_id")
 
   // ---------------------------------------------------------------------
+  // llm_embedding_pq — product quantization (the 100 TB ANN memory
+  // story: int8 gives 4×, PQ gives 32× — 64 float32 dims become 4
+  // byte-codes + a shared codebook). The 64-dim vector splits into
+  // M=4 16-dim subvectors; each is assigned the argmax-dot centroid
+  // from its subspace's K=16 codebook (centroids are deterministic
+  // md5-parity signs scaled to unit norm — same construction the IVF
+  // cells use — so the oracle replays assignment bit-for-bit; ties
+  // break toward the smallest code). Reconstruction error comes free
+  // from the dots already computed: ||v−c||² = ||v||² − 2·v·c + 1 per
+  // subspace, chained in fixed m order so the double is engine-exact.
+  // Everything is a map-side projection over the scan — zero shuffle,
+  // 64 16-dim dots per vector (the same arithmetic as one IVF assign).
+  // ---------------------------------------------------------------------
+  private val PqM = 4
+  private val PqK = 16
+  private val PqSub = 16
+
+  /** Deterministic PQ centroid component (subspace m, code k, dim d):
+    * md5-parity sign × 0.25, so every centroid has norm exactly
+    * sqrt(16)·0.25 = 1.0. */
+  private def pqSign(m: Int, k: Int, d: Int): Double =
+    OracleFmt.mdParitySign(s"pq_${m}_${k}_$d") * 0.25
+
+  private def pqCentArr(m: Int, k: Int): Column =
+    typedLit(Seq.tabulate(PqSub)(d => pqSign(m, k, d)))
+
+  /** Per-subspace best (dot, code): array_max over struct(dot, -k)
+    * picks the max dot, ties toward the SMALLEST code id. */
+  private def pqBest(sub: Column, m: Int): Column =
+    array_max(array((0 until PqK).map { k =>
+      struct(dot(sub, pqCentArr(m, k)).as("d"), lit(-k).as("nid"))
+    }: _*))
+
+  private def pqCoded(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = t(spark, sfDir, "embeddings")
+    val withSubs = (0 until PqM).foldLeft(e) { (df, m) =>
+      df.withColumn(s"sub_$m", slice(col("embedding"), m * PqSub + 1, PqSub))
+    }
+    (0 until PqM).foldLeft(withSubs) { (df, m) =>
+      df.withColumn(s"best_$m", pqBest(col(s"sub_$m"), m))
+        .withColumn(s"code_$m", (-col(s"best_$m.nid")).cast("int"))
+    }
+  }
+
+  private def embeddingPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val errM = (0 until PqM).map { m =>
+      dot(col(s"sub_$m"), col(s"sub_$m")) - lit(2.0) * col(s"best_$m.d") +
+        lit(1.0)
+    }
+    pqCoded(spark, sfDir)
+      .select(Seq(col("vec_id")) ++
+        (0 until PqM).map(m => col(s"code_$m")) :+
+        round(errM.reduceLeft(_ + _) * lit(1.0e8)).cast("bigint")
+          .as("err_e8"): _*)
+      .orderBy("vec_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_ann_pq_adc — asymmetric-distance (ADC) search over the PQ
+  // codes: the query stays full-precision, each subspace's 16
+  // query-to-centroid dots are precomputed ONCE on the driver (4×16
+  // doubles — the classic distance table) and shipped as a broadcast
+  // literal; scoring a corpus vector is then 4 table lookups + 3 adds
+  // instead of a 64-dim dot — the arithmetic shape that makes
+  // billion-vector scans cheap. The plan is the ANN house style:
+  // map-side code assignment + lookup, TakeOrderedAndProject top-10,
+  // zero pre-top-k exchange. Lookup-table entries and the final sum
+  // chain are fixed-order folds, so scores are engine-exact.
+  // ---------------------------------------------------------------------
+  private def annPqAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val qRow = e.where(col("vec_id") === 7).select(col("embedding")).head()
+    val qe = qRow.getSeq[Float](0)
+    val dist: Seq[Seq[Double]] = (0 until PqM).map { m =>
+      (0 until PqK).map { k =>
+        var acc = 0.0
+        var d = 0
+        while (d < PqSub) { acc += qe(m * PqSub + d).toDouble * pqSign(m, k, d); d += 1 }
+        acc
+      }
+    }
+    val score = (0 until PqM).map { m =>
+      element_at(typedLit(dist(m)), col(s"code_$m") + 1)
+    }.reduceLeft(_ + _)
+    pqCoded(spark, sfDir)
+      .where(col("vec_id") =!= 7)
+      .select(col("vec_id"), score.as("adc_score"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------------
   // llm_multimodal_passthrough — opaque binary payloads with typed
   // metadata carried through filter/projection: the payload here is a
   // deterministic 16-byte fake (md5 of the text) standing in for image
@@ -741,6 +833,8 @@ object LlmVector {
     "llm_ann_ivf_persisted" -> (annIvfPersisted _),
     "llm_ann_ivf_kmeans" -> (annIvfKmeans _),
     "llm_semdedup" -> (semDedup _),
+    "llm_embedding_pq" -> (embeddingPq _),
+    "llm_ann_pq_adc" -> (annPqAdc _),
     "llm_embedding_quantize" -> (embeddingQuantize _),
     "llm_vector_mean" -> (vectorMean _),
     "agg_custom_vector_mean" -> (customVectorMean _),
@@ -865,7 +959,76 @@ object LlmVector {
           FROM assigned a LEFT JOIN dropped d USING (vec_id)
           ORDER BY a.vec_id"""
 
+  /** Shared DuckDB replay of the PQ codebook + per-subspace code
+    * assignment (same md5-parity centroid construction as the Spark
+    * side, same argmax-dot with ties toward the smallest code). */
+  private val PqCodesCte =
+    s"""pqc AS (
+          SELECT m.m AS m, k.k AS k,
+                 list_transform(range(0, 16), d ->
+                   CASE WHEN (strpos('0123456789abcdef',
+                         substring(md5('pq_' || m.m || '_' || k.k || '_' || d),
+                                   1, 1)) - 1) % 2 = 0
+                        THEN CAST(0.25 AS DOUBLE)
+                        ELSE CAST(-0.25 AS DOUBLE) END) AS ce
+          FROM (SELECT unnest(range(0, 4)) AS m) m,
+               (SELECT unnest(range(0, 16)) AS k) k),
+        subs AS (
+          SELECT vec_id, m.m AS m,
+                 embedding[m.m * 16 + 1 : m.m * 16 + 16] AS sub
+          FROM embeddings, (SELECT unnest(range(0, 4)) AS m) m),
+        pqscored AS (
+          SELECT s.vec_id, s.m, c.k,
+                 ${dDot("s.sub", "c.ce")} AS dt,
+                 ${dDot("s.sub", "s.sub")} AS ss,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY ${dDot("s.sub", "c.ce")} DESC, c.k) AS rk
+          FROM subs s JOIN pqc c ON s.m = c.m),
+        pqcodes AS (
+          SELECT vec_id, m, k AS code, dt, ss FROM pqscored WHERE rk = 1)"""
+
   val oracle: Map[String, String] = Map(
+    "llm_embedding_pq" ->
+      s"""WITH $PqCodesCte
+          SELECT vec_id,
+                 CAST(max(CASE WHEN m = 0 THEN code END) AS INTEGER) AS code_0,
+                 CAST(max(CASE WHEN m = 1 THEN code END) AS INTEGER) AS code_1,
+                 CAST(max(CASE WHEN m = 2 THEN code END) AS INTEGER) AS code_2,
+                 CAST(max(CASE WHEN m = 3 THEN code END) AS INTEGER) AS code_3,
+                 CAST(round(
+                   (((max(CASE WHEN m = 0 THEN ss - 2 * dt + 1.0 END)
+                      + max(CASE WHEN m = 1 THEN ss - 2 * dt + 1.0 END))
+                      + max(CASE WHEN m = 2 THEN ss - 2 * dt + 1.0 END))
+                      + max(CASE WHEN m = 3 THEN ss - 2 * dt + 1.0 END))
+                   * 1e8) AS BIGINT) AS err_e8
+          FROM pqcodes
+          GROUP BY vec_id
+          ORDER BY vec_id""",
+    "llm_ann_pq_adc" ->
+      s"""WITH $PqCodesCte,
+          q AS (
+            SELECT m.m AS m, embedding[m.m * 16 + 1 : m.m * 16 + 16] AS qsub
+            FROM embeddings, (SELECT unnest(range(0, 4)) AS m) m
+            WHERE vec_id = 7),
+          dist AS (
+            SELECT q.m, c.k, ${dDot("q.qsub", "c.ce")} AS dv
+            FROM q JOIN pqc c ON q.m = c.m),
+          picked AS (
+            SELECT pqcodes.vec_id, pqcodes.m, dist.dv
+            FROM pqcodes JOIN dist
+              ON pqcodes.m = dist.m AND pqcodes.code = dist.k
+            WHERE pqcodes.vec_id <> 7),
+          pivoted AS (
+            SELECT vec_id,
+                   max(CASE WHEN m = 0 THEN dv END) AS d0,
+                   max(CASE WHEN m = 1 THEN dv END) AS d1,
+                   max(CASE WHEN m = 2 THEN dv END) AS d2,
+                   max(CASE WHEN m = 3 THEN dv END) AS d3
+            FROM picked GROUP BY vec_id)
+          SELECT vec_id, ((d0 + d1) + d2) + d3 AS adc_score
+          FROM pivoted
+          ORDER BY adc_score DESC, vec_id
+          LIMIT 10""",
     "llm_semdedup" -> SemDedupOracle,
     "llm_multimodal_audio" ->
       """SELECT doc_id,

@@ -89,6 +89,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_ann_pq_adc: table-lookup scoring is map-side — zero shuffle before top-k") {
+    // The ADC distance table is a broadcast literal (4×16 doubles
+    // baked into the projection), code assignment is an argmax over
+    // constant codebooks, and scoring is element_at lookups — so the
+    // ONLY cluster-wide operation is the final top-10. Any hash or
+    // range exchange means the corpus shuffled before scoring.
+    val plan = finalPlan(SparkEntry.queries("llm_ann_pq_adc")(spark, sfDir))
+    assert(countOf(plan, "Exchange hashpartitioning") === 0, plan)
+    assert(countOf(plan, "Exchange rangepartitioning") === 0, plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("kmeans index-build sample plans as TakeOrderedAndProject, bounded driver rows") {
     // The build's ONLY driver-side materialization is a fixed-size
     // top-N by md5(vec_id): per-partition heaps + an N-row driver

@@ -477,6 +477,44 @@ object EtlQueries {
       .orderBy("o_orderkey")
   }
 
+  /** A/B. Schema-drift guard — the landing-zone gate that catches a
+    * producer silently changing shape between batches: two staged
+    * batch directories are compared COLUMN BY COLUMN and classified
+    * added / dropped / type_changed / unchanged (here v2 adds
+    * o_custkey, drops o_orderstatus, and flips o_totalprice
+    * double→string — the classic "someone started quoting numbers"
+    * regression a mergeSchema read would either mask or explode on).
+    * The comparison runs on the driver over footer METADATA only —
+    * schemas, not data; bounded by column count at any corpus size —
+    * which is the one place driver-side work is the correct design,
+    * and the report ships back as a tiny local DataFrame. */
+  private def etlSchemaDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = t(spark, sfDir, "orders")
+    val v1 = Fixtures.stagedDir(sfDir, "drift_v1") { d =>
+      orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").parquet(d)
+    }
+    val v2 = Fixtures.stagedDir(sfDir, "drift_v2") { d =>
+      orders.selectExpr("o_orderkey", "CAST(o_totalprice AS STRING) AS o_totalprice",
+          "o_custkey")
+        .write.mode("overwrite").parquet(d)
+    }
+    val t1 = spark.read.parquet(v1).schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val t2 = spark.read.parquet(v2).schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows = (t1.keySet ++ t2.keySet).toSeq.sorted.map { c =>
+      (t1.get(c), t2.get(c)) match {
+        case (Some(a), None)              => (c, a, null: String, "dropped")
+        case (None, Some(b))              => (c, null: String, b, "added")
+        case (Some(a), Some(b)) if a == b => (c, a, b, "unchanged")
+        case (Some(a), Some(b))           => (c, a, b, "type_changed")
+        case _                            => throw new IllegalStateException(c)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("column_name", "v1_type", "v2_type", "status")
+      .orderBy("column_name")
+  }
+
   /** B. Partitioned-table registration + partition recovery (MSCK): an
     * external hive-partitioned directory is registered with NO
     * partitions visible until `recoverPartitions` walks the directory
@@ -971,6 +1009,7 @@ object EtlQueries {
     "sink_zorder" -> (sinkZorder _),
     "etl_dq_report" -> (dqReport _),
     "etl_scd2_diff" -> (scd2Diff _),
+    "etl_schema_drift" -> (etlSchemaDrift _),
     "etl_merge_upsert" -> (etlMergeUpsert _),
     "etl_time_travel" -> (etlTimeTravel _),
     "etl_delete_rewrite" -> (etlDeleteRewrite _),
@@ -1091,6 +1130,14 @@ object EtlQueries {
                 min_status, max_status
          FROM s
          ORDER BY col_name""",
+    "etl_schema_drift" ->
+      """SELECT * FROM (VALUES
+           ('o_custkey', CAST(NULL AS VARCHAR), 'bigint', 'added'),
+           ('o_orderkey', 'bigint', 'bigint', 'unchanged'),
+           ('o_orderstatus', 'string', CAST(NULL AS VARCHAR), 'dropped'),
+           ('o_totalprice', 'double', 'string', 'type_changed'))
+           AS t(column_name, v1_type, v2_type, status)
+         ORDER BY column_name""",
     "etl_scd2_diff" ->
       """WITH old AS (
            SELECT o_orderkey AS key, o_totalprice AS old_price

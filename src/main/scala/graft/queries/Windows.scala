@@ -122,6 +122,36 @@ object Windows {
       .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
   }
 
+  /** F. Time-series resample — 5-minute OHLC downsampling per event
+    * type (the market-data / metrics-rollup staple). Open and close
+    * are picked by min/max over a lexicographically-ordered
+    * struct(ts, event_id, value) — deterministic under ties AND a
+    * plain aggregate, so the WHOLE query is one map-side-combinable
+    * groupBy with no window, no sort: partial OHLC states combine
+    * associatively, which is what lets a 100 TB tick table collapse
+    * to bars in a single shuffle of (type, bucket) partials. (The
+    * row_number formulation computes the same bars but forces a full
+    * sort of every tick; min-of-struct is the scale-correct shape.)
+    * Buckets stay in the date_trunc timestamp domain — no epoch
+    * round-trip, no timezone re-interpretation between engines. */
+  private def winResampleOhlc(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .where(col("value").isNotNull)
+      .selectExpr("event_type", "ts", "event_id", "value",
+        """timestampadd(MINUTE, CAST(5 * (minute(ts) DIV 5) AS INT),
+             date_trunc('hour', ts)) AS bucket_start""")
+      .groupBy("event_type", "bucket_start")
+      .agg(
+        min(struct(col("ts").as("a"), col("event_id").as("b"),
+          col("value").as("v"))).getField("v").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts").as("a"), col("event_id").as("b"),
+          col("value").as("v"))).getField("v").as("close"),
+        count(lit(1)).as("n_ticks"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy("event_type", "bucket_start")
+
   /** F. Calendar-spine gap fill — the reporting/time-series staple: a
     * sparse daily aggregate re-expressed over the COMPLETE day×type
     * grid, missing cells zero-filled (counts) and forward-filled
@@ -278,6 +308,7 @@ object Windows {
     "win_retention" -> (winRetention _),
     "win_funnel" -> (winFunnel _),
     "win_gap_fill" -> (winGapFill _),
+    "win_resample_ohlc" -> (winResampleOhlc _),
     "win_distribution" -> (winDistribution _),
     "win_rank" -> (winRank _),
     "win_lag_lead" -> (winLagLead _),
@@ -288,6 +319,23 @@ object Windows {
     "win_session_batch" -> (winSessionBatch _))
 
   val oracle: Map[String, String] = Map(
+    "win_resample_ohlc" ->
+      """SELECT event_type,
+                date_trunc('hour', ts)
+                  + INTERVAL 1 MINUTE * (5 * (minute(ts) // 5))
+                  AS bucket_start,
+                (min(struct_pack(a := ts, b := event_id, v := value))).v
+                  AS open,
+                max(value) AS high,
+                min(value) AS low,
+                (max(struct_pack(a := ts, b := event_id, v := value))).v
+                  AS close,
+                CAST(count(*) AS BIGINT) AS n_ticks,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE value IS NOT NULL
+         GROUP BY 1, 2
+         ORDER BY event_type, bucket_start""",
     "win_ewma" ->
       """WITH x AS (
            SELECT user_id, event_id, ts,

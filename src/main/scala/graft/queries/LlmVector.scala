@@ -659,16 +659,21 @@ object LlmVector {
       struct(dot(sub, pqCentArr(m, k)).as("d"), lit(-k).as("nid"))
     }: _*))
 
-  private def pqCoded(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = t(spark, sfDir, "embeddings")
-    val withSubs = (0 until PqM).foldLeft(e) { (df, m) =>
-      df.withColumn(s"sub_$m", slice(col("embedding"), m * PqSub + 1, PqSub))
+  /** Adds sub_m / best_m / code_m columns to any DataFrame carrying an
+    * `embedding` column — shared by the PQ encoder, the ADC search,
+    * and the IVF+PQ composition. */
+  private def pqCodes(df: DataFrame): DataFrame = {
+    val withSubs = (0 until PqM).foldLeft(df) { (d, m) =>
+      d.withColumn(s"sub_$m", slice(col("embedding"), m * PqSub + 1, PqSub))
     }
-    (0 until PqM).foldLeft(withSubs) { (df, m) =>
-      df.withColumn(s"best_$m", pqBest(col(s"sub_$m"), m))
+    (0 until PqM).foldLeft(withSubs) { (d, m) =>
+      d.withColumn(s"best_$m", pqBest(col(s"sub_$m"), m))
         .withColumn(s"code_$m", (-col(s"best_$m.nid")).cast("int"))
     }
   }
+
+  private def pqCoded(spark: SparkSession, sfDir: String): DataFrame =
+    pqCodes(t(spark, sfDir, "embeddings"))
 
   private def embeddingPq(spark: SparkSession, sfDir: String): DataFrame = {
     val errM = (0 until PqM).map { m =>
@@ -695,11 +700,12 @@ object LlmVector {
   // zero pre-top-k exchange. Lookup-table entries and the final sum
   // chain are fixed-order folds, so scores are engine-exact.
   // ---------------------------------------------------------------------
-  private def annPqAdc(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = emb(spark, sfDir)
-    val qRow = e.where(col("vec_id") === 7).select(col("embedding")).head()
-    val qe = qRow.getSeq[Float](0)
-    val dist: Seq[Seq[Double]] = (0 until PqM).map { m =>
+  /** Driver-computed ADC distance table for a query vector: 4×16
+    * query-to-centroid dots, each a sequential fold over 16 dims —
+    * the same fold order as [[graft.functions.DotProduct]] and the
+    * oracle's list_reduce. */
+  private def pqDistTable(qe: Seq[Float]): Seq[Seq[Double]] =
+    (0 until PqM).map { m =>
       (0 until PqK).map { k =>
         var acc = 0.0
         var d = 0
@@ -707,12 +713,60 @@ object LlmVector {
         acc
       }
     }
-    val score = (0 until PqM).map { m =>
+
+  /** ADC score column: 4 table lookups chained in fixed m order. */
+  private def pqAdcScore(dist: Seq[Seq[Double]]): Column =
+    (0 until PqM).map { m =>
       element_at(typedLit(dist(m)), col(s"code_$m") + 1)
     }.reduceLeft(_ + _)
+
+  private def annPqAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val qRow = e.where(col("vec_id") === 7).select(col("embedding")).head()
+    val dist = pqDistTable(qRow.getSeq[Float](0))
     pqCoded(spark, sfDir)
       .where(col("vec_id") =!= 7)
-      .select(col("vec_id"), score.as("adc_score"))
+      .select(col("vec_id"), pqAdcScore(dist).as("adc_score"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_ann_ivfpq — THE production billion-vector architecture: IVF
+  // cell pruning composed with PQ/ADC scoring (what FAISS calls
+  // IVFPQ). The query picks its top-2 cells against the 16 IVF
+  // centroids (driver-side, metadata-sized — same probe rule as
+  // llm_ann_ivf), only vectors assigned to those cells are scored,
+  // and scoring is the 4-lookup ADC form, never a full-precision dot.
+  // At 100 TB the two stages multiply: nprobe/K of the corpus is
+  // READ (partition pruning when the index is persisted by cell, as
+  // llm_ann_ivf_persisted stages it), and each read vector costs 4
+  // adds — memory 32× down, compute ~16× down, recall set by nprobe.
+  // Map-side assignment + filter + lookup, TakeOrderedAndProject
+  // top-10: zero pre-top-k exchange, same pinned shape as the other
+  // ANN probes.
+  // ---------------------------------------------------------------------
+  private def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val qRow = e.where(col("vec_id") === 7)
+      .select(col("embedding"), col("nrm")).head()
+    val qe = qRow.getSeq[Float](0)
+    val qn = qRow.getDouble(1)
+    val probed = (0 until IvfK)
+      .map { c =>
+        ((0 until 64).map(d => qe(d).toDouble * centSign(c, d)).sum
+          / (qn * 8.0), c)
+      }
+      .sortBy { case (cos, c) => (-cos, c) }
+      .take(2).map(_._2)
+    val dist = pqDistTable(qe)
+    val assigned = e
+      .withColumn("best", array_max(centScores(col("embedding"), col("nrm"))))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best.nid")).cast("int").as("cell"))
+    pqCodes(assigned.where(col("cell").isin(probed: _*) &&
+        col("vec_id") =!= 7))
+      .select(col("vec_id"), col("cell"), pqAdcScore(dist).as("adc_score"))
       .orderBy(col("adc_score").desc, col("vec_id"))
       .limit(10)
   }
@@ -835,6 +889,7 @@ object LlmVector {
     "llm_semdedup" -> (semDedup _),
     "llm_embedding_pq" -> (embeddingPq _),
     "llm_ann_pq_adc" -> (annPqAdc _),
+    "llm_ann_ivfpq" -> (annIvfPq _),
     "llm_embedding_quantize" -> (embeddingQuantize _),
     "llm_vector_mean" -> (vectorMean _),
     "agg_custom_vector_mean" -> (customVectorMean _),
@@ -881,12 +936,12 @@ object LlmVector {
           FROM buckets a JOIN buckets b
             ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)"""
 
-  /** IVF probe oracle — shared verbatim by `llm_ann_ivf` (in-plan
-    * broadcast index) and `llm_ann_ivf_persisted` (hive-partitioned
-    * on-disk index): identical assignment, probe, and top-10
-    * semantics by construction. */
-  private[graft] val AnnIvfOracle =
-    s"""WITH e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings),
+  /** Shared IVF cell CTE block (centroids, per-vector cell assignment,
+    * vec-7 query, top-2 probed cells) — used verbatim by the IVF probe
+    * oracle and the IVF+PQ composition so cell semantics cannot
+    * drift. */
+  private val IvfCellsCte =
+    s"""e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings),
           cents AS (
             SELECT c.c AS cent_id,
                    list_transform(range(0, 64), d ->
@@ -911,7 +966,14 @@ object LlmVector {
               SELECT c.cent_id,
                      ${dDot("q.qe", "c.ce")} / (q.qn * CAST(8 AS DOUBLE)) AS qcos
               FROM cents c CROSS JOIN q)
-            ORDER BY qcos DESC, cent_id LIMIT 2)
+            ORDER BY qcos DESC, cent_id LIMIT 2)"""
+
+  /** IVF probe oracle — shared verbatim by `llm_ann_ivf` (in-plan
+    * broadcast index) and `llm_ann_ivf_persisted` (hive-partitioned
+    * on-disk index): identical assignment, probe, and top-10
+    * semantics by construction. */
+  private[graft] val AnnIvfOracle =
+    s"""WITH $IvfCellsCte
           SELECT e.vec_id, CAST(a.cell AS INTEGER) AS cell,
                  ${dDot("e.embedding", "q.qe")} / (e.nrm * q.qn) AS cosine
           FROM e JOIN assigned a USING (vec_id)
@@ -1029,6 +1091,32 @@ object LlmVector {
           FROM pivoted
           ORDER BY adc_score DESC, vec_id
           LIMIT 10""",
+    "llm_ann_ivfpq" ->
+      s"""WITH $IvfCellsCte,
+          $PqCodesCte,
+          qs AS (
+            SELECT m.m AS m, q.qe[m.m * 16 + 1 : m.m * 16 + 16] AS qsub
+            FROM q, (SELECT unnest(range(0, 4)) AS m) m),
+          dist AS (
+            SELECT qs.m, c.k, ${dDot("qs.qsub", "c.ce")} AS dv
+            FROM qs JOIN pqc c ON qs.m = c.m),
+          picked AS (
+            SELECT pqcodes.vec_id, pqcodes.m, dist.dv
+            FROM pqcodes JOIN dist
+              ON pqcodes.m = dist.m AND pqcodes.code = dist.k
+            WHERE pqcodes.vec_id <> 7),
+          pivoted AS (
+            SELECT vec_id,
+                   max(CASE WHEN m = 0 THEN dv END) AS d0,
+                   max(CASE WHEN m = 1 THEN dv END) AS d1,
+                   max(CASE WHEN m = 2 THEN dv END) AS d2,
+                   max(CASE WHEN m = 3 THEN dv END) AS d3
+            FROM picked GROUP BY vec_id)
+          SELECT pv.vec_id, CAST(a.cell AS INTEGER) AS cell,
+                 ((d0 + d1) + d2) + d3 AS adc_score
+          FROM pivoted pv JOIN assigned a USING (vec_id)
+               JOIN probed p ON a.cell = p.cent_id
+          ORDER BY adc_score DESC, vec_id LIMIT 10""",
     "llm_semdedup" -> SemDedupOracle,
     "llm_multimodal_audio" ->
       """SELECT doc_id,

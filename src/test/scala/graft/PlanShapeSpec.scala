@@ -89,16 +89,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("llm_ann_pq_adc: table-lookup scoring is map-side — zero shuffle before top-k") {
+  test("llm_ann_pq_adc / llm_ann_ivfpq: table-lookup scoring is map-side — zero shuffle before top-k") {
     // The ADC distance table is a broadcast literal (4×16 doubles
     // baked into the projection), code assignment is an argmax over
-    // constant codebooks, and scoring is element_at lookups — so the
-    // ONLY cluster-wide operation is the final top-10. Any hash or
-    // range exchange means the corpus shuffled before scoring.
-    val plan = finalPlan(SparkEntry.queries("llm_ann_pq_adc")(spark, sfDir))
-    assert(countOf(plan, "Exchange hashpartitioning") === 0, plan)
-    assert(countOf(plan, "Exchange rangepartitioning") === 0, plan)
-    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // constant codebooks, cell pruning (ivfpq) is a map-side filter
+    // on driver-chosen cells, and scoring is element_at lookups — so
+    // the ONLY cluster-wide operation is the final top-10. Any hash
+    // or range exchange means the corpus shuffled before scoring.
+    Seq("llm_ann_pq_adc", "llm_ann_ivfpq").foreach { key =>
+      val plan = finalPlan(SparkEntry.queries(key)(spark, sfDir))
+      assert(countOf(plan, "Exchange hashpartitioning") === 0, s"$key\n$plan")
+      assert(countOf(plan, "Exchange rangepartitioning") === 0, s"$key\n$plan")
+      assert(plan.contains("TakeOrderedAndProject"), s"$key\n$plan")
+    }
   }
 
   test("kmeans index-build sample plans as TakeOrderedAndProject, bounded driver rows") {

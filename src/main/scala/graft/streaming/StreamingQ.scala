@@ -233,6 +233,47 @@ object StreamingQ {
   }
 
   // ---------------------------------------------------------------------
+  // stream_resample_ohlc — streaming twin of win_resample_ohlc:
+  // 5-minute OHLC bars per event type maintained incrementally under a
+  // watermark in Append mode (bar cardinality is time-unbounded, so
+  // Complete-mode memory is not an option at scale). Open and close
+  // come from the same lexicographic struct min/max as the batch key —
+  // crucially ASSOCIATIVE aggregates, so the state store keeps ONE
+  // partial OHLC per open bar and merges each micro-batch into it:
+  // per-batch work is O(batch + open bars), closed bars emit exactly
+  // once when the watermark passes their end, history is never
+  // re-read. The far-future sentinel flushes the tail; its own 2030
+  // bar is filtered out. Oracle = the batch OHLC twin bit-for-bit
+  // (same bucket grid: window() and the batch timestampadd both align
+  // to wall-clock 5-minute boundaries).
+  // ---------------------------------------------------------------------
+  private def streamResampleOhlc(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = stagedWithSentinel(spark, sfDir, sentinelUser = -1L)
+    val src = spark.readStream.schema(Schemas.events)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .where(col("value").isNotNull)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(
+        min(struct(col("ts").as("a"), col("event_id").as("b"),
+          col("value").as("v"))).getField("v").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts").as("a"), col("event_id").as("b"),
+          col("value").as("v"))).getField("v").as("close"),
+        count(lit(1)).as("n_ticks"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_ticks"), col("sum_value"))
+    runToParquet(spark, agg)
+      .where(col("bucket_start") < lit("2029-01-01").cast("timestamp"))
+      .orderBy("event_type", "bucket_start")
+  }
+
+  // ---------------------------------------------------------------------
   // stream_stateful_session — arbitrary stateful processing
   // (flatMapGroupsWithState): per-user gap sessionization with explicit
   // session state and event-time timeouts. Same semantics as
@@ -884,6 +925,7 @@ object StreamingQ {
     "stream_window_tumbling" -> (streamTumbling _),
     "stream_window_sliding" -> (streamSliding _),
     "stream_window_session" -> (streamSession _),
+    "stream_resample_ohlc" -> (streamResampleOhlc _),
     "stream_watermark" -> (streamWatermark _),
     "stream_dedup" -> (streamDedup _))
 
@@ -996,6 +1038,26 @@ object StreamingQ {
     "stream_ingest" ->
       """SELECT event_id, ts, user_id, event_type, value, props
          FROM events ORDER BY event_id""",
+    // shared verbatim with the batch twin (win_resample_ohlc) except
+    // bucket_start comes first — the driver sorts columns by name, so
+    // projection order is immaterial; the bar values must hash equal
+    "stream_resample_ohlc" ->
+      """SELECT date_trunc('hour', ts)
+                  + INTERVAL 1 MINUTE * (5 * (minute(ts) // 5))
+                  AS bucket_start,
+                event_type,
+                (min(struct_pack(a := ts, b := event_id, v := value))).v
+                  AS open,
+                max(value) AS high,
+                min(value) AS low,
+                (max(struct_pack(a := ts, b := event_id, v := value))).v
+                  AS close,
+                CAST(count(*) AS BIGINT) AS n_ticks,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE value IS NOT NULL
+         GROUP BY 1, 2
+         ORDER BY event_type, bucket_start""",
     "stream_window_tumbling" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
                 CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS w_end,

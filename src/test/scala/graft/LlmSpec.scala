@@ -566,4 +566,80 @@ class LlmSpec extends AnyFunSuite {
       (col("spread") > 1 || col("nb") =!= 3)).count() === 0)
     out.unpersist()
   }
+
+  test("URL canonicalization is idempotent and keeps one doc per canonical URL") {
+    val urls = LlmText.defs("llm_url_canonicalize")(spark, sfDir).cache()
+    // idempotence: running the same canonicalization over url_canon
+    // must be the identity — no second round of stripping ever applies
+    val recanon = urls.selectExpr("doc_id", "url_canon",
+        "lower(regexp_extract(url_canon, '^([a-zA-Z]+)://', 1)) AS scheme",
+        "lower(regexp_extract(url_canon, '^[a-zA-Z]+://([^/:?#]+)', 1)) AS host",
+        "regexp_extract(url_canon, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1) AS port",
+        """regexp_replace(
+             regexp_extract(url_canon, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+             '/+$', '') AS cpath""",
+        """array_join(array_sort(filter(
+             split(regexp_extract(url_canon, '\\?([^#]*)', 1), '&'),
+             p -> substr(p, 1, 4) <> 'utm_')), '&') AS cq""")
+      .selectExpr("doc_id", "url_canon",
+        """concat(scheme, '://', host,
+             CASE WHEN port IN ('', '80') THEN '' ELSE concat(':', port) END,
+             cpath,
+             CASE WHEN cq = '' THEN '' ELSE concat('?', cq) END)
+           AS twice""")
+    assert(recanon.where(col("twice") =!= col("url_canon")).count() === 0)
+    // exactly one kept doc per canonical URL, and it is the minimum id
+    val perUrl = urls.groupBy("url_canon")
+      .agg(sum(when(col("is_kept"), 1L).otherwise(0L)).as("n_kept"),
+        min("doc_id").as("lo"),
+        min(when(col("is_kept"), col("doc_id"))).as("kept_id"))
+    assert(perUrl.where(col("n_kept") =!= 1 ||
+      col("kept_id") =!= col("lo")).count() === 0)
+    urls.unpersist()
+  }
+
+  test("paragraph dedup keeps each distinct paragraph exactly once, order preserved") {
+    val out = LlmText.defs("llm_paragraph_dedup")(spark, sfDir).cache()
+    // n_kept bounded by n_paras, never negative
+    assert(out.where(col("n_kept") > col("n_paras") ||
+      col("n_kept") < 0).count() === 0)
+    // global accounting: total kept paragraphs == number of DISTINCT
+    // paragraph hashes in the corpus (each kept exactly once)
+    val distinctParas = Tables.t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr(
+        """explode(transform(sequence(0, (size(toks) - 1) DIV 20),
+             i -> array_join(slice(toks, i * 20 + 1, 20), ' ')))
+           AS para""")
+      .select(md5(col("para"))).distinct().count()
+    val totalKept = out.agg(sum("n_kept")).head.getLong(0)
+    assert(totalKept === distinctParas)
+    out.unpersist()
+  }
+
+  test("IVFPQ agrees with exhaustive ADC on shared results and probed cells") {
+    val ivfpq = LlmVector.defs("llm_ann_ivfpq")(spark, sfDir)
+      .select("vec_id", "adc_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val adc = LlmVector.defs("llm_ann_pq_adc")(spark, sfDir)
+      .select("vec_id", "adc_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // cell pruning must not change a vector's ADC score — any vec in
+    // both top-10s scores bit-identically
+    val shared = ivfpq.keySet intersect adc.keySet
+    assert(shared.forall(v => ivfpq(v) == adc(v)),
+      s"score drift on $shared")
+    // and pruning can only LOSE candidates: the exhaustive top-10's
+    // minimum score bounds the pruned top-10's minimum from above
+    assert(ivfpq.values.min <= adc.values.max)
+  }
+
+  test("PQ reconstruction error is non-negative and code range is valid") {
+    val out = LlmVector.defs("llm_embedding_pq")(spark, sfDir).cache()
+    assert(out.where(col("err_e8") < 0).count() === 0)
+    val badCode = (0 until 4).map(m =>
+      out.where(col(s"code_$m") < 0 || col(s"code_$m") > 15).count()).sum
+    assert(badCode === 0)
+    out.unpersist()
+  }
 }

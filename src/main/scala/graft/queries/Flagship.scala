@@ -405,14 +405,241 @@ WHERE c_nationkey IN (10, 11, 12, 13, 14, 15)
 GROUP BY 1
 ORDER BY cntrycode"""
 
+  /** L. TPC-H Q7 (volume shipping), adapted: the nation set is
+    * {NATION_0..3} (the classic FRANCE/GERMANY pair is empty at
+    * sf0.001 — the pin must hold at every SF). The scale move is that
+    * BOTH dimension filters apply before the fact joins: supplier and
+    * customer are each pre-joined to the 4-row filtered nation
+    * broadcast, so the disjunctive "different nations, either
+    * direction" condition degenerates to a cheap post-join filter on
+    * two already-attached name columns — never a theta-join. lineitem
+    * carries the two-year shipdate band as a pushed scan filter. */
+  private def q7(spark: SparkSession, sfDir: String): DataFrame = {
+    val nations = Seq("NATION_0", "NATION_1", "NATION_2", "NATION_3")
+    val li = t(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val o = t(spark, sfDir, "orders")
+    val n1 = t(spark, sfDir, "nation").where(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = t(spark, sfDir, "nation").where(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val s = t(spark, sfDir, "supplier")
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+    val c = t(spark, sfDir, "customer")
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(li("l_shipdate")).as("l_year"))
+      .agg(
+        sum(dec(li("l_extendedprice")) *
+          (lit(BigDecimal(1)) - dec(li("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val q7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN supplier ON l_suppkey   = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
+  AND n2.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, l_year"""
+
+  /** L. TPC-H Q10 (returned-item reporting): rank customers by revenue
+    * lost to returns in one quarter. The quarter filter prunes the
+    * orders scan and the flag filter prunes lineitem BEFORE their
+    * shuffle; the group-by keys include every customer attribute the
+    * report shows (all functionally dependent on c_custkey — carrying
+    * them through the aggregate beats a second enrichment join against
+    * a top-20 that hasn't been computed yet). TakeOrderedAndProject
+    * caps the customer-cardinality result at 20 rows. */
+  private def q10(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem").where(col("l_returnflag") === "R")
+    val o = t(spark, sfDir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val c = t(spark, sfDir, "customer")
+    val n = t(spark, sfDir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"), col("c_mktsegment"))
+      .agg(
+        sum(dec(li("l_extendedprice")) *
+          (lit(BigDecimal(1)) - dec(li("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q10Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY revenue DESC, c_custkey
+LIMIT 20"""
+
+  /** L. TPC-H Q14 (promotion effect): a single-row conditional-share
+    * aggregate — promo revenue over total revenue for one shipping
+    * month. Both numerator and denominator are decimal-exact sums
+    * (order-independent), cast to DOUBLE only for the final ratio, so
+    * the percentage is bit-identical across engines. The month filter
+    * pushes into the lineitem scan; the part join carries only
+    * (p_partkey, p_type). */
+  private def q14(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+    val p = t(spark, sfDir, "part").select(col("p_partkey"), col("p_type"))
+    val disc = dec(li("l_extendedprice")) *
+      (lit(BigDecimal(1)) - dec(li("l_discount")))
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", disc)
+          .otherwise(lit(BigDecimal(0)))).cast("double") * 100.0 /
+          sum(disc).cast("double")).as("promo_pct"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private val q14Sql: String =
+    """SELECT
+       CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+         / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS promo_pct,
+       count(*) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate <  TIMESTAMP '1996-10-01'"""
+
+  /** L. TPC-H Q15 (top supplier): the argmax-via-scalar-subquery shape
+    * — per-supplier quarterly revenue, keep the suppliers achieving
+    * the maximum. The revenue table is supplier-cardinality (small),
+    * so the 1-row max broadcast-cross-joins back onto it map-side; the
+    * equality compare is safe because both sides derive the revenue
+    * the same way (decimal sum, cast double — bit-identical). One
+    * data-sized shuffle total (the supplier aggregate). */
+  private def q15(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = t(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(
+        sum(dec(col("l_extendedprice")) *
+          (lit(BigDecimal(1)) - dec(col("l_discount"))))
+          .cast("double").as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+    val s = t(spark, sfDir, "supplier")
+    rev.crossJoin(broadcast(maxRev))
+      .where(col("total_revenue") === col("max_rev"))
+      .join(s, col("l_suppkey") === s("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  private val q15Sql: String =
+    """WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey"""
+
+  /** L. TPC-H Q17 (small-quantity-order revenue), adapted: the part
+    * cut is (Brand#12, ECONOMY) — testdata has no p_container. The
+    * correlated "20% of this part's average quantity" subquery becomes
+    * an explicit per-part aggregate joined back by key: lineitem is
+    * first SEMI-reduced to the selected parts (broadcast — the cut is
+    * part-scale), the per-part cutoffs are computed over exactly those
+    * lines, and the cutoff table (≤|selected parts| rows) broadcasts
+    * back for the final quantity filter. The fact table shuffles once
+    * (the per-part aggregate), never for the cutoff re-attach. */
+  private def q17(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = t(spark, sfDir, "part")
+      .where(col("p_brand") === "Brand#12" && col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val li = t(spark, sfDir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val cut = li.groupBy(col("l_partkey").as("cut_key"))
+      .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)) * 0.2)
+        .as("qty_cut"))
+    li.join(broadcast(cut), col("l_partkey") === col("cut_key"))
+      .where(dec(col("l_quantity")).cast("double") < col("qty_cut"))
+      .agg(
+        (sum(dec(col("l_extendedprice"))).cast("double") / 7.0)
+          .as("avg_yearly"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private val q17Sql: String =
+    """WITH sel AS (
+  SELECT p_partkey FROM part
+  WHERE p_brand = 'Brand#12' AND p_type = 'ECONOMY'),
+cut AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           / count(*) * 0.2 AS qty_cut
+  FROM lineitem JOIN sel ON l_partkey = p_partkey
+  GROUP BY 1)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       count(*) AS n_rows
+FROM lineitem
+JOIN sel ON lineitem.l_partkey = sel.p_partkey
+JOIN cut ON lineitem.l_partkey = cut.l_partkey
+WHERE CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) < qty_cut"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_flagship" -> (q _), "tpch_q1" -> (q1 _), "tpch_q3" -> (q3 _),
       "tpch_q4" -> (q4 _), "tpch_q5" -> (q5 _), "tpch_q6" -> (q6 _),
-      "tpch_q13" -> (q13 _), "tpch_q16" -> (q16 _), "tpch_q18" -> (q18 _),
-      "tpch_q22" -> (q22 _))
+      "tpch_q7" -> (q7 _), "tpch_q10" -> (q10 _), "tpch_q13" -> (q13 _),
+      "tpch_q14" -> (q14 _), "tpch_q15" -> (q15 _), "tpch_q16" -> (q16 _),
+      "tpch_q17" -> (q17 _), "tpch_q18" -> (q18 _), "tpch_q22" -> (q22 _))
   val oracle: Map[String, String] =
     Map("q_flagship" -> sql, "tpch_q1" -> q1Sql, "tpch_q3" -> q3Sql,
       "tpch_q4" -> q4Sql, "tpch_q5" -> q5Sql, "tpch_q6" -> q6Sql,
-      "tpch_q13" -> q13Sql, "tpch_q16" -> q16Sql, "tpch_q18" -> q18Sql,
-      "tpch_q22" -> q22Sql)
+      "tpch_q7" -> q7Sql, "tpch_q10" -> q10Sql, "tpch_q13" -> q13Sql,
+      "tpch_q14" -> q14Sql, "tpch_q15" -> q15Sql, "tpch_q16" -> q16Sql,
+      "tpch_q17" -> q17Sql, "tpch_q18" -> q18Sql, "tpch_q22" -> q22Sql)
 }

@@ -1630,7 +1630,153 @@ object LlmText {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // llm_setsim_join — EXACT set-similarity self-join (Jaccard ≥ 0.9
+  // over distinct-token sets) with PPJoin-style prefix filtering: the
+  // alternative to LSH when the answer must be exact and complete.
+  // Tokens get a global rarest-first total order (document frequency
+  // asc, token asc); for threshold τ any pair with J ≥ τ must (a)
+  // satisfy min|a|,|b| ≥ τ·max|a|,|b| and (b) share a token inside each
+  // side's first |s| − ⌈τ·|s|⌉ + 1 tokens of that order (τ=0.9 → the
+  // prefix is the rarest ~10% of each doc's tokens). So candidates
+  // come from an equi-join on PREFIX tokens only — and because the
+  // order is rarest-first, prefix postings are the SHORT ones:
+  // stop-words never generate candidates. At 100 TB the df table is
+  // token-cardinality (a broadcast or bucketed map join), the prefix
+  // explode carries ~a tenth of each doc's distinct tokens, and the
+  // verify step touches only surviving candidates — the standard
+  // filter-then-verify shape with an exactness guarantee LSH can't
+  // give.
+  // ---------------------------------------------------------------------
+  private def setSimJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = t(spark, sfDir, "documents")
+      .selectExpr("doc_id", s"explode(array_distinct(split($NormText, ' '))) AS token")
+    val df = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    // Per-doc token list in global (df, token) order. array_sort on a
+    // two-field struct orders by df then token — both engines agree
+    // because df is an exact integer and tokens are distinct per doc.
+    val sorted = tok
+      .join(df, Seq("token"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("token"))))
+        .as("ordered"))
+      .selectExpr("doc_id", "transform(ordered, s -> s.token) AS toks",
+        "size(ordered) AS sz")
+      .selectExpr("doc_id", "toks", "sz",
+        "slice(toks, 1, sz - CAST(ceil(0.9 * sz) AS INT) + 1) AS prefix")
+      .persist() // feeds both the candidate build and the verify re-join
+    val pre = sorted.select(col("doc_id"), col("sz"),
+      explode(col("prefix")).as("token"))
+    val cand = pre.as("a")
+      .join(pre.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .where(least(col("a.sz"), col("b.sz")) >=
+        lit(0.9) * greatest(col("a.sz"), col("b.sz")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sorted.select(col("doc_id").as("doc_a"), col("toks").as("t_a")),
+        Seq("doc_a"))
+      .join(sorted.select(col("doc_id").as("doc_b"), col("toks").as("t_b")),
+        Seq("doc_b"))
+      .selectExpr("doc_a", "doc_b",
+        """size(array_intersect(t_a, t_b)) /
+           (size(t_a) + size(t_b) - size(array_intersect(t_a, t_b)))
+           AS jaccard""")
+      .where(col("jaccard") >= 0.9)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_inverted_index — postings-list build (token → document
+  // frequency + sorted doc ids), the retrieval-side artifact of a
+  // curation pipeline (BM25 stats, decontamination lookups, df tables
+  // for the set-similarity join above all read it). One explode + one
+  // token-keyed shuffle; collect_list is bounded per token by df.
+  // Singleton tokens (df=1) are dropped — they are the long tail that
+  // dominates storage and serve no join. At 100 TB the skew risk is
+  // stop-word postings (df ≈ corpus size); production caps postings at
+  // an N that downstream consumers accept (a df-only row past the cap)
+  // — the df ≥ 2 filter here marks where that cap composes in.
+  // ---------------------------------------------------------------------
+  private def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .selectExpr("doc_id", s"explode(array_distinct(split($NormText, ' '))) AS token")
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+      .where(col("df") >= 2)
+      .orderBy("token")
+
+  // ---------------------------------------------------------------------
+  // llm_sample_reservoir — deterministic fixed-SIZE sample per stratum
+  // (exactly k=5 docs per (lang, source)), complementing the
+  // fixed-FRACTION sampler above: rank every doc by a salted content
+  // hash inside its stratum and keep the k smallest. Equivalent to a
+  // k-reservoir but restartable, engine-reproducible, and
+  // embarrassingly mergeable: the k smallest hashes of a union are a
+  // subset of the union of per-partition k-smallest, so at 100 TB this
+  // runs as per-partition top-k then a k-sized merge per stratum
+  // (TakeOrdered shape) — never a full sort. The hash-rank also makes
+  // the sample STABLE under re-ingestion: adding new docs evicts at
+  // most as many old members as new winners.
+  // ---------------------------------------------------------------------
+  private def sampleReservoir(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "lang", "source",
+        "md5(concat(cast(doc_id AS string), '#reservoir-salt-1')) AS hk")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang", "source").orderBy(col("hk"), col("doc_id"))))
+      .where(col("rk") <= 5)
+      .select("lang", "source", "rk", "doc_id")
+      .orderBy("lang", "source", "rk")
+
+  // ---------------------------------------------------------------------
+  // llm_triangle_count — triangle census of the verified near-dup
+  // graph (the standard "how template-y is this corpus" diagnostic:
+  // triangles/edges distinguishes chains of borderline matches from
+  // dense template families). Uses DEGREE ORIENTATION — each
+  // undirected edge points from its (degree, id)-smaller endpoint to
+  // the larger — so every triangle is counted exactly once and, at
+  // scale, every wedge-join fan-out is bounded by out-degree ≤
+  // O(√edges) (the arboricity bound that makes distributed triangle
+  // counting feasible on power-law graphs; id-orientation would fan
+  // out by the hub's full degree). Two self-joins on the oriented
+  // edge list — both equi-joins, no cartesian.
+  // ---------------------------------------------------------------------
+  private def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val und = pairs.select(least(col("doc_a"), col("doc_b")).as("u"),
+      greatest(col("doc_a"), col("doc_b")).as("v")).distinct()
+    val deg = und.select(col("u").as("node"))
+      .unionByName(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val e = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("d")))
+          .otherwise(struct(col("v").as("s"), col("u").as("d"))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
+      .persist() // three self-join arms read the oriented list
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(e.as("e3"),
+        col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges"),
+        countDistinct(col("src")).as("n_src_nodes"))
+      .crossJoin(tri) // 1-row × 1-row
+      .select("n_edges", "n_src_nodes", "n_triangles")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_setsim_join" -> (setSimJoin _),
+    "llm_inverted_index" -> (invertedIndex _),
+    "llm_sample_reservoir" -> (sampleReservoir _),
+    "llm_triangle_count" -> (triangleCount _),
     "llm_url_canonicalize" -> (urlCanonicalize _),
     "llm_domain_cap" -> (domainCap _),
     "llm_paragraph_dedup" -> (paragraphDedup _),
@@ -1829,7 +1975,91 @@ object LlmText {
                count(*) AS n_pieces
         FROM $bpeLastSyms GROUP BY w ORDER BY w"""
 
+  /** Distinct normalized tokens per document + global rarest-first
+    * order — the oracle twin of [[setSimJoin]]'s prefix machinery,
+    * shared with the inverted-index oracle so the two token universes
+    * cannot drift. */
+  private val DTokDf =
+    s"""tok AS (
+         SELECT doc_id, unnest(list_distinct(string_split($DNorm, ' ')))
+                AS token
+         FROM documents),
+       df AS (SELECT token, count(*) AS df FROM tok GROUP BY 1)"""
+
   val oracle: Map[String, String] = Map(
+    "llm_setsim_join" ->
+      s"""WITH $DTokDf,
+          sorted AS (
+            SELECT t.doc_id,
+                   list(t.token ORDER BY d.df, t.token) AS toks,
+                   count(*) AS sz
+            FROM tok t JOIN df d ON t.token = d.token
+            GROUP BY 1),
+          pre AS (
+            SELECT doc_id, sz,
+                   unnest(toks[1 : sz - CAST(ceil(0.9 * sz) AS INT) + 1])
+                   AS token
+            FROM sorted),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM pre a JOIN pre b
+              ON a.token = b.token AND a.doc_id < b.doc_id
+            WHERE least(a.sz, b.sz) >= 0.9 * greatest(a.sz, b.sz))
+          SELECT doc_a, doc_b,
+                 len(list_intersect(sa.toks, sb.toks)) /
+                 (sa.sz + sb.sz - len(list_intersect(sa.toks, sb.toks)))
+                   AS jaccard
+          FROM cand
+          JOIN sorted sa ON doc_a = sa.doc_id
+          JOIN sorted sb ON doc_b = sb.doc_id
+          WHERE len(list_intersect(sa.toks, sb.toks)) /
+                (sa.sz + sb.sz - len(list_intersect(sa.toks, sb.toks)))
+                >= 0.9
+          ORDER BY doc_a, doc_b""",
+    "llm_inverted_index" ->
+      s"""WITH $DTokDf
+          SELECT token, count(*) AS df,
+                 list(doc_id ORDER BY doc_id) AS postings
+          FROM tok GROUP BY token HAVING count(*) >= 2
+          ORDER BY token""",
+    "llm_sample_reservoir" ->
+      """WITH ranked AS (
+           SELECT lang, source, doc_id,
+                  row_number() OVER (
+                    PARTITION BY lang, source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)
+                                 || '#reservoir-salt-1'), doc_id) AS rk
+           FROM documents)
+         SELECT lang, source, rk, doc_id FROM ranked
+         WHERE rk <= 5 ORDER BY lang, source, rk""",
+    "llm_triangle_count" ->
+      s"""WITH $DPairsEdges,
+          und AS (
+            SELECT DISTINCT least(doc_a, doc_b) AS u,
+                   greatest(doc_a, doc_b) AS v
+            FROM pairs),
+          deg AS (
+            SELECT node, count(*) AS deg FROM (
+              SELECT u AS node FROM und
+              UNION ALL SELECT v AS node FROM und)
+            GROUP BY 1),
+          oriented AS (
+            SELECT CASE WHEN du.deg < dv.deg
+                          OR (du.deg = dv.deg AND u < v) THEN u ELSE v END
+                     AS src,
+                   CASE WHEN du.deg < dv.deg
+                          OR (du.deg = dv.deg AND u < v) THEN v ELSE u END
+                     AS dst
+            FROM und
+            JOIN deg du ON und.u = du.node
+            JOIN deg dv ON und.v = dv.node)
+          SELECT (SELECT count(*) FROM oriented) AS n_edges,
+                 (SELECT count(DISTINCT src) FROM oriented) AS n_src_nodes,
+                 (SELECT count(*)
+                  FROM oriented e1
+                  JOIN oriented e2 ON e1.dst = e2.src
+                  JOIN oriented e3 ON e1.src = e3.src
+                                  AND e2.dst = e3.dst) AS n_triangles""",
     "llm_url_canonicalize" ->
       """WITH raw AS (
            SELECT doc_id,

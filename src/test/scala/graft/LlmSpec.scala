@@ -642,4 +642,55 @@ class LlmSpec extends AnyFunSuite {
     assert(badCode === 0)
     out.unpersist()
   }
+
+  test("prefix-filtered set-sim join is EXACT: equals brute-force all-pairs") {
+    // PPJoin's guarantee is exactness — unlike LSH there is no recall
+    // loss. The prefix-filtered result must equal the O(n²) truth,
+    // both directions (no missed pairs, no phantom pairs).
+    val got = LlmText.defs("llm_setsim_join")(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.t(spark, sfDir, "documents")
+      .selectExpr("doc_id",
+        """array_distinct(split(lower(trim(regexp_replace(text, '\\s+', ' '))),
+             ' ')) AS toks""")
+    val truth = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
+        """size(array_intersect(a.toks, b.toks)) /
+           (size(a.toks) + size(b.toks) -
+            size(array_intersect(a.toks, b.toks))) AS j""")
+      .where(col("j") >= 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "corpus should contain near-dup token sets")
+    assert(got === truth,
+      s"missed=${(truth -- got).size} phantom=${(got -- truth).size}")
+  }
+
+  test("reservoir sample takes exactly min(k, stratum size) per stratum") {
+    val res = LlmText.defs("llm_sample_reservoir")(spark, sfDir)
+      .groupBy("lang", "source").count()
+    val strata = Tables.t(spark, sfDir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val bad = res.join(strata, Seq("lang", "source"), "full_outer")
+      .where(col("count") =!= least(lit(5L), col("n")))
+    assert(bad.count() === 0)
+  }
+
+  test("degree-oriented triangle count equals the unoriented brute force") {
+    val tri = LlmText.defs("llm_triangle_count")(spark, sfDir).collect()(0)
+    val und = LlmText.defs("llm_dedup_ngram_jaccard")(spark, sfDir)
+      .select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v")).distinct().cache()
+    // brute force: u < v < w with all three edges present
+    val truth = und.as("e1")
+      .join(und.as("e2"), col("e1.v") === col("e2.u"))
+      .join(und.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .count()
+    assert(tri.getAs[Long]("n_triangles") === truth)
+    assert(tri.getAs[Long]("n_edges") === und.count())
+    und.unpersist()
+  }
 }

@@ -302,7 +302,45 @@ object Windows {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** F. Rolling z-score anomaly detection — flag events whose value
+    * deviates > 3 sample standard deviations from the trailing 20
+    * events of the SAME type (the self-calibrating threshold a metrics
+    * pipeline uses instead of fixed bounds). The window carries three
+    * EXACT integer accumulators (count, Σx, Σx² in cent units), so the
+    * anomaly predicate runs entirely in bigint arithmetic —
+    * (x·n − Σx)²·(n−1) > 9·n·(n·Σx² − (Σx)²) is |z| > 3 with both
+    * sides multiplied out — and no float-rounding edge case can flip a
+    * flag between engines. The reported z itself is one fixed
+    * expression over those exact integers (deterministic double ops).
+    * One shuffle on event_type + a partition-local sort; the trailing
+    * frame is a stock codegen'd rolling aggregate, O(1) state per row.
+    * A warm-up floor (n ≥ 10) suppresses the unstable early variance. */
+  private def winAnomalyZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    t(spark, sfDir, "events")
+      .where(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"),
+        expr("cast(round(value * 100) as bigint)").as("x_e2"))
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"),
+        col("x_e2"),
+        count(col("x_e2")).over(w).as("n"),
+        sum(col("x_e2")).over(w).as("s1"),
+        sum(col("x_e2") * col("x_e2")).over(w).as("s2"))
+      .where(col("n") >= 10 &&
+        (col("x_e2") * col("n") - col("s1")) *
+          (col("x_e2") * col("n") - col("s1")) * (col("n") - 1) >
+          lit(9L) * col("n") *
+            (col("n") * col("s2") - col("s1") * col("s1")))
+      .selectExpr("event_id", "event_type", "ts", "value", "n",
+        """CAST(x_e2 * n - s1 AS DOUBLE) /
+           sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) * CAST(n AS DOUBLE)
+                / CAST(n - 1 AS DOUBLE)) AS z""")
+      .orderBy("event_type", "ts", "event_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_anomaly_zscore" -> (winAnomalyZscore _),
     "win_ewma" -> (winEwma _),
     "win_streak" -> (winStreak _),
     "win_retention" -> (winRetention _),
@@ -319,6 +357,28 @@ object Windows {
     "win_session_batch" -> (winSessionBatch _))
 
   val oracle: Map[String, String] = Map(
+    "win_anomaly_zscore" ->
+      """WITH x AS (
+           SELECT event_id, event_type, ts, value,
+                  CAST(round(value * 100) AS BIGINT) AS x_e2
+           FROM events WHERE value IS NOT NULL),
+         w AS (
+           SELECT event_id, event_type, ts, value, x_e2,
+                  count(x_e2) OVER fr AS n,
+                  sum(x_e2) OVER fr AS s1,
+                  sum(x_e2 * x_e2) OVER fr AS s2
+           FROM x
+           WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+         SELECT event_id, event_type, ts, value, n,
+                CAST(x_e2 * n - s1 AS DOUBLE) /
+                sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) * CAST(n AS DOUBLE)
+                     / CAST(n - 1 AS DOUBLE)) AS z
+         FROM w
+         WHERE n >= 10
+           AND (x_e2 * n - s1) * (x_e2 * n - s1) * (n - 1)
+               > 9 * n * (n * s2 - s1 * s1)
+         ORDER BY event_type, ts, event_id""",
     "win_resample_ohlc" ->
       """SELECT event_type,
                 date_trunc('hour', ts)

@@ -753,9 +753,13 @@ object StreamingQ {
   // order can never change the result — the oracle is the one-shot
   // batch aggregate over the same corpus, bit-for-bit.
   // ---------------------------------------------------------------------
-  private def streamIncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Events staged as two half-corpus files (even event_ids, then odd)
+    * with ordered mtimes: maxFilesPerTrigger=1 gives exactly two
+    * deterministic micro-batches. Shared by the incremental-aggregate
+    * and heavy-hitters keys so their oracles replay the same split. */
+  private def evenOddStagedEvents(spark: SparkSession, sfDir: String): String = {
     val ev = t(spark, sfDir, "events")
-    val srcDir = stageCache.computeIfAbsent(s"$sfDir/inc_agg", { _ =>
+    stageCache.computeIfAbsent(s"$sfDir/inc_agg", { _ =>
       val dir = freshDir("graft_stream_incagg_")
       ev.where(col("event_id") % 2 === 0).coalesce(1)
         .write.mode("overwrite").parquet(dir)
@@ -767,6 +771,11 @@ object StreamingQ {
         .write.mode("append").parquet(dir)
       dir
     })
+  }
+
+  private def streamIncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val srcDir = evenOddStagedEvents(spark, sfDir)
     var cur = freshDir("graft_stream_incagg_t_")
     ev.limit(0).select(col("event_type"), lit(0L).as("n_events"),
       lit(0L).as("sum_e2")).write.mode("overwrite").parquet(cur)
@@ -800,6 +809,67 @@ object StreamingQ {
       .start()
     q.awaitTermination()
     spark.read.parquet(cur).orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------------
+  // stream_topk — streaming HEAVY HITTERS with BOUNDED state: a top-m
+  // summary (m=64 keys) maintained per micro-batch by merge-and-prune —
+  // each batch's exact counts full-outer-merge into the summary, then
+  // only the m largest (count desc, key) survive. This is the mergeable
+  // heavy-hitters summary (SpaceSaving/Misra-Gries merge, Agarwal et
+  // al., "Mergeable Summaries"): summary size is m FOREVER, independent
+  // of stream length or key cardinality, and surviving counts are LOWER
+  // bounds whose error is bounded by the pruned mass. Distinct keys
+  // exceed m even at verify scale (150 users at sf0.01), so pruning is
+  // real — the key is still oracle-able because the batch split
+  // (even/odd event_id) and the (count desc, key) prune order are both
+  // deterministic: the oracle replays the two merge rounds verbatim.
+  // At 100 TB the same code runs with per-partition summaries merged
+  // associatively (the property the paper proves). The per-batch
+  // window ranks ≤ m + |batch keys| rows — summary-sized, never
+  // stream-sized.
+  // ---------------------------------------------------------------------
+  private def streamTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(spark, sfDir, "events")
+    val srcDir = evenOddStagedEvents(spark, sfDir)
+    var cur = freshDir("graft_stream_topk_s_")
+    ev.limit(0).select(col("user_id"), lit(0L).as("cnt"))
+      .write.mode("overwrite").parquet(cur)
+    val wTop = Window.orderBy(col("cnt").desc, col("user_id"))
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val part = batch.groupBy("user_id").agg(count(lit(1)).as("b_cnt"))
+        val merged = spark.read.parquet(cur)
+          .join(part, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            (coalesce(col("cnt"), lit(0L)) +
+              coalesce(col("b_cnt"), lit(0L))).as("cnt"))
+          .withColumn("rk", row_number().over(wTop))
+          .where(col("rk") <= 64)
+          .select("user_id", "cnt")
+        val next = freshDir("graft_stream_topk_s_")
+        merged.write.mode("overwrite").parquet(next)
+        val prev = cur
+        cur = next
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(prev))
+      }
+      .option("checkpointLocation", freshDir("graft_stream_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(cur)
+      .withColumn("rk", row_number().over(wTop))
+      .where(col("rk") <= 10)
+      .select(col("rk"), col("user_id"), col("cnt"))
+      .orderBy("rk")
   }
 
   // ---------------------------------------------------------------------
@@ -914,6 +984,7 @@ object StreamingQ {
     "stream_foreach_batch" -> (streamForeachBatch _),
     "stream_merge_upsert" -> (streamMergeUpsert _),
     "stream_incremental_agg" -> (streamIncrementalAgg _),
+    "stream_topk" -> (streamTopK _),
     "stream_ann_index" -> (streamAnnIndex _),
     "stream_stateful_session" -> (streamStatefulSession _),
     "stream_transform_with_state" -> (streamTransformWithState _),
@@ -967,6 +1038,36 @@ object StreamingQ {
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                   AS sum_e2
          FROM events GROUP BY 1 ORDER BY event_type""",
+    // replays the deterministic two-batch merge-and-prune verbatim:
+    // batch 1 = even event_ids, batch 2 = odd, prune to the 64 largest
+    // (count desc, user_id) after each merge
+    "stream_topk" ->
+      """WITH b1 AS (
+           SELECT user_id, count(*) AS c FROM events
+           WHERE event_id % 2 = 0 GROUP BY 1),
+         s1 AS (
+           SELECT user_id, c FROM (
+             SELECT user_id, c,
+                    row_number() OVER (ORDER BY c DESC, user_id) AS rk
+             FROM b1)
+           WHERE rk <= 64),
+         b2 AS (
+           SELECT user_id, count(*) AS c FROM events
+           WHERE event_id % 2 = 1 GROUP BY 1),
+         m AS (
+           SELECT coalesce(s1.user_id, b2.user_id) AS user_id,
+                  coalesce(s1.c, 0) + coalesce(b2.c, 0) AS c
+           FROM s1 FULL OUTER JOIN b2 ON s1.user_id = b2.user_id),
+         s2 AS (
+           SELECT user_id, c,
+                  row_number() OVER (ORDER BY c DESC, user_id) AS rk
+           FROM (SELECT user_id, c FROM (
+                   SELECT user_id, c,
+                          row_number() OVER (ORDER BY c DESC, user_id) AS rk
+                   FROM m)
+                 WHERE rk <= 64))
+         SELECT rk, user_id, CAST(c AS BIGINT) AS cnt
+         FROM s2 WHERE rk <= 10 ORDER BY rk""",
     "stream_static_join" ->
       """SELECT event_id, event_type,
                 CASE WHEN event_type IN ('purchase', 'signup')

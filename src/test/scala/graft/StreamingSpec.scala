@@ -156,4 +156,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() === days)
     assert(out.select("w_start").distinct().count() === days)
   }
+
+  test("stream_topk counts are lower bounds of the exact counts") {
+    // The mergeable heavy-hitters summary can only UNDERCOUNT (pruned
+    // mass is dropped, never re-credited): every emitted count must be
+    // ≤ the batch ground truth, and ranks must be the dense 1..10.
+    val out = StreamingQ.defs("stream_topk")(spark, sfDir).cache()
+    assert(out.count() === 10)
+    assert(out.select("rk").collect().map(_.getInt(0)).sorted.toSeq
+      === (1 to 10))
+    val exact = Tables.t(spark, sfDir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("true_cnt"))
+    val bad = out.join(exact, Seq("user_id"), "left")
+      .where(col("true_cnt").isNull || col("cnt") > col("true_cnt"))
+    assert(bad.count() === 0)
+  }
 }

@@ -1772,7 +1772,58 @@ object LlmText {
       .select("n_edges", "n_src_nodes", "n_triangles")
   }
 
+  // ---------------------------------------------------------------------
+  // llm_bm25_score — BM25 relevance scoring of the corpus against a
+  // deterministic 3-term query (the tokens ranked 10–12 by document
+  // frequency — mid-frequency terms, so the match set is selective but
+  // non-empty at every SF). Two departures from textbook BM25, both
+  // deliberate engine-parity moves: (1) idf is the RAW odds ratio
+  // (N − df + 0.5)/(df + 0.5) without the log — ln differs in the last
+  // ulp across libm implementations, while +,−,×,÷ are IEEE-exact in
+  // every engine, and the log is monotone so per-term saturation
+  // behavior is preserved; (2) the per-doc score sums its ≤3 term
+  // contributions by an array_sort + fold in TOKEN order — a groupBy
+  // sum(double) would be partition-order-dependent. The tf table is
+  // the one data-sized shuffle (doc×term); df and corpus stats are
+  // token-/1-cardinality broadcasts — at 100 TB both come straight off
+  // the persisted inverted index rather than a recount.
+  // ---------------------------------------------------------------------
+  private def bm25Score(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = t(spark, sfDir, "documents")
+      .selectExpr("doc_id", s"split($NormText, ' ') AS toks")
+      .selectExpr("doc_id", "size(toks) AS dl", "toks")
+    val tf = d.selectExpr("doc_id", "dl", "explode(toks) AS token")
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qTerms = dfTbl
+      .orderBy(col("df").desc, col("token")).limit(12)
+      .withColumn("qrk", row_number().over(
+        Window.orderBy(col("df").desc, col("token"))))
+      .where(col("qrk") >= 10)
+      .select("token", "df")
+    tf.join(broadcast(qTerms), Seq("token"))
+      .crossJoin(broadcast(stats)) // 1-row stats attach
+      .selectExpr("doc_id", "token",
+        """((cast(n_docs AS double) - cast(df AS double) + 0.5) /
+            (cast(df AS double) + 0.5)) *
+           (cast(tf AS double) * 2.2 /
+            (cast(tf AS double) + 1.2 *
+             (0.25 + 0.75 * (cast(dl AS double) /
+              (cast(sum_dl AS double) / cast(n_docs AS double))))))
+           AS contrib""")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"),
+        array_sort(collect_list(struct(col("token"), col("contrib"))))
+          .as("parts"))
+      .selectExpr("doc_id", "n_matched",
+        """aggregate(parts, cast(0.0 AS double),
+             (acc, s) -> acc + s.contrib) AS score""")
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_bm25_score" -> (bm25Score _),
     "llm_setsim_join" -> (setSimJoin _),
     "llm_inverted_index" -> (invertedIndex _),
     "llm_sample_reservoir" -> (sampleReservoir _),
@@ -1987,6 +2038,36 @@ object LlmText {
        df AS (SELECT token, count(*) AS df FROM tok GROUP BY 1)"""
 
   val oracle: Map[String, String] = Map(
+    "llm_bm25_score" ->
+      s"""WITH d AS (
+            SELECT doc_id, string_split($DNorm, ' ') AS toks
+            FROM documents),
+          d2 AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+          tok AS (SELECT doc_id, dl, unnest(toks) AS token FROM d2),
+          tf AS (SELECT doc_id, dl, token, count(*) AS tf
+                 FROM tok GROUP BY 1, 2, 3),
+          dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+          stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d2),
+          q AS (SELECT token, df FROM (
+                  SELECT token, df,
+                         row_number() OVER (ORDER BY df DESC, token) AS qrk
+                  FROM dfx)
+                WHERE qrk BETWEEN 10 AND 12),
+          c AS (SELECT doc_id, token,
+                       ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+                        (CAST(df AS DOUBLE) + 0.5)) *
+                       (CAST(tf AS DOUBLE) * 2.2 /
+                        (CAST(tf AS DOUBLE) + 1.2 *
+                         (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+                          (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+                         AS contrib
+                FROM tf JOIN q USING (token) CROSS JOIN stats)
+          SELECT doc_id, count(*) AS n_matched,
+                 list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(list(contrib ORDER BY token), x -> x)),
+                   (a, v) -> a + v) AS score
+          FROM c GROUP BY 1 ORDER BY doc_id""",
     "llm_setsim_join" ->
       s"""WITH $DTokDf,
           sorted AS (

@@ -338,4 +338,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("last(view_ts") && plan.contains("first(view_ts"),
       plan)
   }
+
+  test("llm_setsim_join: df broadcast, candidates from equi-joins only") {
+    val plan = finalPlan(SparkEntry.queries("llm_setsim_join")(spark, sfDir))
+    // the token→df attach must be a broadcast (df is token-cardinality)
+    // so the exploded token stream is never shuffled for it
+    assert(countOf(plan, "BroadcastHashJoin") >= 1, plan)
+    // prefix filtering only works if candidates come from an equi-join
+    // on prefix tokens — any nested-loop/cartesian means the filter
+    // degenerated to all-pairs
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("win_anomaly_zscore: one keyed shuffle, one Window, exact-int guards") {
+    val plan = finalPlan(SparkEntry.queries("win_anomaly_zscore")(spark, sfDir))
+    // one hash exchange (event_type) feeds ONE Window carrying all
+    // three accumulators; the only other exchange is the final ORDER BY
+    assert(countOf(plan, "Exchange hashpartitioning") === 1, plan)
+    assert(countOf(plan, "Window ") === 1, plan)
+    // the anomaly predicate runs on the exact bigint accumulators
+    assert(plan.contains("x_e2"), plan)
+  }
+
+  test("tpch_q7: both nation filters broadcast before the fact joins") {
+    val plan = finalPlan(SparkEntry.queries("tpch_q7")(spark, sfDir))
+    // nation→supplier, nation→customer, supplier→lineitem all
+    // broadcast; the disjunctive nation pair condition must NOT become
+    // a nested-loop join — it degenerates to a post-join filter
+    assert(countOf(plan, "BroadcastHashJoin") >= 3, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the two-year shipdate band reaches the lineitem scan
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "GreaterThanOrEqual(l_shipdate"), plan)
+  }
 }

@@ -1631,59 +1631,71 @@ object LlmText {
   }
 
   // ---------------------------------------------------------------------
-  // llm_setsim_join — EXACT set-similarity self-join (Jaccard ≥ 0.9
-  // over distinct-token sets) with PPJoin-style prefix filtering: the
-  // alternative to LSH when the answer must be exact and complete.
-  // Tokens get a global rarest-first total order (document frequency
-  // asc, token asc); for threshold τ any pair with J ≥ τ must (a)
-  // satisfy min|a|,|b| ≥ τ·max|a|,|b| and (b) share a token inside each
-  // side's first |s| − ⌈τ·|s|⌉ + 1 tokens of that order (τ=0.9 → the
-  // prefix is the rarest ~10% of each doc's tokens). So candidates
-  // come from an equi-join on PREFIX tokens only — and because the
-  // order is rarest-first, prefix postings are the SHORT ones:
-  // stop-words never generate candidates. At 100 TB the df table is
-  // token-cardinality (a broadcast or bucketed map join), the prefix
-  // explode carries ~a tenth of each doc's distinct tokens, and the
-  // verify step touches only surviving candidates — the standard
-  // filter-then-verify shape with an exactness guarantee LSH can't
-  // give.
+  // llm_setsim_join — EXACT set-similarity self-join (Jaccard ≥ 0.5
+  // over distinct 3-gram SHINGLE sets — the same similarity space as
+  // the MinHash-LSH dedup pipeline, so this key is its exact twin)
+  // with PPJoin-style prefix filtering: the alternative to LSH when
+  // the answer must be exact and complete. Shingles get a global
+  // rarest-first total order (document frequency asc, shingle asc);
+  // for threshold τ any pair with J ≥ τ must (a) satisfy
+  // min|a|,|b| ≥ τ·max|a|,|b| and (b) share an element inside each
+  // side's first |s| − ⌈τ·|s|⌉ + 1 of that order. So candidates come
+  // from an equi-join on PREFIX shingles only — and because the order
+  // is rarest-first, prefix postings are the SHORT ones (median
+  // shingle df here is single-digit; the raw token vocabulary is 31
+  // words, so TOKEN-level prefixes would carry thousand-deep postings
+  // and degenerate toward all-pairs — prefix filtering needs a
+  // high-cardinality element space, and shingles are one). At 100 TB
+  // the shingle-df attach is a shuffle join against the persisted
+  // inverted index (shingle vocabulary is corpus-sized — NOT
+  // broadcastable), the prefix explode carries ~half of each doc's
+  // shingles, and the verify step touches only surviving candidates —
+  // filter-then-verify with an exactness guarantee LSH can't give.
   // ---------------------------------------------------------------------
   private def setSimJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val tok = t(spark, sfDir, "documents")
-      .selectExpr("doc_id", s"explode(array_distinct(split($NormText, ' '))) AS token")
-    val df = tok.groupBy("token").agg(count(lit(1)).as("df"))
-    // Per-doc token list in global (df, token) order. array_sort on a
-    // two-field struct orders by df then token — both engines agree
-    // because df is an exact integer and tokens are distinct per doc.
+    // shingle derivation identical to the LSH pipeline's (signed/cand)
+    val shs = t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "text", "split(text, ' ') AS tk")
+      .selectExpr("doc_id",
+        """CASE WHEN size(tk) >= 3 THEN
+             array_distinct(transform(sequence(1, size(tk) - 2),
+               i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+                    element_at(tk, i + 2))))
+           ELSE array(text) END AS sh""")
+    val tok = shs.selectExpr("doc_id", "explode(sh) AS s")
+    val dfT = tok.groupBy("s").agg(count(lit(1)).as("df"))
+    // Per-doc shingle list in global (df, s) order. array_sort on a
+    // two-field struct orders by df then s — both engines agree
+    // because df is an exact integer and shingles are distinct per doc.
     val sorted = tok
-      .join(df, Seq("token"))
+      .join(dfT, Seq("s"))
       .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("df"), col("token"))))
+      .agg(array_sort(collect_list(struct(col("df"), col("s"))))
         .as("ordered"))
-      .selectExpr("doc_id", "transform(ordered, s -> s.token) AS toks",
+      .selectExpr("doc_id", "transform(ordered, x -> x.s) AS els",
         "size(ordered) AS sz")
-      .selectExpr("doc_id", "toks", "sz",
-        "slice(toks, 1, sz - CAST(ceil(0.9 * sz) AS INT) + 1) AS prefix")
+      .selectExpr("doc_id", "els", "sz",
+        "slice(els, 1, sz - CAST(ceil(0.5 * sz) AS INT) + 1) AS prefix")
       .persist() // feeds both the candidate build and the verify re-join
     val pre = sorted.select(col("doc_id"), col("sz"),
-      explode(col("prefix")).as("token"))
+      explode(col("prefix")).as("s"))
     val cand = pre.as("a")
       .join(pre.as("b"),
-        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .where(least(col("a.sz"), col("b.sz")) >=
-        lit(0.9) * greatest(col("a.sz"), col("b.sz")))
+        lit(0.5) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
-      .join(sorted.select(col("doc_id").as("doc_a"), col("toks").as("t_a")),
+      .join(sorted.select(col("doc_id").as("doc_a"), col("els").as("t_a")),
         Seq("doc_a"))
-      .join(sorted.select(col("doc_id").as("doc_b"), col("toks").as("t_b")),
+      .join(sorted.select(col("doc_id").as("doc_b"), col("els").as("t_b")),
         Seq("doc_b"))
       .selectExpr("doc_a", "doc_b",
         """size(array_intersect(t_a, t_b)) /
            (size(t_a) + size(t_b) - size(array_intersect(t_a, t_b)))
            AS jaccard""")
-      .where(col("jaccard") >= 0.9)
+      .where(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -2069,33 +2081,37 @@ object LlmText {
                    (a, v) -> a + v) AS score
           FROM c GROUP BY 1 ORDER BY doc_id""",
     "llm_setsim_join" ->
-      s"""WITH $DTokDf,
+      s"""WITH g AS (SELECT doc_id, text, string_split(text, ' ') AS t
+                     FROM documents),
+          f AS (SELECT doc_id, $DShingles AS sh FROM g),
+          tok AS (SELECT doc_id, unnest(sh) AS s FROM f),
+          dft AS (SELECT s, count(*) AS df FROM tok GROUP BY 1),
           sorted AS (
             SELECT t.doc_id,
-                   list(t.token ORDER BY d.df, t.token) AS toks,
+                   list(t.s ORDER BY d.df, t.s) AS els,
                    count(*) AS sz
-            FROM tok t JOIN df d ON t.token = d.token
+            FROM tok t JOIN dft d ON t.s = d.s
             GROUP BY 1),
           pre AS (
             SELECT doc_id, sz,
-                   unnest(toks[1 : sz - CAST(ceil(0.9 * sz) AS INT) + 1])
-                   AS token
+                   unnest(els[1 : sz - CAST(ceil(0.5 * sz) AS INT) + 1])
+                   AS s
             FROM sorted),
           cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM pre a JOIN pre b
-              ON a.token = b.token AND a.doc_id < b.doc_id
-            WHERE least(a.sz, b.sz) >= 0.9 * greatest(a.sz, b.sz))
+              ON a.s = b.s AND a.doc_id < b.doc_id
+            WHERE least(a.sz, b.sz) >= 0.5 * greatest(a.sz, b.sz))
           SELECT doc_a, doc_b,
-                 len(list_intersect(sa.toks, sb.toks)) /
-                 (sa.sz + sb.sz - len(list_intersect(sa.toks, sb.toks)))
+                 len(list_intersect(sa.els, sb.els)) /
+                 (sa.sz + sb.sz - len(list_intersect(sa.els, sb.els)))
                    AS jaccard
           FROM cand
           JOIN sorted sa ON doc_a = sa.doc_id
           JOIN sorted sb ON doc_b = sb.doc_id
-          WHERE len(list_intersect(sa.toks, sb.toks)) /
-                (sa.sz + sb.sz - len(list_intersect(sa.toks, sb.toks)))
-                >= 0.9
+          WHERE len(list_intersect(sa.els, sb.els)) /
+                (sa.sz + sb.sz - len(list_intersect(sa.els, sb.els)))
+                >= 0.5
           ORDER BY doc_a, doc_b""",
     "llm_inverted_index" ->
       s"""WITH $DTokDf

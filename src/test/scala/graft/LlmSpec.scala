@@ -645,27 +645,39 @@ class LlmSpec extends AnyFunSuite {
 
   test("prefix-filtered set-sim join is EXACT: equals brute-force all-pairs") {
     // PPJoin's guarantee is exactness — unlike LSH there is no recall
-    // loss. The prefix-filtered result must equal the O(n²) truth,
-    // both directions (no missed pairs, no phantom pairs).
+    // loss. The prefix-filtered result must equal the O(n²) truth over
+    // the same shingle sets, both directions (no missed pairs, no
+    // phantom pairs) — and since llm_dedup_ngram_jaccard scores the
+    // same space at the same threshold through LSH candidates, the
+    // exact join must be a SUPERSET of the LSH-verified pairs.
     val got = LlmText.defs("llm_setsim_join")(spark, sfDir)
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val docs = Tables.t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "text", "split(text, ' ') AS tk")
       .selectExpr("doc_id",
-        """array_distinct(split(lower(trim(regexp_replace(text, '\\s+', ' '))),
-             ' ')) AS toks""")
+        """CASE WHEN size(tk) >= 3 THEN
+             array_distinct(transform(sequence(1, size(tk) - 2),
+               i -> concat_ws(' ', element_at(tk, i),
+                    element_at(tk, i+1), element_at(tk, i+2))))
+           ELSE array(text) END AS sh""")
     val truth = docs.as("a").join(docs.as("b"),
         col("a.doc_id") < col("b.doc_id"))
       .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
-        """size(array_intersect(a.toks, b.toks)) /
-           (size(a.toks) + size(b.toks) -
-            size(array_intersect(a.toks, b.toks))) AS j""")
-      .where(col("j") >= 0.9)
+        """size(array_intersect(a.sh, b.sh)) /
+           (size(a.sh) + size(b.sh) -
+            size(array_intersect(a.sh, b.sh))) AS j""")
+      .where(col("j") >= 0.5)
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(truth.nonEmpty, "corpus should contain near-dup token sets")
+    assert(truth.nonEmpty, "corpus should contain near-dup shingle sets")
     assert(got === truth,
       s"missed=${(truth -- got).size} phantom=${(got -- truth).size}")
+    val lshVerified = LlmText.defs("llm_dedup_ngram_jaccard")(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshVerified.subsetOf(got),
+      s"exact join missed ${(lshVerified -- got).size} LSH-verified pairs")
   }
 
   test("reservoir sample takes exactly min(k, stratum size) per stratum") {

@@ -341,8 +341,9 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("llm_setsim_join: df broadcast, candidates from equi-joins only") {
     val plan = finalPlan(SparkEntry.queries("llm_setsim_join")(spark, sfDir))
-    // the token→df attach must be a broadcast (df is token-cardinality)
-    // so the exploded token stream is never shuffled for it
+    // the shingle→df attach broadcasts at test scale (the df table is
+    // small here; at corpus scale it becomes a co-keyed shuffle join
+    // against the persisted inverted index — either way an equi-join)
     assert(countOf(plan, "BroadcastHashJoin") >= 1, plan)
     // prefix filtering only works if candidates come from an equi-join
     // on prefix tokens — any nested-loop/cartesian means the filter

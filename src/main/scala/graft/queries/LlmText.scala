@@ -1834,7 +1834,75 @@ object LlmText {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // llm_dedup_eval — precision/recall audit of the MinHash ESTIMATE
+  // against the exact PPJoin truth over the identical shingle space:
+  // the report that justifies (or revokes) trusting the cheap signature
+  // agreement at a given threshold. Possible only because the exact
+  // twin exists — truth is llm_setsim_join's full answer, prediction is
+  // "≥ 6 of 12 signature positions agree" on LSH candidates. One
+  // full-outer join on pair ids + one global count row; ppm ratios in
+  // integer arithmetic. At scale this runs on a sampled stratum — the
+  // confusion counts are corpus statistics, not per-pair artifacts.
+  // ---------------------------------------------------------------------
+  private def dedupEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = setSimJoin(spark, sfDir).select("doc_a", "doc_b")
+      .withColumn("in_truth", lit(1))
+    val pred = dedupMinhash(spark, sfDir)
+      .where(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
+      .withColumn("in_pred", lit(1))
+    truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        count(col("in_truth")).as("n_truth"),
+        count(col("in_pred")).as("n_pred"),
+        sum(when(col("in_truth").isNotNull && col("in_pred").isNotNull, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("in_truth").isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("in_pred").isNull, 1L).otherwise(0L)).as("fn"))
+      .selectExpr("n_truth", "n_pred", "tp", "fp", "fn",
+        "CAST(tp * 1000000 DIV n_pred AS BIGINT) AS precision_ppm",
+        "CAST(tp * 1000000 DIV n_truth AS BIGINT) AS recall_ppm")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_incremental_dedup — dedup of an INCOMING batch against the
+  // EXISTING corpus (the steady-state production shape: every new
+  // crawl/delivery dedupes against the index, not against itself).
+  // Existing = even doc_ids, incoming = odd. Two tiers, same as a real
+  // pipeline: (1) exact — incoming fingerprints left-join the existing
+  // fingerprint table (at scale: the persisted dedup index, key-equi
+  // join, incoming-sized not corpus-sized probe); (2) near — LSH
+  // candidate pairs that CROSS the boundary, verified at 3-gram
+  // Jaccard ≥ 0.5 (at scale: only new docs' band hashes probe the
+  // persisted band index — work is O(incoming × bucket occupancy)).
+  // Verdict precedence exact > near; dup_of names the smallest
+  // existing-side match for lineage.
+  // ---------------------------------------------------------------------
+  private def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = t(spark, sfDir, "documents")
+      .selectExpr("doc_id", s"md5($NormText) AS fp")
+    val exFp = fp.where(col("doc_id") % 2 === 0)
+      .groupBy("fp").agg(min(col("doc_id")).as("ex_doc"))
+    val inc = fp.where(col("doc_id") % 2 === 1)
+    val crossNear = dedupNgramJaccard(spark, sfDir)
+      .select("doc_a", "doc_b")
+      .where(col("doc_a") % 2 =!= col("doc_b") % 2)
+      .selectExpr("IF(doc_a % 2 = 1, doc_a, doc_b) AS inc_doc",
+        "IF(doc_a % 2 = 1, doc_b, doc_a) AS ex_side")
+      .groupBy("inc_doc").agg(min(col("ex_side")).as("near_of"))
+    inc.join(exFp, Seq("fp"), "left_outer")
+      .join(crossNear, inc("doc_id") === crossNear("inc_doc"), "left_outer")
+      .selectExpr("doc_id",
+        """CASE WHEN ex_doc IS NOT NULL THEN 'exact_dup'
+                WHEN near_of IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS verdict""",
+        "coalesce(ex_doc, near_of) AS dup_of")
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_eval" -> (dedupEval _),
+    "llm_incremental_dedup" -> (incrementalDedup _),
     "llm_bm25_score" -> (bm25Score _),
     "llm_setsim_join" -> (setSimJoin _),
     "llm_inverted_index" -> (invertedIndex _),
@@ -2050,6 +2118,80 @@ object LlmText {
        df AS (SELECT token, count(*) AS df FROM tok GROUP BY 1)"""
 
   val oracle: Map[String, String] = Map(
+    "llm_dedup_eval" ->
+      s"""WITH $DSigned,
+          pred AS (
+            SELECT doc_a, doc_b FROM cand
+            WHERE list_reduce(list_prepend(0,
+                    list_transform(range(1, 13),
+                      i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)),
+                    (acc, v) -> acc + v) >= 6),
+          g2 AS (SELECT doc_id, text, string_split(text, ' ') AS t
+                 FROM documents),
+          f2 AS (SELECT doc_id, $DShingles AS sh FROM g2),
+          tok2 AS (SELECT doc_id, unnest(sh) AS s FROM f2),
+          dft2 AS (SELECT s, count(*) AS df FROM tok2 GROUP BY 1),
+          sorted2 AS (
+            SELECT t.doc_id, list(t.s ORDER BY d.df, t.s) AS els,
+                   count(*) AS sz
+            FROM tok2 t JOIN dft2 d ON t.s = d.s GROUP BY 1),
+          pre2 AS (
+            SELECT doc_id, sz,
+                   unnest(els[1 : sz - CAST(ceil(0.5 * sz) AS INT) + 1]) AS s
+            FROM sorted2),
+          xcand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM pre2 a JOIN pre2 b ON a.s = b.s AND a.doc_id < b.doc_id
+            WHERE least(a.sz, b.sz) >= 0.5 * greatest(a.sz, b.sz)),
+          truth AS (
+            SELECT doc_a, doc_b FROM xcand
+            JOIN sorted2 sa ON doc_a = sa.doc_id
+            JOIN sorted2 sb ON doc_b = sb.doc_id
+            WHERE len(list_intersect(sa.els, sb.els)) /
+                  (sa.sz + sb.sz - len(list_intersect(sa.els, sb.els)))
+                  >= 0.5),
+          m AS (
+            SELECT t.doc_a IS NOT NULL AS it, p.doc_a IS NOT NULL AS ip
+            FROM truth t FULL OUTER JOIN pred p
+              ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b)
+          SELECT CAST(sum(CASE WHEN it THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_truth,
+                 CAST(sum(CASE WHEN ip THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pred,
+                 CAST(sum(CASE WHEN it AND ip THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tp,
+                 CAST(sum(CASE WHEN NOT it THEN 1 ELSE 0 END) AS BIGINT)
+                   AS fp,
+                 CAST(sum(CASE WHEN NOT ip THEN 1 ELSE 0 END) AS BIGINT)
+                   AS fn,
+                 CAST(sum(CASE WHEN it AND ip THEN 1 ELSE 0 END) * 1000000
+                      // sum(CASE WHEN ip THEN 1 ELSE 0 END) AS BIGINT)
+                   AS precision_ppm,
+                 CAST(sum(CASE WHEN it AND ip THEN 1 ELSE 0 END) * 1000000
+                      // sum(CASE WHEN it THEN 1 ELSE 0 END) AS BIGINT)
+                   AS recall_ppm
+          FROM m""",
+    "llm_incremental_dedup" ->
+      s"""WITH $DPairsEdges,
+          fpx AS (SELECT doc_id, md5($DNorm) AS fp FROM documents),
+          exfp AS (SELECT fp, min(doc_id) AS ex_doc FROM fpx
+                   WHERE doc_id % 2 = 0 GROUP BY 1),
+          incx AS (SELECT doc_id, fp FROM fpx WHERE doc_id % 2 = 1),
+          crossnear AS (
+            SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END
+                     AS inc_doc,
+                   min(CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END)
+                     AS near_of
+            FROM pairs WHERE doc_a % 2 <> doc_b % 2 GROUP BY 1)
+          SELECT i.doc_id,
+                 CASE WHEN e.ex_doc IS NOT NULL THEN 'exact_dup'
+                      WHEN c.near_of IS NOT NULL THEN 'near_dup'
+                      ELSE 'kept' END AS verdict,
+                 coalesce(e.ex_doc, c.near_of) AS dup_of
+          FROM incx i
+          LEFT JOIN exfp e ON i.fp = e.fp
+          LEFT JOIN crossnear c ON i.doc_id = c.inc_doc
+          ORDER BY i.doc_id""",
     "llm_bm25_score" ->
       s"""WITH d AS (
             SELECT doc_id, string_split($DNorm, ' ') AS toks

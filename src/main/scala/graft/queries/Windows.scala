@@ -339,7 +339,47 @@ object Windows {
       .orderBy("event_type", "ts", "event_id")
   }
 
+  /** F. Rolling 24-hour Pearson correlation between the hourly click
+    * and view revenue series — the "did these two metrics decouple"
+    * monitor. Two stages with very different scale profiles, kept
+    * deliberately separate: (1) the hourly aggregation is the
+    * data-sized work — one shuffle keyed by hour bucket, map-side
+    * combined, cents-exact conditional sums; (2) the rolling window
+    * runs over the RESULTING hourly series, whose cardinality is
+    * bounded by the time span (720 rows/month), not the corpus — so
+    * its single-task global order is fine at any data scale (the same
+    * argument as gap-fill's date spine). All five accumulators
+    * (Σx, Σy, Σx², Σy², Σxy) are exact bigints; r is one fixed IEEE
+    * expression over them, and the degenerate zero-variance windows
+    * are excluded by EXACT integer predicates — no NaN can reach the
+    * output. */
+  private def winRollingCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = t(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(
+        coalesce(sum(when(col("event_type") === "click",
+          expr("cast(round(value * 100) as bigint)"))), lit(0L)).as("x"),
+        coalesce(sum(when(col("event_type") === "view",
+          expr("cast(round(value * 100) as bigint)"))), lit(0L)).as("y"))
+    val w = Window.orderBy("bucket").rowsBetween(-23, 0)
+    hourly.select(col("bucket"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("x")).over(w).as("sx"), sum(col("y")).over(w).as("sy"),
+        sum(col("x") * col("x")).over(w).as("sxx"),
+        sum(col("y") * col("y")).over(w).as("syy"),
+        sum(col("x") * col("y")).over(w).as("sxy"))
+      .where(col("n") === 24 &&
+        (col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+        (col("n") * col("syy") - col("sy") * col("sy")) > 0)
+      .selectExpr("bucket", "n",
+        """CAST(n * sxy - sx * sy AS DOUBLE) /
+           (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+            sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r""")
+      .orderBy("bucket")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rolling_corr" -> (winRollingCorr _),
     "win_anomaly_zscore" -> (winAnomalyZscore _),
     "win_ewma" -> (winEwma _),
     "win_streak" -> (winStreak _),
@@ -357,6 +397,34 @@ object Windows {
     "win_session_batch" -> (winSessionBatch _))
 
   val oracle: Map[String, String] = Map(
+    "win_rolling_corr" ->
+      """WITH h AS (
+           SELECT date_trunc('hour', ts) AS bucket,
+                  coalesce(sum(CASE WHEN event_type = 'click'
+                               THEN CAST(round(value * 100) AS BIGINT) END),
+                           0) AS x,
+                  coalesce(sum(CASE WHEN event_type = 'view'
+                               THEN CAST(round(value * 100) AS BIGINT) END),
+                           0) AS y
+           FROM events GROUP BY 1),
+         w AS (
+           SELECT bucket,
+                  count(*) OVER fr AS n,
+                  sum(x) OVER fr AS sx, sum(y) OVER fr AS sy,
+                  sum(x * x) OVER fr AS sxx, sum(y * y) OVER fr AS syy,
+                  sum(x * y) OVER fr AS sxy
+           FROM h
+           WINDOW fr AS (ORDER BY bucket
+                         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+         SELECT bucket, n,
+                CAST(n * sxy - sx * sy AS DOUBLE) /
+                (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                 sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+         FROM w
+         WHERE n = 24
+           AND (n * sxx - sx * sx) > 0
+           AND (n * syy - sy * sy) > 0
+         ORDER BY bucket""",
     "win_anomaly_zscore" ->
       """WITH x AS (
            SELECT event_id, event_type, ts, value,

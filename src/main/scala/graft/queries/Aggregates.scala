@@ -406,7 +406,39 @@ object Aggregates {
       .orderBy("event_id")
   }
 
+  /** E. Weighted median per group — the order statistic under a weight
+    * column (median revenue-dollar weighted by shipped quantity, the
+    * "what price point moves half the volume" question percentile()
+    * can't answer). Same value-HISTOGRAM discipline as the MAD key:
+    * prices quantize to whole dollars, so the histogram is bounded by
+    * the price DOMAIN (~100k buckets) independent of row count; the
+    * cumulative-weight window runs over the histogram, never the rows,
+    * and the median is the first bucket where 2·cum ≥ total — all
+    * exact bigint comparisons, no interpolation, engine-identical. The
+    * data-sized work is one map-side-combined (flag, dollar) count
+    * shuffle; dollar quantization is the knob that keeps the domain
+    * bounded at any corpus scale. */
+  private def aggWeightedPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = t(spark, sfDir, "lineitem")
+      .selectExpr("l_returnflag",
+        "cast(round(l_extendedprice) as bigint) AS p_usd",
+        "cast(l_quantity as bigint) AS w")
+      .groupBy("l_returnflag", "p_usd").agg(sum(col("w")).as("w"))
+    val wCum = Window.partitionBy("l_returnflag").orderBy("p_usd")
+    val wAll = Window.partitionBy("l_returnflag")
+    hist
+      .withColumn("cum", sum(col("w")).over(wCum))
+      .withColumn("total", sum(col("w")).over(wAll))
+      .where(col("cum") * 2 >= col("total"))
+      .withColumn("rk", row_number().over(wCum))
+      .where(col("rk") === 1)
+      .selectExpr("l_returnflag", "p_usd AS w_median_usd",
+        "total AS total_weight")
+      .orderBy("l_returnflag")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_weighted_percentile" -> (aggWeightedPercentile _),
     "agg_median" -> (aggMedian _),
     "agg_outlier_mad" -> (aggOutlierMad _),
     "agg_bool" -> (aggBool _),
@@ -434,6 +466,26 @@ object Aggregates {
     "agg_collect" -> (aggCollect _))
 
   val oracle: Map[String, String] = Map(
+    "agg_weighted_percentile" ->
+      """WITH hist AS (
+           SELECT l_returnflag,
+                  CAST(round(l_extendedprice) AS BIGINT) AS p_usd,
+                  sum(CAST(l_quantity AS BIGINT)) AS w
+           FROM lineitem GROUP BY 1, 2),
+         c AS (
+           SELECT l_returnflag, p_usd,
+                  sum(w) OVER (PARTITION BY l_returnflag
+                               ORDER BY p_usd) AS cum,
+                  sum(w) OVER (PARTITION BY l_returnflag) AS total
+           FROM hist),
+         q AS (
+           SELECT l_returnflag, p_usd, total,
+                  row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY p_usd) AS rk
+           FROM c WHERE cum * 2 >= total)
+         SELECT l_returnflag, p_usd AS w_median_usd,
+                CAST(total AS BIGINT) AS total_weight
+         FROM q WHERE rk = 1 ORDER BY l_returnflag""",
     "agg_median" ->
       """SELECT o_orderstatus,
                 median(o_totalprice) AS median_price,

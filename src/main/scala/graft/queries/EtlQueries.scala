@@ -907,6 +907,41 @@ object EtlQueries {
   private def etlDeleteRewrite(spark: SparkSession, sfDir: String): DataFrame =
     deleteRewrite(spark, sfDir)._1
 
+  /** B. Missing-partition detection + selective backfill — the nightly
+    * repair job for a hive-partitioned table that lost partitions
+    * (failed job, accidental directory drop): diff the EXPECTED
+    * partition spine (distinct months in the source) against the
+    * ACTUAL directories, rebuild ONLY the missing ones from the
+    * source, and report per-partition status. A fresh damaged copy is
+    * staged per invocation — the repair mutates it, so a cached
+    * fixture would hand re-runs an already-repaired table. Scale: the
+    * spine diff moves two partition-cardinality distinct lists
+    * (metadata-sized collect, same class as ANALYZE); the rebuild
+    * reads only the missing months (partition-pruned source scan) and
+    * appends only those directories — O(missing), never a full
+    * rewrite. */
+  private def etlPartitionBackfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = t(spark, sfDir, "orders")
+      .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
+    val dir = Fixtures.tempDir("graft_backfill_")
+    src.where(!col("om").isin("1996-03", "1996-07")) // the damaged write
+      .write.partitionBy("om").mode("overwrite").parquet(dir)
+    val actual = spark.read.parquet(dir).select("om").distinct()
+    val expected = src.select("om").distinct()
+    val missing = expected.exceptAll(actual)
+      .collect().map(_.getString(0)).toSeq
+    if (missing.nonEmpty)
+      src.where(col("om").isin(missing: _*))
+        .write.partitionBy("om").mode("append").parquet(dir)
+    spark.read.parquet(dir)
+      .groupBy("om").agg(count(lit(1)).as("n_rows"))
+      .withColumn("status",
+        when(col("om").isin(missing: _*), lit("backfilled"))
+          .otherwise(lit("kept")))
+      .select("om", "status", "n_rows")
+      .orderBy("om")
+  }
+
   /** B. CSV export sink — the reverse of the landing path: query
     * results shipped to CSV consumers (finance exports, legacy BI).
     * Written with header + canonical timestamp format, re-read with
@@ -1013,6 +1048,7 @@ object EtlQueries {
     "etl_merge_upsert" -> (etlMergeUpsert _),
     "etl_time_travel" -> (etlTimeTravel _),
     "etl_delete_rewrite" -> (etlDeleteRewrite _),
+    "etl_partition_backfill" -> (etlPartitionBackfill _),
     "sink_csv" -> (sinkCsv _),
     "sink_json" -> (sinkJson _),
     "scan_text" -> (scanText _),
@@ -1157,6 +1193,13 @@ object EtlQueries {
                 old.old_price, cur.new_price
          FROM old FULL OUTER JOIN cur ON old.key = cur.key
          ORDER BY key""",
+    "etl_partition_backfill" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS om,
+                CASE WHEN strftime(o_orderdate, '%Y-%m')
+                       IN ('1996-03', '1996-07')
+                     THEN 'backfilled' ELSE 'kept' END AS status,
+                count(*) AS n_rows
+         FROM orders GROUP BY 1, 2 ORDER BY om""",
     "etl_delete_rewrite" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders

@@ -630,16 +630,134 @@ JOIN sel ON lineitem.l_partkey = sel.p_partkey
 JOIN cut ON lineitem.l_partkey = cut.l_partkey
 WHERE CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) < qty_cut"""
 
+  /** L. TPC-H Q8 (national market share): NATION_2's share of PROMO-part
+    * revenue sold into ASIA-region customers, by order year. All four
+    * dimension cuts (part type, customer region via nation→region, the
+    * two-year order band) are attached BEFORE the fact rows widen: part
+    * and the region-filtered customer-nation map broadcast into the
+    * lineitem/orders join, and the supplier-nation name rides a third
+    * broadcast — so the only data-sized exchange is the final 2-group
+    * aggregate. The share divides two decimal-exact sums cast to double
+    * at the end (bit-identical across engines, 0/total stays exact). */
+  private def q8(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = t(spark, sfDir, "part").where(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val o = t(spark, sfDir, "orders")
+      .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val asiaNations = t(spark, sfDir, "nation")
+      .join(broadcast(t(spark, sfDir, "region").where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val c = t(spark, sfDir, "customer")
+      .join(broadcast(asiaNations), col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"))
+    val sn = t(spark, sfDir, "supplier")
+      .join(broadcast(t(spark, sfDir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val li = t(spark, sfDir, "lineitem")
+    val disc = dec(col("l_extendedprice")) *
+      (lit(BigDecimal(1)) - dec(col("l_discount")))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_2", disc)
+          .otherwise(lit(BigDecimal(0)))).cast("double") /
+          sum(disc).cast("double")).as("mkt_share"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_year")
+  }
+
+  private val q8Sql: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS mkt_share,
+       count(*) AS n_rows
+FROM lineitem
+JOIN part     ON l_partkey   = p_partkey
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey   = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY o_year"""
+
+  /** L. TPC-H Q9 (product-type profit), adapted: testdata has no
+    * partsupp, so supply cost is proxied by a deterministic tenth of
+    * p_retailprice per unit — profit = disc_revenue − retailprice ×
+    * quantity × 0.1, every factor an exact DECIMAL so the per-group sum
+    * is order-independent and only the final cast produces the double.
+    * The p_name cut broadcasts into lineitem before the orders join
+    * (part is the small side, the filter drops ~2/3 of fact rows
+    * early); supplier→nation is a second broadcast. One data-sized
+    * shuffle: the (nation, year) aggregate. */
+  private def q9(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = t(spark, sfDir, "part").where(col("p_name").like("%blue%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sn = t(spark, sfDir, "supplier")
+      .join(broadcast(t(spark, sfDir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val o = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val profit = dec(col("l_extendedprice")) *
+      (lit(BigDecimal(1)) - dec(col("l_discount"))) -
+      dec(col("p_retailprice")) * dec(col("l_quantity")) *
+        lit(BigDecimal("0.1"))
+    t(spark, sfDir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(profit).cast("double").as("profit"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("nation", "o_year")
+  }
+
+  private val q9Sql: String =
+    """SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                - CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(0.1 AS DECIMAL(2,1))) AS DOUBLE) AS profit,
+       count(*) AS n_rows
+FROM lineitem
+JOIN part     ON l_partkey  = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%blue%'
+GROUP BY 1, 2
+ORDER BY nation, o_year"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_flagship" -> (q _), "tpch_q1" -> (q1 _), "tpch_q3" -> (q3 _),
       "tpch_q4" -> (q4 _), "tpch_q5" -> (q5 _), "tpch_q6" -> (q6 _),
-      "tpch_q7" -> (q7 _), "tpch_q10" -> (q10 _), "tpch_q13" -> (q13 _),
+      "tpch_q7" -> (q7 _), "tpch_q8" -> (q8 _), "tpch_q9" -> (q9 _),
+      "tpch_q10" -> (q10 _), "tpch_q13" -> (q13 _),
       "tpch_q14" -> (q14 _), "tpch_q15" -> (q15 _), "tpch_q16" -> (q16 _),
       "tpch_q17" -> (q17 _), "tpch_q18" -> (q18 _), "tpch_q22" -> (q22 _))
   val oracle: Map[String, String] =
     Map("q_flagship" -> sql, "tpch_q1" -> q1Sql, "tpch_q3" -> q3Sql,
       "tpch_q4" -> q4Sql, "tpch_q5" -> q5Sql, "tpch_q6" -> q6Sql,
-      "tpch_q7" -> q7Sql, "tpch_q10" -> q10Sql, "tpch_q13" -> q13Sql,
+      "tpch_q7" -> q7Sql, "tpch_q8" -> q8Sql, "tpch_q9" -> q9Sql,
+      "tpch_q10" -> q10Sql, "tpch_q13" -> q13Sql,
       "tpch_q14" -> q14Sql, "tpch_q15" -> q15Sql, "tpch_q16" -> q16Sql,
       "tpch_q17" -> q17Sql, "tpch_q18" -> q18Sql, "tpch_q22" -> q22Sql)
 }

@@ -191,6 +191,42 @@ object StreamingQ {
       .orderBy("user_id", "s_start")
   }
 
+  // ---------------------------------------------------------------------
+  // stream_window_distinct — EXACT distinct users per 1-day window ×
+  // event type. Streaming aggregation does not admit count(DISTINCT x)
+  // (per-group distinct state would be unmergeable across micro-batch
+  // retractions), so this runs the canonical two-level rewrite as
+  // CHAINED STATEFUL AGGREGATIONS — Spark's multi-stateful-operator
+  // support: level 1 reduces to one row per (window, type, user) —
+  // state O(distinct triples), each key exactly-once — and level 2
+  // re-windows that stream (window() over the level-1 window struct's
+  // own start) to count rows = exact distinct users. Both levels share
+  // the event-time watermark; a closed window flushes Append-mode once
+  // the far-future sentinel advances it. At 100 TB the level-1 state is
+  // the true distinct cardinality — the irreducible memory of any exact
+  // distinct — hash-partitioned across executors, and the level-2 state
+  // is window×type-bounded (tiny).
+  // ---------------------------------------------------------------------
+  private def streamWindowDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = stagedWithSentinel(spark, sfDir, sentinelUser = -1L)
+    val src = spark.readStream.schema(Schemas.events)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val perUser = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_ev"))
+    val perWindow = perUser
+      .groupBy(window(col("window"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_ev")).as("n_events"))
+    // The sentinel's own far-future window never flushes (the watermark
+    // stops 1 h short of it), so the sink holds exactly the real windows.
+    runToParquet(spark, perWindow)
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n_users"), col("n_events"))
+      .orderBy("w_start", "event_type")
+  }
+
   /** Stage events as ONE data file plus a far-future sentinel row in
     * its own NEWEST file: with maxFilesPerTrigger=1 the data batch runs
     * first, then the sentinel batch advances the watermark past every
@@ -995,6 +1031,7 @@ object StreamingQ {
     "stream_ingest" -> (streamIngest _),
     "stream_window_tumbling" -> (streamTumbling _),
     "stream_window_sliding" -> (streamSliding _),
+    "stream_window_distinct" -> (streamWindowDistinct _),
     "stream_window_session" -> (streamSession _),
     "stream_resample_ohlc" -> (streamResampleOhlc _),
     "stream_watermark" -> (streamWatermark _),
@@ -1165,6 +1202,13 @@ object StreamingQ {
                 event_type,
                 count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""",
+    "stream_window_distinct" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+                CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS w_end,
+                event_type,
+                count(DISTINCT user_id) AS n_users,
+                count(*) AS n_events
          FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""",
     "stream_window_sliding" ->
       """SELECT make_timestamp((epoch_us(ts) // 43200000000 - off.o) * 43200000000) AS w_start,

@@ -151,6 +151,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOf(p22, "CartesianProduct") === 0, p22)
   }
 
+  test("tpch_q8/q9: dimension cuts broadcast, fact columns pruned, no cartesian") {
+    // Q8: part cut, supplier-nation map, and the region-filtered
+    // customer-nation list all arrive by broadcast — the fact table
+    // shuffles only for the orders/customer joins and the final agg
+    val p8 = finalPlan(SparkEntry.queries("tpch_q8")(spark, sfDir))
+    assert(countOf(p8, "BroadcastHashJoin") >= 3, p8)
+    assert(countOf(p8, "CartesianProduct") === 0, p8)
+    // column pruning: Q8 never touches l_quantity — it must not be read
+    assert(!p8.contains("l_quantity"), p8)
+    val p9 = finalPlan(SparkEntry.queries("tpch_q9")(spark, sfDir))
+    assert(countOf(p9, "BroadcastHashJoin") >= 2, p9)
+    assert(countOf(p9, "CartesianProduct") === 0, p9)
+    // column pruning: Q9 has no flag/date filter on lineitem — the scan
+    // must not materialize l_returnflag
+    assert(!p9.contains("l_returnflag"), p9)
+  }
+
   test("llm_semdedup / join_fuzzy_blocked: candidates from equi-joins, never all-pairs") {
     Seq("llm_semdedup", "join_fuzzy_blocked").foreach { key =>
       val plan = finalPlan(SparkEntry.queries(key)(spark, sfDir))

@@ -338,6 +338,51 @@ object LlmText {
   }
 
   // ---------------------------------------------------------------------
+  // llm_label_propagation — synchronous label-propagation communities
+  // over the verified near-dup graph (Raghavan et al. 2007), the
+  // standard step up from connected components: where dedup_clusters
+  // merges anything reachable, LPA's mode-of-neighbors update finds
+  // the DENSE template families inside a component (a weak bridge edge
+  // can't drag two dense families together — the majority vote on each
+  // side outweighs one bridge neighbor). Determinism, which stock
+  // async LPA lacks: synchronous rounds (all nodes update from the
+  // same previous labeling) and an integer-only tie-break (max votes,
+  // then MIN label — labels are doc_ids), so the fixed 3-round result
+  // is engine-exact and the oracle unrolls the rounds as CTEs. Each
+  // round is one edge-keyed join + one (node, label) count + one
+  // per-node argmax — O(edges) shuffled per round, the same adjacency
+  // partitioning as llm_pagerank, with per-round localCheckpoint
+  // truncating the iterative lineage. Every graph node has ≥1 neighbor
+  // (nodes are defined BY the edge list), so the argmax covers the
+  // spine with no keep-old-label fallback.
+  // ---------------------------------------------------------------------
+  private def labelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var lbl = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      val votes = edges
+        .join(lbl.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy("src", "label").agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy("src")
+        .orderBy(col("votes").desc, col("label"))
+      lbl = votes.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint(true)
+    }
+    val sizes = lbl.groupBy("label").agg(count(lit(1)).as("n_members"))
+    lbl.join(sizes, Seq("label"))
+      .select(col("node"), col("label").as("community"), col("n_members"))
+      .orderBy("node")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_corpus_pipeline — the END-TO-END training-corpus filter as one
   // key: a document survives iff it is (1) its near-dup cluster's
   // kept representative, (2) passes the Gopher quality rules, and
@@ -948,6 +993,56 @@ object LlmText {
       .select(col("doc_id"), col("n_tokens"),
         (col("s").cast("double") / lit(1000000).cast("double") /
           col("n_tokens")).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_dsir_weight — DSIR (Data Selection via Importance Resampling,
+  // Xie et al. 2023) importance weights over HASHED n-gram features:
+  // score each document by how much more likely its tokens are under a
+  // target-domain unigram model (here: the English sub-corpus) than
+  // under the full-corpus source model. The defining scale move is the
+  // hashed feature space — tokens bucket by the first 3 hex digits of
+  // md5 into a FIXED 4096-cell table, so both language models (and
+  // their add-one-smoothed log-ratio) are 4096 rows broadcastable at
+  // ANY corpus size; an unhashed vocabulary would grow with the data
+  // and force a token-keyed shuffle per scoring pass. Pipeline: one
+  // data-sized shuffle to (doc, lang, bucket) counts; the bucket LM
+  // aggregate and its totals are 4096-row follow-ups (the exchange is
+  // reused across branches); scoring re-joins the broadcast ratio
+  // table and sums count×log-ratio per doc — exact bigint arithmetic
+  // after the one e6-scaled rounding of each bucket's log-ratio (the
+  // same engine-parity trick as llm_unigram_logprob). High weight =
+  // "looks like the target domain"; downstream selection composes with
+  // the scalable exact-ranking machinery of llm_perplexity_bucket.
+  // ---------------------------------------------------------------------
+  private def dsirWeight(spark: SparkSession, sfDir: String): DataFrame = {
+    val db = t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "lang", "explode(split(text, ' ')) AS tok")
+      .selectExpr("doc_id", "lang", "substring(md5(tok), 1, 3) AS h3")
+      .selectExpr("doc_id", "lang",
+        """(instr('0123456789abcdef', substring(h3, 1, 1)) - 1) * 256 +
+           (instr('0123456789abcdef', substring(h3, 2, 1)) - 1) * 16 +
+           (instr('0123456789abcdef', substring(h3, 3, 1)) - 1) AS bucket""")
+      .groupBy("doc_id", "lang", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val buckets = db.groupBy("bucket")
+      .agg(sum(col("cnt")).as("cnt_s"),
+        sum(when(col("lang") === "en", col("cnt")).otherwise(lit(0L)))
+          .as("cnt_t"))
+    val totals = buckets
+      .agg(sum(col("cnt_s")).as("ts"), sum(col("cnt_t")).as("tt"))
+    val lm = buckets.crossJoin(broadcast(totals))
+      .selectExpr("bucket",
+        """cast(round((ln((cast(cnt_t as double) + 1.0)
+                          / (cast(tt as double) + 4096.0))
+                     - ln((cast(cnt_s as double) + 1.0)
+                          / (cast(ts as double) + 4096.0)))
+                     * 1000000.0) as bigint) AS lr_e6""")
+    db.join(broadcast(lm), Seq("bucket"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("lr_e6")).as("dsir_w_e6"))
       .orderBy("doc_id")
   }
 
@@ -1921,10 +2016,12 @@ object LlmText {
     "llm_pack_sequences" -> (packSequences _),
     "llm_sample_stratified" -> (sampleStratified _),
     "llm_unigram_logprob" -> (unigramLogprob _),
+    "llm_dsir_weight" -> (dsirWeight _),
     "llm_perplexity_bucket" -> (perplexityBucket _),
     "llm_dedup_clusters" -> (dedupClusters _),
     "llm_cluster_representative" -> (clusterRepresentative _),
     "llm_pagerank" -> (pageRank _),
+    "llm_label_propagation" -> (labelPropagation _),
     "llm_knn_graph" -> (knnGraph _),
     "llm_corpus_pipeline" -> (corpusPipeline _),
     "llm_span_corruption" -> (spanCorruption _),
@@ -2542,6 +2639,38 @@ object LlmText {
                   AS avg_logprob
          FROM toks JOIN lp USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
+    "llm_dsir_weight" ->
+      """WITH db AS (
+           SELECT doc_id, lang,
+                  (instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 256 +
+                  (instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 16 +
+                  (instr('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) AS bucket,
+                  count(*) AS cnt
+           FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+                 FROM documents)
+           GROUP BY 1, 2, 3),
+         b AS (
+           SELECT bucket,
+                  CAST(sum(cnt) AS BIGINT) AS cnt_s,
+                  CAST(sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END)
+                       AS BIGINT) AS cnt_t
+           FROM db GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(cnt_s) AS BIGINT) AS ts,
+                  CAST(sum(cnt_t) AS BIGINT) AS tt FROM b),
+         lm AS (
+           SELECT bucket,
+                  CAST(round((ln((CAST(cnt_t AS DOUBLE) + 1.0)
+                                 / (CAST(tt AS DOUBLE) + 4096.0))
+                            - ln((CAST(cnt_s AS DOUBLE) + 1.0)
+                                 / (CAST(ts AS DOUBLE) + 4096.0)))
+                            * 1000000.0) AS BIGINT) AS lr_e6
+           FROM b CROSS JOIN tot)
+         SELECT doc_id, lang,
+                CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                CAST(sum(cnt * lr_e6) AS BIGINT) AS dsir_w_e6
+         FROM db JOIN lm USING (bucket)
+         GROUP BY 1, 2 ORDER BY doc_id""",
     "llm_perplexity_bucket" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -2752,6 +2881,34 @@ object LlmText {
             FROM sym)
           SELECT src, rk, nbr, jaccard FROM ranked
           WHERE rk <= 3 ORDER BY src, rk""",
+    "llm_label_propagation" ->
+      s"""WITH $DPairsEdges,
+          nodes AS (SELECT DISTINCT src AS node FROM edges),
+          l0 AS (SELECT node, node AS label FROM nodes),
+          v1 AS (SELECT e.src, l.label, count(*) AS votes
+                 FROM edges e JOIN l0 l ON e.dst = l.node GROUP BY 1, 2),
+          l1 AS (SELECT src AS node, label FROM (
+                   SELECT src, label,
+                          row_number() OVER (PARTITION BY src
+                            ORDER BY votes DESC, label) AS rk
+                   FROM v1) WHERE rk = 1),
+          v2 AS (SELECT e.src, l.label, count(*) AS votes
+                 FROM edges e JOIN l1 l ON e.dst = l.node GROUP BY 1, 2),
+          l2 AS (SELECT src AS node, label FROM (
+                   SELECT src, label,
+                          row_number() OVER (PARTITION BY src
+                            ORDER BY votes DESC, label) AS rk
+                   FROM v2) WHERE rk = 1),
+          v3 AS (SELECT e.src, l.label, count(*) AS votes
+                 FROM edges e JOIN l2 l ON e.dst = l.node GROUP BY 1, 2),
+          l3 AS (SELECT src AS node, label FROM (
+                   SELECT src, label,
+                          row_number() OVER (PARTITION BY src
+                            ORDER BY votes DESC, label) AS rk
+                   FROM v3) WHERE rk = 1),
+          sz AS (SELECT label, count(*) AS n_members FROM l3 GROUP BY 1)
+          SELECT l3.node, l3.label AS community, sz.n_members
+          FROM l3 JOIN sz USING (label) ORDER BY l3.node""",
     "llm_pagerank" ->
       s"""WITH $DPairsEdges,
           nodes AS (SELECT DISTINCT src AS node FROM edges),

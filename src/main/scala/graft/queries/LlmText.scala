@@ -1006,11 +1006,14 @@ object LlmText {
   // md5 into a FIXED 4096-cell table, so both language models (and
   // their add-one-smoothed log-ratio) are 4096 rows broadcastable at
   // ANY corpus size; an unhashed vocabulary would grow with the data
-  // and force a token-keyed shuffle per scoring pass. Pipeline: one
-  // data-sized shuffle to (doc, lang, bucket) counts; the bucket LM
-  // aggregate and its totals are 4096-row follow-ups (the exchange is
-  // reused across branches); scoring re-joins the broadcast ratio
-  // table and sums count×log-ratio per doc — exact bigint arithmetic
+  // and force a token-keyed shuffle per scoring pass. Pipeline: ONE
+  // pass over the corpus builds (doc, lang, bucket) counts —
+  // localCheckpoint'd so the LM branch and the scoring branch both
+  // read the materialized counts instead of re-tokenizing the corpus
+  // (same multi-consumer discipline as llm_pagerank's adjacency); the
+  // bucket LM aggregate and its totals are 4096-row follow-ups;
+  // scoring re-joins the broadcast ratio table and sums
+  // count×log-ratio per doc — exact bigint arithmetic
   // after the one e6-scaled rounding of each bucket's log-ratio (the
   // same engine-parity trick as llm_unigram_logprob). High weight =
   // "looks like the target domain"; downstream selection composes with
@@ -1026,6 +1029,7 @@ object LlmText {
            (instr('0123456789abcdef', substring(h3, 3, 1)) - 1) AS bucket""")
       .groupBy("doc_id", "lang", "bucket")
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val buckets = db.groupBy("bucket")
       .agg(sum(col("cnt")).as("cnt_s"),
         sum(when(col("lang") === "en", col("cnt")).otherwise(lit(0L)))

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -192,6 +192,59 @@ object LlmVector {
     lshScoredCandidates(spark, sfDir)
       .where(col("cosine") >= 0.4)
       .orderBy("vec_a", "vec_b")
+
+  // ---------------------------------------------------------------------
+  // llm_bitext_margin — margin-based bitext mining (the CCMatrix /
+  // LASER selection rule, Artetxe & Schwenk 2019): a cross-lingual
+  // pair is kept not when its raw cosine is high but when it is high
+  // RELATIVE to each side's other nearest neighbors — margin(x,y) =
+  // cos(x,y) / ((knn̄(x) + knn̄(y)) / 2) — which suppresses hubs that
+  // are "close to everything". Embeddings carry no language column, so
+  // even/odd vec_id stands in for the two sides. The scale shape:
+  // candidates and BOTH k-nn means come from the LSH bucket space
+  // (never all-pairs — the neighbors a bucketed index can see are
+  // exactly what production margin miners use), one checkpoint of the
+  // scored candidate pairs feeds the two top-4 aggregates and the
+  // final scoring join, and the margin itself is computed from
+  // e6-scaled integer cosines — cos·2·na·nb / (sa·nb + sb·na) as one
+  // exact-integer ratio with a single rounded double division — so
+  // ranking and the ≥1.05 keep-threshold are engine-exact. Per-source
+  // argmax (margin DESC, tgt) emits at most one mined pair per source
+  // vector.
+  // ---------------------------------------------------------------------
+  private def bitextMargin(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = lshScoredCandidates(spark, sfDir)
+      .where(col("cosine") >= 0.1)
+      .where((col("vec_a") % 2 === 0) =!= (col("vec_b") % 2 === 0))
+      .select(
+        when(col("vec_a") % 2 === 0, col("vec_a"))
+          .otherwise(col("vec_b")).as("src_id"),
+        when(col("vec_a") % 2 === 0, col("vec_b"))
+          .otherwise(col("vec_a")).as("tgt_id"),
+        expr("cast(round(cosine * 1000000) as bigint)").as("cos_e6"))
+      .localCheckpoint(true)
+    val wA = Window.partitionBy("src_id")
+      .orderBy(col("cos_e6").desc, col("tgt_id"))
+    val wB = Window.partitionBy("tgt_id")
+      .orderBy(col("cos_e6").desc, col("src_id"))
+    val ranked = base
+      .withColumn("rka", row_number().over(wA))
+      .withColumn("rkb", row_number().over(wB))
+    val aStats = ranked.where(col("rka") <= 4).groupBy("src_id")
+      .agg(sum(col("cos_e6")).as("sa_e6"), count(lit(1)).as("na"))
+    val bStats = ranked.where(col("rkb") <= 4).groupBy("tgt_id")
+      .agg(sum(col("cos_e6")).as("sb_e6"), count(lit(1)).as("nb"))
+    val wBest = Window.partitionBy("src_id")
+      .orderBy(col("margin_e6").desc, col("tgt_id"))
+    base.join(aStats, Seq("src_id")).join(bStats, Seq("tgt_id"))
+      .withColumn("margin_e6", expr(
+        """cast(round(cast(cos_e6 * 2 * na * nb as double) * 1000000.0
+                      / cast(sa_e6 * nb + sb_e6 * na as double)) as bigint)"""))
+      .withColumn("rk", row_number().over(wBest))
+      .where(col("rk") === 1 && col("margin_e6") >= 1050000L)
+      .select("src_id", "tgt_id", "cos_e6", "margin_e6")
+      .orderBy("src_id")
+  }
 
   // ---------------------------------------------------------------------
   // llm_embed_cluster — connected components over the embedding
@@ -882,6 +935,7 @@ object LlmVector {
     "llm_ann_lsh" -> (annLsh _),
     "llm_hard_negatives" -> (hardNegatives _),
     "llm_embed_neardup_lsh" -> (embedNeardupLsh _),
+    "llm_bitext_margin" -> (bitextMargin _),
     "llm_embed_cluster" -> (embedCluster _),
     "llm_ann_ivf" -> (annIvf _),
     "llm_ann_ivf_persisted" -> (annIvfPersisted _),
@@ -1207,6 +1261,44 @@ object LlmVector {
                     JOIN e eb ON cand.vb = eb.vec_id
           WHERE ${dDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) >= 0.4
           ORDER BY vec_a, vec_b""",
+    "llm_bitext_margin" ->
+      s"""$LshCandCte,
+          scored AS (
+            SELECT cand.va, cand.vb,
+                   ${dDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm)
+                     AS cosine
+            FROM cand JOIN e ea ON cand.va = ea.vec_id
+                      JOIN e eb ON cand.vb = eb.vec_id),
+          base AS (
+            SELECT CASE WHEN va % 2 = 0 THEN va ELSE vb END AS src_id,
+                   CASE WHEN va % 2 = 0 THEN vb ELSE va END AS tgt_id,
+                   CAST(round(cosine * 1000000) AS BIGINT) AS cos_e6
+            FROM scored
+            WHERE cosine >= 0.1 AND (va % 2 = 0) <> (vb % 2 = 0)),
+          ranked AS (
+            SELECT src_id, tgt_id, cos_e6,
+                   row_number() OVER (PARTITION BY src_id
+                     ORDER BY cos_e6 DESC, tgt_id) AS rka,
+                   row_number() OVER (PARTITION BY tgt_id
+                     ORDER BY cos_e6 DESC, src_id) AS rkb
+            FROM base),
+          sa AS (SELECT src_id, CAST(sum(cos_e6) AS BIGINT) AS sa_e6,
+                        CAST(count(*) AS BIGINT) AS na
+                 FROM ranked WHERE rka <= 4 GROUP BY 1),
+          sb AS (SELECT tgt_id, CAST(sum(cos_e6) AS BIGINT) AS sb_e6,
+                        CAST(count(*) AS BIGINT) AS nb
+                 FROM ranked WHERE rkb <= 4 GROUP BY 1),
+          m AS (
+            SELECT b.src_id, b.tgt_id, b.cos_e6,
+                   CAST(round(CAST(b.cos_e6 * 2 * na * nb AS DOUBLE)
+                              * 1000000.0
+                              / CAST(sa_e6 * nb + sb_e6 * na AS DOUBLE))
+                        AS BIGINT) AS margin_e6
+            FROM base b JOIN sa USING (src_id) JOIN sb USING (tgt_id)),
+          w AS (SELECT *, row_number() OVER (PARTITION BY src_id
+                  ORDER BY margin_e6 DESC, tgt_id) AS rk FROM m)
+          SELECT src_id, tgt_id, cos_e6, margin_e6 FROM w
+          WHERE rk = 1 AND margin_e6 >= 1050000 ORDER BY src_id""",
     "llm_embed_cluster" ->
       s"""${LshCandCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
           pairs AS (

@@ -224,6 +224,60 @@ object Aggregates {
         round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
       .orderBy("l_returnflag")
 
+  /** E. Exact higher moments — per-flag skewness and excess kurtosis
+    * of cent-unit prices from EXACT raw power sums: x, x², x³, x⁴
+    * accumulate as DECIMAL(38,0) (x_e2 ≤ 1e7, so Σx⁴ ≤ ~6e32 ≪ 1e38 —
+    * exact; the DuckDB twin uses HUGEINT, its INT128 equivalent), and
+    * the shuffle carries five order-independent integer accumulators
+    * per group — Spark's own skewness()/kurtosis() stream float
+    * moments whose summation order varies run-to-run. The final
+    * skew/kurt formulas are a fixed chain of IEEE +,−,×,÷,sqrt on
+    * doubles cast from identical exact integers, so both engines
+    * produce bit-identical statistics (pow(x, 1.5) is deliberately
+    * m2·sqrt(m2): pow is not correctly-rounded, sqrt is). */
+  private def aggMoments(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .selectExpr("l_returnflag",
+        "cast(cast(round(l_extendedprice * 100) as bigint) as decimal(38,0)) AS x")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      .selectExpr("l_returnflag", "n_rows",
+        """cast(((cast(s3 as double) / n_rows)
+                 - 3.0 * (cast(s1 as double) / n_rows)
+                       * (cast(s2 as double) / n_rows)
+                 + 2.0 * (cast(s1 as double) / n_rows)
+                       * (cast(s1 as double) / n_rows)
+                       * (cast(s1 as double) / n_rows))
+                / (((cast(s2 as double) / n_rows)
+                    - (cast(s1 as double) / n_rows)
+                      * (cast(s1 as double) / n_rows))
+                   * sqrt((cast(s2 as double) / n_rows)
+                          - (cast(s1 as double) / n_rows)
+                            * (cast(s1 as double) / n_rows)))
+               as double) AS skewness""",
+        """cast(((cast(s4 as double) / n_rows)
+                 - 4.0 * (cast(s1 as double) / n_rows)
+                       * (cast(s3 as double) / n_rows)
+                 + 6.0 * (cast(s1 as double) / n_rows)
+                       * (cast(s1 as double) / n_rows)
+                       * (cast(s2 as double) / n_rows)
+                 - 3.0 * (cast(s1 as double) / n_rows)
+                       * (cast(s1 as double) / n_rows)
+                       * (cast(s1 as double) / n_rows)
+                       * (cast(s1 as double) / n_rows))
+                / (((cast(s2 as double) / n_rows)
+                    - (cast(s1 as double) / n_rows)
+                      * (cast(s1 as double) / n_rows))
+                   * ((cast(s2 as double) / n_rows)
+                      - (cast(s1 as double) / n_rows)
+                        * (cast(s1 as double) / n_rows)))
+               - 3.0 as double) AS kurtosis""")
+      .orderBy("l_returnflag")
+
   /** Two-phase salted aggregation — the manual skew defense for keys
     * too hot for one reducer: fan each key out over 16 salts
     * (deterministic hash of the row's own id, not rand(), so re-runs
@@ -453,6 +507,7 @@ object Aggregates {
     "agg_percentile" -> (aggPercentile _),
     "agg_approx_percentile" -> (aggApproxPercentile _),
     "agg_stats" -> (aggStats _),
+    "agg_moments" -> (aggMoments _),
     "agg_salted" -> (aggSalted _),
     "agg_pivot" -> (aggPivot _),
     "agg_groupby" -> (aggGroupBy _),
@@ -573,6 +628,49 @@ object Aggregates {
                 round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
                 round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "agg_moments" ->
+      """WITH s AS (
+           SELECT l_returnflag,
+                  CAST(count(*) AS BIGINT) AS n_rows,
+                  sum(x) AS s1, sum(x * x) AS s2,
+                  sum(x * x * x) AS s3, sum(x * x * x * x) AS s4
+           FROM (SELECT l_returnflag,
+                        CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             AS HUGEINT) AS x
+                 FROM lineitem)
+           GROUP BY 1)
+         SELECT l_returnflag, n_rows,
+                CAST(((CAST(s3 AS DOUBLE) / n_rows)
+                      - 3.0 * (CAST(s1 AS DOUBLE) / n_rows)
+                            * (CAST(s2 AS DOUBLE) / n_rows)
+                      + 2.0 * (CAST(s1 AS DOUBLE) / n_rows)
+                            * (CAST(s1 AS DOUBLE) / n_rows)
+                            * (CAST(s1 AS DOUBLE) / n_rows))
+                     / (((CAST(s2 AS DOUBLE) / n_rows)
+                         - (CAST(s1 AS DOUBLE) / n_rows)
+                           * (CAST(s1 AS DOUBLE) / n_rows))
+                        * sqrt((CAST(s2 AS DOUBLE) / n_rows)
+                               - (CAST(s1 AS DOUBLE) / n_rows)
+                                 * (CAST(s1 AS DOUBLE) / n_rows)))
+                     AS DOUBLE) AS skewness,
+                CAST(((CAST(s4 AS DOUBLE) / n_rows)
+                      - 4.0 * (CAST(s1 AS DOUBLE) / n_rows)
+                            * (CAST(s3 AS DOUBLE) / n_rows)
+                      + 6.0 * (CAST(s1 AS DOUBLE) / n_rows)
+                            * (CAST(s1 AS DOUBLE) / n_rows)
+                            * (CAST(s2 AS DOUBLE) / n_rows)
+                      - 3.0 * (CAST(s1 AS DOUBLE) / n_rows)
+                            * (CAST(s1 AS DOUBLE) / n_rows)
+                            * (CAST(s1 AS DOUBLE) / n_rows)
+                            * (CAST(s1 AS DOUBLE) / n_rows))
+                     / (((CAST(s2 AS DOUBLE) / n_rows)
+                         - (CAST(s1 AS DOUBLE) / n_rows)
+                           * (CAST(s1 AS DOUBLE) / n_rows))
+                        * ((CAST(s2 AS DOUBLE) / n_rows)
+                           - (CAST(s1 AS DOUBLE) / n_rows)
+                             * (CAST(s1 AS DOUBLE) / n_rows)))
+                     - 3.0 AS DOUBLE) AS kurtosis
+         FROM s ORDER BY l_returnflag""",
     "agg_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
                 coalesce(o_orderpriority, '(all)') AS priority,

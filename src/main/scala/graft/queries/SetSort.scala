@@ -140,7 +140,33 @@ object SetSort {
          |> ORDER BY o_orderpriority, yr""")
   }
 
+  /** G. SQL optimizer hints — the /*+ … */ surface a SQL-first user
+    * reaches for when the planner's size estimates misfire: BROADCAST
+    * pins the nation build side regardless of threshold config, and
+    * MERGE forces orders⋈customer to sort-merge — the at-scale
+    * fact-fact strategy — even where test-SF statistics would broadcast
+    * it. Hints steer the PHYSICAL plan only; the result is
+    * hint-invariant, which is exactly what the hint-free oracle
+    * checks. */
+  private def sqlJoinHint(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders_h")
+    t(spark, sfDir, "customer").createOrReplaceTempView("customer_h")
+    t(spark, sfDir, "nation").createOrReplaceTempView("nation_h")
+    spark.sql(
+      """SELECT /*+ BROADCAST(n), MERGE(o) */
+               n.n_name,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+         FROM orders_h o
+         JOIN customer_h c ON o.o_custkey = c.c_custkey
+         JOIN nation_h n ON c.c_nationkey = n.n_nationkey
+         GROUP BY n.n_name
+         ORDER BY n.n_name""")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_join_hint" -> (sqlJoinHint _),
     "sql_recursive_cte" -> (sqlRecursiveCte _),
     "sql_pipe" -> (sqlPipe _),
     "set_except_all" -> (setExceptAll _),
@@ -163,6 +189,16 @@ object SetSort {
          INTERSECT ALL
          SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
          ORDER BY l_orderkey, l_partkey""",
+    "sql_join_hint" ->
+      """SELECT n_name,
+                count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name
+         ORDER BY n_name""",
     "sql_pipe" ->
       """SELECT o_orderpriority, yr, n_orders, revenue
          FROM (SELECT o_orderpriority, year(o_orderdate) AS yr,

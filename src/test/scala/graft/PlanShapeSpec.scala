@@ -151,6 +151,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOf(p22, "CartesianProduct") === 0, p22)
   }
 
+  test("sql_join_hint: MERGE forces sort-merge at a size AQE would broadcast") {
+    val p = finalPlan(SparkEntry.queries("sql_join_hint")(spark, sfDir))
+    // orders⋈customer is tiny at sf0.001 — without the MERGE hint the
+    // planner broadcasts it; the hint must survive into the final plan
+    assert(countOf(p, "SortMergeJoin") >= 1, p)
+    assert(countOf(p, "BroadcastHashJoin") >= 1, p) // the BROADCAST(n) side
+  }
+
   test("tpch_q8/q9: dimension cuts broadcast, fact columns pruned, no cartesian") {
     // Q8: part cut, supplier-nation map, and the region-filtered
     // customer-nation list all arrive by broadcast — the fact table

@@ -14,18 +14,30 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp. Read it as raw nanos (legacy conf) and convert
-    * with integer division — the corpus' values are µs-aligned (verified:
-    * epoch_ns % 1000 == 0 for every row), and DuckDB likewise surfaces
-    * the column as a µs TIMESTAMP, so both engines see identical values.
-    * Integer `div` (not double /) because ns-since-epoch exceeds a
-    * double's 53-bit mantissa. */
+  /** events.ts arrives in different parquet encodings depending on the
+    * writer, so dispatch on the type Spark actually loaded:
+    *  - driver corpus: TIMESTAMP(NANOS), which Spark 4 refuses to read
+    *    as a timestamp. Read as raw nanos (legacy conf) and convert with
+    *    integer division — the corpus' values are µs-aligned (verified:
+    *    epoch_ns % 1000 == 0 for every row), and DuckDB likewise
+    *    surfaces the column as a µs TIMESTAMP, so both engines see
+    *    identical values. Integer `div` (not double /) because
+    *    ns-since-epoch exceeds a double's 53-bit mantissa.
+    *  - re-written corpora (e.g. DuckDB COPY for scale tests): plain µs
+    *    TIMESTAMP_NTZ — cast to session-tz TIMESTAMP so every
+    *    downstream window()/watermark sees one uniform type.
+    *  - already-TIMESTAMP files pass through untouched. */
   private def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Exact-money arithmetic: the corpus' money columns are 2-decimal

@@ -746,18 +746,343 @@ WHERE p_name LIKE '%blue%'
 GROUP BY 1, 2
 ORDER BY nation, o_year"""
 
+  /** L. TPC-H Q2 (minimum-cost supplier), adapted: testdata has no
+    * partsupp, so the observed part↔supplier offers come from lineitem
+    * and "supply cost" is the observed unit price
+    * l_extendedprice / l_quantity (plain DOUBLE division of identical
+    * doubles — IEEE-deterministic, so both engines derive bit-equal
+    * costs and the min-equality join below is safe). The Q2 signature
+    * preserved is the correlated MIN subquery per part, decorrelated the
+    * way every planner does it: a grouped MIN joined back on
+    * (partkey, cost). Scale shape: part cut and the region-filtered
+    * supplier map are both broadcast (dimension-sized), the offers
+    * relation shuffles once on partkey for the MIN and the join-back
+    * reuses that partitioning; DISTINCT makes the display rows unique so
+    * the fully-tiebroken ORDER BY + LIMIT is deterministic. */
+  private def q2(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = t(spark, sfDir, "part")
+      .where(col("p_type") === "LARGE" && col("p_size") <= 10)
+      .select(col("p_partkey"), col("p_name"))
+    val eu = t(spark, sfDir, "supplier")
+      .join(broadcast(t(spark, sfDir, "nation")
+        .join(broadcast(t(spark, sfDir, "region")
+          .where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val offers = t(spark, sfDir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("unit_cost", col("l_extendedprice") / col("l_quantity"))
+    val minc = offers.groupBy(col("p_partkey").as("mc_key"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+    offers.join(minc, offers("p_partkey") === col("mc_key") &&
+        col("unit_cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("min_cost"))
+      .distinct()
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  private val q2Sql: String =
+    """WITH eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+offers AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         l_extendedprice / l_quantity AS unit_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN eu   ON l_suppkey = s_suppkey
+  WHERE p_type = 'LARGE' AND p_size <= 10),
+minc AS (
+  SELECT p_partkey AS mc_key, min(unit_cost) AS min_cost
+  FROM offers GROUP BY 1)
+SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name, min_cost
+FROM offers JOIN minc ON p_partkey = mc_key AND unit_cost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100"""
+
+  /** L. TPC-H Q11 (important inventory), adapted: no partsupp, so a
+    * part's "inventory value" is the discounted revenue its AFRICA-
+    * region suppliers shipped (region, not single nation — at sf0.001
+    * only 10 suppliers exist and a one-nation cut can be empty; a
+    * region holds ≥2 at every SF). The Q11 signature preserved is the
+    * scalar-subquery threshold — here 2× the MEAN per-part value rather
+    * than TPC-H's fixed fraction of the total, because the fixed
+    * fraction is implicitly SF-scaled in the spec (0.0001/SF) and a
+    * mean-relative cut is the SF-invariant equivalent. The threshold is
+    * one row, broadcast-cross-joined so the HAVING stays map-side after
+    * the per-part aggregate's single shuffle. */
+  private def q11(spark: SparkSession, sfDir: String): DataFrame = {
+    val af = t(spark, sfDir, "supplier")
+      .join(broadcast(t(spark, sfDir, "nation")
+        .join(broadcast(t(spark, sfDir, "region")
+          .where(col("r_name") === "AFRICA")),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val vals = t(spark, sfDir, "lineitem")
+      .join(broadcast(af), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(BigDecimal(1)) - dec(col("l_discount"))))
+        .cast("double").as("part_value"))
+    val thresh = vals.agg(
+      (sum(col("part_value")) / count(lit(1)) * 2.0).as("cutoff"))
+    vals.crossJoin(broadcast(thresh))
+      .where(col("part_value") > col("cutoff"))
+      .select(col("l_partkey"), col("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  private val q11Sql: String =
+    """WITH af AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'AFRICA'),
+vals AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS part_value
+  FROM lineitem JOIN af ON l_suppkey = s_suppkey
+  GROUP BY 1)
+SELECT l_partkey, part_value
+FROM vals
+WHERE part_value > (SELECT sum(part_value) / count(*) * 2.0 FROM vals)
+ORDER BY part_value DESC, l_partkey"""
+
+  /** L. TPC-H Q12 (shipping modes / priority classes), adapted: no
+    * l_shipmode or commit/receipt dates, so the mode dimension is
+    * l_linestatus and "late" is shipped more than 90 days after the
+    * order date. The Q12 signature preserved is the CASE-sum pivot of
+    * order priorities over a joined date-band fact cut: both the
+    * two-year shipdate band (pushed into the lineitem scan) and the
+    * lateness predicate (a post-join filter between the two tables'
+    * columns) survive, and the priority split is the same
+    * urgent-vs-not CASE. One shuffle: lineitem⋈orders on orderkey;
+    * the 2-group aggregate combines map-side. */
+  private def q12(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val o = t(spark, sfDir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .where(li("l_shipdate") >
+        o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  private val q12Sql: String =
+    """SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_shipdate >  o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+ORDER BY l_linestatus"""
+
+  /** L. TPC-H Q19 (discounted revenue): the disjunctive-predicate join
+    * — three (brand, size-range, quantity-range) conjuncts OR'd
+    * together over lineitem⋈part. The scale point is that the OR must
+    * NOT demote the join to a nested-loop: the partkey equality is a
+    * common factor outside the disjunction, so Catalyst plans a plain
+    * equi-join (broadcast — part is dimension-sized) and evaluates the
+    * disjunction as a post-join filter; the residual p_brand IN and
+    * quantity/size range bounds still push into the two scans. */
+  private def q19(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = t(spark, sfDir, "part")
+      .where(col("p_brand").isin("Brand#3", "Brand#12", "Brand#23"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = t(spark, sfDir, "lineitem")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 50)))
+      .agg(
+        sum(dec(col("l_extendedprice")) *
+          (lit(BigDecimal(1)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private val q19Sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)"""
+
+  /** L. TPC-H Q20 (potential part promotion), adapted: no partsupp
+    * availqty, so the "excess availability" test becomes: a supplier
+    * qualifies when its shipped quantity of a 'large%'-named part
+    * exceeds 1.2× the MEAN shipped quantity across that part's
+    * suppliers (scale-invariant, like the Q11 adaptation; no nation cut
+    * — 10 suppliers at sf0.001 make any further thinning empty-prone).
+    * The Q20 signature preserved is the nested semi-join chain:
+    * aggregated pair subquery → per-part threshold → DISTINCT supplier
+    * set → semi-join into supplier, enriched with nation. Scale shape:
+    * the part cut broadcasts into lineitem, pairs aggregate with one
+    * shuffle on (partkey, suppkey), the per-part mean joins back keyed
+    * by partkey (co-partitioned — map-side), and the surviving supplier
+    * ids are dimension-sized for the final LEFT SEMI. */
+  private def q20(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = t(spark, sfDir, "part")
+      .where(col("p_name").like("large%")).select(col("p_partkey"))
+    val pairs = t(spark, sfDir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("pair_qty"))
+    val partAvg = pairs.groupBy(col("l_partkey").as("pa_key"))
+      .agg((sum(col("pair_qty")) / count(lit(1))).as("avg_qty"))
+    val winners = pairs
+      .join(partAvg, col("l_partkey") === col("pa_key"))
+      .where(col("pair_qty") > col("avg_qty") * 1.2)
+      .select(col("l_suppkey")).distinct()
+    t(spark, sfDir, "supplier")
+      .join(winners, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(t(spark, sfDir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("s_name")
+  }
+
+  private val q20Sql: String =
+    """WITH pairs AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           AS pair_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'large%'
+  GROUP BY 1, 2),
+part_avg AS (
+  SELECT l_partkey AS pa_key, sum(pair_qty) / count(*) AS avg_qty
+  FROM pairs GROUP BY 1),
+winners AS (
+  SELECT DISTINCT l_suppkey
+  FROM pairs JOIN part_avg ON l_partkey = pa_key
+  WHERE pair_qty > avg_qty * 1.2)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM winners)
+ORDER BY s_name"""
+
+  /** L. TPC-H Q21 (suppliers who kept orders waiting), adapted: no
+    * commit/receipt dates, so a supplier "failed" a finished ('F')
+    * order when it shipped a line more than a year after the order
+    * date. The Q21 signature — EXISTS (another supplier on the order)
+    * AND NOT EXISTS (another FAILED supplier on the order) — is
+    * rewritten as every scale-aware planner decorrelates it: aggregate
+    * per (order, supplier) once, derive per-order supplier / failed
+    * counts from those pairs, and keep the pairs where the order is
+    * multi-supplier and this supplier is the SOLE failure. Scale shape:
+    * one fact shuffle on orderkey for the pair aggregate; the per-order
+    * rollup and the pairs⋈stats join-back both reuse that partitioning
+    * (orderkey is a prefix of the pair key), the EUROPE supplier map is
+    * a broadcast, and the s_name rollup is group-count-sized. */
+  private def q21(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+      .where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val pairs = t(spark, sfDir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 365 DAYS"), 1L)
+        .otherwise(0L)).as("failed"))
+    val stats = pairs.groupBy(col("l_orderkey").as("st_key"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("failed")).as("n_failed"))
+    val eu = t(spark, sfDir, "supplier")
+      .join(broadcast(t(spark, sfDir, "nation")
+        .join(broadcast(t(spark, sfDir, "region")
+          .where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    pairs.where(col("failed") === 1L)
+      .join(stats, col("l_orderkey") === col("st_key"))
+      .where(col("n_supp") > 1L && col("n_failed") === 1L)
+      .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  private val q21Sql: String =
+    """WITH pairs AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAY
+                  THEN 1 ELSE 0 END) AS failed
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2),
+stats AS (
+  SELECT l_orderkey AS st_key,
+         CAST(count(*) AS BIGINT) AS n_supp,
+         CAST(sum(failed) AS BIGINT) AS n_failed
+  FROM pairs GROUP BY 1),
+eu AS (
+  SELECT s_suppkey, s_name FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE')
+SELECT s_name, count(*) AS numwait
+FROM pairs
+JOIN stats ON l_orderkey = st_key
+JOIN eu    ON l_suppkey = s_suppkey
+WHERE failed = 1 AND n_supp > 1 AND n_failed = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 100"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_flagship" -> (q _), "tpch_q1" -> (q1 _), "tpch_q3" -> (q3 _),
+    Map("q_flagship" -> (q _), "tpch_q1" -> (q1 _), "tpch_q2" -> (q2 _),
+      "tpch_q3" -> (q3 _),
       "tpch_q4" -> (q4 _), "tpch_q5" -> (q5 _), "tpch_q6" -> (q6 _),
       "tpch_q7" -> (q7 _), "tpch_q8" -> (q8 _), "tpch_q9" -> (q9 _),
-      "tpch_q10" -> (q10 _), "tpch_q13" -> (q13 _),
+      "tpch_q10" -> (q10 _), "tpch_q11" -> (q11 _), "tpch_q12" -> (q12 _),
+      "tpch_q13" -> (q13 _),
       "tpch_q14" -> (q14 _), "tpch_q15" -> (q15 _), "tpch_q16" -> (q16 _),
-      "tpch_q17" -> (q17 _), "tpch_q18" -> (q18 _), "tpch_q22" -> (q22 _))
+      "tpch_q17" -> (q17 _), "tpch_q18" -> (q18 _), "tpch_q19" -> (q19 _),
+      "tpch_q20" -> (q20 _), "tpch_q21" -> (q21 _), "tpch_q22" -> (q22 _))
   val oracle: Map[String, String] =
-    Map("q_flagship" -> sql, "tpch_q1" -> q1Sql, "tpch_q3" -> q3Sql,
+    Map("q_flagship" -> sql, "tpch_q1" -> q1Sql, "tpch_q2" -> q2Sql,
+      "tpch_q3" -> q3Sql,
       "tpch_q4" -> q4Sql, "tpch_q5" -> q5Sql, "tpch_q6" -> q6Sql,
       "tpch_q7" -> q7Sql, "tpch_q8" -> q8Sql, "tpch_q9" -> q9Sql,
-      "tpch_q10" -> q10Sql, "tpch_q13" -> q13Sql,
+      "tpch_q10" -> q10Sql, "tpch_q11" -> q11Sql, "tpch_q12" -> q12Sql,
+      "tpch_q13" -> q13Sql,
       "tpch_q14" -> q14Sql, "tpch_q15" -> q15Sql, "tpch_q16" -> q16Sql,
-      "tpch_q17" -> q17Sql, "tpch_q18" -> q18Sql, "tpch_q22" -> q22Sql)
+      "tpch_q17" -> q17Sql, "tpch_q18" -> q18Sql, "tpch_q19" -> q19Sql,
+      "tpch_q20" -> q20Sql, "tpch_q21" -> q21Sql, "tpch_q22" -> q22Sql)
 }

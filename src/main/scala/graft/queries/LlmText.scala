@@ -1899,7 +1899,7 @@ object LlmText {
   // token-/1-cardinality broadcasts — at 100 TB both come straight off
   // the persisted inverted index rather than a recount.
   // ---------------------------------------------------------------------
-  private def bm25Score(spark: SparkSession, sfDir: String): DataFrame = {
+  private[queries] def bm25Score(spark: SparkSession, sfDir: String): DataFrame = {
     val d = t(spark, sfDir, "documents")
       .selectExpr("doc_id", s"split($NormText, ' ') AS toks")
       .selectExpr("doc_id", "size(toks) AS dl", "toks")
@@ -2218,6 +2218,42 @@ object LlmText {
          FROM documents),
        df AS (SELECT token, count(*) AS df FROM tok GROUP BY 1)"""
 
+  /** Shared DuckDB replay of the BM25 scoring pipeline, ending in
+    * `bm (doc_id, n_matched, score)` — used verbatim by the
+    * llm_bm25_score oracle and LlmVector's RRF fusion twin so the text
+    * ranking cannot drift between the two keys. */
+  private[queries] val Bm25Cte: String =
+    s"""WITH d AS (
+            SELECT doc_id, string_split($DNorm, ' ') AS toks
+            FROM documents),
+          d2 AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+          tok AS (SELECT doc_id, dl, unnest(toks) AS token FROM d2),
+          tf AS (SELECT doc_id, dl, token, count(*) AS tf
+                 FROM tok GROUP BY 1, 2, 3),
+          dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+          stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d2),
+          q AS (SELECT token, df FROM (
+                  SELECT token, df,
+                         row_number() OVER (ORDER BY df DESC, token) AS qrk
+                  FROM dfx)
+                WHERE qrk BETWEEN 10 AND 12),
+          c AS (SELECT doc_id, token,
+                       ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+                        (CAST(df AS DOUBLE) + 0.5)) *
+                       (CAST(tf AS DOUBLE) * 2.2 /
+                        (CAST(tf AS DOUBLE) + 1.2 *
+                         (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+                          (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+                         AS contrib
+                FROM tf JOIN q USING (token) CROSS JOIN stats),
+          bm AS (
+            SELECT doc_id, count(*) AS n_matched,
+                   list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(list(contrib ORDER BY token), x -> x)),
+                     (a, v) -> a + v) AS score
+            FROM c GROUP BY 1)"""
+
   val oracle: Map[String, String] = Map(
     "llm_dedup_eval" ->
       s"""WITH $DSigned,
@@ -2294,35 +2330,8 @@ object LlmText {
           LEFT JOIN crossnear c ON i.doc_id = c.inc_doc
           ORDER BY i.doc_id""",
     "llm_bm25_score" ->
-      s"""WITH d AS (
-            SELECT doc_id, string_split($DNorm, ' ') AS toks
-            FROM documents),
-          d2 AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
-          tok AS (SELECT doc_id, dl, unnest(toks) AS token FROM d2),
-          tf AS (SELECT doc_id, dl, token, count(*) AS tf
-                 FROM tok GROUP BY 1, 2, 3),
-          dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-          stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d2),
-          q AS (SELECT token, df FROM (
-                  SELECT token, df,
-                         row_number() OVER (ORDER BY df DESC, token) AS qrk
-                  FROM dfx)
-                WHERE qrk BETWEEN 10 AND 12),
-          c AS (SELECT doc_id, token,
-                       ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
-                        (CAST(df AS DOUBLE) + 0.5)) *
-                       (CAST(tf AS DOUBLE) * 2.2 /
-                        (CAST(tf AS DOUBLE) + 1.2 *
-                         (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
-                          (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
-                         AS contrib
-                FROM tf JOIN q USING (token) CROSS JOIN stats)
-          SELECT doc_id, count(*) AS n_matched,
-                 list_reduce(
-                   list_prepend(CAST(0.0 AS DOUBLE),
-                     list_transform(list(contrib ORDER BY token), x -> x)),
-                   (a, v) -> a + v) AS score
-          FROM c GROUP BY 1 ORDER BY doc_id""",
+      s"""$Bm25Cte
+          SELECT doc_id, n_matched, score FROM bm ORDER BY doc_id""",
     "llm_setsim_join" ->
       s"""WITH g AS (SELECT doc_id, text, string_split(text, ' ') AS t
                      FROM documents),

@@ -926,7 +926,92 @@ object LlmVector {
                        x -> x)) AS n_zero_crossings""")
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------------
+  // llm_ann_hamming — 1-bit (sign) quantized ANN: each 64-dim vector
+  // compresses to TWO 32-bit sign words (16 bytes vs 256 — a 16×
+  // smaller coarse index; two words rather than one 64-bit code because
+  // bit 63 would need 1<<63, which strict-overflow engines reject).
+  // The coarse pass scans only the code columns — a map-side projection
+  // feeding TakeOrderedAndProject on (hamming, vec_id), so the float
+  // payload never moves — then the 50 survivors re-attach their
+  // embeddings for the exact-cosine rerank and final top-10. At 100 TB
+  // the code table is the only full scan; hamming is two XOR+popcounts
+  // inside whole-stage codegen.
+  // ---------------------------------------------------------------------
+  private def signWord(lowBit: Int): String =
+    s"""aggregate(sequence(0, 31), cast(0 as bigint),
+         (acc, d) -> acc + IF(element_at(embedding, d + ${lowBit + 1})
+                              >= cast(0 as double),
+                              shiftleft(cast(1 as bigint), d),
+                              cast(0 as bigint)))"""
+
+  private def annHamming(spark: SparkSession, sfDir: String): DataFrame = {
+    val codes = t(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", s"${signWord(0)} AS code_lo",
+        s"${signWord(32)} AS code_hi")
+    val q = codes.where(col("vec_id") === 0)
+      .select(col("code_lo").as("q_lo"), col("code_hi").as("q_hi"))
+    val coarse = codes.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .selectExpr("vec_id",
+        """cast(bit_count(code_lo ^ q_lo) + bit_count(code_hi ^ q_hi)
+           as int) AS hamming""")
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(50)
+    val e = emb(spark, sfDir)
+    val qv = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    coarse.join(e, "vec_id").crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("hamming"),
+        cosine(col("embedding"), col("qe"), col("nrm"), col("qn"))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_retrieval_rrf — hybrid retrieval: reciprocal-rank fusion
+  // (Cormack et al. 2009) of the BM25 text ranking (LlmText.bm25Score,
+  // same 3-term query) and the dense cosine ranking against query
+  // vector 0, joined on id (doc_id = vec_id in the corpus). Each side
+  // reduces to its top-20 FIRST via TakeOrderedAndProject — the
+  // distributed operator — and only then gets row_number'd (a 20-row
+  // single-partition window, constant work at any corpus size). Fused
+  // score = Σ 1/(60 + rank) over the sides that ranked the id; a doc
+  // ranked by only one retriever still scores (the whole point of RRF
+  // — evidence sources need not overlap).
+  // ---------------------------------------------------------------------
+  private def retrievalRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val txt = LlmText.bm25Score(spark, sfDir)
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .withColumn("rank_text", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("bigint"))
+      .select(col("doc_id").as("id"), col("rank_text"))
+    val e = emb(spark, sfDir)
+    val qv = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    val vec = e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        cosine(col("embedding"), col("qe"), col("nrm"), col("qn"))
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(20)
+      .withColumn("rank_vec", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))).cast("bigint"))
+      .select(col("vec_id").as("id"), col("rank_vec"))
+    txt.join(vec, Seq("id"), "full_outer")
+      .selectExpr("id", "rank_text", "rank_vec",
+        """coalesce(cast(1 as double) / (cast(60 as double) + rank_text),
+                    cast(0 as double)) +
+           coalesce(cast(1 as double) / (cast(60 as double) + rank_vec),
+                    cast(0 as double)) AS rrf_score""")
+      .orderBy(col("rrf_score").desc, col("id"))
+      .limit(20)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ann_hamming" -> (annHamming _),
+    "llm_retrieval_rrf" -> (retrievalRrf _),
     "llm_multimodal_audio" -> (multimodalAudio _),
     "llm_multimodal_framesample" -> (multimodalFrameSample _),
     "llm_cosine_pair" -> (cosinePair _),
@@ -1104,6 +1189,68 @@ object LlmVector {
           SELECT vec_id, m, k AS code, dt, ss FROM pqscored WHERE rk = 1)"""
 
   val oracle: Map[String, String] = Map(
+    "llm_ann_hamming" ->
+      s"""WITH codes AS (
+            SELECT vec_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(0, 32), d ->
+                       CASE WHEN embedding[d + 1] >= 0
+                            THEN (CAST(1 AS BIGINT) << CAST(d AS INTEGER))
+                            ELSE CAST(0 AS BIGINT) END)),
+                     (a, b) -> a + b) AS code_lo,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(0, 32), d ->
+                       CASE WHEN embedding[d + 33] >= 0
+                            THEN (CAST(1 AS BIGINT) << CAST(d AS INTEGER))
+                            ELSE CAST(0 AS BIGINT) END)),
+                     (a, b) -> a + b) AS code_hi
+            FROM embeddings),
+          q AS (SELECT code_lo AS q_lo, code_hi AS q_hi
+                FROM codes WHERE vec_id = 0),
+          coarse AS (
+            SELECT vec_id,
+                   CAST(bit_count(xor(code_lo, q_lo)) +
+                        bit_count(xor(code_hi, q_hi)) AS INTEGER) AS hamming
+            FROM codes CROSS JOIN q
+            WHERE vec_id <> 0
+            ORDER BY hamming, vec_id
+            LIMIT 50),
+          e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings),
+          qv AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0)
+          SELECT c.vec_id, c.hamming,
+                 ${dDot("e.embedding", "qv.qe")} / (e.nrm * qv.qn) AS cosine
+          FROM coarse c JOIN e ON c.vec_id = e.vec_id CROSS JOIN qv
+          ORDER BY cosine DESC, c.vec_id
+          LIMIT 10""",
+    "llm_retrieval_rrf" ->
+      s"""${LlmText.Bm25Cte},
+          txt AS (
+            SELECT doc_id AS id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS rank_text
+            FROM (SELECT doc_id, score FROM bm
+                  ORDER BY score DESC, doc_id LIMIT 20)),
+          e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings),
+          qv AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0),
+          vtop AS (
+            SELECT vec_id,
+                   ${dDot("e.embedding", "qv.qe")} / (e.nrm * qv.qn) AS cos
+            FROM e CROSS JOIN qv
+            WHERE vec_id <> 0
+            ORDER BY cos DESC, vec_id LIMIT 20),
+          vec AS (
+            SELECT vec_id AS id,
+                   CAST(row_number() OVER (ORDER BY cos DESC, vec_id)
+                        AS BIGINT) AS rank_vec
+            FROM vtop)
+          SELECT id, rank_text, rank_vec,
+                 coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + rank_text),
+                          CAST(0 AS DOUBLE)) +
+                 coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + rank_vec),
+                          CAST(0 AS DOUBLE)) AS rrf_score
+          FROM txt FULL OUTER JOIN vec USING (id)
+          ORDER BY rrf_score DESC, id
+          LIMIT 20""",
     "llm_embedding_pq" ->
       s"""WITH $PqCodesCte
           SELECT vec_id,

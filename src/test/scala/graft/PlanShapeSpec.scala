@@ -399,4 +399,62 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
       "GreaterThanOrEqual(l_shipdate"), plan)
   }
+
+  test("tpch_q2/q11/q20: decorrelated min/threshold/semi shapes, dims broadcast") {
+    // Q2: the part cut and region-supplier map broadcast into the
+    // offers build; the decorrelated MIN joins back without a
+    // cartesian, and the final ranking is top-k, not a global sort
+    val p2 = finalPlan(SparkEntry.queries("tpch_q2")(spark, sfDir))
+    assert(countOf(p2, "BroadcastHashJoin") >= 2, p2)
+    assert(countOf(p2, "CartesianProduct") === 0, p2)
+    assert(p2.contains("TakeOrderedAndProject"), p2)
+    // Q11: the scalar threshold is a 1-row broadcast (nested-loop on
+    // one row is the cheap side), never a data-sized cartesian
+    val p11 = finalPlan(SparkEntry.queries("tpch_q11")(spark, sfDir))
+    assert(countOf(p11, "CartesianProduct") === 0, p11)
+    assert(countOf(p11, "BroadcastExchange") >= 1, p11)
+    // Q20: the qualifying-supplier set arrives as a LEFT SEMI — the
+    // supplier table is never widened by the pairs relation
+    val p20 = finalPlan(SparkEntry.queries("tpch_q20")(spark, sfDir))
+    assert(countOf(p20, "LeftSemi") >= 1, p20)
+    assert(countOf(p20, "CartesianProduct") === 0, p20)
+  }
+
+  test("tpch_q12/q19/q21: disjunctions stay equi-join + filter, no nested loop") {
+    // Q12: one fact-fact join; the lateness predicate is a post-join
+    // filter, and the shipdate band reaches the lineitem scan
+    val p12 = finalPlan(SparkEntry.queries("tpch_q12")(spark, sfDir))
+    assert(countOf(p12, "CartesianProduct") === 0, p12)
+    assert(p12.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "GreaterThanOrEqual(l_shipdate"), p12)
+    // Q19: the OR-of-conjuncts must NOT demote the join — the partkey
+    // equality is the join key, the disjunction a post-join filter
+    val p19 = finalPlan(SparkEntry.queries("tpch_q19")(spark, sfDir))
+    assert(countOf(p19, "BroadcastHashJoin") === 1, p19)
+    assert(countOf(p19, "BroadcastNestedLoopJoin") === 0, p19)
+    assert(countOf(p19, "CartesianProduct") === 0, p19)
+    // Q21: the decorrelated exists/not-exists runs on aggregated pairs
+    // (no self-join of raw lineitem), supplier map broadcasts, and the
+    // final ranking is top-k
+    val p21 = finalPlan(SparkEntry.queries("tpch_q21")(spark, sfDir))
+    assert(countOf(p21, "CartesianProduct") === 0, p21)
+    assert(countOf(p21, "BroadcastHashJoin") >= 1, p21)
+    assert(p21.contains("TakeOrderedAndProject"), p21)
+  }
+
+  test("llm_ann_hamming / llm_retrieval_rrf: coarse pass is map-side top-k") {
+    // Hamming ANN: the coarse candidate selection reads only the two
+    // sign words (map-side projection + 1-row broadcast of the query
+    // code) and plans as TakeOrderedAndProject — the float payload is
+    // touched only for the 50-row rerank
+    val ph = finalPlan(SparkEntry.queries("llm_ann_hamming")(spark, sfDir))
+    assert(ph.contains("TakeOrderedAndProject"), ph)
+    assert(countOf(ph, "CartesianProduct") === 0, ph)
+    assert(countOf(ph, "Exchange rangepartitioning") === 0, ph)
+    // RRF: both retriever sides reduce to top-20 via TakeOrdered
+    // BEFORE any ranking window — the windows run on ≤20 rows
+    val pr = finalPlan(SparkEntry.queries("llm_retrieval_rrf")(spark, sfDir))
+    assert(countOf(pr, "TakeOrderedAndProject") >= 2, pr)
+    assert(countOf(pr, "CartesianProduct") === 0, pr)
+  }
 }

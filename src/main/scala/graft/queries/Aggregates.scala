@@ -491,7 +491,36 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Per-segment Shannon entropy of the event-type mix — the diversity
+    * metric a corpus-quality dashboard wants per source/domain. Engine
+    * parity for a log-based aggregate follows the repo's e6 trick
+    * (llm_unigram_logprob / llm_dsir_weight): each category's ln(p) is
+    * rounded once to a scaled BIGINT, the Σ cnt·lp_e6 accumulates in
+    * exact integer arithmetic (order-independent — a raw double sum
+    * would be partition-order rounding), and ONE double division at the
+    * end produces the result. Two group-by shuffles, both on
+    * group-count-sized relations after the first map-side combine. */
+  private def aggEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val cnts = t(spark, sfDir, "events")
+      .selectExpr("user_id % 10 AS segment", "event_type")
+      .groupBy("segment", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cnts.groupBy("segment")
+      .agg(sum(col("cnt")).as("n_events"), count(lit(1)).as("n_types"))
+    cnts.join(tot, "segment")
+      .selectExpr("segment", "n_events", "n_types", "cnt",
+        """cast(round(ln(cast(cnt as double) / cast(n_events as double))
+                      * 1000000.0) as bigint) AS lp_e6""")
+      .groupBy("segment", "n_events", "n_types")
+      .agg(sum(col("cnt") * col("lp_e6")).as("s"))
+      .selectExpr("segment", "n_events", "n_types",
+        """-(cast(s as double) / cast(n_events as double) / 1000000.0)
+           AS entropy_nats""")
+      .orderBy("segment")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_entropy" -> (aggEntropy _),
     "agg_weighted_percentile" -> (aggWeightedPercentile _),
     "agg_median" -> (aggMedian _),
     "agg_outlier_mad" -> (aggOutlierMad _),
@@ -521,6 +550,28 @@ object Aggregates {
     "agg_collect" -> (aggCollect _))
 
   val oracle: Map[String, String] = Map(
+    "agg_entropy" ->
+      """WITH cnts AS (
+           SELECT user_id % 10 AS segment, event_type, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         tot AS (
+           SELECT segment, CAST(sum(cnt) AS BIGINT) AS n_events,
+                  count(*) AS n_types
+           FROM cnts GROUP BY 1),
+         lp AS (
+           SELECT segment, n_events, n_types, cnt,
+                  CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(n_events AS DOUBLE))
+                             * 1000000.0) AS BIGINT) AS lp_e6
+           FROM cnts JOIN tot USING (segment)),
+         s AS (
+           SELECT segment, n_events, n_types,
+                  CAST(sum(cnt * lp_e6) AS BIGINT) AS s
+           FROM lp GROUP BY 1, 2, 3)
+         SELECT segment, n_events, n_types,
+                -(CAST(s AS DOUBLE) / CAST(n_events AS DOUBLE) / 1000000.0)
+                  AS entropy_nats
+         FROM s
+         ORDER BY segment""",
     "agg_weighted_percentile" ->
       """WITH hist AS (
            SELECT l_returnflag,

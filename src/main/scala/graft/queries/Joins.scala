@@ -528,7 +528,51 @@ object Joins {
       .orderBy("d_key")
   }
 
+  /** Interval-OVERLAP join (both sides are intervals — the general case
+    * of [[joinRange]]'s point-in-range): order fulfillment windows
+    * [o_orderdate, +5..24 days] against per-customer audit windows
+    * [1996-01-01 + custkey-offset, +30 days] in the same nation. The
+    * naive plan is a nation-keyed join with an O(n·m) overlap filter
+    * per nation; the scale rewrite explodes BOTH sides into the 28-day
+    * calendar blocks they cover (replication ≤ ⌈len/28⌉+1 ≈ 2 rows per
+    * interval) and equi-joins on (nation, block), so matching is
+    * O(pairs sharing a block), then refines with the exact overlap
+    * predicate and dedups pairs that co-occur in two blocks BEFORE the
+    * aggregate. Integer day arithmetic throughout — overlap lengths
+    * are exact in both engines. */
+  private def joinInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = t(spark, sfDir, "orders")
+      .join(t(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .selectExpr("o_orderkey", "c_nationkey AS nat",
+        "to_date(o_orderdate) AS a_start",
+        "date_add(to_date(o_orderdate), cast(o_orderkey % 20 + 5 as int)) AS a_end")
+    val b = t(spark, sfDir, "customer")
+      .selectExpr("c_custkey", "c_nationkey AS nat",
+        "date_add(date'1996-01-01', cast(c_custkey % 1500 as int)) AS b_start")
+      .selectExpr("c_custkey", "nat", "b_start",
+        "date_add(b_start, 30) AS b_end")
+    def blocks(s: String, e: String) =
+      s"explode(sequence(datediff($s, date'1970-01-01') div 28, " +
+        s"datediff($e, date'1970-01-01') div 28)) AS blk"
+    val aB = a.selectExpr("o_orderkey", "nat", "a_start", "a_end",
+      blocks("a_start", "a_end"))
+    val bB = b.selectExpr("c_custkey", "nat", "b_start", "b_end",
+      blocks("b_start", "b_end"))
+    aB.join(bB, Seq("nat", "blk"))
+      .where(col("a_start") <= col("b_end") &&
+        col("b_start") <= col("a_end"))
+      .selectExpr("nat", "o_orderkey", "c_custkey",
+        "datediff(least(a_end, b_end), greatest(a_start, b_start)) + 1 AS overlap_days")
+      .distinct()
+      .groupBy(col("nat").as("nationkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("overlap_days")).cast("long").as("total_overlap_days"))
+      .orderBy("nationkey")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_interval" -> (joinInterval _),
     "join_fuzzy_blocked" -> (joinFuzzyBlocked _),
     "join_lateral" -> (joinLateral _),
     "join_subquery" -> (joinSubquery _),
@@ -552,6 +596,30 @@ object Joins {
     "join_asof_nearest" -> (joinAsOfNearest _))
 
   val oracle: Map[String, String] = Map(
+    "join_interval" ->
+      """WITH a AS (
+           SELECT o_orderkey, c_nationkey AS nat,
+                  CAST(o_orderdate AS DATE) AS a_start,
+                  CAST(o_orderdate AS DATE)
+                    + CAST(o_orderkey % 20 + 5 AS INTEGER) AS a_end
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         b AS (
+           SELECT c_custkey, c_nationkey AS nat,
+                  DATE '1996-01-01'
+                    + CAST(c_custkey % 1500 AS INTEGER) AS b_start,
+                  DATE '1996-01-01'
+                    + CAST(c_custkey % 1500 AS INTEGER) + 30 AS b_end
+           FROM customer)
+         SELECT nat AS nationkey,
+                count(*) AS n_pairs,
+                CAST(sum(date_diff('day',
+                           greatest(a_start, b_start),
+                           least(a_end, b_end)) + 1) AS BIGINT)
+                  AS total_overlap_days
+         FROM a JOIN b USING (nat)
+         WHERE a_start <= b_end AND b_start <= a_end
+         GROUP BY 1
+         ORDER BY nationkey""",
     "join_fuzzy_blocked" ->
       """WITH dirty AS (
            SELECT c_custkey AS d_key, c_nationkey AS d_nat,

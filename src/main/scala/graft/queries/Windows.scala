@@ -378,7 +378,35 @@ object Windows {
       .orderBy("bucket")
   }
 
+  /** Running DISTINCT count — an operator no engine has as a native
+    * window function (COUNT(DISTINCT) OVER is unsupported in both Spark
+    * and DuckDB): "how many distinct event types has this user seen as
+    * of each event?" The scalable rewrite: mark each type's earliest
+    * event with a first-occurrence flag (lag over a type-major sort —
+    * no per-type state), then a running SUM of flags in time order.
+    * Both windows partition by user_id ONLY, so Catalyst plans ONE
+    * exchange and two partition-local sorts — the naive per-(user,type)
+    * first-occurrence window would shuffle twice. At 100 TB the state
+    * per task is one lag value and one running sum — constant memory,
+    * any user-history length. */
+  private def winCumulativeDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val byType = Window.partitionBy("user_id")
+      .orderBy(col("event_type"), col("ts"), col("event_id"))
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        when(lag(col("event_type"), 1).over(byType).isNull ||
+          lag(col("event_type"), 1).over(byType) =!= col("event_type"), 1L)
+          .otherwise(0L).as("first_seen"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        sum(col("first_seen")).over(byTime).as("cum_distinct_types"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_cumulative_distinct" -> (winCumulativeDistinct _),
     "win_rolling_corr" -> (winRollingCorr _),
     "win_anomaly_zscore" -> (winAnomalyZscore _),
     "win_ewma" -> (winEwma _),
@@ -397,6 +425,22 @@ object Windows {
     "win_session_batch" -> (winSessionBatch _))
 
   val oracle: Map[String, String] = Map(
+    "win_cumulative_distinct" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, event_type,
+                  CASE WHEN lag(event_type) OVER
+                         (PARTITION BY user_id
+                          ORDER BY event_type, ts, event_id)
+                       IS DISTINCT FROM event_type
+                       THEN 1 ELSE 0 END AS first_seen
+           FROM events)
+         SELECT user_id, event_id, ts, event_type,
+                CAST(sum(first_seen) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_distinct_types
+         FROM flagged
+         ORDER BY user_id, ts, event_id""",
     "win_rolling_corr" ->
       """WITH h AS (
            SELECT date_trunc('hour', ts) AS bucket,

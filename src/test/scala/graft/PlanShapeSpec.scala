@@ -457,4 +457,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOf(pr, "TakeOrderedAndProject") >= 2, pr)
     assert(countOf(pr, "CartesianProduct") === 0, pr)
   }
+
+  test("win_cumulative_distinct: one exchange feeds both windows") {
+    // Both window specs partition by user_id only, so the flag pass and
+    // the running sum share ONE shuffle (two partition-local sorts) —
+    // a per-(user,type) partitioning would shuffle twice
+    val p = finalPlan(SparkEntry.queries("win_cumulative_distinct")(spark, sfDir))
+    assert(countOf(p, "Exchange hashpartitioning") === 1, p)
+    assert(countOf(p, "Window ") === 2, p)
+  }
+
+  test("join_interval: overlap matches via (nation, block) equi-join, never nested-loop") {
+    val p = finalPlan(SparkEntry.queries("join_interval")(spark, sfDir))
+    assert(countOf(p, "CartesianProduct") === 0, p)
+    assert(countOf(p, "BroadcastNestedLoopJoin") === 0, p)
+    // the overlap refine survives as a post-join filter on the equi-join
+    assert(countOf(p, "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin") >= 1, p)
+  }
 }

@@ -413,6 +413,69 @@ object LlmText {
   }
 
   // ---------------------------------------------------------------------
+  // llm_leakage_safe_split — GroupKFold for corpora: the unit of
+  // train/val/test assignment is the DEDUP CLUSTER, not the document.
+  // A doc-hash split (llm_sample_split) leaks near-duplicates across
+  // the boundary — two 95%-identical docs hash independently, one
+  // lands in train and one in test, and eval scores inflate. Hashing
+  // the cluster id instead sends every member of a near-dup cluster to
+  // the SAME side. Cost on top of the clustering (shared + cached):
+  // one map-side projection — the split decision needs no shuffle at
+  // all. Same 80/10/10 bucket arithmetic as llm_sample_split.
+  // ---------------------------------------------------------------------
+  private def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame =
+    dedupClusters(spark, sfDir)
+      .selectExpr("doc_id", "cluster_id",
+        "md5(concat(cast(cluster_id as string), '#cluster-split-salt-1')) AS fp")
+      .selectExpr("doc_id", "cluster_id",
+        """((instr('0123456789abcdef', substring(fp, 1, 1)) - 1) * 4096 +
+            (instr('0123456789abcdef', substring(fp, 2, 1)) - 1) * 256 +
+            (instr('0123456789abcdef', substring(fp, 3, 1)) - 1) * 16 +
+            (instr('0123456789abcdef', substring(fp, 4, 1)) - 1)) % 100
+           AS bucket""")
+      .selectExpr("doc_id", "cluster_id", "bucket",
+        """CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split""")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------------
+  // llm_ngram_novelty — per-document novelty scoring: what fraction of
+  // a doc's distinct 3-grams appear in NO earlier document (doc_id =
+  // arrival order)? The data-curation signal behind "contribution"
+  // ordering — boilerplate-heavy docs score near 0, fresh content near
+  // 1e6. Scale shape: the gram table shuffles once keyed by gram for
+  // the min-first-doc aggregate; the join-back is gram-keyed on both
+  // sides (reuses the partitioning) and the per-doc rollup is the only
+  // other exchange. Exact integer counts; one e6-scaled division at
+  // the end.
+  // ---------------------------------------------------------------------
+  private def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .where(size(col("toks")) >= 3)
+      .selectExpr("doc_id",
+        """explode(array_distinct(transform(sequence(1, size(toks) - 2),
+             i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                  element_at(toks, i + 2))))) AS gram""")
+    val first = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+    val per = grams.join(first, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    t(spark, sfDir, "documents").select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "cast(coalesce(n_grams, 0) as bigint) AS n_grams",
+        "cast(coalesce(n_novel, 0) as bigint) AS n_novel",
+        """cast(round(coalesce(n_novel, 0) * cast(1000000 as double)
+                      / greatest(coalesce(n_grams, 0), 1)) as bigint)
+           AS novelty_e6""")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_knn_graph — k-nearest-neighbor graph over the LSH candidate
   // pairs: each document's top-3 most-similar neighbors by exact
   // 3-gram Jaccard, ranked only among its banded candidates (never
@@ -2023,6 +2086,8 @@ object LlmText {
     "llm_dsir_weight" -> (dsirWeight _),
     "llm_perplexity_bucket" -> (perplexityBucket _),
     "llm_dedup_clusters" -> (dedupClusters _),
+    "llm_leakage_safe_split" -> (leakageSafeSplit _),
+    "llm_ngram_novelty" -> (ngramNovelty _),
     "llm_cluster_representative" -> (clusterRepresentative _),
     "llm_pagerank" -> (pageRank _),
     "llm_label_propagation" -> (labelPropagation _),
@@ -2715,6 +2780,45 @@ object LlmText {
       s"""$DClusterLabels
           SELECT doc_id, cluster_id, is_kept
           FROM labels ORDER BY doc_id""",
+    "llm_leakage_safe_split" ->
+      s"""$DClusterLabels,
+          b AS (
+            SELECT doc_id, cluster_id,
+                   ((strpos('0123456789abcdef', fp[1:1]) - 1) * 4096 +
+                    (strpos('0123456789abcdef', fp[2:2]) - 1) * 256 +
+                    (strpos('0123456789abcdef', fp[3:3]) - 1) * 16 +
+                    (strpos('0123456789abcdef', fp[4:4]) - 1)) % 100
+                     AS bucket
+            FROM (SELECT doc_id, cluster_id,
+                         md5(CAST(cluster_id AS VARCHAR)
+                             || '#cluster-split-salt-1') AS fp
+                  FROM labels))
+          SELECT doc_id, cluster_id, bucket,
+                 CASE WHEN bucket < 80 THEN 'train'
+                      WHEN bucket < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM b ORDER BY doc_id""",
+    "llm_ngram_novelty" ->
+      """WITH g AS (
+           SELECT doc_id,
+                  unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                          FOR i IN range(1, len(t) - 1)])) AS gram
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+           WHERE len(t) >= 3),
+         f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1),
+         per AS (
+           SELECT doc_id, count(*) AS n_grams,
+                  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_novel
+           FROM g JOIN f USING (gram) GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+                CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+                CAST(round(coalesce(n_novel, 0) * CAST(1000000 AS DOUBLE)
+                           / greatest(coalesce(n_grams, 0), 1)) AS BIGINT)
+                  AS novelty_e6
+         FROM documents d LEFT JOIN per USING (doc_id)
+         ORDER BY d.doc_id""",
     "llm_dedup_cluster_stats" ->
       s"""$DClusterLabels
           SELECT cluster_size, count(*) AS n_clusters

@@ -705,4 +705,43 @@ class LlmSpec extends AnyFunSuite {
     assert(tri.getAs[Long]("n_edges") === und.count())
     und.unpersist()
   }
+
+  test("leakage-safe split keeps every dedup cluster on one side") {
+    val df = SparkEntry.queries("llm_leakage_safe_split")(spark, sfDir).cache()
+    // the defining invariant: no cluster straddles a split boundary —
+    // a violation is exactly the train/test near-dup leak the operator
+    // exists to prevent
+    val straddling = df.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n_splits"))
+      .where(col("n_splits") > 1).count()
+    assert(straddling === 0L)
+    // all three splits materialize (the hash isn't degenerate) and
+    // every document is assigned exactly once
+    assert(df.select("split").distinct().count() === 3L)
+    assert(df.count() ===
+      Tables.t(spark, sfDir, "documents").count())
+    df.unpersist()
+  }
+
+  test("ngram novelty: doc 0 is fully novel, exact duplicates score zero") {
+    val rows = SparkEntry.queries("llm_ngram_novelty")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // the first document has no predecessors: every gram is novel
+    val (g0, n0, e0) = rows(0L)
+    assert(g0 > 0 && n0 === g0 && e0 === 1000000L)
+    // any doc whose text exactly duplicates an earlier doc must score 0
+    val dups = LlmText.defs("llm_dedup_exact")(spark, sfDir)
+      .where(col("n_copies") > 1).select("keep_doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val laterCopies = Tables.t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "md5(lower(trim(regexp_replace(text, '\\\\s+', ' ')))) AS fp")
+      .collect().groupBy(_.getString(1)).values
+      .filter(_.length > 1)
+      .flatMap(g => g.map(_.getLong(0)).sorted.tail)
+    laterCopies.foreach { d =>
+      val (g, n, _) = rows(d)
+      if (g > 0) assert(n === 0L, s"doc $d duplicates an earlier doc but has $n novel grams")
+    }
+  }
 }

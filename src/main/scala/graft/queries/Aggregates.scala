@@ -519,8 +519,46 @@ object Aggregates {
       .orderBy("segment")
   }
 
+  /** Grouped OLS regression (regr_slope/regr_intercept/regr_r2) the
+    * engine-exact way: Spark's native regr_* aggregates accumulate
+    * doubles in partition order (non-deterministic across engines and
+    * runs), so instead the five moment sums n, Σx, Σy, Σxy, Σx², Σy²
+    * accumulate as EXACT decimals (the corpus' money doubles are
+    * 2-decimal, products are decimal(38,4) — order-independent), each
+    * sum casts to double once, and the closed-form slope/intercept/r²
+    * are identical double arithmetic on identical inputs in both
+    * engines. One group-by shuffle, partials map-side. Degenerate
+    * groups (zero x-variance) are excluded by a predicate on the same
+    * doubles, so no NaN/Inf can surface. */
+  private def aggRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    val c = t(spark, sfDir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("c_acctbal"))).cast("double").as("sx"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sy"),
+        sum(dec(col("c_acctbal")) * dec(col("o_totalprice")))
+          .cast("double").as("sxy"),
+        sum(dec(col("c_acctbal")) * dec(col("c_acctbal")))
+          .cast("double").as("sxx"),
+        sum(dec(col("o_totalprice")) * dec(col("o_totalprice")))
+          .cast("double").as("syy"))
+      .where(col("n") >= 2 &&
+        col("n") * col("sxx") - col("sx") * col("sx") =!= 0.0)
+      .selectExpr("nationkey", "n",
+        """(n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope""",
+        """(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+           AS intercept""",
+        """((n * sxy - sx * sy) * (n * sxy - sx * sy))
+           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2""")
+      .orderBy("nationkey")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_entropy" -> (aggEntropy _),
+    "agg_regression" -> (aggRegression _),
     "agg_weighted_percentile" -> (aggWeightedPercentile _),
     "agg_median" -> (aggMedian _),
     "agg_outlier_mad" -> (aggOutlierMad _),
@@ -550,6 +588,33 @@ object Aggregates {
     "agg_collect" -> (aggCollect _))
 
   val oracle: Map[String, String] = Map(
+    "agg_regression" ->
+      """WITH m AS (
+           SELECT c_nationkey AS nationkey, count(*) AS n,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                    AS sx,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS sy,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))
+                           * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS sxy,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))
+                           * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                    AS sxx,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+                           * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS syy
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1)
+         SELECT nationkey, n,
+                (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+                (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                  AS intercept,
+                ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+         FROM m
+         WHERE n >= 2 AND n * sxx - sx * sx <> 0
+         ORDER BY nationkey""",
     "agg_entropy" ->
       """WITH cnts AS (
            SELECT user_id % 10 AS segment, event_type, count(*) AS cnt

@@ -854,6 +854,35 @@ object LlmText {
   }
 
   // ---------------------------------------------------------------------
+  // llm_tokenizer_fertility — the tokenizer-evaluation metric released
+  // with every tokenizer: corpus-weighted pieces-per-word (fertility)
+  // and chars-per-piece, per language. High fertility on a language
+  // means the vocabulary underserves it (more pieces → more compute
+  // per byte of that language). Joins the corpus word frequencies
+  // against llm_bpe_apply's word→pieces table (vocab-sized →
+  // broadcast); words outside the BPE training vocabulary drop in the
+  // inner join on both engines identically. All sums are exact
+  // integers; the two ratios are final double divisions.
+  // ---------------------------------------------------------------------
+  private def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val pieces = bpeApply(spark, sfDir).select(col("w"), col("n_pieces"))
+    val wf = t(spark, sfDir, "documents")
+      .selectExpr("lang", s"explode(split($NormText, ' ')) AS w")
+      .groupBy("lang", "w").agg(count(lit(1)).as("freq"))
+    wf.join(broadcast(pieces), Seq("w"))
+      .groupBy("lang")
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("n_pieces")).as("n_pieces_total"),
+        sum(col("freq") * length(col("w"))).as("n_chars_total"))
+      .selectExpr("lang", "n_words", "n_pieces_total", "n_chars_total",
+        """cast(n_pieces_total as double) / cast(n_words as double)
+           AS fertility""",
+        """cast(n_chars_total as double) / cast(n_pieces_total as double)
+           AS chars_per_piece""")
+      .orderBy("lang")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_dataset_card — the corpus "dataset card" summary every released
   // training set ships with: doc/token totals, language and source
   // diversity, exact-duplicate count, and length extremes — ONE
@@ -2098,6 +2127,7 @@ object LlmText {
     "llm_tokenize_apply" -> (tokenizeApply _),
     "llm_bpe_train" -> (bpeTrain _),
     "llm_bpe_apply" -> (bpeApply _),
+    "llm_tokenizer_fertility" -> (tokenizerFertility _),
     "llm_dataset_card" -> (datasetCard _),
     "llm_decontaminate" -> (decontaminate _),
     "llm_pii_redact" -> (piiRedact _),
@@ -2896,6 +2926,25 @@ object LlmText {
          FROM cum ORDER BY token_id""",
     "llm_bpe_train" -> BpeOracle,
     "llm_bpe_apply" -> BpeApplyOracle,
+    "llm_tokenizer_fertility" ->
+      s"""$bpeCtePrefix,
+          pieces AS (
+            SELECT w, count(*) AS n_pieces
+            FROM $bpeLastSyms GROUP BY 1),
+          words AS (
+            SELECT lang, unnest(string_split($DNorm, ' ')) AS w
+            FROM documents),
+          wf AS (SELECT lang, w, count(*) AS freq FROM words GROUP BY 1, 2)
+          SELECT lang,
+                 CAST(sum(freq) AS BIGINT) AS n_words,
+                 CAST(sum(freq * n_pieces) AS BIGINT) AS n_pieces_total,
+                 CAST(sum(freq * length(w)) AS BIGINT) AS n_chars_total,
+                 CAST(sum(freq * n_pieces) AS DOUBLE)
+                   / CAST(sum(freq) AS DOUBLE) AS fertility,
+                 CAST(sum(freq * length(w)) AS DOUBLE)
+                   / CAST(sum(freq * n_pieces) AS DOUBLE) AS chars_per_piece
+          FROM wf JOIN pieces USING (w)
+          GROUP BY 1 ORDER BY lang""",
     "llm_dataset_card" ->
       """SELECT count(*) AS n_docs,
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT)

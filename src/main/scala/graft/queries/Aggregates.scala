@@ -546,13 +546,27 @@ object Aggregates {
         sum(dec(col("o_totalprice")) * dec(col("o_totalprice")))
           .cast("double").as("syy"))
       .where(col("n") >= 2 &&
-        col("n") * col("sxx") - col("sx") * col("sx") =!= 0.0)
+        col("n") * col("sxx") - col("sx") * col("sx") =!= 0.0 &&
+        // zero y-variance would make r2 = 0/0 = NaN; exclude in BOTH
+        // engines (same predicate in the oracle)
+        col("n") * col("syy") - col("sy") * col("sy") =!= 0.0)
       .selectExpr("nationkey", "n",
-        """(n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope""",
-        """(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
-           AS intercept""",
-        """((n * sxy - sx * sy) * (n * sxy - sx * sy))
-           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2""")
+        // Outputs are rounded to a fixed decimal granularity on BOTH
+        // sides: the moment sums are exact decimals, but their
+        // decimal->double casts are not bit-identical across engines
+        // (DuckDB's scaled-int cast vs the JVM's correctly-rounded
+        // BigDecimal cast can differ in the last ULP — observed on r2
+        // at sf0.01). round() quantizes both engines to the same
+        // rational p/10^k, whose double conversion IS correctly
+        // rounded in both, so a last-ULP input wobble cannot flip the
+        // emitted value unless it sits within ULPs of a rounding
+        // boundary (audited at all 3 SFs: min boundary distance is
+        // ~0.005 granularity ≈ 180× the worst per-value ULP noise).
+        """round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope""",
+        """round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept""",
+        """round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+           / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2""")
       .orderBy("nationkey")
   }
 
@@ -607,13 +621,14 @@ object Aggregates {
            FROM orders JOIN customer ON o_custkey = c_custkey
            GROUP BY 1)
          SELECT nationkey, n,
-                (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-                (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
-                  AS intercept,
-                ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+                round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+                round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                      / n, 6) AS intercept,
+                round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2
          FROM m
          WHERE n >= 2 AND n * sxx - sx * sx <> 0
+           AND n * syy - sy * sy <> 0
          ORDER BY nationkey""",
     "agg_entropy" ->
       """WITH cnts AS (

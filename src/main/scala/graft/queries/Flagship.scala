@@ -828,17 +828,27 @@ LIMIT 100"""
           col("n_regionkey") === col("r_regionkey"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
+    // The threshold compare runs ENTIRELY in exact decimals: the
+    // earlier form summed per-part DOUBLES into the cutoff —
+    // partition-order-dependent accumulation feeding a strict '>', the
+    // one nondeterminism class left in the tier. 'pv > total/n * 2' is
+    // cross-multiplied to 'pv * n > total * 2' so no division (and no
+    // double) ever touches the predicate; the double cast survives only
+    // in the DISPLAYED part_value. Bounded precisions keep both
+    // engines' decimal arithmetic exact (never silently widened to
+    // float) through sf1-scale magnitudes.
     val vals = t(spark, sfDir, "lineitem")
       .join(broadcast(af), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sum(dec(col("l_extendedprice")) *
         (lit(BigDecimal(1)) - dec(col("l_discount"))))
-        .cast("double").as("part_value"))
+        .cast("decimal(20,4)").as("pv_dec"))
     val thresh = vals.agg(
-      (sum(col("part_value")) / count(lit(1)) * 2.0).as("cutoff"))
+      sum(col("pv_dec")).cast("decimal(28,4)").as("total_dec"),
+      count(lit(1)).cast("decimal(10,0)").as("n_parts"))
     vals.crossJoin(broadcast(thresh))
-      .where(col("part_value") > col("cutoff"))
-      .select(col("l_partkey"), col("part_value"))
+      .where(col("pv_dec") * col("n_parts") > col("total_dec") * 2)
+      .select(col("l_partkey"), col("pv_dec").cast("double").as("part_value"))
       .orderBy(col("part_value").desc, col("l_partkey"))
   }
 
@@ -851,13 +861,17 @@ LIMIT 100"""
 vals AS (
   SELECT l_partkey,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-           AS part_value
+                  * (1 - CAST(l_discount AS DECIMAL(18,2))))
+              AS DECIMAL(20,4)) AS pv_dec
   FROM lineitem JOIN af ON l_suppkey = s_suppkey
-  GROUP BY 1)
-SELECT l_partkey, part_value
-FROM vals
-WHERE part_value > (SELECT sum(part_value) / count(*) * 2.0 FROM vals)
+  GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(pv_dec) AS DECIMAL(28,4)) AS total_dec,
+         CAST(count(*) AS DECIMAL(10,0)) AS n_parts
+  FROM vals)
+SELECT l_partkey, CAST(pv_dec AS DOUBLE) AS part_value
+FROM vals, tot
+WHERE pv_dec * n_parts > total_dec * 2
 ORDER BY part_value DESC, l_partkey"""
 
   /** L. TPC-H Q12 (shipping modes / priority classes), adapted: no
@@ -957,15 +971,21 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
   private def q20(spark: SparkSession, sfDir: String): DataFrame = {
     val p = t(spark, sfDir, "part")
       .where(col("p_name").like("large%")).select(col("p_partkey"))
+    // Threshold compare in exact decimals (same rewrite as q11): the
+    // earlier avg_qty summed DOUBLE pair quantities — order-dependent
+    // accumulation feeding a strict '>'. 'pq > (tot/n) * 1.2' is
+    // cross-multiplied to 'pq * n * 10 > tot * 12', so the predicate
+    // never touches a float or a division.
     val pairs = t(spark, sfDir, "lineitem")
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(sum(dec(col("l_quantity"))).cast("double").as("pair_qty"))
+      .agg(sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("pq_dec"))
     val partAvg = pairs.groupBy(col("l_partkey").as("pa_key"))
-      .agg((sum(col("pair_qty")) / count(lit(1))).as("avg_qty"))
+      .agg(sum(col("pq_dec")).cast("decimal(24,2)").as("tot_dec"),
+        count(lit(1)).cast("decimal(8,0)").as("n_sup"))
     val winners = pairs
       .join(partAvg, col("l_partkey") === col("pa_key"))
-      .where(col("pair_qty") > col("avg_qty") * 1.2)
+      .where(col("pq_dec") * col("n_sup") * 10 > col("tot_dec") * 12)
       .select(col("l_suppkey")).distinct()
     t(spark, sfDir, "supplier")
       .join(winners, col("s_suppkey") === col("l_suppkey"), "left_semi")
@@ -978,18 +998,20 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
   private val q20Sql: String =
     """WITH pairs AS (
   SELECT l_partkey, l_suppkey,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-           AS pair_qty
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS pq_dec
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE p_name LIKE 'large%'
   GROUP BY 1, 2),
 part_avg AS (
-  SELECT l_partkey AS pa_key, sum(pair_qty) / count(*) AS avg_qty
+  SELECT l_partkey AS pa_key,
+         CAST(sum(pq_dec) AS DECIMAL(24,2)) AS tot_dec,
+         CAST(count(*) AS DECIMAL(8,0)) AS n_sup
   FROM pairs GROUP BY 1),
 winners AS (
   SELECT DISTINCT l_suppkey
   FROM pairs JOIN part_avg ON l_partkey = pa_key
-  WHERE pair_qty > avg_qty * 1.2)
+  WHERE pq_dec * n_sup * 10 > tot_dec * 12)
 SELECT s_suppkey, s_name, n_name
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey

@@ -747,8 +747,10 @@ object LlmText {
         coalesce(col("token_id"), lit(0)).cast("int").as("id"))
       .groupBy("doc_id")
       .agg(
-        expr("transform(array_sort(collect_list(struct(pos, id)))," +
-          " s -> s.id)").as("token_ids"),
+        // Serialized (not a raw array) per the round-2 convention: the
+        // driver's pandas canonicalization cannot hash list cells.
+        expr("array_join(transform(array_sort(collect_list(struct(pos, id)))," +
+          " s -> s.id), ',')").as("token_ids"),
         count(lit(1)).as("n_tokens"),
         sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_oov"))
       .orderBy("doc_id")
@@ -1907,7 +1909,10 @@ object LlmText {
       .selectExpr("doc_id", s"explode(array_distinct(split($NormText, ' '))) AS token")
       .groupBy("token")
       .agg(count(lit(1)).as("df"),
-        sort_array(collect_list(col("doc_id"))).as("postings"))
+        // Serialized postings (round-2 convention): the driver's pandas
+        // canonicalization cannot hash raw array cells.
+        array_join(sort_array(collect_list(col("doc_id"))), ",")
+          .as("postings"))
       .where(col("df") >= 2)
       .orderBy("token")
 
@@ -2463,7 +2468,8 @@ object LlmText {
     "llm_inverted_index" ->
       s"""WITH $DTokDf
           SELECT token, count(*) AS df,
-                 list(doc_id ORDER BY doc_id) AS postings
+                 array_to_string(list(doc_id ORDER BY doc_id), ',')
+                   AS postings
           FROM tok GROUP BY token HAVING count(*) >= 2
           ORDER BY token""",
     "llm_sample_reservoir" ->
@@ -2931,10 +2937,11 @@ object LlmText {
           pieces AS (
             SELECT w, count(*) AS n_pieces
             FROM $bpeLastSyms GROUP BY 1),
-          words AS (
+          corpus_words AS (
             SELECT lang, unnest(string_split($DNorm, ' ')) AS w
             FROM documents),
-          wf AS (SELECT lang, w, count(*) AS freq FROM words GROUP BY 1, 2)
+          wf AS (SELECT lang, w, count(*) AS freq
+                 FROM corpus_words GROUP BY 1, 2)
           SELECT lang,
                  CAST(sum(freq) AS BIGINT) AS n_words,
                  CAST(sum(freq * n_pieces) AS BIGINT) AS n_pieces_total,
@@ -2973,7 +2980,8 @@ object LlmText {
          ids AS (
            SELECT doc_id, pos, CAST(coalesce(v.token_id, 0) AS INTEGER) AS id
            FROM tokp LEFT JOIN vocab v ON tokp.tok = v.token)
-         SELECT doc_id, list(id ORDER BY pos) AS token_ids,
+         SELECT doc_id,
+                array_to_string(list(id ORDER BY pos), ',') AS token_ids,
                 count(*) AS n_tokens,
                 CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_oov

@@ -76,6 +76,24 @@ def main():
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
+        # Driver-parity guard (r5 lesson): the driver canonicalizes with
+        # pandas sort_values, which dies on unhashable cells — any raw
+        # ARRAY/LIST (numpy.ndarray), STRUCT, or MAP column in an
+        # oracle-able result is a guaranteed driver ERR even though this
+        # script's exact-compare handles lists fine. Fail it HERE so the
+        # local gate matches the driver: serialize such columns to
+        # delimited strings (array_join / array_to_string) on both sides.
+        nested = sorted({c for cols, typs in ((got_cols, got_types),
+                                              (exp_cols, exp_types))
+                         for c, t in zip(cols, typs)
+                         if t.strip().endswith("]]") or t.strip().endswith("[]")
+                         or t.strip().upper().startswith(("STRUCT(", "MAP("))})
+        if nested:
+            print(f"FAIL {name}: nested result column(s) {nested} — the "
+                  "driver's pandas canonicalization cannot hash them; "
+                  "serialize to a delimited string on both sides")
+            n_fail += 1
+            continue
         g, gc, gt = canon(got, got_cols, got_types)
         e_, ec, et = canon(exp, exp_cols, exp_types)
         if gc != ec:

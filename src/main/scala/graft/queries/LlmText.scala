@@ -59,7 +59,14 @@ object LlmText {
     }
 
   private def signedUncached(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "documents")
+    signedOn(t(spark, sfDir, "documents")).persist()
+
+  /** Signature build over an arbitrary (doc_id, text) relation — the
+    * corpus-wide cached table above and `llm_dedup_eval`'s sampled
+    * stratum both derive from this one definition, so the two can
+    * never drift. Caller decides persistence. */
+  private def signedOn(docs: DataFrame): DataFrame =
+    docs
       // Staged projections (tokens → shingles → signature → bands):
       // each step references the previous step's materialized column —
       // CollapseProject keeps multi-referenced expensive aliases
@@ -77,13 +84,14 @@ object LlmText {
       .selectExpr("doc_id", "sh", "sig",
         """transform(sequence(0, 5),
              b -> md5(concat_ws('|', slice(sig, b * 2 + 1, 2)))) AS bands""")
-      .persist()
 
   /** Candidate pairs from the band-bucket join (deduplicated across
     * bands). The join key (band_idx, band_hash) is the scale story:
     * it shuffles each document 6 times instead of comparing all pairs. */
-  private def candidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = signed(spark, sfDir)
+  private def candidates(spark: SparkSession, sfDir: String): DataFrame =
+    candidatesFrom(signed(spark, sfDir))
+
+  private def candidatesFrom(s: DataFrame): DataFrame = {
     // Join + distinct on bare (doc_a, doc_b) ids — the band join and
     // the dedup exchange move O(pairs) tiny rows, not the full shingle
     // arrays; payloads re-attach afterwards from the persisted
@@ -1845,9 +1853,18 @@ object LlmText {
   // shingles, and the verify step touches only surviving candidates —
   // filter-then-verify with an exactness guarantee LSH can't give.
   // ---------------------------------------------------------------------
-  private def setSimJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  private def setSimJoin(spark: SparkSession, sfDir: String): DataFrame =
+    setSimJoinOn(t(spark, sfDir, "documents"))
+
+  /** PPJoin over an arbitrary (doc_id, text) relation. The final
+    * thresholded answer is df-order-INVARIANT: prefix filtering is
+    * complete under any global token order, and the emitted jaccard is
+    * pair-local — so running this on a filtered corpus yields exactly
+    * the full answer restricted to pairs with both endpoints in the
+    * filter (what `llm_dedup_eval`'s sampled stratum relies on). */
+  private def setSimJoinOn(docs: DataFrame): DataFrame = {
     // shingle derivation identical to the LSH pipeline's (signed/cand)
-    val shs = t(spark, sfDir, "documents")
+    val shs = docs
       .selectExpr("doc_id", "text", "split(text, ' ') AS tk")
       .selectExpr("doc_id",
         """CASE WHEN size(tk) >= 3 THEN
@@ -2038,23 +2055,51 @@ object LlmText {
   // twin exists — truth is llm_setsim_join's full answer, prediction is
   // "≥ 6 of 12 signature positions agree" on LSH candidates. One
   // full-outer join on pair ids + one global count row; ppm ratios in
-  // integer arithmetic. At scale this runs on a sampled stratum — the
-  // confusion counts are corpus statistics, not per-pair artifacts.
+  // integer arithmetic.
+  //
+  // The audit runs on a SAMPLED STRATUM (the 12/16 ≈ 75% of docs whose
+  // salted doc-id md5 starts with 0-b), because the confusion counts
+  // are corpus statistics, not per-pair artifacts: doc-sampling at
+  // rate p induces unbiased pair-sampling at p² (a pair survives iff
+  // both endpoints do), and both pipelines restricted to the stratum
+  // provably equal their full-corpus answers filtered to
+  // stratum-endpoint pairs (band hashes are per-doc; PPJoin's final
+  // jaccard is pair-local and df-order-invariant, see setSimJoinOn).
+  // The exact-truth side is quadratic-ish in candidate density, so the
+  // stratum cuts its pair work ~2× here (at 100 TB the same knob
+  // dials as low as the wanted confidence interval allows — p=0.75
+  // keeps 11 of the 25 sf0.01 truth pairs, a still-meaningful matrix;
+  // thinner strata go vacuous at test scale). The FULL audit remains
+  // available by composing the `llm_setsim_join` and
+  // `llm_dedup_minhash` keys — that is the deliberate audit-only path.
   // ---------------------------------------------------------------------
+  private val EvalStratum =
+    "substring(md5(concat(cast(doc_id AS string), '#eval-stratum')), 1, 1)" +
+      " IN ('0','1','2','3','4','5','6','7','8','9','a','b')"
+
   private def dedupEval(spark: SparkSession, sfDir: String): DataFrame = {
-    val truth = setSimJoin(spark, sfDir).select("doc_a", "doc_b")
+    val docs = t(spark, sfDir, "documents").where(expr(EvalStratum))
+    val truth = setSimJoinOn(docs).select("doc_a", "doc_b")
       .withColumn("in_truth", lit(1))
-    val pred = dedupMinhash(spark, sfDir)
-      .where(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
+    val s = signedOn(docs).persist()
+    val pred = candidatesFrom(s)
+      .selectExpr("doc_a", "doc_b",
+        """aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),
+                     0, (acc, v) -> acc + v) AS n_agree""")
+      .where(col("n_agree") >= 6).select("doc_a", "doc_b")
       .withColumn("in_pred", lit(1))
     truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
       .agg(
         count(col("in_truth")).as("n_truth"),
         count(col("in_pred")).as("n_pred"),
-        sum(when(col("in_truth").isNotNull && col("in_pred").isNotNull, 1L)
-          .otherwise(0L)).as("tp"),
-        sum(when(col("in_truth").isNull, 1L).otherwise(0L)).as("fp"),
-        sum(when(col("in_pred").isNull, 1L).otherwise(0L)).as("fn"))
+        // coalesce: an empty stratum aggregates zero rows — sums go
+        // NULL while counts go 0; pin both engines to 0
+        coalesce(sum(when(col("in_truth").isNotNull &&
+          col("in_pred").isNotNull, 1L).otherwise(0L)), lit(0L)).as("tp"),
+        coalesce(sum(when(col("in_truth").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("fp"),
+        coalesce(sum(when(col("in_pred").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("fn"))
       .selectExpr("n_truth", "n_pred", "tp", "fp", "fn",
         "CAST(tp * 1000000 DIV n_pred AS BIGINT) AS precision_ppm",
         "CAST(tp * 1000000 DIV n_truth AS BIGINT) AS recall_ppm")
@@ -2362,9 +2407,16 @@ object LlmText {
             WHERE list_reduce(list_prepend(0,
                     list_transform(range(1, 13),
                       i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)),
-                    (acc, v) -> acc + v) >= 6),
+                    (acc, v) -> acc + v) >= 6
+              AND substring(md5(CAST(doc_a AS VARCHAR) || '#eval-stratum'),
+                    1, 1) NOT IN ('c','d','e','f')
+              AND substring(md5(CAST(doc_b AS VARCHAR) || '#eval-stratum'),
+                    1, 1) NOT IN ('c','d','e','f')),
           g2 AS (SELECT doc_id, text, string_split(text, ' ') AS t
-                 FROM documents),
+                 FROM documents
+                 WHERE substring(md5(CAST(doc_id AS VARCHAR)
+                         || '#eval-stratum'), 1, 1)
+                       NOT IN ('c','d','e','f')),
           f2 AS (SELECT doc_id, $DShingles AS sh FROM g2),
           tok2 AS (SELECT doc_id, unnest(sh) AS s FROM f2),
           dft2 AS (SELECT s, count(*) AS df FROM tok2 GROUP BY 1),
@@ -2391,21 +2443,25 @@ object LlmText {
             SELECT t.doc_a IS NOT NULL AS it, p.doc_a IS NOT NULL AS ip
             FROM truth t FULL OUTER JOIN pred p
               ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b)
-          SELECT CAST(sum(CASE WHEN it THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_truth,
-                 CAST(sum(CASE WHEN ip THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_pred,
-                 CAST(sum(CASE WHEN it AND ip THEN 1 ELSE 0 END) AS BIGINT)
-                   AS tp,
-                 CAST(sum(CASE WHEN NOT it THEN 1 ELSE 0 END) AS BIGINT)
-                   AS fp,
-                 CAST(sum(CASE WHEN NOT ip THEN 1 ELSE 0 END) AS BIGINT)
-                   AS fn,
-                 CAST(sum(CASE WHEN it AND ip THEN 1 ELSE 0 END) * 1000000
-                      // sum(CASE WHEN ip THEN 1 ELSE 0 END) AS BIGINT)
+          SELECT CAST(coalesce(sum(CASE WHEN it THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS n_truth,
+                 CAST(coalesce(sum(CASE WHEN ip THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS n_pred,
+                 CAST(coalesce(sum(CASE WHEN it AND ip THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS tp,
+                 CAST(coalesce(sum(CASE WHEN NOT it THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS fp,
+                 CAST(coalesce(sum(CASE WHEN NOT ip THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS fn,
+                 CAST(coalesce(sum(CASE WHEN it AND ip THEN 1 ELSE 0 END), 0)
+                      * 1000000
+                      // nullif(coalesce(sum(CASE WHEN ip THEN 1 ELSE 0 END),
+                               0), 0) AS BIGINT)
                    AS precision_ppm,
-                 CAST(sum(CASE WHEN it AND ip THEN 1 ELSE 0 END) * 1000000
-                      // sum(CASE WHEN it THEN 1 ELSE 0 END) AS BIGINT)
+                 CAST(coalesce(sum(CASE WHEN it AND ip THEN 1 ELSE 0 END), 0)
+                      * 1000000
+                      // nullif(coalesce(sum(CASE WHEN it THEN 1 ELSE 0 END),
+                               0), 0) AS BIGINT)
                    AS recall_ppm
           FROM m""",
     "llm_incremental_dedup" ->

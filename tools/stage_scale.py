@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Stage an Nx-volume keyed-scaling corpus from a testdata SF dir.
+
+Usage: python3 tools/stage_scale.py <srcSfDir> <outDir> [copies=8]
+
+Grows data the way real SF growth behaves: each copy gets a DISJOINT
+key space (order/cust/supp/part/event/doc/vec keys shifted by
+copy * (max_key + 1)), so join fan-out stays 1:1 instead of
+multiplying (a naive verbatim x8 clone sent q_flagship to 531x in the
+round-5 negative control). Document tokens are prefixed per copy so
+the near-dup/shingle structure REPLICATES instead of every doc
+gaining 7 exact cross-copy clones; embedding signs are rotated per
+copy (deterministic +-1 mask keyed by copy) so ANN neighborhoods
+replicate instead of collapsing onto one point cloud. region/nation
+stay single-copy (fixed dimensions, like TPC-H).
+
+Dev tooling only (python/duckdb are driver-side deps) - the shipped
+library never reads this.
+"""
+import duckdb, sys, os
+
+def main():
+    src, out = sys.argv[1], sys.argv[2]
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM read_parquet('{src}/{t}.parquet')")
+    shift = {}
+    for t, k in [("customer", "c_custkey"), ("supplier", "s_suppkey"),
+                 ("part", "p_partkey"), ("orders", "o_orderkey"),
+                 ("events", "event_id"), ("events", "user_id"),
+                 ("documents", "doc_id"), ("embeddings", "vec_id")]:
+        shift[k] = con.sql(f"SELECT max({k}) + 1 FROM {t}").fetchone()[0]
+
+    def stage(table, select_per_copy):
+        sql = " UNION ALL ".join(
+            select_per_copy(c) for c in range(copies))
+        con.execute(f"COPY ({sql}) TO '{out}/{table}.parquet' "
+                    "(FORMAT PARQUET)")
+        n = con.sql(
+            f"SELECT count(*) FROM read_parquet('{out}/{table}.parquet')"
+        ).fetchone()[0]
+        print(f"{table}: {n} rows")
+
+    # fixed dimensions: single copy
+    for t in ["region", "nation"]:
+        con.execute(f"COPY (SELECT * FROM {t}) TO '{out}/{t}.parquet' "
+                    "(FORMAT PARQUET)")
+        print(f"{t}: unchanged")
+
+    stage("customer", lambda c:
+          f"""SELECT c_custkey + {c * shift['c_custkey']} AS c_custkey,
+                     c_name, c_nationkey, c_acctbal, c_mktsegment
+              FROM customer""")
+    stage("supplier", lambda c:
+          f"""SELECT s_suppkey + {c * shift['s_suppkey']} AS s_suppkey,
+                     s_name, s_nationkey, s_acctbal FROM supplier""")
+    stage("part", lambda c:
+          f"""SELECT p_partkey + {c * shift['p_partkey']} AS p_partkey,
+                     p_name, p_brand, p_type, p_size, p_retailprice
+              FROM part""")
+    stage("orders", lambda c:
+          f"""SELECT o_orderkey + {c * shift['o_orderkey']} AS o_orderkey,
+                     o_custkey + {c * shift['c_custkey']} AS o_custkey,
+                     o_orderstatus, o_totalprice, o_orderdate,
+                     o_orderpriority FROM orders""")
+    stage("lineitem", lambda c:
+          f"""SELECT l_orderkey + {c * shift['o_orderkey']} AS l_orderkey,
+                     l_partkey + {c * shift['p_partkey']} AS l_partkey,
+                     l_suppkey + {c * shift['s_suppkey']} AS l_suppkey,
+                     l_linenumber, l_quantity, l_extendedprice, l_discount,
+                     l_tax, l_returnflag, l_linestatus, l_shipdate
+              FROM lineitem""")
+    stage("events", lambda c:
+          f"""SELECT event_id + {c * shift['event_id']} AS event_id, ts,
+                     user_id + {c * shift['user_id']} AS user_id,
+                     event_type, value, props FROM events""")
+    # per-copy token prefix: shingle/minhash similarity replicates
+    # within each copy, never across copies
+    stage("documents", lambda c:
+          f"""SELECT doc_id + {c * shift['doc_id']} AS doc_id,
+                     CASE WHEN {c} = 0 THEN text
+                          ELSE array_to_string(
+                            list_transform(string_split(text, ' '),
+                                           w -> 'c{c}' || w), ' ') END
+                       AS text,
+                     lang, source,
+                     CAST(len(CASE WHEN {c} = 0 THEN text
+                          ELSE array_to_string(
+                            list_transform(string_split(text, ' '),
+                                           w -> 'c{c}' || w), ' ') END)
+                          AS BIGINT) AS n_chars
+              FROM documents""")
+    # deterministic PER-DIMENSION sign mask keyed by (copy, dim): one
+    # shared mask per copy is an exact isometry (all within-copy dot
+    # products preserved), while cross-copy pairs disagree on ~half
+    # the dims, so neighborhoods replicate per copy instead of every
+    # copy landing on the same point cloud. copy 0 is the original.
+    stage("embeddings", lambda c:
+          f"""SELECT vec_id + {c * shift['vec_id']} AS vec_id,
+                     CASE WHEN {c} = 0 THEN embedding ELSE
+                       list_transform(range(1, len(embedding) + 1),
+                         i -> CAST(embedding[i] *
+                              (CASE WHEN (i * 31 + {c} * 2654435761)
+                                         % 1000003 % 2 = 0
+                               THEN 1.0 ELSE -1.0 END) AS FLOAT))
+                     END AS embedding,
+                     label FROM embeddings""")
+
+if __name__ == "__main__":
+    main()

@@ -744,4 +744,33 @@ class LlmSpec extends AnyFunSuite {
       if (g > 0) assert(n === 0L, s"doc $d duplicates an earlier doc but has $n novel grams")
     }
   }
+
+  test("dedup eval stratum equals the full audit filtered to stratum pairs") {
+    // The sampled-stratum llm_dedup_eval relies on a provable
+    // equivalence: truth/pred restricted to the stratum == the
+    // full-corpus llm_setsim_join / llm_dedup_minhash answers filtered
+    // to pairs with BOTH endpoints in the stratum (band hashes are
+    // per-doc; PPJoin's thresholded jaccard is pair-local and
+    // df-order-invariant). Recompute the confusion counts from the
+    // full public keys and compare against the key's own output.
+    val inStratum = (c: String) =>
+      s"substring(md5(concat(cast($c AS string), '#eval-stratum')), 1, 1)" +
+        " NOT IN ('c','d','e','f')"
+    val truth = SparkEntry.queries("llm_setsim_join")(spark, sfDir)
+      .where(expr(inStratum("doc_a")) && expr(inStratum("doc_b")))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pred = SparkEntry.queries("llm_dedup_minhash")(spark, sfDir)
+      .where(col("est_jaccard") >= 0.5 &&
+        expr(inStratum("doc_a")) && expr(inStratum("doc_b")))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val row = SparkEntry.queries("llm_dedup_eval")(spark, sfDir)
+      .collect().head
+    assert(row.getLong(0) === truth.size, "n_truth")
+    assert(row.getLong(1) === pred.size, "n_pred")
+    assert(row.getLong(2) === (truth & pred).size, "tp")
+    assert(row.getLong(3) === (pred -- truth).size, "fp")
+    assert(row.getLong(4) === (truth -- pred).size, "fn")
+  }
 }

@@ -1025,6 +1025,63 @@ object LlmText {
       .limit(20)
 
   // ---------------------------------------------------------------------
+  // llm_cooccurrence_pmi — pointwise mutual information of token pairs
+  // within a ±2 skip-gram window: the word2vec/GloVe-style association
+  // statistic that seeds embedding training and collocation detection.
+  // Pairs are generated MAP-SIDE from each doc's token array (no
+  // self-join, no per-doc shuffle — same shape as the shingle keys),
+  // canonicalized unordered via (least, greatest); one pair-keyed
+  // shuffle counts n_xy, two token-keyed joins attach the unigram
+  // counts. At 100 TB every relation in the plan is vocab- or
+  // pair-vocab-sized after the first map-side combine; the two count
+  // totals are 1-row broadcasts. PMI is emitted e6-scaled from a
+  // single ln over an exactly-computed integer ratio (the corpus-count
+  // products are exact BIGINTs, their double casts correctly rounded
+  // in both engines), the same libm-tolerant convention as
+  // agg_entropy/llm_unigram_logprob.
+  // ---------------------------------------------------------------------
+  private def cooccurPmi(spark: SparkSession, sfDir: String): DataFrame = {
+    val tk = t(spark, sfDir, "documents").selectExpr("split(text, ' ') AS tk")
+    // window-2 skip-gram pairs: (i, i+1) and (i, i+2); nulls from
+    // positions past the end are filtered before the explode
+    val pairs = tk.selectExpr(
+      """explode(concat(
+           filter(transform(sequence(1, size(tk)),
+             i -> IF(i + 1 <= size(tk),
+                     struct(least(element_at(tk, i), element_at(tk, i + 1))
+                              AS w1,
+                            greatest(element_at(tk, i), element_at(tk, i + 1))
+                              AS w2),
+                     null)), x -> x IS NOT NULL),
+           filter(transform(sequence(1, size(tk)),
+             i -> IF(i + 2 <= size(tk),
+                     struct(least(element_at(tk, i), element_at(tk, i + 2))
+                              AS w1,
+                            greatest(element_at(tk, i), element_at(tk, i + 2))
+                              AS w2),
+                     null)), x -> x IS NOT NULL))) AS pr""")
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+    val uni = t(spark, sfDir, "documents")
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val totals = pairs.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(uni.agg(sum(col("n_w")).as("n_tok")))
+    pc
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_y")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .where(col("n_xy") >= 5 && col("w1") =!= col("w2"))
+      .selectExpr("w1", "w2", "n_xy", "n_x", "n_y",
+        """CAST(round(ln(CAST(n_xy * n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE)
+             / (CAST(n_pairs AS DOUBLE) * CAST(n_x AS DOUBLE)
+                * CAST(n_y AS DOUBLE))) * 1000000.0) AS BIGINT)
+           AS pmi_e6""")
+      .orderBy(col("pmi_e6").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  // ---------------------------------------------------------------------
   // llm_decontaminate — benchmark decontamination: flag training
   // documents sharing 3-grams with the held-out set (stand-in:
   // doc_id % 100 == 0). The join key is the shingle itself — exploded,
@@ -2182,6 +2239,7 @@ object LlmText {
     "llm_decontaminate" -> (decontaminate _),
     "llm_pii_redact" -> (piiRedact _),
     "llm_ngram_freq" -> (ngramFreq _),
+    "llm_cooccurrence_pmi" -> (cooccurPmi _),
     "llm_shingle_stream" -> (shingleStream _),
     "llm_sample_split" -> (sampleSplit _),
     "llm_dedup_exact" -> (dedupExact _),
@@ -3247,6 +3305,41 @@ object LlmText {
                   AS bigram
            FROM (SELECT string_split(text, ' ') AS t FROM documents))
          GROUP BY 1 ORDER BY freq DESC, bigram LIMIT 20""",
+    "llm_cooccurrence_pmi" ->
+      """WITH tkt AS (SELECT string_split(text, ' ') AS tk FROM documents),
+         pairs AS (
+           SELECT unnest([{'w1': least(tk[i], tk[i+1]),
+                           'w2': greatest(tk[i], tk[i+1])}
+                          FOR i IN range(1, len(tk))],
+                         recursive := true)
+           FROM tkt
+           UNION ALL
+           SELECT unnest([{'w1': least(tk[i], tk[i+2]),
+                           'w2': greatest(tk[i], tk[i+2])}
+                          FOR i IN range(1, len(tk) - 1)],
+                         recursive := true)
+           FROM tkt),
+         pc AS (SELECT w1, w2, count(*) AS n_xy FROM pairs GROUP BY 1, 2),
+         uni AS (
+           SELECT w, count(*) AS n_w
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY 1),
+         tot AS (
+           SELECT (SELECT count(*) FROM pairs) AS n_pairs,
+                  (SELECT CAST(sum(n_w) AS BIGINT) FROM uni) AS n_tok)
+         SELECT w1, w2, n_xy,
+                x.n_w AS n_x, y.n_w AS n_y,
+                CAST(round(ln(CAST(n_xy * n_tok AS DOUBLE)
+                              * CAST(n_tok AS DOUBLE)
+                              / (CAST(n_pairs AS DOUBLE)
+                                 * CAST(x.n_w AS DOUBLE)
+                                 * CAST(y.n_w AS DOUBLE)))
+                           * 1000000.0) AS BIGINT) AS pmi_e6
+         FROM pc JOIN uni x ON pc.w1 = x.w
+                 JOIN uni y ON pc.w2 = y.w
+                 CROSS JOIN tot
+         WHERE n_xy >= 5 AND w1 <> w2
+         ORDER BY pmi_e6 DESC, w1, w2 LIMIT 100""",
     "llm_sample_split" ->
       s"""SELECT doc_id, bucket,
                  CASE WHEN bucket < 80 THEN 'train'

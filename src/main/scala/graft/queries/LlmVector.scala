@@ -374,6 +374,77 @@ object LlmVector {
   }
 
   // ---------------------------------------------------------------------
+  // llm_ann_recall — recall@10 of the IVF probe against the exact
+  // brute-force top-10: the ANN tier's accuracy audit, mirroring what
+  // llm_dedup_eval does for the dedup tier. An approximate index
+  // without a measured recall is an unvalidated index — production ANN
+  // deployments publish exactly this number per (nlist, nprobe)
+  // setting. The truth side is the map-side TakeOrderedAndProject
+  // brute force (no corpus shuffle); the audit join is two 10-row
+  // sets. At 100 TB the truth runs over a fixed query SAMPLE (the
+  // same doc-sampling argument as llm_dedup_eval — recall is a corpus
+  // statistic); here the corpus is the sample.
+  // ---------------------------------------------------------------------
+  private def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = e.where(col("vec_id") === 7)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    val truth = e.where(col("vec_id") =!= 7)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        cosine(col("embedding"), col("qe"), col("nrm"), col("qn"))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id")).withColumn("in_truth", lit(1))
+    val pred = annIvf(spark, sfDir)
+      .select(col("vec_id")).withColumn("in_pred", lit(1))
+    truth.join(pred, Seq("vec_id"), "full_outer")
+      .agg(
+        count(col("in_truth")).as("k"),
+        coalesce(sum(when(col("in_truth").isNotNull &&
+          col("in_pred").isNotNull, 1L).otherwise(0L)), lit(0L)).as("n_hit"))
+      .selectExpr("k", "n_hit",
+        "CAST(n_hit * 1000000 DIV k AS BIGINT) AS recall_ppm")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_matryoshka_rerank — two-stage retrieval over prefix
+  // dimensions: stage 1 scores every vector on only the FIRST 16 of
+  // 64 dims (the matryoshka property: nested-prefix embeddings keep
+  // semantic order under truncation) and keeps the top-50 candidates
+  // via TakeOrderedAndProject; stage 2 re-scores just those 50 with
+  // the exact 64-dim cosine and emits the top-10. The scale story is
+  // the read path: a column store laying out prefix dims separately
+  // scans 4× fewer bytes for stage 1, and stage 2 touches a
+  // candidate-sized set — the corpus never shuffles in either stage.
+  // Emitting both scores makes the coarse→exact agreement auditable
+  // row by row.
+  // ---------------------------------------------------------------------
+  private def matryoshkaRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+      .withColumn("pe", expr("slice(embedding, 1, 16)"))
+      .withColumn("pn", l2norm(col("pe")))
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"),
+        col("pe").as("qpe"), col("pn").as("qpn"))
+    val cand = e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("qe"), col("qn"),
+        cosine(col("pe"), col("qpe"), col("pn"), col("qpn"))
+          .as("coarse_cosine"))
+      .orderBy(col("coarse_cosine").desc, col("vec_id"))
+      .limit(50)
+    cand
+      .select(col("vec_id"), col("coarse_cosine"),
+        cosine(col("embedding"), col("qe"), col("nrm"), col("qn"))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------------
   // llm_ann_ivf_persisted — the IVF index AS A LAKE TABLE: cell
   // assignments are WRITTEN hive-partitioned by cell, so probing
   // becomes partition pruning — the nprobe cells are the only
@@ -1023,6 +1094,8 @@ object LlmVector {
     "llm_bitext_margin" -> (bitextMargin _),
     "llm_embed_cluster" -> (embedCluster _),
     "llm_ann_ivf" -> (annIvf _),
+    "llm_ann_recall" -> (annRecall _),
+    "llm_matryoshka_rerank" -> (matryoshkaRerank _),
     "llm_ann_ivf_persisted" -> (annIvfPersisted _),
     "llm_ann_ivf_kmeans" -> (annIvfKmeans _),
     "llm_semdedup" -> (semDedup _),
@@ -1465,6 +1538,63 @@ object LlmVector {
             FROM reach GROUP BY id)
           SELECT vec_id, cluster_id, is_kept FROM labels ORDER BY vec_id""",
     "llm_ann_ivf" -> AnnIvfOracle,
+    // recall audit: exact top-10 (brute force) vs the IVF probe's
+    // top-10, both replayed with the shared cells CTE
+    "llm_ann_recall" ->
+      s"""WITH $IvfCellsCte,
+          truth AS (
+            SELECT e.vec_id FROM e CROSS JOIN q
+            WHERE e.vec_id <> 7
+            ORDER BY ${dDot("e.embedding", "q.qe")} / (e.nrm * q.qn) DESC,
+                     e.vec_id
+            LIMIT 10),
+          pred AS (
+            SELECT e.vec_id
+            FROM e JOIN assigned a USING (vec_id)
+                   JOIN probed p ON a.cell = p.cent_id
+                   CROSS JOIN q
+            WHERE e.vec_id <> 7
+            ORDER BY ${dDot("e.embedding", "q.qe")} / (e.nrm * q.qn) DESC,
+                     e.vec_id
+            LIMIT 10),
+          m AS (
+            SELECT t.vec_id IS NOT NULL AS it, p2.vec_id IS NOT NULL AS ip
+            FROM truth t FULL OUTER JOIN pred p2 ON t.vec_id = p2.vec_id)
+          SELECT CAST(coalesce(sum(CASE WHEN it THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS k,
+                 CAST(coalesce(sum(CASE WHEN it AND ip THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS n_hit,
+                 CAST(coalesce(sum(CASE WHEN it AND ip THEN 1 ELSE 0 END), 0)
+                      * 1000000
+                      // nullif(coalesce(sum(CASE WHEN it THEN 1 ELSE 0 END),
+                               0), 0) AS BIGINT) AS recall_ppm
+          FROM m""",
+    // two-stage matryoshka retrieval: prefix-16 coarse top-50, exact
+    // 64-dim rerank to top-10; folds mirror Spark's exactly on both
+    // the sliced and full vectors
+    "llm_matryoshka_rerank" ->
+      s"""WITH e0 AS (SELECT vec_id, embedding, $DNorm AS nrm,
+                             embedding[1:16] AS pe
+                      FROM embeddings),
+          e AS (SELECT vec_id, embedding, nrm, pe,
+                       sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(pe,
+                           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+                         (x, y) -> x + y)) AS pn
+                FROM e0),
+          q AS (SELECT embedding AS qe, nrm AS qn, pe AS qpe, pn AS qpn
+                FROM e WHERE vec_id = 0),
+          cand AS (
+            SELECT e.vec_id, e.embedding, e.nrm,
+                   ${dDot("e.pe", "q.qpe")} / (e.pn * q.qpn)
+                     AS coarse_cosine
+            FROM e CROSS JOIN q
+            WHERE e.vec_id <> 0
+            ORDER BY coarse_cosine DESC, e.vec_id LIMIT 50)
+          SELECT c.vec_id, c.coarse_cosine,
+                 ${dDot("c.embedding", "q.qe")} / (c.nrm * q.qn) AS cosine
+          FROM cand c CROSS JOIN q
+          ORDER BY cosine DESC, c.vec_id LIMIT 10""",
     // identical semantics probed through the PARTITIONED index layout —
     // same oracle by construction
     "llm_ann_ivf_persisted" -> AnnIvfOracle,

@@ -745,6 +745,62 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("ann recall audit is consistent with its own inputs") {
+    val row = SparkEntry.queries("llm_ann_recall")(spark, sfDir).collect().head
+    val (k, nHit, ppm) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(k > 0 && nHit >= 0 && nHit <= k)
+    assert(ppm === nHit * 1000000L / k)
+    // n_hit must equal the true overlap: recompute the exact top-10
+    // for query 7 brute-force and intersect with the public IVF key
+    val pred = SparkEntry.queries("llm_ann_ivf")(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val qv = e.where(col("vec_id") === 7)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val truth = e.where(col("vec_id") =!= 7)
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        val dot = v.zip(qv).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        val nv = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+        val nq = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
+        (r.getLong(0), dot / (nv * nq))
+      }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    assert(nHit === (truth & pred).size.toLong)
+  }
+
+  test("matryoshka rerank emits exact full-dim cosines for its winners") {
+    // every (vec_id, cosine) the two-stage key emits must match the
+    // exact brute-force cosine for that vector — the coarse stage may
+    // lose candidates (that's its trade), but it must never corrupt
+    // the scores of the ones it keeps
+    val got = SparkEntry.queries("llm_matryoshka_rerank")(spark, sfDir)
+      .select("vec_id", "cosine").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = SparkEntry.queries("llm_topk_similarity")(spark, sfDir)
+      .select("vec_id", "cosine").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val shared = got.keySet & exact.keySet
+    assert(shared.nonEmpty, "two-stage and exact top-k share no vectors")
+    shared.foreach { id =>
+      assert(got(id) === exact(id), s"cosine mismatch for vec $id")
+    }
+  }
+
+  test("cooccurrence PMI rows are canonical, thresholded, and sorted") {
+    val rows = SparkEntry.queries("llm_cooccurrence_pmi")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pair not canonical (w1 < w2)")
+      assert(r.getLong(2) >= 5L, "n_xy below threshold")
+    }
+    val pmis = rows.map(_.getLong(5))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b },
+      "pmi_e6 not descending")
+  }
+
   test("dedup eval stratum equals the full audit filtered to stratum pairs") {
     // The sampled-stratum llm_dedup_eval relies on a provable
     // equivalence: truth/pred restricted to the stratum == the

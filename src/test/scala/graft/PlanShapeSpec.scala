@@ -474,4 +474,23 @@ class PlanShapeSpec extends AnyFunSuite {
     // the overlap refine survives as a post-join filter on the equi-join
     assert(countOf(p, "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin") >= 1, p)
   }
+
+  test("llm_matryoshka_rerank: both stages are map-side top-k, no corpus shuffle") {
+    // coarse prefix-16 pass and exact rerank each plan as
+    // TakeOrderedAndProject over a 1-row broadcast query — the corpus
+    // is never hash- or range-partitioned on its way to either top-k
+    val p = finalPlan(SparkEntry.queries("llm_matryoshka_rerank")(spark, sfDir))
+    assert(countOf(p, "TakeOrderedAndProject") >= 2, p)
+    assert(countOf(p, "CartesianProduct") === 0, p)
+    assert(countOf(p, "Exchange hashpartitioning") === 0, p)
+    assert(countOf(p, "Exchange rangepartitioning") === 0, p)
+  }
+
+  test("llm_ann_recall: truth side is map-side top-k, audit join is k-row sized") {
+    val p = finalPlan(SparkEntry.queries("llm_ann_recall")(spark, sfDir))
+    // the exact truth never shuffles the corpus: TakeOrdered feeds a
+    // 10-row join
+    assert(countOf(p, "TakeOrderedAndProject") >= 2, p)
+    assert(countOf(p, "CartesianProduct") === 0, p)
+  }
 }

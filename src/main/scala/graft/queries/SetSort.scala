@@ -165,7 +165,48 @@ object SetSort {
          ORDER BY n.n_name""")
   }
 
+  /** G. Pareto skyline — the multi-objective dominance query (rows no
+    * other row beats on BOTH price-low and size-high, at least one
+    * strictly): an operator class no engine ships natively, and naively
+    * O(n²). The distributed strategy is GRID PRUNING, exact by
+    * construction: (1) equi-width price buckets from a broadcast
+    * min/max; (2) a per-bucket max-size table (tiny) with a prefix max
+    * over strictly-cheaper buckets (bounded 64-row window); (3)
+    * map-side prune — any row below its bucket's cheaper-prefix max is
+    * provably dominated by a strictly cheaper, strictly taller row and
+    * never reaches the exact pass; (4) exact pairwise dominance
+    * (anti-join) over the SURVIVORS only, which the prune keeps
+    * near-frontier-sized. The final answer depends only on step (4),
+    * so bucket-boundary float details cannot change the result — the
+    * prune is conservative whatever the binning. At 100 TB the fact
+    * scan is one pass + one tiny aggregate; only survivors (≈ the
+    * frontier and its shadow) pay the quadratic check. */
+  private def sortSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = t(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_retailprice").as("price"),
+        col("p_size").as("psize"))
+    val bounds = p.agg(min(col("price")).as("lo"), max(col("price")).as("hi"))
+    val b = p.crossJoin(broadcast(bounds))
+      .withColumn("bkt",
+        least(floor((col("price") - col("lo")) * 64.0 /
+          (col("hi") - col("lo") + lit(1e-9))), lit(63.0)).cast("int"))
+    val bktMax = b.groupBy("bkt").agg(max(col("psize")).as("mx"))
+    val pref = bktMax.withColumn("prevmax",
+      max(col("mx")).over(
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)))
+    val surv = b.join(broadcast(pref), Seq("bkt"))
+      .where(col("prevmax").isNull || col("psize") >= col("prevmax"))
+      .select(col("p_partkey"), col("price"), col("psize"))
+    surv.as("x").join(surv.as("y"),
+        col("y.price") <= col("x.price") && col("y.psize") >= col("x.psize") &&
+          (col("y.price") < col("x.price") || col("y.psize") > col("x.psize")),
+        "left_anti")
+      .orderBy(col("price"), col("p_partkey"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sort_skyline" -> (sortSkyline _),
     "sql_join_hint" -> (sqlJoinHint _),
     "sql_recursive_cte" -> (sqlRecursiveCte _),
     "sql_pipe" -> (sqlPipe _),
@@ -179,6 +220,19 @@ object SetSort {
     "set_except" -> (setExcept _))
 
   val oracle: Map[String, String] = Map(
+    // direct NOT EXISTS dominance — the oracle needs no grid because
+    // DuckDB runs at test scale; results must agree exactly since the
+    // Spark grid prune is conservative
+    "sort_skyline" ->
+      """WITH p AS (SELECT p_partkey, p_retailprice AS price,
+                           p_size AS psize FROM part)
+         SELECT p_partkey, price, psize
+         FROM p x
+         WHERE NOT EXISTS (
+           SELECT 1 FROM p y
+           WHERE y.price <= x.price AND y.psize >= x.psize
+             AND (y.price < x.price OR y.psize > x.psize))
+         ORDER BY price, p_partkey""",
     "set_except_all" ->
       """SELECT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'R'
          EXCEPT ALL

@@ -405,7 +405,36 @@ object Windows {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** F. Event-sequence pattern match — MATCH_RECOGNIZE semantics
+    * (contiguous regex over each user's time-ordered event stream),
+    * which the funnel key deliberately does NOT cover: win_funnel is
+    * time-bounded step-mins, this is order-contiguity ("a view, at
+    * most two clicks, then a purchase — with nothing else between").
+    * Each user's events collapse to a character sequence (one
+    * user-keyed shuffle, the tokenization shape) and the pattern runs
+    * as an anchored-free regex per user — work O(sequence length). At
+    * 100 TB the sequence is bounded by the retention window the
+    * pipeline already enforces; the regex is engine-portable (simple
+    * concatenation/quantifiers evaluate identically under Java regex
+    * and RE2). Ties on ts break by event_id so the sequence — and
+    * therefore the match set — is bit-deterministic. */
+  private def winPatternMatch(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .selectExpr("user_id", "event_id", "ts",
+        "substring(event_type, 1, 1) AS ch")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("concat_ws('', transform(" +
+          "array_sort(collect_list(struct(ts, event_id, ch)))," +
+          " s -> s.ch))").as("seq"))
+      .selectExpr("user_id", "n_events",
+        "CAST(regexp_count(seq, 'vc{0,2}p') AS INT) AS n_matches",
+        "regexp_extract(seq, 'vc{0,2}p', 0) AS first_match")
+      .where(col("n_matches") >= 1)
+      .orderBy("user_id")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_pattern_match" -> (winPatternMatch _),
     "win_cumulative_distinct" -> (winCumulativeDistinct _),
     "win_rolling_corr" -> (winRollingCorr _),
     "win_anomaly_zscore" -> (winAnomalyZscore _),
@@ -425,6 +454,19 @@ object Windows {
     "win_session_batch" -> (winSessionBatch _))
 
   val oracle: Map[String, String] = Map(
+    "win_pattern_match" ->
+      """WITH seqs AS (
+           SELECT user_id, count(*) AS n_events,
+                  string_agg(substring(event_type, 1, 1), ''
+                             ORDER BY ts, event_id) AS seq
+           FROM events GROUP BY 1)
+         SELECT user_id, n_events,
+                CAST(len(regexp_extract_all(seq, 'vc{0,2}p')) AS INTEGER)
+                  AS n_matches,
+                regexp_extract(seq, 'vc{0,2}p') AS first_match
+         FROM seqs
+         WHERE len(regexp_extract_all(seq, 'vc{0,2}p')) >= 1
+         ORDER BY user_id""",
     "win_cumulative_distinct" ->
       """WITH flagged AS (
            SELECT user_id, event_id, ts, event_type,

@@ -265,4 +265,43 @@ class PropertySpec extends AnyFunSuite {
     val bad = got.filter { case (id, nd) => expected(id) != nd }
     assert(bad.isEmpty, s"mismatched events: ${bad.take(5)}")
   }
+
+  test("skyline equals brute-force dominance at test scale") {
+    // the grid prune must be invisible in the answer: O(n²) driver-side
+    // dominance over the full part table is the ground truth here
+    val sfDir = "/root/testdata/sf0.001"
+    val p = Tables.t(spark, sfDir, "part")
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val frontier = p.filter { case (_, xp, xs) =>
+      !p.exists { case (_, yp, ys) =>
+        yp <= xp && ys >= xs && (yp < xp || ys > xs) }
+    }.map(_._1).toSet
+    val got = SparkEntry.queries("sort_skyline")(spark, sfDir)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert(got === frontier)
+  }
+
+  test("pattern matches are genuine contiguous subsequences") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("win_pattern_match")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert("^vc{0,2}p$".r.findFirstIn(r.getString(3)).isDefined,
+        s"first_match '${r.getString(3)}' is not of pattern shape")
+      assert(r.getInt(2) >= 1)
+    }
+    // recompute one user's sequence independently (micro-precision
+    // timestamp order, event_id tiebreak) and confirm the match count
+    val uid = rows.head.getLong(0)
+    val seq = Tables.t(spark, sfDir, "events")
+      .where(col("user_id") === uid)
+      .select("ts", "event_id", "event_type").collect()
+      .sortBy(r => (r.getTimestamp(0).getTime, r.getTimestamp(0).getNanos,
+        r.getLong(1)))
+      .map(_.getString(2).head).mkString
+    val n = "vc{0,2}p".r.findAllIn(seq).length
+    assert(n === rows.head.getInt(2),
+      s"user $uid: recomputed $n matches vs emitted ${rows.head.getInt(2)}")
+  }
 }

@@ -1061,11 +1061,20 @@ object LlmText {
                               AS w2),
                      null)), x -> x IS NOT NULL))) AS pr""")
       .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    // The count tables are PERSISTED: both are consumed twice (the PMI
+    // join and the totals), and they are exactly the vocab-/pair-
+    // vocab-sized artifacts a production co-occurrence pipeline stages
+    // to disk anyway — without the pin, each consumer re-explodes the
+    // corpus.
     val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+      .persist()
     val uni = t(spark, sfDir, "documents")
       .selectExpr("explode(split(text, ' ')) AS w")
       .groupBy("w").agg(count(lit(1)).as("n_w"))
-    val totals = pairs.agg(count(lit(1)).as("n_pairs"))
+      .persist()
+    // totals derive from the already-aggregated tables (Σ n_xy, Σ n_w)
+    // — counting the raw explodes again would scan the corpus twice
+    val totals = pc.agg(sum(col("n_xy")).as("n_pairs"))
       .crossJoin(uni.agg(sum(col("n_w")).as("n_tok")))
     pc
       .join(uni.select(col("w").as("w1"), col("n_w").as("n_x")), Seq("w1"))

@@ -480,26 +480,34 @@ object Joins {
 
   /** D. Blocked fuzzy join — entity resolution at scale: dirty records
     * (a deterministically dropped digit in the name) re-link to their
-    * master rows by edit distance, but candidate pairs come ONLY from
-    * an equi-join on stable blocking attributes — here the COMPOUND
-    * key (nation, market segment), the textbook multi-attribute
-    * blocking move: each added attribute divides block sizes (25 → 125
-    * blocks), and block sizes are what the pipeline controls, so
-    * candidates stay O(Σ block²), never corpus². Within a block,
-    * levenshtein ≤ 2 matches
-    * rank by (distance, name, key) and rank 1 wins — deterministic,
-    * order-free. Both engines share the classic Levenshtein, so the
-    * oracle replays corruption, blocking, and ranking exactly.
+    * master rows by edit distance ≤ 2, ranked (distance, name, key)
+    * with rank 1 winning — deterministic, order-free. Both engines
+    * share the classic Levenshtein, so the oracle replays corruption
+    * and ranking exactly (against the UNBLOCKED definition — blocking
+    * is a plan device and provably cannot change the answer).
     *
-    * Distance is evaluated on the DIGIT SUFFIXES only: every name
-    * shares the constant 'Customer#' prefix, and a common prefix never
-    * changes edit distance, so lev(suffix_d, suffix_c) ==
-    * lev(dirty_name, c_name) — provably, not approximately. The DP
-    * grid shrinks 17×18 → 8×9 (4× fewer cells and 2 short scratch
-    * rows allocated per call instead of long ones), which is the
-    * difference between the block join being levenshtein-bound and
-    * join-bound: measured 23.9 s → join-dominated seconds at sf0.1,
-    * same 9-digit-block candidate arithmetic at any scale. */
+    * Candidates come from a SYMDELETE (deletion-neighborhood) join —
+    * the SymSpell scheme: if lev(a, b) ≤ τ then deleting ≤ τ chars
+    * from each side reaches a COMMON string, so each side enumerates
+    * its ≤2-deletion variants (37 for the 8-char dirty suffix, 46 for
+    * the 9-char clean one) and candidates are an equi-join on
+    * (variant, nation, mktsegment), refined by the exact levenshtein.
+    * Two rejected designs, both MEASURED on the ×8 keyed corpus: the
+    * r5 (nation, segment)-only blocking is a FIXED 125-key space —
+    * occupancy grows with the corpus and within-block pairs
+    * quadratically (59×/148 s at ×8); PassJoin 3-gram segment blocking
+    * fixes that for high-entropy strings but degenerates on
+    * zero-padded SEQUENTIAL ids, whose leading segment is '000' for
+    * every row (168 s at ×8). Deletion variants of dense integers are
+    * near-unique — two ids share one only if they are genuine edit
+    * neighbors — so the candidate set tracks the TRUE match set
+    * (constant per row for sequential ids) at any corpus size:
+    * ×8 re-measured at 7.3× (2.7 s → 19.4 s on 8× rows through a
+    * 37-46× variant explode) — sublinear in data, candidates linear.
+    *
+    * Distance still evaluates on the DIGIT SUFFIXES only: the shared
+    * 'Customer#' prefix provably never changes edit distance, and the
+    * DP grid shrinks 17×18 → 8×9 (the r5 fix, kept). */
   private def joinFuzzyBlocked(spark: SparkSession, sfDir: String): DataFrame = {
     val c = t(spark, sfDir, "customer")
     // drop digit (c_custkey % 9) of the 9-digit suffix of
@@ -511,9 +519,36 @@ object Joins {
          AS dirty_name""")
     val clean = c.select(col("c_custkey"), col("c_nationkey"),
       col("c_mktsegment"), col("c_name"))
-    val ranked = dirty
-      .join(clean, col("d_nat") === col("c_nationkey") &&
-        col("d_seg") === col("c_mktsegment"))
+    // ≤2-deletion variant enumeration (original + single + pair
+    // deletions, deduplicated) — fixed-length suffixes make the
+    // variant count a constant (37 / 46 per row)
+    def delVariants(s: String, len: Int): String =
+      s"""array_distinct(concat(
+            array($s),
+            transform(sequence(1, $len),
+              i -> concat(substring($s, 1, i - 1), substring($s, i + 1))),
+            flatten(transform(sequence(1, ${len - 1}),
+              i -> transform(sequence(i + 1, $len),
+                j -> concat(substring($s, 1, i - 1),
+                            substring($s, i + 1, j - i - 1),
+                            substring($s, j + 1)))))))"""
+    val dirtyK = dirty
+      .selectExpr("d_key", "d_nat", "d_seg", "dirty_name",
+        "substring(dirty_name, 10) AS dsuf")
+      .selectExpr("d_key", "d_nat", "d_seg", "dirty_name",
+        s"explode(${delVariants("dsuf", 8)}) AS variant")
+    val cleanK = clean
+      .selectExpr("c_custkey", "c_nationkey", "c_mktsegment", "c_name",
+        "substring(c_name, 10, 9) AS csuf")
+      .selectExpr("c_custkey", "c_nationkey", "c_mktsegment", "c_name",
+        s"explode(${delVariants("csuf", 9)}) AS variant")
+    val cand = dirtyK.as("dv").join(cleanK.as("cv"),
+        col("dv.variant") === col("cv.variant") &&
+          col("dv.d_nat") === col("cv.c_nationkey") &&
+          col("dv.d_seg") === col("cv.c_mktsegment"))
+      .select("d_key", "dirty_name", "c_custkey", "c_name")
+      .distinct()
+    val ranked = cand
       .withColumn("lev",
         levenshtein(substring(col("dirty_name"), 10, 8),
           substring(col("c_name"), 10, 9)))

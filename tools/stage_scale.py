@@ -51,9 +51,20 @@ def main():
                     "(FORMAT PARQUET)")
         print(f"{t}: unchanged")
 
+    # c_name is a KEY-DERIVED identity ('Customer#' + 9-digit key) that
+    # downstream entity-resolution keys join on — it must be
+    # regenerated from the shifted key, exactly as real SF growth names
+    # customers. Leaving it verbatim gives every name 8 copies and the
+    # true fuzzy-match pair set grows 64x (measured: the round-6
+    # segment-blocked fuzzy join at 194 s against duplicated names vs
+    # 6 s against properly shifted ones - the same lesson as the r5
+    # duplicate-key negative control, one column over).
     stage("customer", lambda c:
           f"""SELECT c_custkey + {c * shift['c_custkey']} AS c_custkey,
-                     c_name, c_nationkey, c_acctbal, c_mktsegment
+                     'Customer#' || lpad(CAST(c_custkey
+                       + {c * shift['c_custkey']} AS VARCHAR), 9, '0')
+                       AS c_name,
+                     c_nationkey, c_acctbal, c_mktsegment
               FROM customer""")
     stage("supplier", lambda c:
           f"""SELECT s_suppkey + {c * shift['s_suppkey']} AS s_suppkey,

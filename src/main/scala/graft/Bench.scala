@@ -38,17 +38,30 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names unknown keys: ${unknown.toSeq.sorted.mkString(", ")}")
     }
+    // Per-run JVM GC time: the delta across all collector beans brackets
+    // each run, so a slow reading can be attributed (or not) to a GC
+    // episode from the artifact alone — the single fact that separates
+    // "one noisy episode" from "persistently slow key" (VERDICT r6 #1).
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val samples = (1 to runs).map { _ =>
+        val g0 = gcMillis()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).count()
+          ((System.nanoTime() - t0) / 1e9, gcMillis() - g0)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0 // a broken query must be visible, not a fake fast time
+          (-1.0, 0L) // a broken query must be visible, not a fake fast time
         }
       }
+      val times = samples.map(_._1)
       // NOTE on cross-key state: several keys memoize persisted stages
       // (signatures, cluster labels) for reuse — deliberately NOT
       // cleared between keys. All of them persist at disk-backed
@@ -59,15 +72,25 @@ object Bench {
       // clearCache/unpersist between keys was tried and REVERTED: it
       // destroys localCheckpoint blocks that memoized DataFrames still
       // reference — CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.)
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      (name, if (times.contains(-1.0)) -1.0 else times.min, samples)
     }
     def fmt(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // failed keys report -1 individually but must not deflate the total
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Raw per-run evidence (VERDICT r6 #1): `queries` stays the min-of-N
+    // headline map (bench_diff.py compatibility); `runs_detail` carries
+    // every run's wall time and GC-time delta so the artifact itself
+    // distinguishes "one 20 s episode + two 1 s runs" from "three 20 s
+    // runs" without a re-run.
+    val det = results.map { case (k, _, ss) =>
+      val ts = ss.map(s => fmt(s._1)).mkString("[", ",", "]")
+      val gs = ss.map(_._2).mkString("[", ",", "]")
+      s"""\"$k\":{"times_sec":$ts,"gc_ms":$gs}"""
+    }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_key":$runs,"runs_detail":$det}"""
     // Full per-query map (124 keys) goes ONLY to bench.json: in rounds 1-2
     // the one-line blob overflowed the driver's stdout tail buffer and
     // arrived truncated mid-object ("parsed": null). Stdout carries a SHORT
@@ -83,7 +106,7 @@ object Bench {
     val headline = Seq("q_flagship", "join_bucketed", "agg_groupby",
       "win_topk_custom", "llm_dedup_minhash", "llm_ann_lsh", "llm_ann_ivf",
       "stream_ingest", "sink_parquet_partitioned", "scan_parquet")
-    val resMap = results.toMap
+    val resMap = results.map { case (k, v, _) => k -> v }.toMap
     val hq = headline.flatMap(k => resMap.get(k).map(v => s"\"$k\":" + fmt(v)))
       .mkString("{", ",", "}")
     val summary =

@@ -47,6 +47,32 @@ object Fixtures {
       dir
     })
 
+  private val persistedCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
+
+  /** Staged parquet + a memoized PERSISTED read of it: the pattern for
+    * an expensive derived table consumed more than once per query.
+    * Durability and cache-safety compose: the parquet fixture is built
+    * once per (JVM, sfDir, tag), and the persisted DataFrame's lineage
+    * is just the parquet scan — so storage-pressure eviction costs a
+    * re-READ of a small file, never a re-RUN of the producing pipeline
+    * (the r6 driver-bench outlier mechanism: a persisted corpus-derived
+    * stage evicted under suite memory pressure rebuilt its whole
+    * lineage each run). Keyed weakly by session object, same shape as
+    * the signature cache in LlmText — a restarted session must not see
+    * a DataFrame bound to a stopped SparkContext. */
+  def stagedPersisted(spark: SparkSession, sfDir: String, tag: String)(
+      build: String => Unit): DataFrame =
+    persistedCache.synchronized {
+      persistedCache.computeIfAbsent(spark,
+          _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$sfDir/$tag", {
+          val dir = stagedDir(sfDir, tag)(build)
+          spark.read.parquet(dir).persist()
+        })
+    }
+
   /** Write `df` to a fresh parquet dir and read it back — the
     * "as the next consumer sees it" view of a sink. */
   def roundTrip(spark: SparkSession, df: DataFrame, prefix: String,

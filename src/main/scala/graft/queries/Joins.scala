@@ -483,8 +483,11 @@ object Joins {
     * master rows by edit distance ≤ 2, ranked (distance, name, key)
     * with rank 1 winning — deterministic, order-free. Both engines
     * share the classic Levenshtein, so the oracle replays corruption
-    * and ranking exactly (against the UNBLOCKED definition — blocking
-    * is a plan device and provably cannot change the answer).
+    * and ranking exactly — against the variant-free (nation,
+    * segment)-scoped definition: the oracle still equi-joins on
+    * (nation, mktsegment); only the SymDelete variant stage is the
+    * plan-only device, and within a (nation, segment) block it
+    * provably cannot change the answer.
     *
     * Candidates come from a SYMDELETE (deletion-neighborhood) join —
     * the SymSpell scheme: if lev(a, b) ≤ τ then deleting ≤ τ chars

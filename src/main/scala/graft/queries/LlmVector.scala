@@ -917,34 +917,79 @@ object LlmVector {
       .orderBy("doc_id")
 
   // ---------------------------------------------------------------------
-  // llm_multimodal_features — the decode/feature-extract stage: at
-  // scale this is a batch-native per-partition pass (mapPartitions —
-  // the Scala analogue of arrow-batched Python UDFs) calling an image
-  // decoder. The decoder itself is STUBBED (no image libs in this
-  // environment) with a deterministic byte-statistics fake; the Spark
-  // plumbing — binary input column, typed output schema, per-partition
-  // batching — is real. Not oracle-checked (driver does a rows-only
-  // check); LlmSpec pins determinism and schema.
+  // llm_multimodal_features — the decode/feature-extract stage: a REAL
+  // image decode over real image-format bytes. The fixture stages one
+  // binary-format P6 PPM (netpbm) image per document — magic, optional
+  // `#` comment line, ASCII dimensions, maxval, raw RGB payload — and
+  // the query parses that format with a from-scratch decoder in a
+  // per-partition pass (mapPartitions — the Scala analogue of
+  // arrow-batched Python UDFs; at 100 TB this stage is the same shape
+  // with a JPEG/PNG library in place of `decodePpm`). Pixel bytes
+  // follow (s + i) mod 256 with s = (doc_id*131) mod 256, so the
+  // DuckDB oracle checks the decode ANALYTICALLY: the pixel sum of a
+  // cyclic ramp has a closed form, and the header length is integer
+  // arithmetic on doc_id — any parser error (mis-read header, skipped
+  // comment, wrong stride, truncation) breaks the hash match.
   // ---------------------------------------------------------------------
-  case class MmFeat(doc_id: Long, n_bytes: Int, brightness: Double,
-                    width: Int, height: Int)
+  case class MmFeat(doc_id: Long, width: Int, height: Int, n_bytes: Int,
+                    pixel_sum: Long, brightness: Double)
+
+  /** Synthesize a valid binary P6 PPM for a document: every fifth image
+    * carries a comment line (the parser must skip it), width needs 1 or
+    * 2 digits (the parser must tokenize, not fix offsets). */
+  private[graft] def ppmBytes(docId: Long): Array[Byte] = {
+    val w = (docId % 16 + 1).toInt
+    val h = (docId % 8 + 1).toInt
+    val comment = if (docId % 5 == 0) "# graft ppm fixture\n" else ""
+    val header = s"P6\n$comment$w $h\n255\n".getBytes("US-ASCII")
+    val s0 = ((docId * 131) % 256).toInt
+    header ++ Array.tabulate(3 * w * h)(i => ((s0 + i) % 256).toByte)
+  }
+
+  /** Dependency-free P6 PPM decoder per the netpbm spec: whitespace-
+    * separated ASCII header tokens, `#`-to-newline comments legal
+    * anywhere in the header, exactly one whitespace byte between the
+    * maxval and the binary pixel payload. Returns (width, height,
+    * pixelSum) and throws on malformed input — a decode stage that
+    * silently passes garbage downstream poisons a training corpus. */
+  private[graft] def decodePpm(img: Array[Byte]): (Int, Int, Long) = {
+    var pos = 0
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\t' || b == '\r'
+    def token(): String = {
+      while (pos < img.length && (isWs(img(pos)) || img(pos) == '#')) {
+        if (img(pos) == '#') while (pos < img.length && img(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      val st = pos
+      while (pos < img.length && !isWs(img(pos))) pos += 1
+      new String(img, st, pos - st, "US-ASCII")
+    }
+    require(token() == "P6", "not a binary PPM (P6) stream")
+    val w = token().toInt
+    val h = token().toInt
+    val maxval = token().toInt
+    require(maxval == 255, s"unsupported maxval $maxval (8-bit only)")
+    pos += 1 // the single whitespace byte terminating the header
+    require(img.length - pos == 3 * w * h,
+      s"pixel payload ${img.length - pos} bytes, expected ${3 * w * h}")
+    var sum = 0L
+    while (pos < img.length) { sum += (img(pos) & 0xff); pos += 1 }
+    (w, h, sum)
+  }
 
   private def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val src = t(spark, sfDir, "documents")
-      .selectExpr("doc_id", "unhex(md5(text)) AS payload",
-        "cast(n_chars % 64 + 1 as int) AS width",
-        "cast(n_chars DIV 64 + 1 as int) AS height")
-      .as[(Long, Array[Byte], Int, Int)]
-    src.mapPartitions { it =>
-      it.map { case (id, payload, w, h) =>
-        // STUB image decode: a real deployment decodes `payload` with an
-        // imaging library here; this fake derives "brightness" from the
-        // payload bytes so the output is deterministic and testable.
-        val brightness =
-          if (payload.isEmpty) 0.0
-          else payload.map(b => (b & 0xff).toDouble).sum / payload.length
-        MmFeat(id, payload.length, brightness, w, h)
+    val imgs = graft.etl.Fixtures.stagedPersisted(spark, sfDir, "ppm_images") {
+      dir =>
+        t(spark, sfDir, "documents").select("doc_id").as[Long]
+          .mapPartitions(it => it.map(id => (id, ppmBytes(id))))
+          .toDF("doc_id", "img")
+          .write.mode("overwrite").parquet(dir)
+    }
+    imgs.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, img) =>
+        val (w, h, sum) = decodePpm(img)
+        MmFeat(id, w, h, img.length, sum, sum.toDouble / (3.0 * w * h))
       }
     }.toDF().orderBy("doc_id")
   }
@@ -1726,5 +1771,36 @@ object LlmVector {
                 CAST(n_chars // 64 + 1 AS INTEGER) AS height,
                 'fake/rgb8' AS fmt
          FROM documents WHERE lang <> 'zh'
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+
+    // Analytic replay of the PPM decode: the Spark side PARSES real
+    // binary image bytes; the oracle never sees them — it derives the
+    // same answers in closed form from the generator's arithmetic.
+    // Header length = "P6\n"(3) + comment(0|20) + digits(w) + " "(1) +
+    // digit(h)(1) + "\n"(1) + "255\n"(4); pixel sum of the cyclic ramp
+    // (s+i) mod 256 over n bytes = fullCycles*32640 + ramp(rem at s)
+    // with the wrapped tail subtracting 256 per wrapped term.
+    "llm_multimodal_features" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+                  CAST(doc_id % 8 + 1 AS INTEGER) AS height,
+                  CAST((doc_id * 131) % 256 AS BIGINT) AS s,
+                  CAST(3 * (doc_id % 16 + 1) * (doc_id % 8 + 1) AS BIGINT) AS n
+           FROM documents),
+         q AS (
+           SELECT doc_id, width, height, n,
+                  (n // 256) * 32640
+                    + (n % 256) * s + (n % 256) * (n % 256 - 1) // 2
+                    - 256 * GREATEST(CAST(0 AS BIGINT), s + n % 256 - 256)
+                    AS pixel_sum,
+                  3 + CASE WHEN doc_id % 5 = 0 THEN 20 ELSE 0 END
+                    + CASE WHEN width >= 10 THEN 2 ELSE 1 END + 7
+                    AS header_len
+           FROM p)
+         SELECT doc_id, width, height,
+                CAST(header_len + n AS INTEGER) AS n_bytes,
+                pixel_sum,
+                CAST(pixel_sum AS DOUBLE) / CAST(n AS DOUBLE) AS brightness
+         FROM q ORDER BY doc_id""")
 }

@@ -493,14 +493,48 @@ class LlmSpec extends AnyFunSuite {
     assert(total >= (n * 970000L), s"total=$total n=$n")
   }
 
-  test("multimodal feature extraction is deterministic with stable schema") {
+  test("PPM decoder parses hand-built fixtures exactly (header variants)") {
+    // plain header, 2x1 image, known pixel bytes
+    val plain = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 2, 3, 4, 5.toByte)
+    assert(LlmVector.decodePpm(plain) === ((2, 1, 15L)))
+    // comment between magic and dims + tab/space/CRLF whitespace mix
+    val commented = "P6\n# a comment\n#another\n 3\t1\r\n255\n"
+      .getBytes("US-ASCII") ++ Array.fill[Byte](9)(200.toByte)
+    assert(LlmVector.decodePpm(commented) === ((3, 1, 9 * 200L)))
+    // malformed inputs must throw, never pass garbage downstream
+    intercept[IllegalArgumentException] {
+      LlmVector.decodePpm("P5\n2 1\n255\n".getBytes("US-ASCII")) // wrong magic
+    }
+    intercept[IllegalArgumentException] {
+      LlmVector.decodePpm("P6\n2 1\n65535\n".getBytes("US-ASCII")) // 16-bit
+    }
+    intercept[IllegalArgumentException] { // truncated pixel payload
+      LlmVector.decodePpm("P6\n2 1\n255\nab".getBytes("US-ASCII"))
+    }
+    // generator → decoder round trip, including the every-5th comment
+    for (id <- 0L to 24L) {
+      val (w, h, sum) = LlmVector.decodePpm(LlmVector.ppmBytes(id))
+      assert(w === (id % 16 + 1).toInt && h === (id % 8 + 1).toInt)
+      val s0 = (id * 131) % 256
+      val expect = (0 until 3 * w * h).map(i => (s0 + i) % 256).sum
+      assert(sum === expect, s"doc $id pixel sum")
+    }
+  }
+
+  test("multimodal feature extraction decodes real PPM bytes deterministically") {
     val a = LlmVector.defs("llm_multimodal_features")(spark, sfDir)
     val b = LlmVector.defs("llm_multimodal_features")(spark, sfDir)
     assert(a.schema.fieldNames.toSeq ===
-      Seq("doc_id", "n_bytes", "brightness", "width", "height"))
+      Seq("doc_id", "width", "height", "n_bytes", "pixel_sum", "brightness"))
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
-    assert(a.count() === b.count())
-    assert(a.filter(col("n_bytes") =!= 16).count() === 0) // md5 payload = 16 bytes
+    assert(a.count() === b.count() && a.count() > 0)
+    // decoded geometry must match the generator arithmetic for every row
+    assert(a.filter(col("width") =!= (col("doc_id") % 16 + 1) ||
+      col("height") =!= (col("doc_id") % 8 + 1)).count() === 0)
+    // brightness is a mean of 8-bit values
+    assert(a.filter(col("brightness") < 0 || col("brightness") > 255)
+      .count() === 0)
   }
 
   test("BPE segmentation is lossless and never longer than the word") {

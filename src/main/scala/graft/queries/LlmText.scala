@@ -2270,7 +2270,189 @@ object LlmText {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // llm_bigram_lm_score — add-k-smoothed BIGRAM language-model scoring
+  // (the next rung up from llm_unigram_logprob's unigram stand-in, and
+  // the shape of a KenLM-style perplexity filter): train bigram/context
+  // counts on the corpus, score every document by its average bigram
+  // log-probability. P(w|p) = (c(p,w) + ½) / (c(p) + ½V) computed as
+  // the EXACT integer ratio (2c(p,w)+1)/(2c(p)+V) — one double
+  // division then one ln, identical operand order in both engines.
+  // Scale: the bigram count table is vocabulary²-bounded (sparse — it
+  // only holds OBSERVED bigrams, ≪ corpus at any scale) and the
+  // scoring join is keyed (p, w) — a shuffle equi-join, NOT broadcast,
+  // because a real corpus' bigram vocabulary outgrows driver memory
+  // even when the unigram table (llm_unigram_logprob) still
+  // broadcasts. Per-token log-probs round to 1e-6 and sum as scaled
+  // bigints, so the per-document average is shuffle-order- and
+  // libm-ulp-independent (the unigram key's convention).
+  // ---------------------------------------------------------------------
+  private def bigramLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val bi = t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS tk")
+      .where(size(col("tk")) >= 2)
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(tk) - 1),
+             i -> struct(element_at(tk, i) AS p,
+                         element_at(tk, i + 1) AS w))) AS bg""")
+      .select(col("doc_id"), col("bg.p").as("p"), col("bg.w").as("w"))
+    // Count tables staged to parquet once per (JVM, sfDir) — the same
+    // discipline as cooccurPmi's pc/uni tables (they are the LM
+    // artifacts a production scoring pipeline stages anyway, and
+    // without staging the scoring join's LM side re-explodes the
+    // corpus on every invocation).
+    val bc = graft.etl.Fixtures.stagedPersisted(spark, sfDir,
+      "bigram_counts") {
+      d => bi.groupBy("p", "w").agg(count(lit(1)).as("n_pw"))
+        .write.mode("overwrite").parquet(d)
+    }
+    val ctx = bc.groupBy("p").agg(sum(col("n_pw")).as("n_p"))
+    val vocab = graft.etl.Fixtures.stagedPersisted(spark, sfDir,
+      "pmi_unigram_counts") {
+      d => t(spark, sfDir, "documents")
+        .selectExpr("explode(split(text, ' ')) AS w")
+        .groupBy("w").agg(count(lit(1)).as("n_w"))
+        .write.mode("overwrite").parquet(d)
+    }.agg(count(lit(1)).as("v"))
+    val lm = bc.join(ctx, Seq("p")).crossJoin(broadcast(vocab))
+      .selectExpr("p", "w",
+        """cast(round(ln(CAST(2 * n_pw + 1 AS DOUBLE) /
+                         CAST(2 * n_p + v AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS lp_e6""")
+    bi.join(lm, Seq("p", "w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_e6")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("s").cast("double") / lit(1000000).cast("double") /
+          col("n_bigrams")).as("avg_bigram_lp"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_zipf_slope — Zipf-law exponent of the corpus token-frequency
+  // distribution: least-squares slope of ln(freq) on ln(rank) over the
+  // top-1000 terms (the corpus-health diagnostic curation reports
+  // publish — natural text sits near −1; a slope collapsing toward 0
+  // flags boilerplate/spam floods, a cliff flags template capture).
+  // The frequency table is vocabulary-bounded, so the rank window runs
+  // on the aggregated table (the documented bounded-input exception —
+  // top-1000 vocab, not corpus); x/y round to 1e-6 scaled bigints and
+  // all five regression sums accumulate EXACTLY in int64 (|x|≤7e6,
+  // |y|≤ln(1e12)·1e6≈2.8e7 ⇒ Σxy over 1000 terms ≤ 2e17), with the
+  // final slope/intercept one fixed double expression over the sums —
+  // order-independent, engine-identical.
+  // ---------------------------------------------------------------------
+  private def zipfSlope(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .selectExpr("explode(split(text, ' ')) AS tok")
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("freq").desc, col("tok"))))
+      .where(col("rk") <= 1000)
+      .selectExpr(
+        "cast(round(ln(cast(rk as double)) * 1000000.0) as bigint) AS x",
+        "cast(round(ln(cast(freq as double)) * 1000000.0) as bigint) AS y")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"))
+      .selectExpr("n", "sx", "sy",
+        """(cast(n as double) * cast(sxy as double) -
+            cast(sx as double) * cast(sy as double)) /
+           (cast(n as double) * cast(sxx as double) -
+            cast(sx as double) * cast(sx as double)) AS slope_d""")
+      .selectExpr("n",
+        "cast(round(slope_d * 1000000.0) as bigint) AS slope_e6",
+        """cast(round((cast(sy as double) - slope_d * cast(sx as double)) /
+             cast(n as double)) as bigint) AS intercept_e6""")
+
+  // ---------------------------------------------------------------------
+  // llm_minhash_lsh_tune — the LSH operating-curve sweep: candidate
+  // volume and estimated-duplicate yield for every (bands b, rows r)
+  // factorization of the 12-hash signature with r ≥ 2. This is the
+  // tuning artifact an LSH deployment publishes BEFORE committing a
+  // banding: P(candidate | J) = 1−(1−J^r)^b, so each config trades
+  // recall against candidate volume, and the measured
+  // (n_candidates, n_est_ge_half) pairs put real numbers on that
+  // curve. r = 1 is deliberately absent: singleton bands collide with
+  // probability J itself, so every low-similarity pair sharing one
+  // common shingle becomes a candidate and the band join degenerates
+  // toward all-pairs — the one configuration that does NOT survive
+  // scale (the same df-deep-postings argument as setsim's
+  // shingle-vs-token prefix choice). Each config is one band-bucket
+  // equi-join over the cached signature table, ids-only exchange,
+  // signatures re-attached only for the 12-position estimate.
+  // ---------------------------------------------------------------------
+  private val LshTuneConfigs = Seq((6, 2), (4, 3), (3, 4), (2, 6))
+
+  private def minhashLshTune(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = signed(spark, sfDir).select("doc_id", "sig")
+    LshTuneConfigs.map { case (b, r) =>
+      val banded = s.selectExpr("doc_id",
+        s"""posexplode(transform(sequence(0, ${b - 1}),
+              i -> md5(concat_ws('|', slice(sig, i * $r + 1, $r)))))
+            AS (band_idx, band_hash)""")
+      val a = banded.select(col("doc_id").as("doc_a"), col("band_idx"),
+        col("band_hash"))
+      val bb = banded.select(col("doc_id").as("doc_b"), col("band_idx"),
+        col("band_hash"))
+      a.join(bb, Seq("band_idx", "band_hash"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .join(s.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+          Seq("doc_a"))
+        .join(s.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+          Seq("doc_b"))
+        .selectExpr(
+          """aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),
+               0, (acc, v) -> acc + v) AS n_eq""")
+        .agg(count(lit(1)).as("nc"),
+          sum(when(col("n_eq") >= 6, 1L).otherwise(0L)).as("ng"))
+        .selectExpr(s"$b AS n_bands", s"$r AS rows_per_band",
+          "nc AS n_candidates",
+          "coalesce(ng, cast(0 as bigint)) AS n_est_ge_half")
+    }.reduce(_ union _).orderBy("rows_per_band")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_simhash_eval — precision/recall audit of the SimHash
+  // hamming ≤ 3 near-dup rule against the EXACT Jaccard ≥ 0.5 truth
+  // from the PPJoin set-similarity join: the companion to
+  // llm_dedup_eval (which audits the MinHash ESTIMATE), closing the
+  // loop on the second sketch family. Both inputs reuse their staged/
+  // cached artifacts (the parquet-staged PPJoin prefix table, the
+  // persisted fingerprints), so the audit itself is a pair-set-sized
+  // full-outer join — output-bounded, never corpus-bounded. At 100 TB
+  // the audit runs on a sampled stratum exactly as llm_dedup_eval
+  // does (PPJoin's df-order invariance makes the restriction provably
+  // equivalent); the corpus-wide form here is the small-SF
+  // calibration run. The two sketches measure DIFFERENT similarity
+  // spaces (set Jaccard vs cosine-of-token-multisets), so less-than-
+  // perfect recall is the finding, not a bug — this key is what makes
+  // that number visible.
+  // ---------------------------------------------------------------------
+  private def simhashEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = setSimJoin(spark, sfDir).select("doc_a", "doc_b")
+      .withColumn("in_t", lit(1))
+    val pred = dedupSimhashPairs(spark, sfDir).select("doc_a", "doc_b")
+      .withColumn("in_p", lit(1))
+    truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(count(col("in_t")).as("n_truth"), count(col("in_p")).as("n_pred"),
+        sum(when(col("in_t").isNotNull && col("in_p").isNotNull, 1L)
+          .otherwise(0L)).as("tp"))
+      .selectExpr("n_truth", "n_pred", "tp",
+        """CASE WHEN n_pred = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(tp * 1000000 DIV n_pred AS BIGINT)
+           END AS precision_ppm""",
+        """CASE WHEN n_truth = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(tp * 1000000 DIV n_truth AS BIGINT)
+           END AS recall_ppm""")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_bigram_lm_score" -> (bigramLmScore _),
+    "llm_zipf_slope" -> (zipfSlope _),
+    "llm_minhash_lsh_tune" -> (minhashLshTune _),
+    "llm_simhash_eval" -> (simhashEval _),
     "llm_dedup_eval" -> (dedupEval _),
     "llm_incremental_dedup" -> (incrementalDedup _),
     "llm_bm25_score" -> (bm25Score _),
@@ -2529,7 +2711,164 @@ object LlmText {
                      (a, v) -> a + v) AS score
             FROM c GROUP BY 1)"""
 
+  /** DuckDB twin of the LSH banding sweep — one banded CTE + one
+    * candidate/estimate block per (b, r) config, generated from the
+    * same [[LshTuneConfigs]] list the Spark side iterates, so the two
+    * sweeps cannot drift. */
+  private val LshTuneOracle: String = {
+    val bandCtes = LshTuneConfigs.map { case (b, r) =>
+      s"""b${b}_$r AS (
+           SELECT doc_id, bb.b AS band_idx,
+                  md5(array_to_string(
+                    sig[bb.b * $r + 1 : bb.b * $r + $r], '|')) AS band_hash
+           FROM signed CROSS JOIN (SELECT unnest(range(0, $b)) AS b) bb)"""
+    }.mkString(",\n")
+    val unions = LshTuneConfigs.map { case (b, r) =>
+      s"""SELECT CAST($b AS INTEGER) AS n_bands,
+                 CAST($r AS INTEGER) AS rows_per_band,
+                 count(*) AS n_candidates,
+                 coalesce(CAST(sum(CASE WHEN n_eq >= 6 THEN 1 ELSE 0 END)
+                               AS BIGINT), 0) AS n_est_ge_half
+          FROM (
+            SELECT list_reduce(list_prepend(0, list_transform(range(1, 13),
+                     i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)),
+                   (acc, v) -> acc + v) AS n_eq
+            FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM b${b}_$r a JOIN b${b}_$r b
+                    ON a.band_idx = b.band_idx
+                   AND a.band_hash = b.band_hash
+                   AND a.doc_id < b.doc_id) c
+            JOIN (SELECT doc_id, sig AS sa FROM signed) x
+              ON c.doc_a = x.doc_id
+            JOIN (SELECT doc_id, sig AS sb FROM signed) y
+              ON c.doc_b = y.doc_id)"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $DSigned,
+        $bandCtes
+        SELECT * FROM ($unions) ORDER BY rows_per_band"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "llm_bigram_lm_score" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+         bi AS (
+           SELECT doc_id, unnest(tk[1 : len(tk) - 1]) AS p,
+                  unnest(tk[2 : len(tk)]) AS w
+           FROM tk),
+         bc AS (SELECT p, w, CAST(count(*) AS BIGINT) AS n_pw
+                FROM bi GROUP BY 1, 2),
+         ctx AS (SELECT p, CAST(sum(n_pw) AS BIGINT) AS n_p
+                 FROM bc GROUP BY 1),
+         vocab AS (
+           SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents)),
+         lm AS (
+           SELECT p, w,
+                  CAST(round(ln(CAST(2 * n_pw + 1 AS DOUBLE) /
+                                CAST(2 * n_p + v AS DOUBLE))
+                             * 1000000.0) AS BIGINT) AS lp_e6
+           FROM bc JOIN ctx USING (p) CROSS JOIN vocab)
+         SELECT doc_id, count(*) AS n_bigrams,
+                CAST(sum(lp_e6) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                  / count(*) AS avg_bigram_lp
+         FROM bi JOIN lm USING (p, w)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "llm_zipf_slope" ->
+      """WITH freq AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents)
+           GROUP BY 1),
+         ranked AS (
+           SELECT CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000.0) AS BIGINT)
+                    AS x,
+                  CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000.0) AS BIGINT)
+                    AS y
+           FROM (SELECT freq, row_number()
+                          OVER (ORDER BY freq DESC, tok) AS rk
+                 FROM freq)
+           WHERE rk <= 1000),
+         s AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x * y) AS BIGINT) AS sxy,
+                  CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM ranked)
+         SELECT n,
+                CAST(round(slope_d * 1000000.0) AS BIGINT) AS slope_e6,
+                CAST(round((CAST(sy AS DOUBLE) - slope_d * CAST(sx AS DOUBLE))
+                           / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_e6
+         FROM (SELECT *,
+                      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_d
+               FROM s)""",
+    "llm_minhash_lsh_tune" -> LshTuneOracle,
+    "llm_simhash_eval" ->
+      s"""WITH g AS (SELECT doc_id, text, string_split(text, ' ') AS t
+                     FROM documents),
+          f AS (SELECT doc_id, $DShingles AS sh FROM g),
+          tok AS (SELECT doc_id, unnest(sh) AS s FROM f),
+          dft AS (SELECT s, count(*) AS df FROM tok GROUP BY 1),
+          sorted AS (
+            SELECT t.doc_id, list(t.s ORDER BY d.df, t.s) AS els,
+                   count(*) AS sz
+            FROM tok t JOIN dft d ON t.s = d.s GROUP BY 1),
+          pre AS (
+            SELECT doc_id, sz,
+                   unnest(els[1 : sz - CAST(ceil(0.5 * sz) AS INT) + 1]) AS s
+            FROM sorted),
+          scand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
+            WHERE least(a.sz, b.sz) >= 0.5 * greatest(a.sz, b.sz)),
+          truth AS (
+            SELECT doc_a, doc_b FROM scand
+            JOIN sorted sa ON doc_a = sa.doc_id
+            JOIN sorted sb ON doc_b = sb.doc_id
+            WHERE len(list_intersect(sa.els, sb.els)) /
+                  (sa.sz + sb.sz - len(list_intersect(sa.els, sb.els)))
+                  >= 0.5),
+          $DSimhashFp,
+          banded AS (
+            SELECT doc_id, b.b AS band_idx,
+                   simhash[b.b * 16 + 1 : b.b * 16 + 16] AS band_val
+            FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+          pcand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id),
+          pred AS (
+            SELECT doc_a, doc_b FROM pcand
+            JOIN fp fa ON fa.doc_id = doc_a
+            JOIN fp fb ON fb.doc_id = doc_b
+            WHERE len(list_filter(range(1, 65),
+                    i -> fa.simhash[i:i] <> fb.simhash[i:i])) <= 3),
+          j AS (
+            SELECT t.doc_a IS NOT NULL AS in_t, p.doc_a IS NOT NULL AS in_p
+            FROM truth t FULL OUTER JOIN pred p
+              ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b),
+          c AS (
+            SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_truth,
+                   CAST(sum(CASE WHEN in_p THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_pred,
+                   CAST(sum(CASE WHEN in_t AND in_p THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tp
+            FROM j)
+          SELECT n_truth, n_pred, tp,
+                 CASE WHEN n_pred = 0 THEN NULL
+                      ELSE CAST(tp * 1000000 // n_pred AS BIGINT)
+                 END AS precision_ppm,
+                 CASE WHEN n_truth = 0 THEN NULL
+                      ELSE CAST(tp * 1000000 // n_truth AS BIGINT)
+                 END AS recall_ppm
+          FROM c""",
     "llm_dedup_eval" ->
       s"""WITH $DSigned,
           pred AS (

@@ -433,7 +433,48 @@ object Windows {
       .where(col("n_matches") >= 1)
       .orderBy("user_id")
 
+  /** F. Maximum drawdown per event type — the largest peak-to-current
+    * decline of the hourly revenue LEVEL series (max over t of
+    * max_{t'≤t} S_{t'} − S_t): the "how far has this metric fallen
+    * from its historical peak" monitor. (The textbook cumulative-PnL
+    * form is degenerate on an all-positive revenue stream — the
+    * cumulative sum is monotone, drawdown identically 0 — so the
+    * level-series form is the one that carries information here, and
+    * it is the form metric monitoring actually alerts on.) Same
+    * two-stage split as [[winRollingCorr]], because the stages have
+    * opposite scale profiles: (1) the hourly aggregation is the
+    * data-sized work — one shuffle keyed by (type, hour), map-side
+    * combined, cents-exact bigint sums; (2) the running-peak and
+    * drawdown windows run over the RESULTING hourly series, whose row
+    * count is bounded by types × hours-in-span (≤ a few thousand for
+    * any retention window), not by the corpus — the documented
+    * bounded-input exception, constant work at any data scale. Both
+    * windows share one partitioning (event_type) ⇒ a single exchange.
+    * The trough hour ties break to the EARLIEST hour achieving the
+    * max drawdown (min over an exact integer equality), so the answer
+    * is bit-deterministic in both engines. */
+  private def winDrawdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = t(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("rev_c"))
+    val run = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = hourly
+      .select(col("event_type"), col("bucket"), col("rev_c"),
+        (max(col("rev_c")).over(run) - col("rev_c")).as("drawdown"))
+    dd.select(col("event_type"), col("bucket"), col("drawdown"),
+        max(col("drawdown")).over(Window.partitionBy("event_type"))
+          .as("mdd"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        max(col("drawdown")).as("max_drawdown_c"),
+        min(when(col("drawdown") === col("mdd"), col("bucket")))
+          .as("trough_hour"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_drawdown" -> (winDrawdown _),
     "win_pattern_match" -> (winPatternMatch _),
     "win_cumulative_distinct" -> (winCumulativeDistinct _),
     "win_rolling_corr" -> (winRollingCorr _),
@@ -454,6 +495,26 @@ object Windows {
     "win_session_batch" -> (winSessionBatch _))
 
   val oracle: Map[String, String] = Map(
+    "win_drawdown" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS bucket,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS rev_c
+           FROM events GROUP BY 1, 2),
+         dd AS (
+           SELECT event_type, bucket,
+                  max(rev_c) OVER (PARTITION BY event_type
+                                   ORDER BY bucket
+                                   ROWS UNBOUNDED PRECEDING) - rev_c
+                    AS drawdown
+           FROM hourly),
+         dd2 AS (
+           SELECT *, max(drawdown) OVER (PARTITION BY event_type) AS mdd
+           FROM dd)
+         SELECT event_type, count(*) AS n_hours,
+                max(drawdown) AS max_drawdown_c,
+                min(CASE WHEN drawdown = mdd THEN bucket END) AS trough_hour
+         FROM dd2 GROUP BY event_type ORDER BY event_type""",
     "win_pattern_match" ->
       """WITH seqs AS (
            SELECT user_id, count(*) AS n_events,

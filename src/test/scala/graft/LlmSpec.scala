@@ -863,4 +863,67 @@ class LlmSpec extends AnyFunSuite {
     assert(row.getLong(3) === (pred -- truth).size, "fp")
     assert(row.getLong(4) === (truth -- pred).size, "fn")
   }
+
+  test("simhash eval confusion counts equal the public truth/pred keys") {
+    val truth = SparkEntry.queries("llm_setsim_join")(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pred = SparkEntry.queries("llm_dedup_simhash_pairs")(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val row = SparkEntry.queries("llm_simhash_eval")(spark, sfDir)
+      .collect().head
+    assert(row.getLong(0) === truth.size, "n_truth")
+    assert(row.getLong(1) === pred.size, "n_pred")
+    assert(row.getLong(2) === (truth & pred).size, "tp")
+    if (pred.nonEmpty)
+      assert(row.getLong(3) ===
+        (truth & pred).size.toLong * 1000000L / pred.size, "precision_ppm")
+    if (truth.nonEmpty)
+      assert(row.getLong(4) ===
+        (truth & pred).size.toLong * 1000000L / truth.size, "recall_ppm")
+  }
+
+  test("LSH tune: (6,2) row reproduces the production banding's counts") {
+    val mh = SparkEntry.queries("llm_dedup_minhash")(spark, sfDir).cache()
+    val nCand = mh.count()
+    val nGe = mh.where(col("est_jaccard") >= 0.5).count()
+    val rows = SparkEntry.queries("llm_minhash_lsh_tune")(spark, sfDir)
+      .collect()
+    assert(rows.length === 4)
+    val r62 = rows.find(r => r.getInt(0) == 6 && r.getInt(1) == 2).get
+    assert(r62.getLong(2) === nCand, "n_candidates (6,2)")
+    assert(r62.getLong(3) === nGe, "n_est_ge_half (6,2)")
+    // Every r>2 band fully contains some r=2 band, so each stricter
+    // config's candidate set is a SUBSET of the production (6,2) set.
+    rows.filter(_.getInt(1) > 2).foreach { r =>
+      assert(r.getLong(2) <= nCand,
+        s"(${r.getInt(0)},${r.getInt(1)}) candidates exceed (6,2)")
+    }
+  }
+
+  test("bigram LM scores every bigram of every eligible doc, negatively") {
+    val nTok = Tables.t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SparkEntry.queries("llm_bigram_lm_score")(spark, sfDir)
+      .collect()
+    assert(rows.length === nTok.count(_._2 >= 2))
+    rows.foreach { r =>
+      // trained-on-corpus LM: every bigram occurrence must hit the LM
+      // table, so per-doc coverage is exactly (tokens - 1)
+      assert(r.getLong(1) === nTok(r.getLong(0)) - 1L,
+        s"doc ${r.getLong(0)}: n_bigrams != tokens - 1")
+      assert(r.getDouble(2) < 0.0, "log-prob must be negative")
+    }
+  }
+
+  test("zipf fit spans min(1000, vocab) terms with a negative slope") {
+    val vocab = Tables.t(spark, sfDir, "documents")
+      .selectExpr("explode(split(text, ' ')) AS tok").distinct().count()
+    val row = SparkEntry.queries("llm_zipf_slope")(spark, sfDir)
+      .collect().head
+    assert(row.getLong(0) === math.min(1000L, vocab))
+    assert(row.getLong(1) < 0L, "Zipf slope should be negative")
+  }
 }

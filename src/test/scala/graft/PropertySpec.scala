@@ -304,4 +304,24 @@ class PropertySpec extends AnyFunSuite {
     assert(n === rows.head.getInt(2),
       s"user $uid: recomputed $n matches vs emitted ${rows.head.getInt(2)}")
   }
+
+  test("max drawdown equals the sequential peak-tracking replay per type") {
+    val sfDir = "/root/testdata/sf0.001"
+    val hourly = Tables.t(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("b"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("rev"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val expected = hourly.groupBy(_._1).map { case (et, hs) =>
+      val ordered = hs.sortBy(_._2.getTime)
+      var peak = Long.MinValue; var mdd = Long.MinValue
+      ordered.foreach { case (_, _, rev) =>
+        peak = math.max(peak, rev)
+        mdd = math.max(mdd, peak - rev)
+      }
+      et -> mdd
+    }
+    val got = SparkEntry.queries("win_drawdown")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === expected)
+  }
 }

@@ -473,7 +473,46 @@ object Windows {
       .orderBy("event_type")
   }
 
+  /** F. Mann–Kendall trend test per event type — the standard
+    * non-parametric "is this metric trending" monitor: S = Σ_{i<j}
+    * sign(x_j − x_i) over the hourly revenue series, significance at
+    * α=0.05 via S² against the null variance n(n−1)(2n+5)/18. Same
+    * bounded-series two-stage shape as [[winDrawdown]]: the hourly
+    * aggregation is the data-sized pass; the pairwise S runs as a
+    * self-join on the RESULTING series (≤ hours-in-span rows per type,
+    * O(n²) on a time-bounded n — a few hundred thousand comparisons,
+    * constant in corpus size). EVERYTHING is exact integer arithmetic:
+    * cents-exact x, sign() in {−1,0,1}, and the significance decision
+    * rewritten as 10000·18·S² vs 38416·n(n−1)(2n+5) (1.96² = 3.8416
+    * exactly), so the verdict has no float anywhere — the test cannot
+    * flip between engines or run orders. (Tie correction for the
+    * variance is omitted; cents-exact hourly sums make exact ties
+    * measure-zero rare, and omitting it is CONSERVATIVE-neutral the
+    * same way in both engines.) */
+  private def winTrendMannKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = t(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("x"))
+    val a = hourly.select(col("event_type"), col("bucket").as("ba"),
+      col("x").as("xa"))
+    val b = hourly.select(col("event_type"), col("bucket").as("bb"),
+      col("x").as("xb"))
+    a.join(b, Seq("event_type"))
+      .where(col("ba") < col("bb"))
+      .groupBy("event_type")
+      .agg(expr("cast(sum(sign(xb - xa)) as bigint)").as("s_stat"))
+      .join(hourly.groupBy("event_type").agg(count(lit(1)).as("n")),
+        Seq("event_type"))
+      .selectExpr("event_type", "n", "s_stat",
+        """CASE WHEN 180000 * s_stat * s_stat >
+                  38416 * n * (n - 1) * (2 * n + 5)
+                THEN IF(s_stat > 0, 'increasing', 'decreasing')
+                ELSE 'no_trend' END AS verdict""")
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_trend_mann_kendall" -> (winTrendMannKendall _),
     "win_drawdown" -> (winDrawdown _),
     "win_pattern_match" -> (winPatternMatch _),
     "win_cumulative_distinct" -> (winCumulativeDistinct _),
@@ -495,6 +534,27 @@ object Windows {
     "win_session_batch" -> (winSessionBatch _))
 
   val oracle: Map[String, String] = Map(
+    "win_trend_mann_kendall" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS bucket,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS x
+           FROM events GROUP BY 1, 2),
+         s AS (
+           SELECT a.event_type,
+                  CAST(sum(sign(b.x - a.x)) AS BIGINT) AS s_stat
+           FROM hourly a JOIN hourly b
+             ON a.event_type = b.event_type AND a.bucket < b.bucket
+           GROUP BY 1),
+         n AS (SELECT event_type, count(*) AS n FROM hourly GROUP BY 1)
+         SELECT event_type, n, s_stat,
+                CASE WHEN 180000 * s_stat * s_stat >
+                          38416 * n * (n - 1) * (2 * n + 5)
+                     THEN CASE WHEN s_stat > 0 THEN 'increasing'
+                               ELSE 'decreasing' END
+                     ELSE 'no_trend' END AS verdict
+         FROM s JOIN n USING (event_type)
+         ORDER BY event_type""",
     "win_drawdown" ->
       """WITH hourly AS (
            SELECT event_type, date_trunc('hour', ts) AS bucket,

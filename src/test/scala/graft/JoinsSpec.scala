@@ -73,4 +73,35 @@ class JoinsSpec extends AnyFunSuite {
     val bad = got.filter { case (id, v) => expected(id) != v }
     assert(bad.isEmpty, s"mismatched purchases: ${bad.take(5)}")
   }
+
+  test("spatial grid join equals O(n²) brute-force haversine at test scale") {
+    // Recompute coordinates + all-pairs haversine driver-side from the
+    // same md5 derivation; the 3×5-cell (wrapped-longitude) blocking
+    // must be invisible in the answer.
+    val pts = t(spark, sfDir, "customer")
+      .selectExpr("c_custkey",
+        "md5(concat(cast(c_custkey as string), '#geo-lat')) AS hla",
+        "md5(concat(cast(c_custkey as string), '#geo-lon')) AS hlo")
+      .collect().map { r =>
+        def hex6(h: String): Long =
+          h.take(6).foldLeft(0L)((a, c) => a * 16 + Integer.parseInt(c.toString, 16))
+        (r.getLong(0), hex6(r.getString(1)) % 1000001 - 500000,
+          hex6(r.getString(2)) % 3600001 - 1800000)
+      }
+    val thr = math.pow(math.sin(300.0 / 12742.0), 2)
+    val expected = (for {
+      (a, la, qa) <- pts; (b, lb, qb) <- pts if a < b
+      phiA = math.toRadians(la / 10000.0); phiB = math.toRadians(lb / 10000.0)
+      h = math.pow(math.sin((phiB - phiA) / 2), 2) +
+        math.cos(phiA) * math.cos(phiB) *
+          math.pow(math.sin((math.toRadians(qb / 10000.0) -
+            math.toRadians(qa / 10000.0)) / 2), 2)
+      if h <= thr
+    } yield (a, b)).toSet
+    val got = SparkEntry.queries("join_spatial_grid")(spark, sfDir)
+      .select("cust_a", "cust_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "test corpus should contain in-radius pairs")
+    assert(got === expected)
+  }
 }

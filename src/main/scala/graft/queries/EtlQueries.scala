@@ -862,6 +862,56 @@ object EtlQueries {
       .orderBy("o_orderkey")
   }
 
+  /** B. VACUUM — snapshot-retention garbage collection on the
+    * `v=<n>` snapshot-versioned layout [[etlTimeTravel]] reads:
+    * keep the newest 2 snapshot versions, physically delete the
+    * rest, and report per-version (rows reclaimed / rows live). The
+    * retention scan is METADATA-sized (distinct partition values —
+    * the same collect class as ANALYZE/MSCK), the reclaimed counts
+    * are partition-pruned reads of ONLY the doomed versions, and the
+    * deletes are directory drops — no data is rewritten, ever (the
+    * defining property of snapshot vacuum vs compaction). Reclaimed
+    * counts MATERIALIZE before deletion — a lazy plan evaluated
+    * after the drop would read vanished files. A fresh fixture is
+    * staged per invocation because the vacuum mutates it (same
+    * rationale as partition_backfill's damaged copy). EtlSpec pins
+    * the physical outcome: doomed directories gone from disk, the
+    * survivor re-read exactly two snapshots wide. */
+  private[graft] def vacuumWithRoot(spark: SparkSession,
+      sfDir: String): (DataFrame, String) = {
+    import spark.implicits._
+    val root = Fixtures.tempDir("graft_vacuum")
+    val base = t(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
+    (1 to 3).foreach { v =>
+      base.withColumn("v", lit(v))
+        .write.partitionBy("v").mode(SaveMode.Append).parquet(root)
+    }
+    val snaps = spark.read.parquet(root)
+    val versions = snaps.select("v").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val keep = versions.takeRight(2).toSet
+    val doomed = versions.filterNot(keep)
+    val reclaimed = doomed.map { v =>
+      (v, snaps.where(col("v") === v).count())
+    }.toSeq
+    doomed.foreach { v =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(s"$root/v=$v"))
+    }
+    val removedDf = reclaimed.toDF("v", "n_rows")
+      .selectExpr("v", "n_rows", "'removed' AS status")
+    val liveDf = spark.read.parquet(root)
+      .groupBy("v").agg(count(lit(1)).as("n_rows"))
+      .selectExpr("v", "n_rows", "'live' AS status")
+    (removedDf.unionByName(liveDf).orderBy("v"), root)
+  }
+
+  private def etlVacuum(spark: SparkSession, sfDir: String): DataFrame =
+    vacuumWithRoot(spark, sfDir)._1
+
   /** B/C. Surgical delete (GDPR-style erasure) on a range-clustered
     * layout: the delete predicate is a narrow key range, per-file
     * min/max stats identify which files can contain matches, and ONLY
@@ -1047,6 +1097,7 @@ object EtlQueries {
     "etl_schema_drift" -> (etlSchemaDrift _),
     "etl_merge_upsert" -> (etlMergeUpsert _),
     "etl_time_travel" -> (etlTimeTravel _),
+    "etl_vacuum" -> (etlVacuum _),
     "etl_delete_rewrite" -> (etlDeleteRewrite _),
     "etl_partition_backfill" -> (etlPartitionBackfill _),
     "sink_csv" -> (sinkCsv _),
@@ -1200,6 +1251,15 @@ object EtlQueries {
                      THEN 'backfilled' ELSE 'kept' END AS status,
                 count(*) AS n_rows
          FROM orders GROUP BY 1, 2 ORDER BY om""",
+    "etl_vacuum" ->
+      """WITH n AS (SELECT count(*) AS c FROM orders)
+         SELECT CAST(1 AS INTEGER) AS v, CAST(c AS BIGINT) AS n_rows,
+                'removed' AS status FROM n
+         UNION ALL
+         SELECT CAST(2 AS INTEGER), CAST(c AS BIGINT), 'live' FROM n
+         UNION ALL
+         SELECT CAST(3 AS INTEGER), CAST(c AS BIGINT), 'live' FROM n
+         ORDER BY v""",
     "etl_delete_rewrite" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders

@@ -2430,6 +2430,46 @@ object LlmText {
   // perfect recall is the finding, not a bug — this key is what makes
   // that number visible.
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // llm_contamination_reach — multi-source BFS depth labels over the
+  // near-dup graph: every document within 3 hops of a benchmark doc
+  // (seeds: doc_id % 100 == 0, the decontamination tier's held-out
+  // convention), labeled with its MINIMUM hop distance. This is the
+  // TRANSITIVE form of decontamination — "A near-dups B, B near-dups a
+  // benchmark doc" leaks through a direct-overlap filter
+  // (llm_decontaminate) but not through this one. Frontier expansion
+  // is the textbook distributed BFS: each round is one edge equi-join
+  // + a min-depth re-aggregation, O(edges) work per round like the
+  // PageRank/LPA keys, with per-round localCheckpoint so the plan
+  // stays round-sized instead of exponential. Depth capped at 3 rounds
+  // — at 100 TB the cap is what bounds the state (near-dup graphs have
+  // small diameter within components anyway; the verdict's blast
+  // radius rarely exceeds the component).
+  // ---------------------------------------------------------------------
+  private def contaminationReach(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var reached = t(spark, sfDir, "documents")
+      .where(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("node"))
+      .withColumn("depth", lit(0))
+      .localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      val expanded = edges
+        .join(reached.select(col("node").as("src"), col("depth")),
+          Seq("src"))
+        .select(col("dst").as("node"), (col("depth") + 1).as("depth"))
+      reached = reached.unionByName(expanded)
+        .groupBy("node").agg(min(col("depth")).cast("int").as("depth"))
+        .localCheckpoint(true)
+    }
+    reached.select(col("node").as("doc_id"), col("depth"))
+      .orderBy("doc_id")
+  }
+
   /** Confusion row (n_truth, n_pred, tp, precision_ppm, recall_ppm)
     * between a truth pair set and a predicted pair set — shared by the
     * two simhash audits so their reports cannot drift in shape. */
@@ -2550,6 +2590,7 @@ object LlmText {
     "llm_cluster_representative" -> (clusterRepresentative _),
     "llm_pagerank" -> (pageRank _),
     "llm_label_propagation" -> (labelPropagation _),
+    "llm_contamination_reach" -> (contaminationReach _),
     "llm_knn_graph" -> (knnGraph _),
     "llm_corpus_pipeline" -> (corpusPipeline _),
     "llm_span_corruption" -> (spanCorruption _),
@@ -3687,6 +3728,26 @@ object LlmText {
             FROM sym)
           SELECT src, rk, nbr, jaccard FROM ranked
           WHERE rk <= 3 ORDER BY src, rk""",
+    "llm_contamination_reach" ->
+      s"""WITH $DPairsEdges,
+          r0 AS (SELECT doc_id AS node, 0 AS depth FROM documents
+                 WHERE doc_id % 100 = 0),
+          r1 AS (SELECT node, CAST(min(depth) AS INTEGER) AS depth FROM (
+                   SELECT node, depth FROM r0
+                   UNION ALL
+                   SELECT e.dst, r.depth + 1 FROM r0 r
+                   JOIN edges e ON r.node = e.src) GROUP BY node),
+          r2 AS (SELECT node, CAST(min(depth) AS INTEGER) AS depth FROM (
+                   SELECT node, depth FROM r1
+                   UNION ALL
+                   SELECT e.dst, r.depth + 1 FROM r1 r
+                   JOIN edges e ON r.node = e.src) GROUP BY node),
+          r3 AS (SELECT node, CAST(min(depth) AS INTEGER) AS depth FROM (
+                   SELECT node, depth FROM r2
+                   UNION ALL
+                   SELECT e.dst, r.depth + 1 FROM r2 r
+                   JOIN edges e ON r.node = e.src) GROUP BY node)
+          SELECT node AS doc_id, depth FROM r3 ORDER BY doc_id""",
     "llm_label_propagation" ->
       s"""WITH $DPairsEdges,
           nodes AS (SELECT DISTINCT src AS node FROM edges),

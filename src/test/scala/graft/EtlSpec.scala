@@ -264,4 +264,19 @@ class EtlSpec extends AnyFunSuite {
     assert(parquetFiles(small) === 64)
     assert(parquetFiles(big) === 2)
   }
+
+  test("vacuum drops doomed snapshot dirs on disk, survivors untouched") {
+    val (report, root) =
+      queries.EtlQueries.vacuumWithRoot(spark, "/root/testdata/sf0.001")
+    val rows = report.collect()
+    val n = Tables.t(spark, "/root/testdata/sf0.001", "orders").count()
+    // report shape: v=1 removed, v=2/3 live, each a full snapshot
+    assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq
+      === Seq((1, n, "removed"), (2, n, "live"), (3, n, "live")))
+    // physical outcome: the doomed directory is GONE, survivors remain
+    assert(!new java.io.File(s"$root/v=1").exists())
+    assert(new java.io.File(s"$root/v=2").exists())
+    assert(new java.io.File(s"$root/v=3").exists())
+    assert(spark.read.parquet(root).count() === 2 * n)
+  }
 }

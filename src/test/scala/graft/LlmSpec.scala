@@ -934,6 +934,29 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination reach equals a driver-side BFS from the seed set") {
+    val pairs = SparkEntry.queries("llm_dedup_ngram_jaccard")(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val seeds = Tables.t(spark, sfDir, "documents")
+      .where(col("doc_id") % 100 === 0).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    var depth = seeds.map(_ -> 0).toMap
+    for (d <- 1 to 3) {
+      val frontier = depth.filter(_._2 == d - 1).keySet
+        .flatMap(n => adj.getOrElse(n, Set.empty))
+        .filterNot(depth.contains)
+      depth = depth ++ frontier.map(_ -> d)
+    }
+    val got = SparkEntry.queries("llm_contamination_reach")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === depth)
+    assert(got.valuesIterator.exists(_ > 0),
+      "some non-seed doc should be reachable")
+  }
+
   test("zipf fit spans min(1000, vocab) terms with a negative slope") {
     val vocab = Tables.t(spark, sfDir, "documents")
       .selectExpr("explode(split(text, ' ')) AS tok").distinct().count()

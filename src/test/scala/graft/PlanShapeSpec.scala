@@ -493,4 +493,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOf(p, "TakeOrderedAndProject") >= 2, p)
     assert(countOf(p, "CartesianProduct") === 0, p)
   }
+
+  test("join_spatial_grid: candidates from the cell equi-join, never all-pairs") {
+    // the radius join must plan as an equi-join on (cell_lat, cell_lon)
+    // — a cartesian or broadcast-nested-loop would mean the blocking
+    // keys fell out of the join condition
+    val p = finalPlan(SparkEntry.queries("join_spatial_grid")(spark, sfDir))
+    assert(countOf(p, "CartesianProduct") === 0, p)
+    assert(countOf(p, "BroadcastNestedLoopJoin") === 0, p)
+  }
+
+  test("llm_minhash_lsh_tune: every config joins on band keys over the cached signatures") {
+    val p = finalPlan(SparkEntry.queries("llm_minhash_lsh_tune")(spark, sfDir))
+    assert(countOf(p, "CartesianProduct") === 0, p)
+    assert(countOf(p, "BroadcastNestedLoopJoin") === 0, p)
+    // all four configs read the one persisted signature table, not
+    // four re-tokenizations of the corpus
+    assert(countOf(p, "InMemoryTableScan") >= 4, p)
+  }
+
+  test("llm_bigram_lm_score: LM side is the staged count table, not a corpus re-explode") {
+    val p = finalPlan(SparkEntry.queries("llm_bigram_lm_score")(spark, sfDir))
+    // scoring join keyed (p, w): present as a real equi-join, and the
+    // bigram-count side scans the staged parquet fixture
+    assert(countOf(p, "CartesianProduct") === 0, p)
+    assert(p.contains("bigram_counts"), p)
+  }
 }

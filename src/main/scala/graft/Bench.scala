@@ -38,6 +38,24 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names unknown keys: ${unknown.toSeq.sorted.mkString(", ")}")
     }
+    // Untimed fixture-staging pass (VERDICT r7 #7): these keys build
+    // one-time parquet-staged artifacts (Fixtures.stagedPersisted —
+    // PPJoin prefix tables, PMI/LM count tables, PPM image fixtures)
+    // on first invocation, so without this pass their run 1 records
+    // staging cost, not query cost (r7 driver artifact: setsim
+    // [15.5, 2.9, 2.8] s). One untimed execution per key stages every
+    // artifact; all TIMED runs then measure the query itself.
+    val stagedFixtureKeys = Seq("llm_setsim_join", "llm_dedup_eval",
+      "llm_simhash_eval", "llm_simhash_shingle_eval",
+      "llm_cooccurrence_pmi", "llm_bigram_lm_score",
+      "llm_multimodal_features")
+    stagedFixtureKeys
+      .filter(k => SparkEntry.queries.contains(k) &&
+        only.forall(_.contains(k)))
+      .foreach { k =>
+        try SparkEntry.queries(k)(spark, sfDir).count()
+        catch { case _: Throwable => () } // timed runs will report it
+      }
     // Per-run JVM GC time: the delta across all collector beans brackets
     // each run, so a slow reading can be attributed (or not) to a GC
     // episode from the artifact alone — the single fact that separates

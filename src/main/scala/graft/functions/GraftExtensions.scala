@@ -42,6 +42,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSignature(args.head, k)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_simhash_bands"),
+      new ExpressionInfo(classOf[SimHashBands].getName, "graft_simhash_bands"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash_bands(features)")
+        SimHashBands(args.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[WordNGrams].getName, "graft_ngrams"),
       (args: Seq[Expression]) => {

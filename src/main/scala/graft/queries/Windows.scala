@@ -481,14 +481,19 @@ object Windows {
     * aggregation is the data-sized pass; the pairwise S runs as a
     * self-join on the RESULTING series (≤ hours-in-span rows per type,
     * O(n²) on a time-bounded n — a few hundred thousand comparisons,
-    * constant in corpus size). EVERYTHING is exact integer arithmetic:
-    * cents-exact x, sign() in {−1,0,1}, and the significance decision
-    * rewritten as 10000·18·S² vs 38416·n(n−1)(2n+5) (1.96² = 3.8416
-    * exactly), so the verdict has no float anywhere — the test cannot
-    * flip between engines or run orders. (Tie correction for the
-    * variance is omitted; cents-exact hourly sums make exact ties
-    * measure-zero rare, and omitting it is CONSERVATIVE-neutral the
-    * same way in both engines.) */
+    * constant in corpus size). S itself is exact integer arithmetic
+    * (cents-exact x, sign() in {−1,0,1}); the significance decision
+    * 10000·18·S² vs 38416·n(n−1)(2n+5) (1.96² = 3.8416 exactly) is
+    * evaluated in DOUBLES with identical operand order in both
+    * engines: |S| can reach n(n−1)/2, so the int64 form overflows
+    * once a series exceeds ~3,800 buckets (~5 months of hours) — and
+    * the engines diverge in failure MODE (Spark non-ANSI wraps
+    * silently, DuckDB raises). Both sides are single fixed float
+    * expressions, so the double form is engine-deterministic at every
+    * retention length. (Tie correction for the variance is omitted;
+    * cents-exact hourly sums make exact ties measure-zero rare, and
+    * omitting it is CONSERVATIVE-neutral the same way in both
+    * engines.) */
   private def winTrendMannKendall(spark: SparkSession, sfDir: String): DataFrame = {
     val hourly = t(spark, sfDir, "events")
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
@@ -504,14 +509,86 @@ object Windows {
       .join(hourly.groupBy("event_type").agg(count(lit(1)).as("n")),
         Seq("event_type"))
       .selectExpr("event_type", "n", "s_stat",
-        """CASE WHEN 180000 * s_stat * s_stat >
-                  38416 * n * (n - 1) * (2 * n + 5)
+        """CASE WHEN 180000.0 * CAST(s_stat AS DOUBLE) * CAST(s_stat AS DOUBLE) >
+                  38416.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) *
+                  (2.0 * CAST(n AS DOUBLE) + 5.0)
                 THEN IF(s_stat > 0, 'increasing', 'decreasing')
                 ELSE 'no_trend' END AS verdict""")
       .orderBy("event_type")
   }
 
+  /** F. One-sided CUSUM change-point detector per event type — the
+    * classic "has this metric drifted upward" page: S_t = max(0,
+    * S_{t−1} + (x_t − mean)) with an alarm when S crosses h. The
+    * recursion LOOKS inherently sequential, but has the exact closed
+    * form S_t = P_t − min(0, min_{j≤t} P_j) over the prefix sums P of
+    * the centered series — so it runs as two stacked window functions
+    * (running sum, then running min) on ONE (event_type, bucket)
+    * partitioning, no recursion, no UDAF. Everything is exact integer
+    * arithmetic: centering multiplies through by n (y_t = n·x_t − T,
+    * avoiding a fractional mean), so S is in n·cents and the alarm
+    * threshold h = T (one average hour's revenue, scaled by the same
+    * n) compares BIGINT to BIGINT — bit-deterministic in both
+    * engines. Same bounded-hourly-series two-stage shape as
+    * [[winDrawdown]]: the aggregation pass is data-sized; the windows
+    * run on ≤ hours-in-span rows per type, constant in corpus size. */
+  private def winCusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = t(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("x"))
+    val stats = Window.partitionBy("event_type")
+    val run = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = hourly
+      .select(col("event_type"), col("bucket"), col("x"),
+        count(lit(1)).over(stats).as("n"),
+        sum(col("x")).over(stats).as("tot"))
+      .select(col("event_type"), col("bucket"), col("n"), col("tot"),
+        sum(col("n") * col("x") - col("tot")).over(run).as("p"))
+      .select(col("event_type"), col("bucket"), col("n"), col("tot"),
+        (col("p") - least(lit(0L), min(col("p")).over(run))).as("s"))
+    cusum
+      .groupBy("event_type")
+      .agg(max(col("n")).cast("long").as("n_hours"),
+        max(col("s")).as("max_cusum"),
+        sum(when(col("s") > col("tot"), 1L).otherwise(0L)).as("n_alarm_hours"),
+        min(when(col("s") > col("tot"), col("bucket"))).as("first_alarm_hour"))
+      .orderBy("event_type")
+  }
+
+  /** F. Hour-of-day seasonal profile per event type — the 24-bucket
+    * seasonality fingerprint a forecasting/anomaly pipeline computes
+    * before any model sees the series: mean revenue and traffic share
+    * per (type, hour-of-day). One data-sized aggregation keyed by
+    * (type, hod) — 24 × |types| output rows at ANY corpus size — plus
+    * a type-partitioned window to attach the share denominator
+    * without a second corpus pass. Ratios are exact integer
+    * arithmetic (e6 floor division), so rows are bit-deterministic;
+    * the peak flag is a rank-1 test over the exact integer ordering
+    * (rev_c DESC, hod ASC), ties broken to the earliest hour the same
+    * way in both engines. */
+  private def winSeasonalProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val byHod = t(spark, sfDir, "events")
+      .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("rev_c"))
+    val wt = Window.partitionBy("event_type")
+    val peak = Window.partitionBy("event_type")
+      .orderBy(col("rev_c").desc, col("hod"))
+    byHod
+      .select(col("event_type"), col("hod"), col("n_events"), col("rev_c"),
+        sum(col("rev_c")).over(wt).as("type_rev"),
+        row_number().over(peak).as("peak_rk"))
+      .selectExpr("event_type", "hod", "n_events",
+        "CAST(rev_c * 1000000 DIV n_events AS BIGINT) AS mean_rev_e6",
+        "CAST(rev_c * 1000000 DIV type_rev AS BIGINT) AS share_ppm",
+        "peak_rk = 1 AS is_peak_hour")
+      .orderBy("event_type", "hod")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_cusum_changepoint" -> (winCusumChangepoint _),
+    "win_seasonal_profile" -> (winSeasonalProfile _),
     "win_trend_mann_kendall" -> (winTrendMannKendall _),
     "win_drawdown" -> (winDrawdown _),
     "win_pattern_match" -> (winPatternMatch _),
@@ -534,6 +611,54 @@ object Windows {
     "win_session_batch" -> (winSessionBatch _))
 
   val oracle: Map[String, String] = Map(
+    "win_cusum_changepoint" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS bucket,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS x
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT event_type, bucket, x,
+                  count(*) OVER (PARTITION BY event_type) AS n,
+                  sum(x) OVER (PARTITION BY event_type) AS tot
+           FROM hourly),
+         pre AS (
+           SELECT event_type, bucket, n, tot,
+                  sum(n * x - tot) OVER (PARTITION BY event_type
+                    ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+           FROM st),
+         cu AS (
+           SELECT event_type, bucket, n, tot,
+                  p - least(0, min(p) OVER (PARTITION BY event_type
+                    ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+           FROM pre)
+         SELECT event_type,
+                CAST(max(n) AS BIGINT) AS n_hours,
+                CAST(max(s) AS BIGINT) AS max_cusum,
+                CAST(sum(CASE WHEN s > tot THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_alarm_hours,
+                min(CASE WHEN s > tot THEN bucket END) AS first_alarm_hour
+         FROM cu GROUP BY 1 ORDER BY 1""",
+    "win_seasonal_profile" ->
+      """WITH byhod AS (
+           SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS rev_c
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, hod, n_events, rev_c,
+                  sum(rev_c) OVER (PARTITION BY event_type) AS type_rev,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY rev_c DESC, hod ASC) AS peak_rk
+           FROM byhod)
+         SELECT event_type, hod, n_events,
+                CAST(rev_c * 1000000 // n_events AS BIGINT) AS mean_rev_e6,
+                CAST(rev_c * 1000000 // type_rev AS BIGINT) AS share_ppm,
+                peak_rk = 1 AS is_peak_hour
+         FROM w ORDER BY event_type, hod""",
     "win_trend_mann_kendall" ->
       """WITH hourly AS (
            SELECT event_type, date_trunc('hour', ts) AS bucket,
@@ -548,8 +673,11 @@ object Windows {
            GROUP BY 1),
          n AS (SELECT event_type, count(*) AS n FROM hourly GROUP BY 1)
          SELECT event_type, n, s_stat,
-                CASE WHEN 180000 * s_stat * s_stat >
-                          38416 * n * (n - 1) * (2 * n + 5)
+                CASE WHEN 180000.0 * CAST(s_stat AS DOUBLE)
+                              * CAST(s_stat AS DOUBLE) >
+                          38416.0 * CAST(n AS DOUBLE)
+                              * (CAST(n AS DOUBLE) - 1.0)
+                              * (2.0 * CAST(n AS DOUBLE) + 5.0)
                      THEN CASE WHEN s_stat > 0 THEN 'increasing'
                                ELSE 'decreasing' END
                      ELSE 'no_trend' END AS verdict

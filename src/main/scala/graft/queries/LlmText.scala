@@ -2343,6 +2343,60 @@ object LlmText {
   }
 
   // ---------------------------------------------------------------------
+  // llm_kneser_ney_score — the production-grade upgrade of the add-k
+  // scorer above: interpolated Kneser–Ney with absolute discount
+  // D = 3/4, the smoothing KenLM actually ships and the one whose
+  // continuation probability fixes add-k's systematic error (a word
+  // seen often but only after ONE context — "Francisco" — gets a high
+  // unigram weight under add-k but a LOW continuation weight under
+  // KN, because N1+(·w) counts DISTINCT predecessors, not tokens).
+  // P(w|p) = (c(p,w) − D)/c(p) + D·N1+(p·)/c(p) · N1+(·w)/B over
+  // observed bigrams (c ≥ 1 ⟹ the discounted term is positive, so no
+  // max(·,0) is needed — the same observed-bigram-bound convention as
+  // llm_bigram_lm_score). Every statistic is an integer aggregate of
+  // the SAME staged bigram_counts artifact (c, row-counts per p, per
+  // w, and the type total B — one more groupBy each, no extra corpus
+  // pass); D = 3/4 keeps the probability a ratio of exact integers
+  // ((4c−3)/4c(p) + 3·N1p/4c(p) · N1w/B), evaluated as one fixed
+  // double expression, ln'd, e6-rounded, and summed as scaled bigints
+  // — shuffle-order- and libm-ulp-independent like every LM key.
+  // ---------------------------------------------------------------------
+  private def kneserNeyScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val bi = t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS tk")
+      .where(size(col("tk")) >= 2)
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(tk) - 1),
+             i -> struct(element_at(tk, i) AS p,
+                         element_at(tk, i + 1) AS w))) AS bg""")
+      .select(col("doc_id"), col("bg.p").as("p"), col("bg.w").as("w"))
+    val bc = graft.etl.Fixtures.stagedPersisted(spark, sfDir,
+      "bigram_counts") {
+      d => bi.groupBy("p", "w").agg(count(lit(1)).as("n_pw"))
+        .write.mode("overwrite").parquet(d)
+    }
+    val ctx = bc.groupBy("p")
+      .agg(sum(col("n_pw")).as("n_p"), count(lit(1)).as("n1p"))
+    val wst = bc.groupBy("w").agg(count(lit(1)).as("n1w"))
+    val btot = bc.agg(count(lit(1)).as("b"))
+    val lm = bc.join(ctx, Seq("p")).join(wst, Seq("w"))
+      .crossJoin(broadcast(btot))
+      .selectExpr("p", "w",
+        """cast(round(ln(
+             CAST(4 * n_pw - 3 AS DOUBLE) / CAST(4 * n_p AS DOUBLE) +
+             CAST(3 * n1p AS DOUBLE) / CAST(4 * n_p AS DOUBLE) *
+             (CAST(n1w AS DOUBLE) / CAST(b AS DOUBLE)))
+             * 1000000.0) AS BIGINT) AS lp_e6""")
+    bi.join(lm, Seq("p", "w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_e6")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("s").cast("double") / lit(1000000).cast("double") /
+          col("n_bigrams")).as("avg_kn_lp"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_zipf_slope — Zipf-law exponent of the corpus token-frequency
   // distribution: least-squares slope of ln(freq) on ln(rank) over the
   // top-1000 terms (the corpus-health diagnostic curation reports
@@ -2706,6 +2760,7 @@ object LlmText {
     "llm_quality_logreg" -> (qualityLogreg _),
     "llm_simhash_shingle_eval" -> (simhashShingleEval _),
     "llm_bigram_lm_score" -> (bigramLmScore _),
+    "llm_kneser_ney_score" -> (kneserNeyScore _),
     "llm_zipf_slope" -> (zipfSlope _),
     "llm_minhash_lsh_tune" -> (minhashLshTune _),
     "llm_simhash_eval" -> (simhashEval _),
@@ -3223,6 +3278,35 @@ object LlmText {
          SELECT doc_id, count(*) AS n_bigrams,
                 CAST(sum(lp_e6) AS DOUBLE) / CAST(1000000 AS DOUBLE)
                   / count(*) AS avg_bigram_lp
+         FROM bi JOIN lm USING (p, w)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "llm_kneser_ney_score" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+         bi AS (
+           SELECT doc_id, unnest(tk[1 : len(tk) - 1]) AS p,
+                  unnest(tk[2 : len(tk)]) AS w
+           FROM tk),
+         bc AS (SELECT p, w, CAST(count(*) AS BIGINT) AS n_pw
+                FROM bi GROUP BY 1, 2),
+         ctx AS (SELECT p, CAST(sum(n_pw) AS BIGINT) AS n_p,
+                        CAST(count(*) AS BIGINT) AS n1p
+                 FROM bc GROUP BY 1),
+         wst AS (SELECT w, CAST(count(*) AS BIGINT) AS n1w
+                 FROM bc GROUP BY 1),
+         btot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bc),
+         lm AS (
+           SELECT p, w,
+                  CAST(round(ln(
+                    CAST(4 * n_pw - 3 AS DOUBLE) / CAST(4 * n_p AS DOUBLE) +
+                    CAST(3 * n1p AS DOUBLE) / CAST(4 * n_p AS DOUBLE) *
+                    (CAST(n1w AS DOUBLE) / CAST(b AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) AS lp_e6
+           FROM bc JOIN ctx USING (p) JOIN wst USING (w) CROSS JOIN btot)
+         SELECT doc_id, count(*) AS n_bigrams,
+                CAST(sum(lp_e6) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                  / count(*) AS avg_kn_lp
          FROM bi JOIN lm USING (p, w)
          GROUP BY doc_id ORDER BY doc_id""",
     "llm_zipf_slope" ->

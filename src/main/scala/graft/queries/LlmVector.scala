@@ -374,6 +374,43 @@ object LlmVector {
   }
 
   // ---------------------------------------------------------------------
+  // llm_ann_range — RANGE search over the same IVF index: every vector
+  // within cosine ≥ 0.1 of the query, not a fixed top-k. The two query
+  // shapes are operationally different — top-k bounds the OUTPUT
+  // (TakeOrderedAndProject), range search bounds the SIMILARITY and
+  // must emit however many qualify, which is what dedup-by-radius and
+  // "find all near-copies of this item" actually need. Identical cell
+  // assignment / nprobe=2 probe as llm_ann_ivf (same [[centScores]];
+  // the oracle reuses the shared IvfCellsCte verbatim, so cell
+  // semantics cannot drift between the two); the threshold filter runs
+  // inside the scan-side projection, so the only rows that ever leave
+  // the map side are the qualifying ones — at 100 TB the cost is the
+  // probed cells' scan, and the emitted set is radius-selectivity-
+  // sized, never cell-sized.
+  // ---------------------------------------------------------------------
+  private def annRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val assigned = e
+      .withColumn("best", array_max(centScores(col("embedding"), col("nrm"))))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (-col("best.nid")).cast("int").as("cell"))
+    val q = e.where(col("vec_id") === 7)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      .withColumn("scored",
+        sort_array(centScores(col("qe"), col("qn")), asc = false))
+      .select(col("qe"), col("qn"),
+        expr(s"transform(slice(scored, 1, 2), s -> cast(-s.nid as int))")
+          .as("probed"))
+    assigned.crossJoin(broadcast(q))
+      .where(array_contains(col("probed"), col("cell")) &&
+        col("vec_id") =!= 7)
+      .select(col("vec_id"), col("cell"),
+        cosine(col("embedding"), col("qe"), col("nrm"), col("qn")).as("cosine"))
+      .where(col("cosine") >= 0.1)
+      .orderBy("vec_id")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_ann_recall — recall@10 of the IVF probe against the exact
   // brute-force top-10: the ANN tier's accuracy audit, mirroring what
   // llm_dedup_eval does for the dedup tier. An approximate index
@@ -946,13 +983,15 @@ object LlmVector {
     header ++ Array.tabulate(3 * w * h)(i => ((s0 + i) % 256).toByte)
   }
 
-  /** Dependency-free P6 PPM decoder per the netpbm spec: whitespace-
-    * separated ASCII header tokens, `#`-to-newline comments legal
-    * anywhere in the header, exactly one whitespace byte between the
-    * maxval and the binary pixel payload. Returns (width, height,
-    * pixelSum) and throws on malformed input — a decode stage that
-    * silently passes garbage downstream poisons a training corpus. */
-  private[graft] def decodePpm(img: Array[Byte]): (Int, Int, Long) = {
+  /** Dependency-free P6 PPM header parse per the netpbm spec:
+    * whitespace-separated ASCII header tokens, `#`-to-newline comments
+    * legal anywhere in the header, exactly one whitespace byte between
+    * the maxval and the binary pixel payload. Returns (width, height,
+    * pixel-payload offset) and throws on malformed input — a decode
+    * stage that silently passes garbage downstream poisons a training
+    * corpus. Shared by the feature extractor and the perceptual-hash
+    * key so the two can never parse the format differently. */
+  private[graft] def ppmHeader(img: Array[Byte]): (Int, Int, Int) = {
     var pos = 0
     def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\t' || b == '\r'
     def token(): String = {
@@ -972,9 +1011,40 @@ object LlmVector {
     pos += 1 // the single whitespace byte terminating the header
     require(img.length - pos == 3 * w * h,
       s"pixel payload ${img.length - pos} bytes, expected ${3 * w * h}")
+    (w, h, pos)
+  }
+
+  private[graft] def decodePpm(img: Array[Byte]): (Int, Int, Long) = {
+    val (w, h, off) = ppmHeader(img)
     var sum = 0L
+    var pos = off
     while (pos < img.length) { sum += (img(pos) & 0xff); pos += 1 }
     (w, h, sum)
+  }
+
+  /** 64-bit perceptual difference-hash (dHash) of a decoded PPM,
+    * packed as 4×16-bit band integers (the same layout every hamming
+    * tier in this engine joins on): nearest-neighbor sample the image
+    * on a 9×8 grid, compare horizontally adjacent sample brightnesses
+    * (channel SUM — no division, so the hash is exact integer
+    * arithmetic end to end), one bit per comparison, MSB-first within
+    * each band. */
+  private[graft] def dhashBands(img: Array[Byte]): Array[Long] = {
+    val (w, h, off) = ppmHeader(img)
+    def s(p: Int): Int =
+      (img(off + 3 * p) & 0xff) + (img(off + 3 * p + 1) & 0xff) +
+        (img(off + 3 * p + 2) & 0xff)
+    val bands = new Array[Long](4)
+    var k = 0
+    while (k < 64) {
+      val x = k % 8
+      val gy = (k / 8) * h / 8
+      val bit = if (s(gy * w + (x + 1) * w / 9) > s(gy * w + x * w / 9)) 1L
+                else 0L
+      bands(k / 16) = bands(k / 16) * 2 + bit
+      k += 1
+    }
+    bands
   }
 
   private def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
@@ -992,6 +1062,46 @@ object LlmVector {
         MmFeat(id, w, h, img.length, sum, sum.toDouble / (3.0 * w * h))
       }
     }.toDF().orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_multimodal_phash — perceptual-hash IMAGE DEDUP over the real
+  // decode path: the visual analogue of llm_dedup_exact, and the op
+  // every multimodal curation pipeline runs before training (resized
+  // re-encodes of one image must collapse to one kept exemplar). Each
+  // staged P6 PPM is decoded by the shared [[ppmHeader]] parser and
+  // reduced to a 64-bit dHash ([[dhashBands]] — 9×8 nearest-neighbor
+  // sample grid, adjacent-brightness comparisons, exact integer
+  // arithmetic), then images group by hash: one output row per
+  // distinct perceptual hash with its multiplicity and the smallest
+  // doc_id as the kept exemplar. Scale shape: decode+hash are pure
+  // per-row map work (mapPartitions, the arrow-batch analogue); the
+  // dedup is ONE groupBy keyed by the 4 band ints whose output is
+  // bounded by distinct-hash cardinality, not corpus size. A
+  // hamming ≤ k near-dup tier composes directly: the 4×16-bit bands
+  // are the same pigeonhole layout the SimHash pair join buckets on.
+  // The DuckDB oracle replays the hash ANALYTICALLY from the fixture
+  // generator's closed form (pixel byte i = (s0+i) mod 256), so any
+  // decode or sampling-grid error breaks the match.
+  // ---------------------------------------------------------------------
+  private def multimodalPhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val imgs = graft.etl.Fixtures.stagedPersisted(spark, sfDir, "ppm_images") {
+      dir =>
+        t(spark, sfDir, "documents").select("doc_id").as[Long]
+          .mapPartitions(it => it.map(id => (id, ppmBytes(id))))
+          .toDF("doc_id", "img")
+          .write.mode("overwrite").parquet(dir)
+    }
+    imgs.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, img) =>
+        val b = dhashBands(img)
+        (id, b(0), b(1), b(2), b(3))
+      }
+    }.toDF("doc_id", "b0", "b1", "b2", "b3")
+      .groupBy("b0", "b1", "b2", "b3")
+      .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("keep_doc_id"))
+      .orderBy("keep_doc_id")
   }
 
   // ---------------------------------------------------------------------
@@ -1139,6 +1249,7 @@ object LlmVector {
     "llm_bitext_margin" -> (bitextMargin _),
     "llm_embed_cluster" -> (embedCluster _),
     "llm_ann_ivf" -> (annIvf _),
+    "llm_ann_range" -> (annRange _),
     "llm_ann_recall" -> (annRecall _),
     "llm_matryoshka_rerank" -> (matryoshkaRerank _),
     "llm_ann_ivf_persisted" -> (annIvfPersisted _),
@@ -1151,7 +1262,8 @@ object LlmVector {
     "llm_vector_mean" -> (vectorMean _),
     "agg_custom_vector_mean" -> (customVectorMean _),
     "llm_multimodal_passthrough" -> (multimodalPassthrough _),
-    "llm_multimodal_features" -> (multimodalFeatures _))
+    "llm_multimodal_features" -> (multimodalFeatures _),
+    "llm_multimodal_phash" -> (multimodalPhash _))
 
   /** DuckDB twins. Every fold mirrors Spark's sequential left fold
     * (list_reduce over a 0.0-prepended list) so doubles match exactly. */
@@ -1238,6 +1350,20 @@ object LlmVector {
                  CROSS JOIN q
           WHERE e.vec_id <> 7
           ORDER BY cosine DESC, e.vec_id LIMIT 10"""
+
+  /** Range-search twin: the same shared cell CTE, a threshold instead
+    * of a top-k. */
+  private[graft] val AnnRangeOracle =
+    s"""WITH $IvfCellsCte
+          SELECT * FROM (
+            SELECT e.vec_id, CAST(a.cell AS INTEGER) AS cell,
+                   ${dDot("e.embedding", "q.qe")} / (e.nrm * q.qn) AS cosine
+            FROM e JOIN assigned a USING (vec_id)
+                   JOIN probed p ON a.cell = p.cent_id
+                   CROSS JOIN q
+            WHERE e.vec_id <> 7)
+          WHERE cosine >= 0.1
+          ORDER BY vec_id"""
 
   private val SemDedupOracle =
     s"""WITH e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings),
@@ -1583,6 +1709,7 @@ object LlmVector {
             FROM reach GROUP BY id)
           SELECT vec_id, cluster_id, is_kept FROM labels ORDER BY vec_id""",
     "llm_ann_ivf" -> AnnIvfOracle,
+    "llm_ann_range" -> AnnRangeOracle,
     // recall audit: exact top-10 (brute force) vs the IVF probe's
     // top-10, both replayed with the shared cells CTE
     "llm_ann_recall" ->
@@ -1802,5 +1929,37 @@ object LlmVector {
                 CAST(header_len + n AS INTEGER) AS n_bytes,
                 pixel_sum,
                 CAST(pixel_sum AS DOUBLE) / CAST(n AS DOUBLE) AS brightness
-         FROM q ORDER BY doc_id""")
+         FROM q ORDER BY doc_id""",
+    // Analytic replay of the dHash: channel sum at sample position p
+    // is (s0+3p)%256 + (s0+3p+1)%256 + (s0+3p+2)%256 from the
+    // generator's cyclic ramp; bit k compares the (x+1)-th vs x-th
+    // 9-grid column sample on row k//8, bands fold 16 bits MSB-first
+    // exactly as dhashBands does.
+    "llm_multimodal_phash" -> PhashOracle)
+
+  private lazy val PhashOracle: String = {
+    def sAt(p: String): String =
+      s"((s0 + 3 * ($p)) % 256 + (s0 + 3 * ($p) + 1) % 256 " +
+        s"+ (s0 + 3 * ($p) + 2) % 256)"
+    val gy = "((k // 8) * h // 8)"
+    val bit =
+      s"""CASE WHEN ${sAt(s"$gy * w + (k % 8 + 1) * w // 9")} >
+                ${sAt(s"$gy * w + (k % 8) * w // 9")}
+          THEN 1 ELSE 0 END"""
+    def band(b: Int): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(${16 * b}, ${16 * b + 16}), k -> $bit)),
+            (acc, v) -> acc * 2 + v) AS b$b"""
+    s"""WITH d AS (SELECT doc_id,
+                CAST(doc_id % 16 + 1 AS BIGINT) AS w,
+                CAST(doc_id % 8 + 1 AS BIGINT) AS h,
+                CAST((doc_id * 131) % 256 AS BIGINT) AS s0
+              FROM documents),
+        hs AS (SELECT doc_id, ${band(0)}, ${band(1)}, ${band(2)},
+                      ${band(3)}
+               FROM d)
+        SELECT b0, b1, b2, b3, CAST(count(*) AS BIGINT) AS n_images,
+               min(doc_id) AS keep_doc_id
+        FROM hs GROUP BY 1, 2, 3, 4 ORDER BY keep_doc_id"""
+  }
 }

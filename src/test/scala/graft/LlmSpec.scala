@@ -976,4 +976,47 @@ class LlmSpec extends AnyFunSuite {
     assert(row.getLong(0) === math.min(1000L, vocab))
     assert(row.getLong(1) < 0L, "Zipf slope should be negative")
   }
+
+  test("Kneser-Ney covers the same bigrams as add-k and stays negative") {
+    val addk = SparkEntry.queries("llm_bigram_lm_score")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kn = SparkEntry.queries("llm_kneser_ney_score")(spark, sfDir)
+      .collect()
+    // same observed-bigram bound: identical doc set and per-doc counts
+    assert(kn.map(r => r.getLong(0) -> r.getLong(1)).toMap === addk)
+    kn.foreach { r =>
+      assert(r.getDouble(2) < 0.0,
+        s"doc ${r.getLong(0)}: KN log-prob must be negative " +
+          "(P is a proper sub-1 probability for every observed bigram)")
+    }
+  }
+
+  test("perceptual-hash clusters partition the image corpus exactly") {
+    val nDocs = Tables.t(spark, sfDir, "documents").count()
+    val rows = SparkEntry.queries("llm_multimodal_phash")(spark, sfDir)
+      .collect()
+    // every image lands in exactly one hash cluster; exemplars unique
+    assert(rows.map(_.getLong(4)).sum === nDocs)
+    val keeps = rows.map(_.getLong(5))
+    assert(keeps.distinct.length === keeps.length)
+    // the fixture plants exact perceptual dups (hash depends only on
+    // (w, h, s0) ≡ doc_id mod lcm structure) — some cluster must be >1
+    assert(rows.exists(_.getLong(4) > 1L),
+      "fixture should contain perceptually identical images")
+  }
+
+  test("ANN range search agrees with the IVF top-k on the shared index") {
+    val range = SparkEntry.queries("llm_ann_range")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    range.values.foreach(c => assert(c >= 0.1, "threshold must hold"))
+    // same cells, same query: every top-10 IVF hit at or above the
+    // radius must appear in the range result with the same cosine
+    SparkEntry.queries("llm_ann_ivf")(spark, sfDir).collect()
+      .filter(_.getDouble(2) >= 0.1)
+      .foreach { r =>
+        assert(range.get(r.getLong(0)).contains(r.getDouble(2)),
+          s"vec ${r.getLong(0)} in IVF top-10 above radius but missing " +
+            "from range result")
+      }
+  }
 }

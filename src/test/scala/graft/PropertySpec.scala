@@ -358,7 +358,10 @@ class PropertySpec extends AnyFunSuite {
   test("Count-Min estimates never under-count the exact frequency") {
     val sfDir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("agg_countmin")(spark, sfDir).collect()
-    assert(rows.length === 5)
+    // probe set = every distinct l_partkey <= 5 present in lineitem
+    val expected = Tables.t(spark, sfDir, "lineitem")
+      .where(col("l_partkey") <= 5).select("l_partkey").distinct().count()
+    assert(rows.length === expected && rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getLong(2) >= r.getLong(1),
         s"CMS must over-estimate: key ${r.getLong(0)} " +

@@ -912,6 +912,47 @@ object EtlQueries {
   private def etlVacuum(spark: SparkSession, sfDir: String): DataFrame =
     vacuumWithRoot(spark, sfDir)._1
 
+  /** B. Orphan-file audit — the OTHER half of table maintenance next
+    * to [[etlVacuum]]: snapshot retention removes versions the
+    * manifest says are old; orphan audit finds data the manifest
+    * never admitted — the debris of a writer that died after its
+    * files landed but before its commit record appended (every
+    * lakehouse format has exactly this failure mode, and `VACUUM
+    * ... ORPHAN FILES` exists because of it). The staged layout
+    * commits v=1,2 into a `_manifest` parquet (underscore-prefixed,
+    * so partition discovery ignores it — the same convention Spark
+    * itself uses for _SUCCESS) and then lands v=3 WITHOUT the
+    * manifest append. The audit is a metadata-sized anti-join:
+    * on-disk partition values (directory listing — planning-time
+    * metadata, no data read) vs manifest rows, with per-version row
+    * counts partition-pruned. Nothing is deleted here — audit and
+    * reclaim are separate jobs in production because orphans may
+    * belong to an IN-FLIGHT commit; the report is what a retention
+    * policy acts on. */
+  private def etlOrphanAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = Fixtures.stagedDir(sfDir, "orphan_audit") { d =>
+      val base = t(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
+      (1 to 2).foreach { v =>
+        base.withColumn("v", lit(v))
+          .write.partitionBy("v").mode(SaveMode.Append).parquet(d)
+      }
+      Seq(1, 2).toDF("v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$d/_manifest")
+      // the aborted write: data lands, the manifest append never runs
+      base.withColumn("v", lit(3))
+        .write.partitionBy("v").mode(SaveMode.Append).parquet(d)
+    }
+    val onDisk = spark.read.parquet(root)
+    val committed = spark.read.parquet(s"$root/_manifest")
+      .withColumn("in_manifest", lit(1))
+    onDisk.groupBy("v").agg(count(lit(1)).as("n_rows"))
+      .join(broadcast(committed), Seq("v"), "left")
+      .selectExpr("v", "n_rows",
+        "IF(in_manifest IS NULL, 'orphan', 'committed') AS status")
+      .orderBy("v")
+  }
+
   /** B/C. Surgical delete (GDPR-style erasure) on a range-clustered
     * layout: the delete predicate is a narrow key range, per-file
     * min/max stats identify which files can contain matches, and ONLY
@@ -1098,6 +1139,7 @@ object EtlQueries {
     "etl_merge_upsert" -> (etlMergeUpsert _),
     "etl_time_travel" -> (etlTimeTravel _),
     "etl_vacuum" -> (etlVacuum _),
+    "etl_orphan_audit" -> (etlOrphanAudit _),
     "etl_delete_rewrite" -> (etlDeleteRewrite _),
     "etl_partition_backfill" -> (etlPartitionBackfill _),
     "sink_csv" -> (sinkCsv _),
@@ -1259,6 +1301,15 @@ object EtlQueries {
          SELECT CAST(2 AS INTEGER), CAST(c AS BIGINT), 'live' FROM n
          UNION ALL
          SELECT CAST(3 AS INTEGER), CAST(c AS BIGINT), 'live' FROM n
+         ORDER BY v""",
+    "etl_orphan_audit" ->
+      """WITH n AS (SELECT count(*) AS c FROM orders)
+         SELECT CAST(1 AS INTEGER) AS v, CAST(c AS BIGINT) AS n_rows,
+                'committed' AS status FROM n
+         UNION ALL
+         SELECT CAST(2 AS INTEGER), CAST(c AS BIGINT), 'committed' FROM n
+         UNION ALL
+         SELECT CAST(3 AS INTEGER), CAST(c AS BIGINT), 'orphan' FROM n
          ORDER BY v""",
     "etl_delete_rewrite" ->
       """SELECT o_orderkey, o_custkey, o_totalprice

@@ -513,6 +513,62 @@ object LlmText {
   }
 
   // ---------------------------------------------------------------------
+  // llm_graph_hits — HITS (hubs & authorities) over the DIRECTED kNN
+  // graph: an edge v→w means "w is one of v's 3 nearest neighbors",
+  // so high in-degree-weighted AUTHORITY marks density centers (the
+  // most-duplicated / most-central content — what cluster-
+  // representative selection and dedup prioritization act on), while
+  // HUB marks documents whose whole neighborhood is central.
+  // PageRank (llm_pagerank) ranks by random-walk mass on the
+  // SYMMETRIC near-dup graph; HITS is the asymmetric counterpart the
+  // kNN digraph actually calls for — kNN is not symmetric (v→w does
+  // not imply w→v), and the distinction is the signal. 3 mutual-
+  // reinforcement rounds, each one edge equi-join + an integer sum —
+  // O(edges) per round like every graph key — normalized to
+  // max = 1e6 in EXACT integer arithmetic (raw·1e6 DIV max on
+  // non-negative values — no floats anywhere, so no engine can
+  // diverge; at ≫1e6-node scale the same normalization runs at 1e3
+  // fixed point to keep raw·scale inside int64). localCheckpoint per
+  // round keeps the plan round-sized.
+  // ---------------------------------------------------------------------
+  private def graphHits(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = knnGraph(spark, sfDir)
+      .select(col("src"), col("nbr").as("dst"))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var h = nodes.withColumn("h", lit(1000000L))
+    var a = nodes.withColumn("a", lit(1000000L))
+    def normalized(raw: DataFrame, out: String): DataFrame = {
+      val mx = raw.agg(max(col("raw")).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .selectExpr("node",
+          s"""CAST(raw * 1000000 DIV greatest(mx, CAST(1 AS BIGINT))
+              AS BIGINT) AS $out""")
+        .localCheckpoint(true)
+    }
+    for (_ <- 1 to 3) {
+      val aRaw = nodes.join(
+        edges.join(h.select(col("node").as("src"), col("h")), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(sum(col("h")).as("s")),
+        Seq("node"), "left")
+        .selectExpr("node", "CAST(coalesce(s, 0) AS BIGINT) AS raw")
+      a = normalized(aRaw, "a")
+      val hRaw = nodes.join(
+        edges.join(a.select(col("node").as("dst"), col("a")), Seq("dst"))
+          .groupBy(col("src").as("node")).agg(sum(col("a")).as("s")),
+        Seq("node"), "left")
+        .selectExpr("node", "CAST(coalesce(s, 0) AS BIGINT) AS raw")
+      h = normalized(hRaw, "h")
+    }
+    a.join(h, Seq("node"))
+      .selectExpr("node AS doc_id", "a AS authority_e6", "h AS hub_e6")
+      .orderBy(col("authority_e6").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------------
   // llm_text_stats — per-document token statistics.
   // ---------------------------------------------------------------------
   private def textStats(spark: SparkSession, sfDir: String): DataFrame =
@@ -2794,6 +2850,7 @@ object LlmText {
     "llm_label_propagation" -> (labelPropagation _),
     "llm_contamination_reach" -> (contaminationReach _),
     "llm_knn_graph" -> (knnGraph _),
+    "llm_graph_hits" -> (graphHits _),
     "llm_corpus_pipeline" -> (corpusPipeline _),
     "llm_span_corruption" -> (spanCorruption _),
     "llm_vocab_build" -> (vocabBuild _),
@@ -3209,7 +3266,58 @@ object LlmText {
         FROM sf GROUP BY n, w0, w1, w2"""
   }
 
+  /** DuckDB replay of the HITS iterations: same kNN edge derivation
+    * as the llm_knn_graph oracle (names k-prefixed), then 3 unrolled
+    * mutual-reinforcement rounds in exact integer arithmetic —
+    * identical sums, identical max-normalization floor division. */
+  private val HitsOracle: String = {
+    def step(i: Int, hPrev: String): String =
+      s"""ar$i AS (SELECT n.node, CAST(coalesce(s.raw, 0) AS BIGINT) AS raw
+             FROM knodes n LEFT JOIN (
+               SELECT e.dst AS node, CAST(sum(h.h) AS BIGINT) AS raw
+               FROM kedges e JOIN $hPrev h ON e.src = h.node GROUP BY 1) s
+             ON n.node = s.node),
+         a$i AS (SELECT node,
+                 CAST(raw * 1000000 // greatest((SELECT max(raw) FROM ar$i),
+                      CAST(1 AS BIGINT)) AS BIGINT) AS a
+                 FROM ar$i),
+         hr$i AS (SELECT n.node, CAST(coalesce(s.raw, 0) AS BIGINT) AS raw
+             FROM knodes n LEFT JOIN (
+               SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS raw
+               FROM kedges e JOIN a$i a ON e.dst = a.node GROUP BY 1) s
+             ON n.node = s.node),
+         h$i AS (SELECT node,
+                 CAST(raw * 1000000 // greatest((SELECT max(raw) FROM hr$i),
+                      CAST(1 AS BIGINT)) AS BIGINT) AS h
+                 FROM hr$i)"""
+    s"""WITH $DSigned,
+        kjac AS (SELECT doc_a, doc_b,
+                   len(list_intersect(sh_a, sh_b)) /
+                   (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+                     AS jaccard
+                 FROM cand),
+        ksym AS (SELECT doc_a AS src, doc_b AS nbr, jaccard FROM kjac
+                 UNION ALL
+                 SELECT doc_b AS src, doc_a AS nbr, jaccard FROM kjac),
+        kranked AS (SELECT src, nbr,
+                      row_number() OVER (PARTITION BY src
+                        ORDER BY jaccard DESC, nbr) AS rk
+                    FROM ksym),
+        kedges AS (SELECT src, nbr AS dst FROM kranked WHERE rk <= 3),
+        knodes AS (SELECT DISTINCT node FROM (
+                     SELECT src AS node FROM kedges
+                     UNION ALL SELECT dst AS node FROM kedges)),
+        h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM knodes),
+        ${step(1, "h0")},
+        ${step(2, "h1")},
+        ${step(3, "h2")}
+        SELECT a3.node AS doc_id, a3.a AS authority_e6, h3.h AS hub_e6
+        FROM a3 JOIN h3 USING (node)
+        ORDER BY authority_e6 DESC, doc_id LIMIT 20"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "llm_graph_hits" -> HitsOracle,
     "llm_bloom_dedup" ->
       s"""WITH fpt AS (SELECT doc_id, md5($DNorm) AS fp FROM documents),
           js AS (SELECT unnest(range(0, 4)) AS j),

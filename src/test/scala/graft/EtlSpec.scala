@@ -279,4 +279,29 @@ class EtlSpec extends AnyFunSuite {
     assert(new java.io.File(s"$root/v=3").exists())
     assert(spark.read.parquet(root).count() === 2 * n)
   }
+
+  test("orphan audit flags the manifest-less snapshot without deleting it") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("etl_orphan_audit")(spark, sfDir).collect()
+    val n = Tables.t(spark, sfDir, "orders").count()
+    assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq
+      === Seq((1, n, "committed"), (2, n, "committed"), (3, n, "orphan")))
+    // audit-only contract: the orphan's data is still on disk (reclaim
+    // is a separate job — the orphan may belong to an in-flight commit)
+    val root = graft.etl.Fixtures.stagedDir(sfDir, "orphan_audit")(_ => ())
+    assert(new java.io.File(s"$root/v=3").exists())
+    assert(new java.io.File(s"$root/_manifest").exists())
+  }
+
+  test("HITS scores are max-normalized exact integers on a real digraph") {
+    val rows = SparkEntry.queries("llm_graph_hits")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 1000000L)
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000000L)
+    }
+    // the top row of a max-normalized ranking is the maximum itself
+    assert(rows.head.getLong(1) === 1000000L)
+  }
 }

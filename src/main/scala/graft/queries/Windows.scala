@@ -586,7 +586,49 @@ object Windows {
       .orderBy("event_type", "hod")
   }
 
+  /** F. Theil–Sen robust slope per event type — the estimator that
+    * pairs with [[winTrendMannKendall]] in every nonparametric trend
+    * monitor: MK answers "is there a trend", Theil–Sen answers "how
+    * steep", and both ignore outliers a least-squares fit would chase.
+    * Slope = the MEDIAN of all pairwise slopes (x_j − x_i)/(h_j − h_i)
+    * over the hourly series (hours as exact epoch-hour integers, so
+    * denominators are integers and every slope is one double division
+    * with identical operand order in both engines). Median = the
+    * lower median, selected by row_number over the deterministic
+    * (slope, ha, hb) order — an exact element pick, not an average,
+    * so no float arithmetic beyond the division itself. Same bounded-
+    * series shape as MK: data-sized hourly aggregation, O(n²) pairs
+    * on a time-bounded n. */
+  private def winTheilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = t(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("x"))
+      .selectExpr("event_type",
+        "CAST(unix_timestamp(bucket) DIV 3600 AS BIGINT) AS h", "x")
+    val a = hourly.select(col("event_type"), col("h").as("ha"),
+      col("x").as("xa"))
+    val b = hourly.select(col("event_type"), col("h").as("hb"),
+      col("x").as("xb"))
+    val slopes = a.join(b, Seq("event_type"))
+      .where(col("ha") < col("hb"))
+      .selectExpr("event_type", "ha", "hb",
+        "CAST(xb - xa AS DOUBLE) / CAST(hb - ha AS DOUBLE) AS slope")
+    val ranked = slopes
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("slope"), col("ha"), col("hb"))))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy("event_type")))
+    ranked.where(expr("rk = (cnt + 1) DIV 2"))
+      .join(hourly.groupBy("event_type").agg(count(lit(1)).as("n_hours")),
+        Seq("event_type"))
+      .selectExpr("event_type", "n_hours", "cnt AS n_pairs",
+        "CAST(round(slope * 1000000.0) AS BIGINT) AS slope_e6_per_hour")
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_theil_sen" -> (winTheilSen _),
     "win_cusum_changepoint" -> (winCusumChangepoint _),
     "win_seasonal_profile" -> (winSeasonalProfile _),
     "win_trend_mann_kendall" -> (winTrendMannKendall _),
@@ -611,6 +653,34 @@ object Windows {
     "win_session_batch" -> (winSessionBatch _))
 
   val oracle: Map[String, String] = Map(
+    "win_theil_sen" ->
+      """WITH hourly AS (
+           SELECT event_type,
+                  date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                            date_trunc('hour', ts)) AS h,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS x
+           FROM events GROUP BY 1, 2),
+         slopes AS (
+           SELECT a.event_type, a.h AS ha, b.h AS hb,
+                  CAST(b.x - a.x AS DOUBLE) / CAST(b.h - a.h AS DOUBLE)
+                    AS slope
+           FROM hourly a JOIN hourly b
+             ON a.event_type = b.event_type AND a.h < b.h),
+         ranked AS (
+           SELECT event_type, slope,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY slope, ha, hb) AS rk,
+                  count(*) OVER (PARTITION BY event_type) AS cnt
+           FROM slopes),
+         nh AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours
+                FROM hourly GROUP BY 1)
+         SELECT r.event_type, nh.n_hours, CAST(r.cnt AS BIGINT) AS n_pairs,
+                CAST(round(r.slope * 1000000.0) AS BIGINT)
+                  AS slope_e6_per_hour
+         FROM ranked r JOIN nh USING (event_type)
+         WHERE r.rk = (r.cnt + 1) // 2
+         ORDER BY r.event_type""",
     "win_cusum_changepoint" ->
       """WITH hourly AS (
            SELECT event_type, date_trunc('hour', ts) AS bucket,

@@ -424,6 +424,29 @@ class PropertySpec extends AnyFunSuite {
     assert(row.getLong(4) === correct)
   }
 
+  test("Theil-Sen equals the lower-median pairwise-slope replay per type") {
+    val sfDir = "/root/testdata/sf0.001"
+    val hourly = Tables.t(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("b"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("x"))
+      .selectExpr("event_type", "CAST(unix_timestamp(b) DIV 3600 AS BIGINT)",
+        "x")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = hourly.groupBy(_._1).map { case (et, hs) =>
+      val pts = hs.map(t => (t._2, t._3))
+      val slopes = (for {
+        (ha, xa) <- pts; (hb, xb) <- pts if ha < hb
+      } yield ((xb - xa).toDouble / (hb - ha).toDouble, ha, hb)).toSeq
+        .sortBy(s => (s._1, s._2, s._3))
+      val med = slopes((slopes.length + 1) / 2 - 1)._1
+      et -> BigDecimal(med * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val got = SparkEntry.queries("win_theil_sen")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got === expected)
+  }
+
   test("Mann-Kendall S equals the sequential pairwise replay per type") {
     val sfDir = "/root/testdata/sf0.001"
     val hourly = Tables.t(spark, sfDir, "events")

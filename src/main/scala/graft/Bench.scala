@@ -47,14 +47,16 @@ object Bench {
     // artifact; all TIMED runs then measure the query itself.
     val stagedFixtureKeys = Seq("llm_setsim_join", "llm_dedup_eval",
       "llm_simhash_eval", "llm_simhash_shingle_eval",
-      "llm_cooccurrence_pmi", "llm_bigram_lm_score",
-      "llm_multimodal_features")
+      "llm_cooccurrence_pmi", "llm_bigram_lm_score", "llm_kneser_ney_score",
+      "llm_multimodal_features", "llm_multimodal_phash")
     stagedFixtureKeys
       .filter(k => SparkEntry.queries.contains(k) &&
         only.forall(_.contains(k)))
       .foreach { k =>
         try SparkEntry.queries(k)(spark, sfDir).count()
-        catch { case _: Throwable => () } // timed runs will report it
+        // timed runs will report query errors; fatal JVM errors (OOM)
+        // must still propagate — a heap-corrupted JVM can't bench.
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     // Per-run JVM GC time: the delta across all collector beans brackets
     // each run, so a slow reading can be attributed (or not) to a GC

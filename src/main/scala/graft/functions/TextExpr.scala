@@ -45,14 +45,15 @@ case class MinHashSignature(child: Expression, k: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
+    // null elements are skipped (the function is SQL-registered, so
+    // arbitrary arrays reach it): a null shingle is an absent feature,
+    // not a crash. The production call sites (split/ngram outputs)
+    // never contain nulls, so this changes nothing for the audits.
+    val shingleBytes = (0 until arr.numElements()).iterator
+      .filterNot(arr.isNullAt)
+      .map(i => arr.getUTF8String(i).getBytes).toArray
+    val n = shingleBytes.length
     val md = MessageDigest.getInstance("MD5")
-    val shingleBytes = new Array[Array[Byte]](n)
-    var i = 0
-    while (i < n) {
-      shingleBytes(i) = arr.getUTF8String(i).getBytes
-      i += 1
-    }
     val sig = new Array[Any](k)
     var s = 0
     while (s < k) {
@@ -103,16 +104,23 @@ case class SimHashBands(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
+    val total = arr.numElements()
     val md = MessageDigest.getInstance("MD5")
     val cnt = new Array[Int](64)
+    // null elements are skipped (SQL-registered function — arbitrary
+    // arrays reach it): a null feature neither votes nor counts toward
+    // the majority threshold. Production call sites never emit nulls.
+    var n = 0
     var i = 0
-    while (i < n) {
-      val d = md.digest(arr.getUTF8String(i).getBytes)
-      var p = 0
-      while (p < 64) {
-        cnt(p) += (d(p >> 3) >> (7 - (p & 7))) & 1
-        p += 1
+    while (i < total) {
+      if (!arr.isNullAt(i)) {
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        var p = 0
+        while (p < 64) {
+          cnt(p) += (d(p >> 3) >> (7 - (p & 7))) & 1
+          p += 1
+        }
+        n += 1
       }
       i += 1
     }

@@ -350,7 +350,14 @@ object LlmVector {
         lit(-c).as("nid"))
     }: _*)
 
-  private def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared IVF probe: cell-assign the corpus (map-side argmax over
+    * the centroid array), derive the query row's top-nprobe(=2) probed
+    * cells, and emit each in-probed-cell candidate with its exact
+    * cosine. Both llm_ann_ivf (top-k tail) and llm_ann_range
+    * (threshold tail) build on this ONE derivation, matching the
+    * shared IvfCellsCte their oracles replay — the Spark side can no
+    * longer drift between the two keys any more than the oracle can. */
+  private def ivfProbedCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
     val assigned = e
       .withColumn("best", array_max(centScores(col("embedding"), col("nrm"))))
@@ -369,9 +376,12 @@ object LlmVector {
         col("vec_id") =!= 7)
       .select(col("vec_id"), col("cell"),
         cosine(col("embedding"), col("qe"), col("nrm"), col("qn")).as("cosine"))
+  }
+
+  private def annIvf(spark: SparkSession, sfDir: String): DataFrame =
+    ivfProbedCandidates(spark, sfDir)
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
-  }
 
   // ---------------------------------------------------------------------
   // llm_ann_range — RANGE search over the same IVF index: every vector
@@ -379,36 +389,20 @@ object LlmVector {
   // shapes are operationally different — top-k bounds the OUTPUT
   // (TakeOrderedAndProject), range search bounds the SIMILARITY and
   // must emit however many qualify, which is what dedup-by-radius and
-  // "find all near-copies of this item" actually need. Identical cell
-  // assignment / nprobe=2 probe as llm_ann_ivf (same [[centScores]];
-  // the oracle reuses the shared IvfCellsCte verbatim, so cell
-  // semantics cannot drift between the two); the threshold filter runs
+  // "find all near-copies of this item" actually need. Shares the
+  // ENTIRE cell-assignment/probe derivation with llm_ann_ivf
+  // ([[ivfProbedCandidates]], mirroring the shared IvfCellsCte their
+  // oracles replay, so cell semantics cannot drift between the two —
+  // only the tails differ); the threshold filter runs
   // inside the scan-side projection, so the only rows that ever leave
   // the map side are the qualifying ones — at 100 TB the cost is the
   // probed cells' scan, and the emitted set is radius-selectivity-
   // sized, never cell-sized.
   // ---------------------------------------------------------------------
-  private def annRange(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = emb(spark, sfDir)
-    val assigned = e
-      .withColumn("best", array_max(centScores(col("embedding"), col("nrm"))))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        (-col("best.nid")).cast("int").as("cell"))
-    val q = e.where(col("vec_id") === 7)
-      .select(col("embedding").as("qe"), col("nrm").as("qn"))
-      .withColumn("scored",
-        sort_array(centScores(col("qe"), col("qn")), asc = false))
-      .select(col("qe"), col("qn"),
-        expr(s"transform(slice(scored, 1, 2), s -> cast(-s.nid as int))")
-          .as("probed"))
-    assigned.crossJoin(broadcast(q))
-      .where(array_contains(col("probed"), col("cell")) &&
-        col("vec_id") =!= 7)
-      .select(col("vec_id"), col("cell"),
-        cosine(col("embedding"), col("qe"), col("nrm"), col("qn")).as("cosine"))
+  private def annRange(spark: SparkSession, sfDir: String): DataFrame =
+    ivfProbedCandidates(spark, sfDir)
       .where(col("cosine") >= 0.1)
       .orderBy("vec_id")
-  }
 
   // ---------------------------------------------------------------------
   // llm_ann_recall — recall@10 of the IVF probe against the exact

@@ -36,6 +36,21 @@ class ExtensionsSpec extends AnyFunSuite {
                     x -> md5(concat(x, '#', cast(s as string)))))) AS ref""")
         .head()
       assert(row.getSeq[String](0) === row.getSeq[String](1))
+      // SQL-registered simhash-bands equals the Column-API path, and a
+      // NULL element is skipped (absent feature), not an NPE
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val viaSql = spark.sql(
+        "SELECT graft_simhash_bands(array('alpha', NULL, 'beta')) AS b")
+        .head().getSeq[Long](0)
+      val viaCol = Seq(Seq("alpha", "beta")).toDF("f")
+        .select(graft.functions.TextOps.simhashBands(col("f")).as("b"))
+        .head().getSeq[Long](0)
+      assert(viaSql === viaCol)
+      // SQL-registered generator fans out rows
+      val ng = spark.sql("SELECT graft_ngrams('a b c', 2) AS ngram")
+        .collect().map(_.getString(0)).toSeq
+      assert(ng === Seq("a b", "b c"))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -242,12 +257,12 @@ class ExtensionsSpec extends AnyFunSuite {
       .select(graft.functions.TextOps.simhashBands(col("feats")).as("b"))
       .head().getSeq[Long](0)
     assert(empty === Seq(0L, 0L, 0L, 0L))
-    // SQL registration via extensions-aware bridge arrives with the
-    // same name the docs advertise
-    val viaSql = Seq(Seq("alpha", "beta")).toDF("feats")
+    // band-range sanity on a plain two-feature array (the SQL
+    // registration itself is exercised in the extensions-session test)
+    val small = Seq(Seq("alpha", "beta")).toDF("feats")
       .select(graft.functions.TextOps.simhashBands(col("feats")).as("b"))
       .head().getSeq[Long](0)
-    assert(viaSql.length === 4 && viaSql.forall(v => v >= 0L && v < 65536L))
+    assert(small.length === 4 && small.forall(v => v >= 0L && v < 65536L))
   }
 
   test("TopKPerGroup partial-overflow pass-through stays exact") {

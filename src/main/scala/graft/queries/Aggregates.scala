@@ -491,6 +491,37 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** E. Equi-depth histogram boundaries — the ANALYZE-style decile
+    * fence table per return flag: boundary d (1..9) is the FIRST
+    * whole-dollar price bucket where 10·cum ≥ d·total. Same bounded
+    * value-HISTOGRAM discipline as [[aggWeightedPercentile]]: the
+    * data-sized work is one map-side-combined (flag, dollar) count
+    * shuffle; the cumulative window and the 9-way fence explode run
+    * over the bounded price DOMAIN (~100k buckets), never the rows;
+    * every comparison is exact bigint — no interpolation, engine-
+    * identical. This is the distribution shape a CBO consumes for
+    * selectivity estimation (catalog_analyze_stats collects the
+    * counts; this key builds the histogram those estimates need). */
+  private def aggEquidepthHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = t(spark, sfDir, "lineitem")
+      .selectExpr("l_returnflag",
+        "cast(round(l_extendedprice) as bigint) AS p_usd")
+      .groupBy("l_returnflag", "p_usd").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("l_returnflag").orderBy("p_usd")
+    val wAll = Window.partitionBy("l_returnflag")
+    hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("total", sum(col("c")).over(wAll))
+      .withColumn("decile", explode(typedLit(List(1, 2, 3, 4, 5, 6, 7, 8, 9))))
+      .where(col("cum") * 10 >= col("decile") * col("total"))
+      .groupBy("l_returnflag", "decile")
+      .agg(min(col("p_usd")).as("boundary_usd"),
+        max(col("total")).as("total_rows"))
+      .selectExpr("l_returnflag", "CAST(decile AS INT) AS decile",
+        "boundary_usd", "total_rows")
+      .orderBy("l_returnflag", "decile")
+  }
+
   /** Per-segment Shannon entropy of the event-type mix — the diversity
     * metric a corpus-quality dashboard wants per source/domain. Engine
     * parity for a log-based aggregate follows the repo's e6 trick
@@ -618,6 +649,7 @@ object Aggregates {
     "agg_entropy" -> (aggEntropy _),
     "agg_regression" -> (aggRegression _),
     "agg_weighted_percentile" -> (aggWeightedPercentile _),
+    "agg_equidepth_hist" -> (aggEquidepthHist _),
     "agg_median" -> (aggMedian _),
     "agg_outlier_mad" -> (aggOutlierMad _),
     "agg_bool" -> (aggBool _),
@@ -734,6 +766,26 @@ object Aggregates {
          SELECT l_returnflag, p_usd AS w_median_usd,
                 CAST(total AS BIGINT) AS total_weight
          FROM q WHERE rk = 1 ORDER BY l_returnflag""",
+    "agg_equidepth_hist" ->
+      """WITH hist AS (
+           SELECT l_returnflag,
+                  CAST(round(l_extendedprice) AS BIGINT) AS p_usd,
+                  count(*) AS c
+           FROM lineitem GROUP BY 1, 2),
+         cum AS (
+           SELECT l_returnflag, p_usd,
+                  sum(c) OVER (PARTITION BY l_returnflag
+                               ORDER BY p_usd) AS cum,
+                  sum(c) OVER (PARTITION BY l_returnflag) AS total
+           FROM hist),
+         d AS (SELECT unnest(range(1, 10)) AS decile)
+         SELECT l_returnflag, CAST(decile AS INTEGER) AS decile,
+                CAST(min(p_usd) AS BIGINT) AS boundary_usd,
+                CAST(max(total) AS BIGINT) AS total_rows
+         FROM cum CROSS JOIN d
+         WHERE cum * 10 >= decile * total
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
     "agg_median" ->
       """SELECT o_orderstatus,
                 median(o_totalprice) AS median_price,

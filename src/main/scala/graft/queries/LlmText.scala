@@ -525,11 +525,16 @@ object LlmText {
   // not imply w→v), and the distinction is the signal. 3 mutual-
   // reinforcement rounds, each one edge equi-join + an integer sum —
   // O(edges) per round like every graph key — normalized to
-  // max = 1e6 in EXACT integer arithmetic (raw·1e6 DIV max on
+  // max = 1e6 in EXACT integer arithmetic (raw·scale DIV max on
   // non-negative values — no floats anywhere, so no engine can
-  // diverge; at ≫1e6-node scale the same normalization runs at 1e3
-  // fixed point to keep raw·scale inside int64). localCheckpoint per
-  // round keeps the plan round-sized.
+  // diverge). The fixed-point `scale` adapts to the observed max so
+  // raw·scale never leaves int64: 1e6 up to max ≤ 9e12 (≈9.2e6-node
+  // worst case of Σh ≤ N·1e6), then 1e3, then 1 — the output unit
+  // stays e6 via the compensating (1e6 DIV scale) factor, identically
+  // in both engines (Spark would silently wrap a bare raw·1e6 while
+  // DuckDB's HUGEINT path raises — the adaptive scale removes the
+  // divergence instead of documenting it). localCheckpoint per round
+  // keeps the plan round-sized.
   // ---------------------------------------------------------------------
   private def graphHits(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = knnGraph(spark, sfDir)
@@ -540,12 +545,25 @@ object LlmText {
       .localCheckpoint(true)
     var h = nodes.withColumn("h", lit(1000000L))
     var a = nodes.withColumn("a", lit(1000000L))
-    def normalized(raw: DataFrame, out: String): DataFrame = {
-      val mx = raw.agg(max(col("raw")).as("mx"))
+    def normalized(rawIn: DataFrame, out: String): DataFrame = {
+      // checkpoint BEFORE the max aggregate: `raw` feeds both the agg
+      // and the join side, and without this the round's edge join +
+      // groupBy would execute twice per normalization call.
+      val raw = rawIn.localCheckpoint(true)
+      val mx = raw.agg(greatest(max(col("raw")), lit(1L)).as("mx"))
       raw.crossJoin(broadcast(mx))
         .selectExpr("node",
-          s"""CAST(raw * 1000000 DIV greatest(mx, CAST(1 AS BIGINT))
-              AS BIGINT) AS $out""")
+          s"""CAST(raw * (CASE WHEN mx <= CAST(9000000000000 AS BIGINT)
+                            THEN CAST(1000000 AS BIGINT)
+                          WHEN mx <= CAST(9000000000000000 AS BIGINT)
+                            THEN CAST(1000 AS BIGINT)
+                          ELSE CAST(1 AS BIGINT) END) DIV mx
+                * (CAST(1000000 AS BIGINT) DIV
+                   (CASE WHEN mx <= CAST(9000000000000 AS BIGINT)
+                       THEN CAST(1000000 AS BIGINT)
+                     WHEN mx <= CAST(9000000000000000 AS BIGINT)
+                       THEN CAST(1000 AS BIGINT)
+                     ELSE CAST(1 AS BIGINT) END)) AS BIGINT) AS $out""")
         .localCheckpoint(true)
     }
     for (_ <- 1 to 3) {
@@ -565,6 +583,50 @@ object LlmText {
     a.join(h, Seq("node"))
       .selectExpr("node AS doc_id", "a AS authority_e6", "h AS hub_e6")
       .orderBy(col("authority_e6").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_graph_linkpred — common-neighbor link prediction over the kNN
+  // graph: for every UNLINKED doc pair sharing ≥1 neighbor in the
+  // undirected neighbor sets, the common-neighbor count and the
+  // neighbor-set Jaccard (e6 fixed point). This is the candidate
+  // generator a dedup pipeline runs AFTER the kNN graph exists: pairs
+  // the banded similarity join missed but the graph topology exposes
+  // (two docs near the same neighbors are near each other). Candidate
+  // pairs come ONLY from the two-hop wedge equi-join on a shared
+  // neighbor — O(Σ deg(v)²) with kNN-bounded out-degree 3 (in-degree
+  // skew is the AQE-skew-split case, same argument as every graph
+  // key) — never all-pairs; every score is exact integer arithmetic
+  // (cn ≤ deg ≪ 1e3, so cn·1e6 is nowhere near int64). Known edges
+  // are KEPT and flagged rather than filtered — their scores are the
+  // calibration baseline a threshold is set against (and at small SF
+  // the kNN graph is near-clique, so an unlinked-only report would be
+  // vacuously empty — the flag keeps the key exercised at every SF;
+  // the prediction set is the is_linked = false rows).
+  // ---------------------------------------------------------------------
+  private def graphLinkPred(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = knnGraph(spark, sfDir).select(col("src"), col("nbr"))
+    val und = e
+      .unionByName(e.select(col("nbr").as("src"), col("src").as("nbr")))
+      .distinct()
+      .localCheckpoint(true) // reused by wedges (×2), degrees, exclusion
+    val deg = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val wedges = und.select(col("nbr").as("via"), col("src").as("u"))
+      .join(und.select(col("nbr").as("via"), col("src").as("w")), Seq("via"))
+      .where(col("u") < col("w"))
+    val cn = wedges.groupBy("u", "w").agg(count(lit(1)).as("cn"))
+    cn
+      .join(und.select(col("src").as("u"), col("nbr").as("w"))
+        .withColumn("is_linked", lit(true)), Seq("u", "w"), "left")
+      .na.fill(false, Seq("is_linked"))
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("node").as("w"), col("deg").as("deg_w")), Seq("w"))
+      .selectExpr("u AS doc_u", "w AS doc_w", "cn", "is_linked",
+        "CAST(cn * 1000000 DIV (deg_u + deg_w - cn) AS BIGINT) AS jaccard_e6")
+      .orderBy(col("jaccard_e6").desc, col("cn").desc,
+        col("doc_u"), col("doc_w"))
       .limit(20)
   }
 
@@ -2222,6 +2284,51 @@ object LlmText {
       .orderBy("doc_id")
   }
 
+  /** Rank discount table 1e6/log2(rk+1) for rk = 1..10, as FIXED e6
+    * integers — interpolated into BOTH the Spark expression and the
+    * DuckDB oracle, so NDCG needs no runtime log in either engine
+    * (the repo's libm-free parity discipline, same as BM25's raw-odds
+    * idf). CASE keys on a column named `rk`. */
+  private val DiscE6: String =
+    """(CASE rk WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000
+         WHEN 4 THEN 430677 WHEN 5 THEN 386853 WHEN 6 THEN 356207
+         WHEN 7 THEN 333333 WHEN 8 THEN 315465 WHEN 9 THEN 301030
+         ELSE 289065 END)"""
+
+  // ---------------------------------------------------------------------
+  // llm_retrieval_ndcg — NDCG@10 of the BM25 ranking against the
+  // graded term-overlap truth (relevance = how many of the 3 query
+  // terms the doc contains, 1..3): the ranking-quality audit the
+  // retrieval tier owes, exactly as llm_ann_recall audits the ANN tier
+  // and llm_dedup_eval the dedup tier — recall says WHETHER the right
+  // items surface, NDCG says whether they surface in the right ORDER,
+  // which is what a hard-negative miner or RAG context builder
+  // actually consumes. Both top-10 cuts are TakeOrderedAndProject
+  // (no global window on data — the row_number runs over the 10-row
+  // cut); gains × the fixed e6 discount table accumulate in exact
+  // integer arithmetic, ndcg as integer ppm — no float anywhere past
+  // the (already engine-parity) BM25 score ordering. At 100 TB the
+  // audit runs per query over a query SAMPLE; per query the cost is
+  // the BM25 scan itself.
+  // ---------------------------------------------------------------------
+  private def retrievalNdcg(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = bm25Score(spark, sfDir).localCheckpoint(true)
+    val pred = scored.orderBy(col("score").desc, col("doc_id")).limit(10)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+    val ideal = scored.orderBy(col("n_matched").desc, col("doc_id")).limit(10)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_matched").desc, col("doc_id"))))
+    val dcg = pred.selectExpr(s"n_matched * $DiscE6 AS g")
+      .agg(coalesce(sum(col("g")), lit(0L)).cast("long").as("dcg_e6"))
+    val idcg = ideal.selectExpr(s"n_matched * $DiscE6 AS g")
+      .agg(coalesce(sum(col("g")), lit(0L)).cast("long").as("idcg_e6"))
+    dcg.crossJoin(idcg)
+      .selectExpr("CAST(10 AS INT) AS k", "dcg_e6", "idcg_e6",
+        """CAST(dcg_e6 * 1000000 DIV greatest(idcg_e6, CAST(1 AS BIGINT))
+           AS BIGINT) AS ndcg_ppm""")
+  }
+
   // ---------------------------------------------------------------------
   // llm_dedup_eval — precision/recall audit of the MinHash ESTIMATE
   // against the exact PPJoin truth over the identical shingle space:
@@ -2851,6 +2958,8 @@ object LlmText {
     "llm_contamination_reach" -> (contaminationReach _),
     "llm_knn_graph" -> (knnGraph _),
     "llm_graph_hits" -> (graphHits _),
+    "llm_graph_linkpred" -> (graphLinkPred _),
+    "llm_retrieval_ndcg" -> (retrievalNdcg _),
     "llm_corpus_pipeline" -> (corpusPipeline _),
     "llm_span_corruption" -> (spanCorruption _),
     "llm_vocab_build" -> (vocabBuild _),
@@ -3266,44 +3375,85 @@ object LlmText {
         FROM sf GROUP BY n, w0, w1, w2"""
   }
 
-  /** DuckDB replay of the HITS iterations: same kNN edge derivation
-    * as the llm_knn_graph oracle (names k-prefixed), then 3 unrolled
+  /** Shared DuckDB replay of the directed kNN edge list (same
+    * derivation as the llm_knn_graph oracle, names k-prefixed) —
+    * used verbatim by the HITS and link-prediction oracles so the
+    * graph the two keys analyze cannot drift. Expects `cand` from
+    * [[DSigned]] in scope; ends in `kedges (src, dst)`. */
+  private val KnnEdgesCte: String =
+    """kjac AS (SELECT doc_a, doc_b,
+                  len(list_intersect(sh_a, sh_b)) /
+                  (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+                    AS jaccard
+                FROM cand),
+       ksym AS (SELECT doc_a AS src, doc_b AS nbr, jaccard FROM kjac
+                UNION ALL
+                SELECT doc_b AS src, doc_a AS nbr, jaccard FROM kjac),
+       kranked AS (SELECT src, nbr,
+                     row_number() OVER (PARTITION BY src
+                       ORDER BY jaccard DESC, nbr) AS rk
+                   FROM ksym),
+       kedges AS (SELECT src, nbr AS dst FROM kranked WHERE rk <= 3)"""
+
+  /** DuckDB replay of the link-prediction wedge join: symmetrized
+    * distinct edges, degree table, shared-neighbor pair counts,
+    * NOT-EXISTS edge exclusion — identical integer Jaccard. */
+  private val LinkPredOracle: String =
+    s"""WITH $DSigned,
+        $KnnEdgesCte,
+        und AS (SELECT DISTINCT src, nbr FROM (
+                  SELECT src, dst AS nbr FROM kedges
+                  UNION ALL SELECT dst AS src, src AS nbr FROM kedges)),
+        deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
+        cn AS (SELECT a.src AS u, b.src AS w, count(*) AS cn
+               FROM und a JOIN und b ON a.nbr = b.nbr AND a.src < b.src
+               GROUP BY 1, 2),
+        lnk AS (SELECT src AS u, nbr AS w, TRUE AS is_linked FROM und)
+        SELECT c.u AS doc_u, c.w AS doc_w, CAST(c.cn AS BIGINT) AS cn,
+               coalesce(l.is_linked, FALSE) AS is_linked,
+               CAST(c.cn * 1000000 // (du.deg + dw.deg - c.cn) AS BIGINT)
+                 AS jaccard_e6
+        FROM cn c LEFT JOIN lnk l ON c.u = l.u AND c.w = l.w
+                  JOIN deg du ON c.u = du.node
+                  JOIN deg dw ON c.w = dw.node
+        ORDER BY jaccard_e6 DESC, cn DESC, doc_u, doc_w LIMIT 20"""
+
+  /** DuckDB replay of the HITS iterations: the shared
+    * [[KnnEdgesCte]] edge derivation, then 3 unrolled
     * mutual-reinforcement rounds in exact integer arithmetic —
     * identical sums, identical max-normalization floor division. */
   private val HitsOracle: String = {
+    // Same adaptive fixed-point scale as the Spark side: raw·scale
+    // stays inside int64 at any max, output unit stays e6.
+    def norm(src: String, out: String): String = {
+      val sc =
+        s"""(CASE WHEN m.mx <= CAST(9000000000000 AS BIGINT)
+                THEN CAST(1000000 AS BIGINT)
+              WHEN m.mx <= CAST(9000000000000000 AS BIGINT)
+                THEN CAST(1000 AS BIGINT)
+              ELSE CAST(1 AS BIGINT) END)"""
+      s"""SELECT node,
+            CAST(raw * $sc // m.mx
+                 * (CAST(1000000 AS BIGINT) // $sc) AS BIGINT) AS $out
+          FROM $src CROSS JOIN
+            (SELECT greatest(max(raw), CAST(1 AS BIGINT)) AS mx
+             FROM $src) m"""
+    }
     def step(i: Int, hPrev: String): String =
       s"""ar$i AS (SELECT n.node, CAST(coalesce(s.raw, 0) AS BIGINT) AS raw
              FROM knodes n LEFT JOIN (
                SELECT e.dst AS node, CAST(sum(h.h) AS BIGINT) AS raw
                FROM kedges e JOIN $hPrev h ON e.src = h.node GROUP BY 1) s
              ON n.node = s.node),
-         a$i AS (SELECT node,
-                 CAST(raw * 1000000 // greatest((SELECT max(raw) FROM ar$i),
-                      CAST(1 AS BIGINT)) AS BIGINT) AS a
-                 FROM ar$i),
+         a$i AS (${norm(s"ar$i", "a")}),
          hr$i AS (SELECT n.node, CAST(coalesce(s.raw, 0) AS BIGINT) AS raw
              FROM knodes n LEFT JOIN (
                SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS raw
                FROM kedges e JOIN a$i a ON e.dst = a.node GROUP BY 1) s
              ON n.node = s.node),
-         h$i AS (SELECT node,
-                 CAST(raw * 1000000 // greatest((SELECT max(raw) FROM hr$i),
-                      CAST(1 AS BIGINT)) AS BIGINT) AS h
-                 FROM hr$i)"""
+         h$i AS (${norm(s"hr$i", "h")})"""
     s"""WITH $DSigned,
-        kjac AS (SELECT doc_a, doc_b,
-                   len(list_intersect(sh_a, sh_b)) /
-                   (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
-                     AS jaccard
-                 FROM cand),
-        ksym AS (SELECT doc_a AS src, doc_b AS nbr, jaccard FROM kjac
-                 UNION ALL
-                 SELECT doc_b AS src, doc_a AS nbr, jaccard FROM kjac),
-        kranked AS (SELECT src, nbr,
-                      row_number() OVER (PARTITION BY src
-                        ORDER BY jaccard DESC, nbr) AS rk
-                    FROM ksym),
-        kedges AS (SELECT src, nbr AS dst FROM kranked WHERE rk <= 3),
+        $KnnEdgesCte,
         knodes AS (SELECT DISTINCT node FROM (
                      SELECT src AS node FROM kedges
                      UNION ALL SELECT dst AS node FROM kedges)),
@@ -3318,6 +3468,27 @@ object LlmText {
 
   val oracle: Map[String, String] = Map(
     "llm_graph_hits" -> HitsOracle,
+    "llm_graph_linkpred" -> LinkPredOracle,
+    "llm_retrieval_ndcg" ->
+      s"""$Bm25Cte,
+          pred AS (SELECT n_matched,
+                     row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+                   FROM bm),
+          idl AS (SELECT n_matched,
+                    row_number() OVER (ORDER BY n_matched DESC, doc_id)
+                      AS rk
+                  FROM bm),
+          dcg AS (SELECT CAST(coalesce(sum(n_matched * $DiscE6), 0)
+                    AS BIGINT) AS dcg_e6
+                  FROM pred WHERE rk <= 10),
+          idcg AS (SELECT CAST(coalesce(sum(n_matched * $DiscE6), 0)
+                     AS BIGINT) AS idcg_e6
+                   FROM idl WHERE rk <= 10)
+          SELECT CAST(10 AS INT) AS k, dcg_e6, idcg_e6,
+                 CAST(dcg_e6 * 1000000
+                      // greatest(idcg_e6, CAST(1 AS BIGINT)) AS BIGINT)
+                   AS ndcg_ppm
+          FROM dcg CROSS JOIN idcg""",
     "llm_bloom_dedup" ->
       s"""WITH fpt AS (SELECT doc_id, md5($DNorm) AS fp FROM documents),
           js AS (SELECT unnest(range(0, 4)) AS j),

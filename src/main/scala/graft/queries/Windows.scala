@@ -517,6 +517,54 @@ object Windows {
       .orderBy("event_type")
   }
 
+  /** F. Autocorrelation of the hourly revenue series at the standard
+    * monitoring lags (1, 2, 3, 6, 12, 24 h) per event type — the
+    * seasonality detector that tells a pipeline WHICH period its
+    * metric repeats on (win_seasonal_profile assumes hour-of-day;
+    * ACF measures whether that, or a shorter cycle, is actually
+    * there). Same bounded-series two-stage shape as [[winDrawdown]]:
+    * the hourly aggregation is the data-sized pass; the per-lag
+    * self-equi-join on (type, bucket+lag) runs over the RESULTING
+    * series (≤ hours-in-span rows per type — the documented
+    * bounded-input exception). Engine parity: residuals are exact
+    * integers (whole-DOLLAR quantization applied to the non-negative
+    * cents sums BEFORE the mean subtraction — trunc and floor
+    * division only agree on non-negatives, so neither engine ever
+    * floor-divides a negative), num and den are exact bigint sums
+    * bounded by dollars²·hours ≈ 1e16 ≪ 2^53 — so the final CAST to
+    * DOUBLE is value-exact and the one rounded division is a single
+    * IEEE op, identical in both engines. The dollar quantization is
+    * the same domain-bounding knob as the weighted-percentile key's.
+    */
+  private def winAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = t(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(expr(
+        """CAST(sum(cast(round(value * 100) as bigint)) DIV 100
+           AS BIGINT)""").as("x_usd"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x_usd")).as("s"))
+      .selectExpr("event_type", "CAST(s DIV n AS BIGINT) AS m_usd")
+    val r = hourly.join(broadcast(stats), Seq("event_type"))
+      .selectExpr("event_type", "bucket",
+        "CAST(x_usd - m_usd AS BIGINT) AS r")
+      .localCheckpoint(true) // reused: den + both sides of the lag join
+    val den = r.groupBy("event_type").agg(sum(expr("r * r")).as("den"))
+    val num = r
+      .withColumn("lag_h", explode(typedLit(Seq(1, 2, 3, 6, 12, 24))))
+      .withColumn("b2", expr("bucket + make_interval(0, 0, 0, 0, lag_h, 0, 0)"))
+      .join(r.select(col("event_type"), col("bucket").as("b2"),
+        col("r").as("r2")), Seq("event_type", "b2"))
+      .groupBy("event_type", "lag_h")
+      .agg(count(lit(1)).as("n_pairs"), sum(expr("r * r2")).as("num"))
+    num.join(broadcast(den), Seq("event_type"))
+      .selectExpr("event_type", "CAST(lag_h AS INT) AS lag_h", "n_pairs",
+        """CAST(round(1000000.0 * CAST(num AS DOUBLE) /
+             CAST(greatest(den, CAST(1 AS BIGINT)) AS DOUBLE)) AS BIGINT)
+           AS acf_e6""")
+      .orderBy("event_type", "lag_h")
+  }
+
   /** F. One-sided CUSUM change-point detector per event type — the
     * classic "has this metric drifted upward" page: S_t = max(0,
     * S_{t−1} + (x_t − mean)) with an alarm when S crosses h. The
@@ -632,6 +680,7 @@ object Windows {
     "win_cusum_changepoint" -> (winCusumChangepoint _),
     "win_seasonal_profile" -> (winSeasonalProfile _),
     "win_trend_mann_kendall" -> (winTrendMannKendall _),
+    "win_autocorr" -> (winAutocorr _),
     "win_drawdown" -> (winDrawdown _),
     "win_pattern_match" -> (winPatternMatch _),
     "win_cumulative_distinct" -> (winCumulativeDistinct _),
@@ -753,6 +802,35 @@ object Windows {
                      ELSE 'no_trend' END AS verdict
          FROM s JOIN n USING (event_type)
          ORDER BY event_type""",
+    "win_autocorr" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS bucket,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) // 100
+                    AS BIGINT) AS x_usd
+           FROM events GROUP BY 1, 2),
+         stats AS (SELECT event_type,
+                     CAST(sum(x_usd) // count(*) AS BIGINT) AS m_usd
+                   FROM hourly GROUP BY 1),
+         r AS (SELECT h.event_type, h.bucket,
+                 CAST(h.x_usd - s.m_usd AS BIGINT) AS r
+               FROM hourly h JOIN stats s USING (event_type)),
+         den AS (SELECT event_type, CAST(sum(r * r) AS BIGINT) AS den
+                 FROM r GROUP BY 1),
+         lags AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag_h),
+         num AS (SELECT a.event_type, l.lag_h, count(*) AS n_pairs,
+                   CAST(sum(a.r * b.r) AS BIGINT) AS num
+                 FROM r a CROSS JOIN lags l
+                 JOIN r b ON b.event_type = a.event_type
+                   AND b.bucket = a.bucket
+                     + to_hours(CAST(l.lag_h AS BIGINT))
+                 GROUP BY 1, 2)
+         SELECT n.event_type, CAST(n.lag_h AS INTEGER) AS lag_h,
+                CAST(n.n_pairs AS BIGINT) AS n_pairs,
+                CAST(round(1000000.0 * CAST(n.num AS DOUBLE) /
+                     CAST(greatest(d.den, CAST(1 AS BIGINT)) AS DOUBLE))
+                  AS BIGINT) AS acf_e6
+         FROM num n JOIN den d USING (event_type)
+         ORDER BY event_type, lag_h""",
     "win_drawdown" ->
       """WITH hourly AS (
            SELECT event_type, date_trunc('hour', ts) AS bucket,

@@ -464,4 +464,65 @@ class PropertySpec extends AnyFunSuite {
       .toMap
     assert(got === expected)
   }
+
+  test("NDCG equals the sequential replay over the BM25 ranking") {
+    val sfDir = "/root/testdata/sf0.001"
+    // the key's fixed discount table must BE 1e6/log2(rk+1), rounded
+    val disc = (1 to 10).map(rk =>
+      BigDecimal(1e6 / (math.log(rk + 1.0) / math.log(2.0)))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    assert(disc === Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+      356207L, 333333L, 315465L, 301030L, 289065L))
+    val bm = SparkEntry.queries("llm_bm25_score")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def dcgOf(order: Seq[Long]): Long =
+      order.take(10).zipWithIndex.map { case (rel, i) => rel * disc(i) }.sum
+    val dcg = dcgOf(bm.sortBy(t => (-t._3, t._1)).map(_._2).toSeq)
+    val idcg = dcgOf(bm.sortBy(t => (-t._2, t._1)).map(_._2).toSeq)
+    val row = SparkEntry.queries("llm_retrieval_ndcg")(spark, sfDir)
+      .collect().head
+    assert(row.getInt(0) === 10)
+    assert(row.getLong(1) === dcg)
+    assert(row.getLong(2) === idcg)
+    assert(row.getLong(3) === dcg * 1000000L / math.max(idcg, 1L))
+    assert(row.getLong(1) <= row.getLong(2) && row.getLong(3) <= 1000000L)
+  }
+
+  test("link prediction equals the brute-force wedge replay") {
+    val sfDir = "/root/testdata/sf0.001"
+    val edges = SparkEntry.queries("llm_knn_graph")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val deg = und.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val byNbr = und.groupBy(_._2)
+    val cn = byNbr.values.flatMap { es =>
+      val srcs = es.map(_._1).toSeq.sorted
+      for (i <- srcs.indices; j <- i + 1 until srcs.length)
+        yield (srcs(i), srcs(j))
+    }.groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+    val expected = cn.map { case ((u, w), c) =>
+      (u, w, c, und.contains((u, w)),
+        c * 1000000L / (deg(u) + deg(w) - c))
+    }.toSeq
+      .sortBy(t => (-t._5, -t._3, t._1, t._2)).take(20)
+    val got = SparkEntry.queries("llm_graph_linkpred")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getLong(4))).toSeq
+    // ordered equality + exact row count pins exactly-once emission
+    assert(got === expected)
+    assert(got.length === expected.length)
+  }
+
+  test("equi-depth boundaries are monotone and cover every decile") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("agg_equidepth_hist")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byD = rs.sortBy(_._2)
+      assert(byD.map(_._2).toSeq === (1 to 9))
+      // fences never decrease with depth
+      assert(byD.map(_._3).toSeq === byD.map(_._3).sorted.toSeq)
+    }
+  }
 }

@@ -522,6 +522,91 @@ object Aggregates {
       .orderBy("l_returnflag", "decile")
   }
 
+  /** E. Gini concentration coefficient of order value per priority
+    * class — the inequality statistic a corpus-curation dashboard
+    * wants per domain/source ("is 1% of customers 90% of the
+    * revenue" = "is 1% of domains 90% of the tokens"). Exact rank
+    * statistic WITHOUT a row-level sort: on the bounded whole-dollar
+    * histogram, the tied-rank identity 2·Σᵢ i·x₍ᵢ₎ =
+    * Σ_buckets v·c·(2·F_prev + c + 1) turns the sorted-rank sum into
+    * one cumulative-count window over the value DOMAIN (same
+    * discipline as [[aggEquidepthHist]]). All three aggregates are
+    * exact int64 (v·c·2F ≤ dollars·n² ≈ 7e16 at the ×8 corpus —
+    * far inside int64; the dollar quantization is the knob that keeps
+    * it there at larger scale); the single final ratio is evaluated
+    * in DOUBLES with identical operand order in both engines
+    * (operand-identical casts of exact integers — deterministic even
+    * past 2^53, where the cast rounds the same way in every IEEE
+    * engine), rounded once to e6. */
+  private def aggGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = t(spark, sfDir, "orders")
+      .selectExpr("o_orderpriority",
+        "cast(round(o_totalprice) as bigint) AS v")
+      .groupBy("o_orderpriority", "v").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("o_orderpriority").orderBy("v")
+    hist
+      .withColumn("fprev", sum(col("c")).over(wCum) - col("c"))
+      .groupBy("o_orderpriority")
+      .agg(sum(expr("v * c * (2 * fprev + c + 1)")).as("s2ix"),
+        sum(expr("v * c")).as("sx"),
+        sum(col("c")).as("n"))
+      .selectExpr("o_orderpriority", "n", "sx AS total_usd",
+        """CAST(round(1000000.0 *
+             (CAST(s2ix AS DOUBLE) -
+              (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)) /
+             (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+           AS gini_e6""")
+      .orderBy("o_orderpriority")
+  }
+
+  /** E. One-vs-rest two-sample z-test on mean event value per event
+    * type — the A/B significance primitive ("does this event class
+    * monetize differently from the rest of the stream"). Each group's
+    * n/Σx/Σx² accumulate as exact int64 in ONE corpus pass (whole-
+    * dollar quantization keeps Σx² ≤ dollars²·rows ≈ 1e15 at the ×8
+    * corpus); the rest-side moments are the broadcast 1-row totals
+    * minus the group's own — no second pass, no self-join. The z²
+    * statistic is a single fixed double expression over those exact
+    * integers (identical operand order in both engines, the
+    * Mann-Kendall convention), emitted e6-rounded next to the α=0.05
+    * verdict (z² vs 1.96² = 3.8416 exactly). Sample variances use the
+    * n/(n−1) correction; a degenerate rest side (one group) would
+    * divide by zero — guarded to 'insufficient'. */
+  private def aggAbTtest(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = t(spark, sfDir, "events")
+      .selectExpr("event_type", "cast(round(value) as bigint) AS v")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(expr("v * v")).as("ss"))
+    val tot = g.agg(sum(col("n")).as("tn"), sum(col("s")).as("ts"),
+      sum(col("ss")).as("tss"))
+    g.crossJoin(broadcast(tot))
+      .selectExpr("event_type", "n",
+        "CAST(tn - n AS BIGINT) AS n2",
+        "s", "ss", "CAST(ts - s AS BIGINT) AS s2",
+        "CAST(tss - ss AS BIGINT) AS ss2")
+      .selectExpr("event_type", "n", "n2",
+        """CASE WHEN n < 2 OR n2 < 2 THEN CAST(NULL AS BIGINT) ELSE
+           CAST(round(1000000.0 *
+             (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) -
+              CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) *
+             (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) -
+              CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+             ((CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) -
+               (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) *
+               (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) /
+              (CAST(n AS DOUBLE) - 1.0) +
+              (CAST(ss2 AS DOUBLE) / CAST(n2 AS DOUBLE) -
+               (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) *
+               (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) /
+              (CAST(n2 AS DOUBLE) - 1.0))) AS BIGINT) END AS z2_e6""")
+      .selectExpr("event_type", "n", "n2", "z2_e6",
+        """CASE WHEN z2_e6 IS NULL THEN 'insufficient'
+                WHEN z2_e6 > 3841600 THEN 'significant'
+                ELSE 'not_significant' END AS verdict""")
+      .orderBy("event_type")
+  }
+
   /** Per-segment Shannon entropy of the event-type mix — the diversity
     * metric a corpus-quality dashboard wants per source/domain. Engine
     * parity for a log-based aggregate follows the repo's e6 trick
@@ -650,6 +735,8 @@ object Aggregates {
     "agg_regression" -> (aggRegression _),
     "agg_weighted_percentile" -> (aggWeightedPercentile _),
     "agg_equidepth_hist" -> (aggEquidepthHist _),
+    "agg_gini" -> (aggGini _),
+    "agg_ab_ttest" -> (aggAbTtest _),
     "agg_median" -> (aggMedian _),
     "agg_outlier_mad" -> (aggOutlierMad _),
     "agg_bool" -> (aggBool _),
@@ -786,6 +873,67 @@ object Aggregates {
          WHERE cum * 10 >= decile * total
          GROUP BY 1, 2
          ORDER BY 1, 2""",
+    "agg_gini" ->
+      """WITH hist AS (
+           SELECT o_orderpriority,
+                  CAST(round(o_totalprice) AS BIGINT) AS v,
+                  count(*) AS c
+           FROM orders GROUP BY 1, 2),
+         b AS (
+           SELECT o_orderpriority, v, c,
+                  sum(c) OVER (PARTITION BY o_orderpriority
+                               ORDER BY v) - c AS fprev
+           FROM hist),
+         g AS (
+           SELECT o_orderpriority,
+                  CAST(sum(v * c * (2 * fprev + c + 1)) AS BIGINT) AS s2ix,
+                  CAST(sum(v * c) AS BIGINT) AS sx,
+                  CAST(sum(c) AS BIGINT) AS n
+           FROM b GROUP BY 1)
+         SELECT o_orderpriority, n, sx AS total_usd,
+                CAST(round(1000000.0 *
+                     (CAST(s2ix AS DOUBLE) -
+                      (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)) /
+                     (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)))
+                  AS BIGINT) AS gini_e6
+         FROM g ORDER BY o_orderpriority""",
+    "agg_ab_ttest" ->
+      """WITH g AS (
+           SELECT event_type, count(*) AS n,
+                  CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS s,
+                  CAST(sum(CAST(round(value) AS BIGINT)
+                           * CAST(round(value) AS BIGINT)) AS BIGINT) AS ss
+           FROM events GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                        CAST(sum(s) AS BIGINT) AS ts,
+                        CAST(sum(ss) AS BIGINT) AS tss
+                 FROM g),
+         j AS (SELECT event_type, CAST(n AS BIGINT) AS n,
+                      CAST(tn - n AS BIGINT) AS n2, s, ss,
+                      CAST(ts - s AS BIGINT) AS s2,
+                      CAST(tss - ss AS BIGINT) AS ss2
+               FROM g CROSS JOIN tot),
+         z AS (SELECT event_type, n, n2,
+                 CASE WHEN n < 2 OR n2 < 2 THEN CAST(NULL AS BIGINT) ELSE
+                 CAST(round(1000000.0 *
+                   (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) -
+                    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) *
+                   (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) -
+                    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+                   ((CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) -
+                     (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) *
+                     (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) /
+                    (CAST(n AS DOUBLE) - 1.0) +
+                    (CAST(ss2 AS DOUBLE) / CAST(n2 AS DOUBLE) -
+                     (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) *
+                     (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) /
+                    (CAST(n2 AS DOUBLE) - 1.0))) AS BIGINT) END AS z2_e6
+               FROM j)
+         SELECT event_type, n, n2, z2_e6,
+                CASE WHEN z2_e6 IS NULL THEN 'insufficient'
+                     WHEN z2_e6 > 3841600 THEN 'significant'
+                     ELSE 'not_significant' END AS verdict
+         FROM z ORDER BY event_type""",
     "agg_median" ->
       """SELECT o_orderstatus,
                 median(o_totalprice) AS median_price,

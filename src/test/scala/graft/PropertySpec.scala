@@ -514,6 +514,52 @@ class PropertySpec extends AnyFunSuite {
     assert(got.length === expected.length)
   }
 
+  test("Gini equals the sequential sorted-rank replay per priority") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Tables.t(spark, sfDir, "orders")
+      .selectExpr("o_orderpriority",
+        "cast(round(o_totalprice) as bigint) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = rows.groupBy(_._1).map { case (p, vs) =>
+      val xs = vs.map(_._2).sorted
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val six2 = xs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum * 2L
+      p -> BigDecimal(1e6 * (six2.toDouble - (n + 1.0) * sx.toDouble) /
+          (n.toDouble * sx.toDouble))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val got = SparkEntry.queries("agg_gini")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got === expected)
+    got.values.foreach(g => assert(g >= 0L && g < 1000000L))
+  }
+
+  test("one-vs-rest z-test equals the sequential moments replay") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Tables.t(spark, sfDir, "events")
+      .selectExpr("event_type", "cast(round(value) as bigint) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val tot = (rows.length.toLong, rows.map(_._2).sum,
+      rows.map(t => t._2 * t._2).sum)
+    val expected = rows.groupBy(_._1).map { case (et, vs) =>
+      val (n, s, ss) = (vs.length.toLong, vs.map(_._2).sum,
+        vs.map(t => t._2 * t._2).sum)
+      val (n2, s2, ss2) = (tot._1 - n, tot._2 - s, tot._3 - ss)
+      val d = s.toDouble / n.toDouble - s2.toDouble / n2.toDouble
+      val se2 = (ss.toDouble / n.toDouble -
+          (s.toDouble / n.toDouble) * (s.toDouble / n.toDouble)) / (n - 1.0) +
+        (ss2.toDouble / n2.toDouble -
+          (s2.toDouble / n2.toDouble) * (s2.toDouble / n2.toDouble)) / (n2 - 1.0)
+      val z2 = BigDecimal(1e6 * d * d / se2)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      et -> ((z2, if (z2 > 3841600L) "significant" else "not_significant"))
+    }
+    val got = SparkEntry.queries("agg_ab_ttest")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getString(4)))).toMap
+    assert(got === expected)
+  }
+
   test("equi-depth boundaries are monotone and cover every decile") {
     val sfDir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("agg_equidepth_hist")(spark, sfDir)

@@ -848,6 +848,72 @@ object StreamingQ {
   }
 
   // ---------------------------------------------------------------------
+  // stream_countmin — incremental COUNT-MIN SKETCH maintenance: the
+  // frequency summary a stream keeps when even the per-key count table
+  // is too big to materialize. Each micro-batch builds its own d=3 ×
+  // w=4096 cell partial from the batch's per-key counts (same
+  // md5-string cells as agg_countmin — engine-identical slots), then
+  // full-outer-adds it into the snapshot: CMS cells are SUMS, so the
+  // merge is associative and the maintained sketch is BIT-IDENTICAL
+  // to the one-shot batch sketch over the same corpus — which is
+  // exactly what the DuckDB oracle replays (the equality IS the
+  // mergeability property, proved per run). Per-batch work is
+  // O(batch keys + d·w); the snapshot is d·w-bounded (≤ 12,288 rows)
+  // FOREVER, independent of stream length or key cardinality — the
+  // whole point of shipping a sketch instead of exact counts. The
+  // final answer probes user_ids 1–5 against the maintained sketch
+  // next to their exact counts (estimate ≥ exact, by how much).
+  // ---------------------------------------------------------------------
+  private def streamCountMin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val srcDir = evenOddStagedEvents(spark, sfDir)
+    val cellsOf = "transform(sequence(0, 2), r -> struct(r AS row, " +
+      "substring(md5(concat(cast(user_id as string), '#', " +
+      "cast(r as string))), 1, 3) AS cell))"
+    var cur = freshDir("graft_stream_cms_t_")
+    ev.limit(0).selectExpr("CAST(0 AS INT) AS row", "'' AS cell",
+      "CAST(0 AS BIGINT) AS cnt").write.mode("overwrite").parquet(cur)
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val part = batch.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+          .selectExpr(s"explode($cellsOf) AS rc", "cnt")
+          .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
+          .agg(sum(col("cnt")).as("b_cnt"))
+        val merged = spark.read.parquet(cur)
+          .join(part, Seq("row", "cell"), "full_outer")
+          .select(col("row"), col("cell"),
+            (coalesce(col("cnt"), lit(0L)) +
+              coalesce(col("b_cnt"), lit(0L))).as("cnt"))
+        val next = freshDir("graft_stream_cms_t_")
+        merged.write.mode("overwrite").parquet(next)
+        val prev = cur
+        cur = next
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(prev))
+      }
+      .option("checkpointLocation", freshDir("graft_stream_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sketch = spark.read.parquet(cur)
+    ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      .where(col("user_id") <= 5)
+      .selectExpr("user_id", "exact_cnt", s"explode($cellsOf) AS rc")
+      .select(col("user_id"), col("exact_cnt"),
+        col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .join(broadcast(sketch), Seq("row", "cell"))
+      .groupBy("user_id", "exact_cnt")
+      .agg(min(col("cnt")).as("est_cnt"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------------
   // stream_topk — streaming HEAVY HITTERS with BOUNDED state: a top-m
   // summary (m=64 keys) maintained per micro-batch by merge-and-prune —
   // each batch's exact counts full-outer-merge into the summary, then
@@ -1020,6 +1086,7 @@ object StreamingQ {
     "stream_foreach_batch" -> (streamForeachBatch _),
     "stream_merge_upsert" -> (streamMergeUpsert _),
     "stream_incremental_agg" -> (streamIncrementalAgg _),
+    "stream_countmin" -> (streamCountMin _),
     "stream_topk" -> (streamTopK _),
     "stream_ann_index" -> (streamAnnIndex _),
     "stream_stateful_session" -> (streamStatefulSession _),
@@ -1075,6 +1142,27 @@ object StreamingQ {
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                   AS sum_e2
          FROM events GROUP BY 1 ORDER BY event_type""",
+    // one-shot batch CMS over the whole corpus: equality with the
+    // incrementally-maintained sketch IS the cell-sum mergeability
+    // property (same md5 cells as the agg_countmin oracle)
+    "stream_countmin" ->
+      """WITH rs AS (SELECT unnest(range(0, 3)) AS r),
+         kc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1),
+         cells AS (
+           SELECT r, substring(md5(CAST(user_id AS VARCHAR) || '#' ||
+                       CAST(r AS VARCHAR)), 1, 3) AS cell, cnt
+           FROM kc CROSS JOIN rs),
+         sketch AS (SELECT r AS rw, cell, CAST(sum(cnt) AS BIGINT) AS cnt
+                    FROM cells GROUP BY 1, 2),
+         pc AS (SELECT k.user_id, k.cnt AS exact_cnt, r AS rw,
+                       substring(md5(CAST(k.user_id AS VARCHAR) || '#' ||
+                         CAST(r AS VARCHAR)), 1, 3) AS cell
+                FROM kc k CROSS JOIN rs WHERE k.user_id <= 5)
+         SELECT pc.user_id, pc.exact_cnt,
+                CAST(min(s.cnt) AS BIGINT) AS est_cnt
+         FROM pc JOIN sketch s ON pc.rw = s.rw AND pc.cell = s.cell
+         GROUP BY 1, 2 ORDER BY 1""",
     // replays the deterministic two-batch merge-and-prune verbatim:
     // batch 1 = even event_ids, batch 2 = odd, prune to the 64 largest
     // (count desc, user_id) after each merge

@@ -171,4 +171,14 @@ class StreamingSpec extends AnyFunSuite {
       .where(col("true_cnt").isNull || col("cnt") > col("true_cnt"))
     assert(bad.count() === 0)
   }
+
+  test("stream_countmin estimates never under-count and state stays bounded") {
+    // CMS point estimates are OVER-estimates by construction (cell sums
+    // only ever add mass), and the maintained sketch can never exceed
+    // the d*w cell bound regardless of stream length.
+    val out = StreamingQ.defs("stream_countmin")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"CMS under-counted user ${r.getLong(0)}"))
+  }
 }

@@ -405,6 +405,46 @@ object LlmVector {
       .orderBy("vec_id")
 
   // ---------------------------------------------------------------------
+  // llm_ann_batch_queries — BATCHED multi-query IVF probe: 5 queries
+  // answered in ONE pass over the index. This is the shape retrieval
+  // actually runs at — queries arrive in batches, and the win is
+  // amortization: the cell-assignment scan is paid once for the whole
+  // batch (the query table is a broadcast — per-query probe arrays
+  // travel WITH the queries, never through a shuffle), and candidates
+  // are (vector, query) pairs only where the vector's cell is in that
+  // query's probed set. The per-query top-3 cut runs on the custom
+  // TopKPerGroup operator (map-side bounded heaps, partial → exchange
+  // on qid → final; no per-partition sort, per-group state = k) — the
+  // multi-key case TakeOrderedAndProject cannot express. At 100 TB:
+  // batch of B queries = one probed-cells scan + one qid-keyed
+  // k-bounded exchange, vs B full single-query plans.
+  // ---------------------------------------------------------------------
+  private def annBatchQueries(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val assigned = e
+      .withColumn("best", array_max(centScores(col("embedding"), col("nrm"))))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (-col("best.nid")).cast("int").as("cell"))
+    val qs = e.where(col("vec_id").isin(3, 7, 11, 19, 23))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+      .withColumn("scored",
+        sort_array(centScores(col("qe"), col("qn")), asc = false))
+      .select(col("qid"), col("qe"), col("qn"),
+        expr(s"transform(slice(scored, 1, 2), s -> cast(-s.nid as int))")
+          .as("probed"))
+    val cand = assigned.crossJoin(broadcast(qs))
+      .where(array_contains(col("probed"), col("cell")) &&
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qe"), col("nrm"), col("qn"))
+          .as("cosine"))
+    graft.plans.GraftOps.topKPerGroup(cand, Seq("qid"),
+        Seq(("cosine", false), ("vec_id", true)), k = 3)
+      .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
+  }
+
+  // ---------------------------------------------------------------------
   // llm_ann_recall — recall@10 of the IVF probe against the exact
   // brute-force top-10: the ANN tier's accuracy audit, mirroring what
   // llm_dedup_eval does for the dedup tier. An approximate index
@@ -1244,6 +1284,7 @@ object LlmVector {
     "llm_embed_cluster" -> (embedCluster _),
     "llm_ann_ivf" -> (annIvf _),
     "llm_ann_range" -> (annRange _),
+    "llm_ann_batch_queries" -> (annBatchQueries _),
     "llm_ann_recall" -> (annRecall _),
     "llm_matryoshka_rerank" -> (matryoshkaRerank _),
     "llm_ann_ivf_persisted" -> (annIvfPersisted _),
@@ -1299,11 +1340,10 @@ object LlmVector {
           FROM buckets a JOIN buckets b
             ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)"""
 
-  /** Shared IVF cell CTE block (centroids, per-vector cell assignment,
-    * vec-7 query, top-2 probed cells) — used verbatim by the IVF probe
-    * oracle and the IVF+PQ composition so cell semantics cannot
-    * drift. */
-  private val IvfCellsCte =
+  /** Shared IVF index CTE block (centroids + per-vector cell
+    * assignment) — the query-independent half of the index, shared by
+    * the single-query block below and the batch-query oracle. */
+  private val IvfBaseCte =
     s"""e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings),
           cents AS (
             SELECT c.c AS cent_id,
@@ -1322,7 +1362,14 @@ object LlmVector {
                                   / (e.nrm * CAST(8 AS DOUBLE))
                                 DESC, c.cent_id) AS rk
               FROM e CROSS JOIN cents c)
-            WHERE rk = 1),
+            WHERE rk = 1)"""
+
+  /** Shared IVF cell CTE block (centroids, per-vector cell assignment,
+    * vec-7 query, top-2 probed cells) — used verbatim by the IVF probe
+    * oracle and the IVF+PQ composition so cell semantics cannot
+    * drift. */
+  private val IvfCellsCte =
+    s"""$IvfBaseCte,
           q AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 7),
           probed AS (
             SELECT cent_id FROM (
@@ -1704,6 +1751,33 @@ object LlmVector {
           SELECT vec_id, cluster_id, is_kept FROM labels ORDER BY vec_id""",
     "llm_ann_ivf" -> AnnIvfOracle,
     "llm_ann_range" -> AnnRangeOracle,
+    "llm_ann_batch_queries" ->
+      s"""WITH $IvfBaseCte,
+          qs AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+                 FROM e WHERE vec_id IN (3, 7, 11, 19, 23)),
+          qprobe AS (
+            SELECT qid, cent_id FROM (
+              SELECT q.qid, c.cent_id,
+                     row_number() OVER (PARTITION BY q.qid
+                       ORDER BY ${dDot("q.qe", "c.ce")}
+                                  / (q.qn * CAST(8 AS DOUBLE))
+                                DESC, c.cent_id) AS rk
+              FROM qs q CROSS JOIN cents c)
+            WHERE rk <= 2),
+          candq AS (
+            SELECT q.qid, e.vec_id,
+                   ${dDot("e.embedding", "q.qe")} / (e.nrm * q.qn) AS cosine
+            FROM e JOIN assigned a USING (vec_id)
+                   JOIN qprobe p ON a.cell = p.cent_id
+                   JOIN qs q ON q.qid = p.qid
+            WHERE e.vec_id <> q.qid)
+          SELECT qid, vec_id, cosine FROM (
+            SELECT qid, vec_id, cosine,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY cosine DESC, vec_id) AS rk
+            FROM candq)
+          WHERE rk <= 3
+          ORDER BY qid, cosine DESC, vec_id""",
     // recall audit: exact top-10 (brute force) vs the IVF probe's
     // top-10, both replayed with the shared cells CTE
     "llm_ann_recall" ->

@@ -89,6 +89,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_ann_batch_queries: one probe scan, per-query cut on the bounded-heap operator") {
+    val plan = finalPlan(SparkEntry.queries("llm_ann_batch_queries")(spark, sfDir))
+    // the whole query batch rides one broadcast — candidate generation
+    // itself pays no hash exchange; the ONLY qid-keyed exchange is the
+    // one inside the TopKPerGroup partial->final pair, which carries
+    // k-bounded per-group state, never candidate volume
+    assert(plan.contains("TopKPerGroup"), plan)
+    assert(countOf(plan, "BroadcastExchange") >= 1, plan)
+    assert(countOf(plan, "Exchange hashpartitioning") <= 1, plan)
+    // no global or per-partition candidate sort: the heap operator
+    // replaces the sort+filter a window formulation would plan
+    assert(!plan.contains("WindowExec"), plan)
+  }
+
   test("llm_ann_pq_adc / llm_ann_ivfpq: table-lookup scoring is map-side — zero shuffle before top-k") {
     // The ADC distance table is a broadcast literal (4×16 doubles
     // baked into the projection), code assignment is an argmax over

@@ -2330,6 +2330,37 @@ object LlmText {
   }
 
   // ---------------------------------------------------------------------
+  // llm_rag_context_pack — context-window assembly: the step a RAG
+  // serving layer runs AFTER retrieval — pack the ranked documents IN
+  // RANK ORDER into a fixed token budget (300 whitespace tokens),
+  // stopping at the first overflow. Prefix packing (stop-at-overflow)
+  // rather than greedy skip-and-continue is deliberate: it is the
+  // deterministic contract a cache can key on, and it never reorders
+  // relevance (a skipped-over doc displacing a better-ranked one is
+  // exactly the failure mode eval pipelines complain about). The
+  // ranking cut is TakeOrderedAndProject; token counts come from
+  // joining the corpus against the 10-row BROADCAST cut (the corpus
+  // is never re-shuffled for packing); the running-total window runs
+  // over ≤ 10 rows — bounded at any corpus size.
+  // ---------------------------------------------------------------------
+  private def ragContextPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val pred = bm25Score(spark, sfDir)
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("doc_id", "rk")
+    t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n_tokens")
+      .join(broadcast(pred), Seq("doc_id"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        Window.orderBy("rk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("cum_tokens") <= 300)
+      .select("rk", "doc_id", "n_tokens", "cum_tokens")
+      .orderBy("rk")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_dedup_eval — precision/recall audit of the MinHash ESTIMATE
   // against the exact PPJoin truth over the identical shingle space:
   // the report that justifies (or revokes) trusting the cheap signature
@@ -2960,6 +2991,7 @@ object LlmText {
     "llm_graph_hits" -> (graphHits _),
     "llm_graph_linkpred" -> (graphLinkPred _),
     "llm_retrieval_ndcg" -> (retrievalNdcg _),
+    "llm_rag_context_pack" -> (ragContextPack _),
     "llm_corpus_pipeline" -> (corpusPipeline _),
     "llm_span_corruption" -> (spanCorruption _),
     "llm_vocab_build" -> (vocabBuild _),
@@ -3489,6 +3521,22 @@ object LlmText {
                       // greatest(idcg_e6, CAST(1 AS BIGINT)) AS BIGINT)
                    AS ndcg_ppm
           FROM dcg CROSS JOIN idcg""",
+    "llm_rag_context_pack" ->
+      s"""$Bm25Cte,
+          pred AS (SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+                   FROM bm),
+          p10 AS (SELECT doc_id, rk FROM pred WHERE rk <= 10),
+          tk AS (SELECT p.rk, p.doc_id,
+                   len(string_split(d.text, ' ')) AS n_tokens
+                 FROM p10 p JOIN documents d USING (doc_id)),
+          packed AS (SELECT rk, doc_id, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY rk) AS cum_tokens
+                     FROM tk)
+          SELECT CAST(rk AS INTEGER) AS rk, doc_id,
+                 CAST(n_tokens AS INTEGER) AS n_tokens,
+                 CAST(cum_tokens AS BIGINT) AS cum_tokens
+          FROM packed WHERE cum_tokens <= 300 ORDER BY rk""",
     "llm_bloom_dedup" ->
       s"""WITH fpt AS (SELECT doc_id, md5($DNorm) AS fp FROM documents),
           js AS (SELECT unnest(range(0, 4)) AS j),

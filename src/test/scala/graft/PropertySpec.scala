@@ -560,6 +560,27 @@ class PropertySpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("context packing is the maximal prefix of the ranking under budget") {
+    val sfDir = "/root/testdata/sf0.001"
+    val bm = SparkEntry.queries("llm_bm25_score")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val toks = Tables.t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ranked = bm.sortBy(t => (-t._2, t._1)).take(10).map(_._1)
+    val cums = ranked.scanLeft(0L)((acc, d) => acc + toks(d)).tail
+    val expected = ranked.zip(cums).zipWithIndex
+      .map { case ((d, c), i) => (i + 1, d, toks(d), c) }
+      .takeWhile(_._4 <= 300L).toSeq
+    val got = SparkEntry.queries("llm_rag_context_pack")(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // maximality: the next-ranked doc (if any) would overflow
+    if (expected.length < ranked.length)
+      assert(cums(expected.length) > 300L)
+  }
+
   test("equi-depth boundaries are monotone and cover every decile") {
     val sfDir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("agg_equidepth_hist")(spark, sfDir)

@@ -2443,6 +2443,55 @@ object LlmText {
   }
 
   // ---------------------------------------------------------------------
+  // llm_opt_threshold — dedup OPERATING-POINT selection: the full
+  // precision/recall/F1 curve of the signature-agreement detector as
+  // its threshold sweeps 4..9 of 12 positions, against the same
+  // stratum truth llm_dedup_eval audits a single point of. This is
+  // the table the "≥ 6 of 12" choice is justified FROM — production
+  // dedup picks its threshold off exactly this sweep, re-run per
+  // corpus. One pass computes each candidate pair's agreement count;
+  // the full-outer truth join happens ONCE; everything per-threshold
+  // then runs on the ≤14-row agreement-LEVEL histogram (a broadcast
+  // non-equi join against 6 thresholds) — the sweep costs one audit
+  // regardless of how many thresholds it scores. Same staged
+  // signature artifact as llm_dedup_eval (shared fixture, zero extra
+  // staging); all ratios exact integer ppm (F1 = 2·tp/(pred+truth)
+  // needs no float form).
+  // ---------------------------------------------------------------------
+  private def optThreshold(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents").where(expr(EvalStratum))
+    val truth = stratumTruth(spark, sfDir)
+      .withColumn("in_truth", lit(1))
+    val s = graft.etl.Fixtures.stagedPersisted(spark, sfDir, "signed_strat") {
+      d => signedOn(docs).write.mode("overwrite").parquet(d)
+    }
+    val predn = candidatesFrom(s)
+      .selectExpr("doc_a", "doc_b",
+        """aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),
+                     0, (acc, v) -> acc + v) AS n_agree""")
+    val lvl = truth.join(predn, Seq("doc_a", "doc_b"), "full_outer")
+      .selectExpr("coalesce(n_agree, -1) AS n_agree",
+        "in_truth IS NOT NULL AS it")
+      .groupBy("n_agree")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("it"), 1L).otherwise(0L)).as("ct"))
+      .localCheckpoint(true) // ≤ 14 rows; reused by totals + sweep
+    val nt = lvl.agg(coalesce(sum(col("ct")), lit(0L)).as("n_truth"))
+    spark.range(4, 10).selectExpr("CAST(id AS INT) AS threshold")
+      .join(broadcast(lvl), expr("n_agree >= threshold"), "left")
+      .groupBy("threshold")
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_pred"),
+        coalesce(sum(col("ct")), lit(0L)).as("tp"))
+      .crossJoin(broadcast(nt))
+      .selectExpr("threshold", "n_pred", "tp", "n_truth",
+        "CAST(tp * 1000000 DIV nullif(n_pred, 0) AS BIGINT) AS precision_ppm",
+        "CAST(tp * 1000000 DIV nullif(n_truth, 0) AS BIGINT) AS recall_ppm",
+        """CAST(2 * tp * 1000000 DIV nullif(n_pred + n_truth, 0) AS BIGINT)
+           AS f1_ppm""")
+      .orderBy("threshold")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_incremental_dedup — dedup of an INCOMING batch against the
   // EXISTING corpus (the steady-state production shape: every new
   // crawl/delivery dedupes against the index, not against itself).
@@ -2992,6 +3041,7 @@ object LlmText {
     "llm_graph_linkpred" -> (graphLinkPred _),
     "llm_retrieval_ndcg" -> (retrievalNdcg _),
     "llm_rag_context_pack" -> (ragContextPack _),
+    "llm_opt_threshold" -> (optThreshold _),
     "llm_corpus_pipeline" -> (corpusPipeline _),
     "llm_span_corruption" -> (spanCorruption _),
     "llm_vocab_build" -> (vocabBuild _),
@@ -3265,10 +3315,11 @@ object LlmText {
       "NOT IN ('c','d','e','f')"
 
   /** Exact PPJoin Jaccard ≥ 0.5 truth pairs over the eval stratum,
-    * ending in `truth (doc_a, doc_b)` — shared by both simhash audits
-    * so the ground truth cannot drift between them (same CTE chain as
-    * the llm_setsim_join oracle, names prefixed to avoid collisions;
-    * the stratum restriction mirrors stratumTruth's). */
+    * ending in `truth (doc_a, doc_b)` — shared by both simhash audits,
+    * llm_dedup_eval, and the llm_opt_threshold sweep so the ground
+    * truth cannot drift between any of them (same CTE chain as the
+    * llm_setsim_join oracle, names prefixed to avoid collisions; the
+    * stratum restriction mirrors stratumTruth's). */
   private val DSetsimTruth =
     s"""sg AS (SELECT doc_id, text, string_split(text, ' ') AS t
                FROM documents WHERE ${dStratum("doc_id")}),
@@ -3676,6 +3727,41 @@ object LlmText {
       s"""WITH $DSetsimTruth,
           $DSimhashShingleFp,
           $SimhashPredAndConfusion""",
+    "llm_opt_threshold" ->
+      s"""WITH $DSigned,
+          predn AS (
+            SELECT doc_a, doc_b,
+                   list_reduce(list_prepend(0,
+                     list_transform(range(1, 13),
+                       i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)),
+                     (acc, v) -> acc + v) AS n_agree
+            FROM cand
+            WHERE ${dStratum("doc_a")} AND ${dStratum("doc_b")}),
+          $DSetsimTruth,
+          mm AS (SELECT coalesce(p.n_agree, -1) AS n_agree,
+                        t.doc_a IS NOT NULL AS it
+                 FROM truth t FULL OUTER JOIN predn p
+                   ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b),
+          lvl AS (SELECT n_agree, count(*) AS cnt,
+                         sum(CASE WHEN it THEN 1 ELSE 0 END) AS ct
+                  FROM mm GROUP BY 1),
+          nt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS n_truth
+                 FROM lvl),
+          th AS (SELECT unnest(range(4, 10)) AS threshold),
+          sw AS (SELECT t.threshold,
+                   CAST(coalesce(sum(l.cnt), 0) AS BIGINT) AS n_pred,
+                   CAST(coalesce(sum(l.ct), 0) AS BIGINT) AS tp
+                 FROM th t LEFT JOIN lvl l ON l.n_agree >= t.threshold
+                 GROUP BY 1)
+          SELECT CAST(threshold AS INTEGER) AS threshold, n_pred, tp,
+                 n_truth,
+                 CAST(tp * 1000000 // nullif(n_pred, 0) AS BIGINT)
+                   AS precision_ppm,
+                 CAST(tp * 1000000 // nullif(n_truth, 0) AS BIGINT)
+                   AS recall_ppm,
+                 CAST(2 * tp * 1000000 // nullif(n_pred + n_truth, 0)
+                   AS BIGINT) AS f1_ppm
+          FROM sw CROSS JOIN nt ORDER BY threshold""",
     "llm_dedup_eval" ->
       s"""WITH $DSigned,
           pred AS (
@@ -3688,33 +3774,7 @@ object LlmText {
                     1, 1) NOT IN ('c','d','e','f')
               AND substring(md5(CAST(doc_b AS VARCHAR) || '#eval-stratum'),
                     1, 1) NOT IN ('c','d','e','f')),
-          g2 AS (SELECT doc_id, text, string_split(text, ' ') AS t
-                 FROM documents
-                 WHERE substring(md5(CAST(doc_id AS VARCHAR)
-                         || '#eval-stratum'), 1, 1)
-                       NOT IN ('c','d','e','f')),
-          f2 AS (SELECT doc_id, $DShingles AS sh FROM g2),
-          tok2 AS (SELECT doc_id, unnest(sh) AS s FROM f2),
-          dft2 AS (SELECT s, count(*) AS df FROM tok2 GROUP BY 1),
-          sorted2 AS (
-            SELECT t.doc_id, list(t.s ORDER BY d.df, t.s) AS els,
-                   count(*) AS sz
-            FROM tok2 t JOIN dft2 d ON t.s = d.s GROUP BY 1),
-          pre2 AS (
-            SELECT doc_id, sz,
-                   unnest(els[1 : sz - CAST(ceil(0.5 * sz) AS INT) + 1]) AS s
-            FROM sorted2),
-          xcand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM pre2 a JOIN pre2 b ON a.s = b.s AND a.doc_id < b.doc_id
-            WHERE least(a.sz, b.sz) >= 0.5 * greatest(a.sz, b.sz)),
-          truth AS (
-            SELECT doc_a, doc_b FROM xcand
-            JOIN sorted2 sa ON doc_a = sa.doc_id
-            JOIN sorted2 sb ON doc_b = sb.doc_id
-            WHERE len(list_intersect(sa.els, sb.els)) /
-                  (sa.sz + sb.sz - len(list_intersect(sa.els, sb.els)))
-                  >= 0.5),
+          $DSetsimTruth,
           m AS (
             SELECT t.doc_a IS NOT NULL AS it, p.doc_a IS NOT NULL AS ip
             FROM truth t FULL OUTER JOIN pred p

@@ -560,6 +560,23 @@ class PropertySpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("threshold sweep at t=6 equals the single-point dedup audit") {
+    val sfDir = "/root/testdata/sf0.001"
+    val sweep = SparkEntry.queries("llm_opt_threshold")(spark, sfDir)
+      .collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // llm_dedup_eval columns: n_truth, n_pred, tp, fp, fn, ...
+    val single = SparkEntry.queries("llm_dedup_eval")(spark, sfDir)
+      .collect().head
+    assert(sweep(6) ===
+      ((single.getLong(1), single.getLong(2), single.getLong(0))))
+    // tightening the threshold can only shrink predictions and hits
+    val ts = sweep.toSeq.sortBy(_._1).map(_._2)
+    assert(ts.map(_._1).sliding(2).forall(s => s.head >= s.last))
+    assert(ts.map(_._2).sliding(2).forall(s => s.head >= s.last))
+  }
+
   test("context packing is the maximal prefix of the ranking under budget") {
     val sfDir = "/root/testdata/sf0.001"
     val bm = SparkEntry.queries("llm_bm25_score")(spark, sfDir).collect()

@@ -559,6 +559,39 @@ object Aggregates {
       .orderBy("o_orderpriority")
   }
 
+  /** First-digit Benford expectation log10(1+1/d), d = 1..9, as FIXED
+    * e6 integers — interpolated into BOTH engines (the libm-free
+    * parity device shared with the NDCG discount table; PropertySpec
+    * re-derives each constant from log10). CASE keys on `digit`. */
+  private val BenfordE6: String =
+    """(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+         WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+         WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+         ELSE 45757 END)"""
+
+  /** E. Benford first-digit conformance per priority class — the
+    * data-quality screen for fabricated or truncated numeric columns
+    * (a synthetic or clipped price column shows up as a first-digit
+    * distribution far from log10(1+1/d)). One map-side-combined
+    * (group, digit) count shuffle; the 9-row-per-group deviation
+    * table is exact integer ppm against the fixed expectation
+    * constants — no log in either engine. */
+  private def aggBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    val cnt = t(spark, sfDir, "orders")
+      .selectExpr("o_orderpriority",
+        """CAST(substring(CAST(CAST(round(o_totalprice) AS BIGINT)
+           AS STRING), 1, 1) AS INT) AS digit""")
+      .groupBy("o_orderpriority", "digit").agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("o_orderpriority").agg(sum(col("n")).as("total"))
+    cnt.join(broadcast(tot), Seq("o_orderpriority"))
+      .selectExpr("o_orderpriority", "digit", "n",
+        "CAST(n * 1000000 DIV total AS BIGINT) AS share_ppm",
+        s"CAST($BenfordE6 AS BIGINT) AS expected_ppm",
+        s"""CAST(CAST(n * 1000000 DIV total AS BIGINT)
+            - $BenfordE6 AS BIGINT) AS dev_ppm""")
+      .orderBy("o_orderpriority", "digit")
+  }
+
   /** E. One-vs-rest two-sample z-test on mean event value per event
     * type — the A/B significance primitive ("does this event class
     * monetize differently from the rest of the stream"). Each group's
@@ -736,6 +769,7 @@ object Aggregates {
     "agg_weighted_percentile" -> (aggWeightedPercentile _),
     "agg_equidepth_hist" -> (aggEquidepthHist _),
     "agg_gini" -> (aggGini _),
+    "agg_benford" -> (aggBenford _),
     "agg_ab_ttest" -> (aggAbTtest _),
     "agg_median" -> (aggMedian _),
     "agg_outlier_mad" -> (aggOutlierMad _),
@@ -897,6 +931,22 @@ object Aggregates {
                      (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)))
                   AS BIGINT) AS gini_e6
          FROM g ORDER BY o_orderpriority""",
+    "agg_benford" ->
+      s"""WITH cnt AS (
+           SELECT o_orderpriority,
+                  CAST(substring(CAST(CAST(round(o_totalprice) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+                  count(*) AS n
+           FROM orders GROUP BY 1, 2),
+         tot AS (SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS total
+                 FROM cnt GROUP BY 1)
+         SELECT c.o_orderpriority, c.digit, CAST(c.n AS BIGINT) AS n,
+                CAST(c.n * 1000000 // t.total AS BIGINT) AS share_ppm,
+                CAST($BenfordE6 AS BIGINT) AS expected_ppm,
+                CAST(CAST(c.n * 1000000 // t.total AS BIGINT)
+                     - $BenfordE6 AS BIGINT) AS dev_ppm
+         FROM cnt c JOIN tot t USING (o_orderpriority)
+         ORDER BY o_orderpriority, digit""",
     "agg_ab_ttest" ->
       """WITH g AS (
            SELECT event_type, count(*) AS n,

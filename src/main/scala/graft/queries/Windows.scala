@@ -565,6 +565,44 @@ object Windows {
       .orderBy("event_type", "lag_h")
   }
 
+  /** F. Multi-touch attribution — the conversion-credit operator a
+    * marketing/traffic pipeline runs after sessionization: every
+    * purchase credits the SAME USER's clicks in the preceding 24 h,
+    * linear split with the integer remainder going to the LAST touch
+    * (row_number over (ts, click_id) — deterministic under ties), so
+    * the credited cents sum EXACTLY to the purchase amount — exact
+    * integer conservation, no float leakage, spec-asserted. The join
+    * is user-keyed equi + time-range predicate (the join_range
+    * pattern: one shuffle on user_id, range as post-filter); the
+    * per-purchase windows run over each purchase's ≤24 h touch set —
+    * bounded by per-user daily activity, never the corpus. At 100 TB
+    * the same plan holds: user-keyed co-partitioning, AQE skew-split
+    * for bot-grade users. */
+  private def winAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy("purchase_id")
+    purch.join(clicks, Seq("user_id"))
+      .where(col("cts") <= col("pts") &&
+        col("cts") > col("pts") - expr("INTERVAL 24 HOURS"))
+      .withColumn("n_touch", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("purchase_id")
+          .orderBy(col("cts").desc, col("click_id").desc)))
+      .selectExpr("purchase_id", "click_id", "n_touch",
+        "rn = 1 AS is_last",
+        """CAST(cents DIV n_touch +
+             IF(rn = 1, cents - cents DIV n_touch * n_touch, 0)
+           AS BIGINT) AS credit_c""")
+      .orderBy("purchase_id", "click_id")
+  }
+
   /** F. One-sided CUSUM change-point detector per event type — the
     * classic "has this metric drifted upward" page: S_t = max(0,
     * S_{t−1} + (x_t − mean)) with an alarm when S crosses h. The
@@ -681,6 +719,7 @@ object Windows {
     "win_seasonal_profile" -> (winSeasonalProfile _),
     "win_trend_mann_kendall" -> (winTrendMannKendall _),
     "win_autocorr" -> (winAutocorr _),
+    "win_attribution" -> (winAttribution _),
     "win_drawdown" -> (winDrawdown _),
     "win_pattern_match" -> (winPatternMatch _),
     "win_cumulative_distinct" -> (winCumulativeDistinct _),
@@ -831,6 +870,33 @@ object Windows {
                   AS BIGINT) AS acf_e6
          FROM num n JOIN den d USING (event_type)
          ORDER BY event_type, lag_h""",
+    "win_attribution" ->
+      """WITH clicks AS (
+           SELECT user_id, event_id AS click_id, ts AS cts
+           FROM events WHERE event_type = 'click'),
+         purch AS (
+           SELECT user_id, event_id AS purchase_id, ts AS pts,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         touches AS (
+           SELECT p.purchase_id, c.click_id, p.cents, c.cts
+           FROM purch p JOIN clicks c ON p.user_id = c.user_id
+           WHERE c.cts <= p.pts
+             AND c.cts > p.pts - INTERVAL 24 HOURS),
+         ranked AS (
+           SELECT purchase_id, click_id, cents,
+                  count(*) OVER (PARTITION BY purchase_id) AS n_touch,
+                  row_number() OVER (PARTITION BY purchase_id
+                    ORDER BY cts DESC, click_id DESC) AS rn
+           FROM touches)
+         SELECT purchase_id, click_id, CAST(n_touch AS BIGINT) AS n_touch,
+                rn = 1 AS is_last,
+                CAST(cents // n_touch +
+                     CASE WHEN rn = 1
+                          THEN cents - cents // n_touch * n_touch
+                          ELSE 0 END AS BIGINT) AS credit_c
+         FROM ranked
+         ORDER BY purchase_id, click_id""",
     "win_drawdown" ->
       """WITH hourly AS (
            SELECT event_type, date_trunc('hour', ts) AS bucket,

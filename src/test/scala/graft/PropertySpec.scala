@@ -598,6 +598,42 @@ class PropertySpec extends AnyFunSuite {
       assert(cums(expected.length) > 300L)
   }
 
+  test("attribution conserves every purchase's cents exactly") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("win_attribution")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))
+    val cents = Tables.t(spark, sfDir, "events")
+      .where(col("event_type") === "purchase")
+      .selectExpr("event_id", "CAST(round(value * 100) AS BIGINT)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.groupBy(_._1).foreach { case (pid, rows) =>
+      // credited cents sum EXACTLY to the purchase amount
+      assert(rows.map(_._5).sum === cents(pid), s"purchase $pid")
+      // exactly one last touch; n_touch equals the touch-set size
+      assert(rows.count(_._4) === 1)
+      assert(rows.forall(_._3 === rows.length.toLong))
+    }
+  }
+
+  test("Benford expectation constants equal rounded log10(1+1/d)") {
+    val expected = (1 to 9).map(d =>
+      BigDecimal(1e6 * math.log10(1.0 + 1.0 / d))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    assert(expected === Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L))
+    val rows = SparkEntry.queries("agg_benford")(spark, "/root/testdata/sf0.001")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(4) === expected(r.getInt(1) - 1))
+      assert(r.getLong(5) === r.getLong(3) - r.getLong(4))
+    }
+    // shares are floor-ppm fractions of each group's total
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      assert(g.map(_.getLong(3)).sum <= 1000000L)
+    }
+  }
+
   test("equi-depth boundaries are monotone and cover every decile") {
     val sfDir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("agg_equidepth_hist")(spark, sfDir)

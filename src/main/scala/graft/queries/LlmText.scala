@@ -631,6 +631,81 @@ object LlmText {
   }
 
   // ---------------------------------------------------------------------
+  // llm_dist_drift — unigram-distribution drift between the even-id
+  // half of the corpus (reference q) and the odd-id half (incoming p):
+  // KL(p‖q) with add-1 smoothing over the union vocabulary — the
+  // monitor a training pipeline runs when a new crawl snapshot lands
+  // ("has the language changed under us"). Engine parity follows the
+  // repo's e6-ln device (agg_entropy / llm_unigram_logprob): each
+  // term's log-ratio ln((c_p+1)(N_q+V) / ((c_q+1)(N_p+V))) is rounded
+  // ONCE to a scaled bigint, the Σ (c_p+1)·l_e6 accumulates in exact
+  // integer arithmetic (order-independent), and ONE double division by
+  // (N_p+V) lands the final e6-nats figure. Work: one token-grouped
+  // count shuffle with both halves' counts as conditional sums in the
+  // SAME pass (no second scan, no join of two count tables); the
+  // 1-row totals attach by broadcast.
+  // ---------------------------------------------------------------------
+  private def distDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val cnt = t(spark, sfDir, "documents")
+      .selectExpr("doc_id % 2 = 0 AS refhalf",
+        s"explode(split($NormText, ' ')) AS token")
+      .groupBy("token")
+      .agg(sum(when(col("refhalf"), 1L).otherwise(0L)).as("cq"),
+        sum(when(!col("refhalf"), 1L).otherwise(0L)).as("cp"))
+    val tot = cnt.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"),
+      count(lit(1)).as("v"))
+    cnt.crossJoin(broadcast(tot))
+      .selectExpr("cp",
+        """CAST(round(ln((CAST(cp + 1 AS DOUBLE) * CAST(nq + v AS DOUBLE)) /
+             (CAST(cq + 1 AS DOUBLE) * CAST(np + v AS DOUBLE)))
+             * 1000000.0) AS BIGINT) AS l_e6""",
+        "np", "nq", "v")
+      .agg(count(lit(1)).as("n_terms"),
+        max(col("np")).as("n_tok_p"), max(col("nq")).as("n_tok_q"),
+        sum(expr("(cp + 1) * l_e6")).as("s"))
+      .selectExpr("n_terms", "n_tok_p", "n_tok_q",
+        """CAST(round(CAST(s AS DOUBLE)
+           / CAST(n_tok_p + n_terms AS DOUBLE)) AS BIGINT) AS kl_e6""")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_graph_kcore — 2-core of the kNN near-dup graph by FOUR fixed
+  // peeling rounds: each round drops nodes of degree < 2 and the
+  // edges that touched them. The k-core is the dense-duplication
+  // backbone — what survives is the part of the graph where cluster
+  // dedup and representative selection have real work to do, while
+  // peeled chains/leaves are the cheap one-shot cases. A FIXED round
+  // count (not run-to-fixpoint) is deliberate: both engines execute
+  // exactly the same four rounds, so the answer is engine-identical
+  // even on a graph where peeling hasn't converged (the oracle
+  // unrolls the identical rounds; at test scale 4 rounds converge —
+  // the spec asserts a 5th round changes nothing). Each round is one
+  // degree groupBy + one semi-join per endpoint — O(edges) per round
+  // with localCheckpoint keeping the plan round-sized, the same
+  // discipline as BFS/PageRank/HITS.
+  // ---------------------------------------------------------------------
+  private def graphKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val e0 = knnGraph(spark, sfDir).select(col("src"), col("nbr"))
+    var edges = e0
+      .unionByName(e0.select(col("nbr").as("src"), col("src").as("nbr")))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to 4) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= 2)
+        .select(col("src").as("node"))
+        .localCheckpoint(true)
+      edges = edges
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("nbr")), Seq("nbr"), "left_semi")
+        .localCheckpoint(true)
+    }
+    edges.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("core_degree"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_text_stats — per-document token statistics.
   // ---------------------------------------------------------------------
   private def textStats(spark: SparkSession, sfDir: String): DataFrame =
@@ -3039,6 +3114,8 @@ object LlmText {
     "llm_knn_graph" -> (knnGraph _),
     "llm_graph_hits" -> (graphHits _),
     "llm_graph_linkpred" -> (graphLinkPred _),
+    "llm_graph_kcore" -> (graphKcore _),
+    "llm_dist_drift" -> (distDrift _),
     "llm_retrieval_ndcg" -> (retrievalNdcg _),
     "llm_rag_context_pack" -> (ragContextPack _),
     "llm_opt_threshold" -> (optThreshold _),
@@ -3501,6 +3578,26 @@ object LlmText {
                   JOIN deg dw ON c.w = dw.node
         ORDER BY jaccard_e6 DESC, cn DESC, doc_u, doc_w LIMIT 20"""
 
+  /** DuckDB replay of the 4 fixed k-core peeling rounds over the
+    * shared [[KnnEdgesCte]] edge derivation — identical round
+    * structure, identical degree threshold. */
+  private val KcoreOracle: String = {
+    def round(i: Int): String =
+      s"""k$i AS (SELECT src AS node FROM u${i - 1}
+             GROUP BY 1 HAVING count(*) >= 2),
+         u$i AS (SELECT e.src, e.nbr FROM u${i - 1} e
+                 WHERE e.src IN (SELECT node FROM k$i)
+                   AND e.nbr IN (SELECT node FROM k$i))"""
+    s"""WITH $DSigned,
+        $KnnEdgesCte,
+        u0 AS (SELECT DISTINCT src, nbr FROM (
+                 SELECT src, dst AS nbr FROM kedges
+                 UNION ALL SELECT dst AS src, src AS nbr FROM kedges)),
+        ${round(1)}, ${round(2)}, ${round(3)}, ${round(4)}
+        SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+        FROM u4 GROUP BY 1 ORDER BY 1"""
+  }
+
   /** DuckDB replay of the HITS iterations: the shared
     * [[KnnEdgesCte]] edge derivation, then 3 unrolled
     * mutual-reinforcement rounds in exact integer arithmetic —
@@ -3552,6 +3649,38 @@ object LlmText {
   val oracle: Map[String, String] = Map(
     "llm_graph_hits" -> HitsOracle,
     "llm_graph_linkpred" -> LinkPredOracle,
+    "llm_graph_kcore" -> KcoreOracle,
+    "llm_dist_drift" ->
+      s"""WITH toks AS (
+            SELECT doc_id % 2 = 0 AS refhalf,
+                   unnest(string_split($DNorm, ' ')) AS token
+            FROM documents),
+          cnt AS (
+            SELECT token,
+                   CAST(sum(CASE WHEN refhalf THEN 1 ELSE 0 END)
+                     AS BIGINT) AS cq,
+                   CAST(sum(CASE WHEN NOT refhalf THEN 1 ELSE 0 END)
+                     AS BIGINT) AS cp
+            FROM toks GROUP BY 1),
+          tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+                         CAST(sum(cq) AS BIGINT) AS nq,
+                         CAST(count(*) AS BIGINT) AS v
+                  FROM cnt),
+          l AS (SELECT cp,
+                  CAST(round(ln((CAST(cp + 1 AS DOUBLE)
+                         * CAST(nq + v AS DOUBLE)) /
+                        (CAST(cq + 1 AS DOUBLE)
+                         * CAST(np + v AS DOUBLE)))
+                        * 1000000.0) AS BIGINT) AS l_e6,
+                  np, nq, v
+                FROM cnt CROSS JOIN tot)
+          SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                 CAST(max(np) AS BIGINT) AS n_tok_p,
+                 CAST(max(nq) AS BIGINT) AS n_tok_q,
+                 CAST(round(CAST(sum((cp + 1) * l_e6) AS DOUBLE)
+                      / CAST(max(np) + count(*) AS DOUBLE)) AS BIGINT)
+                   AS kl_e6
+          FROM l""",
     "llm_retrieval_ndcg" ->
       s"""$Bm25Cte,
           pred AS (SELECT n_matched,

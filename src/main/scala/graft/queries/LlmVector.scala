@@ -405,6 +405,37 @@ object LlmVector {
       .orderBy("vec_id")
 
   // ---------------------------------------------------------------------
+  // llm_embedding_stats — per-DIMENSION distribution audit of the
+  // embedding column: n / mean / std / min / max per dim. This is the
+  // embedding health check run before any index or quantizer is
+  // built — dead dimensions (std ≈ 0), scale imbalance (one dim
+  // dominating the L2 norm), and drift between snapshots all show up
+  // here first, and PQ codebook training assumes roughly balanced
+  // dims. Engine parity: each float is e6-integerized ONCE
+  // (float→double cast is exact; round is the shared convention), so
+  // n/Σ/Σ²/min/max accumulate as exact int64 — aggregation-order-
+  // independent — and mean/std are fixed double expressions over
+  // those integers (sqrt is IEEE correctly-rounded, so even it cannot
+  // diverge). One posexplode + one dim-keyed shuffle of 64 groups —
+  // map-side combined, output 64 rows at any corpus size.
+  // ---------------------------------------------------------------------
+  private def embeddingStats(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "embeddings")
+      .selectExpr("posexplode(embedding) AS (dim, val)")
+      .selectExpr("dim",
+        "CAST(round(CAST(val AS DOUBLE) * 1000000) AS BIGINT) AS v")
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(expr("v * v")).as("ss"),
+        min(col("v")).as("min_e6"), max(col("v")).as("max_e6"))
+      .selectExpr("CAST(dim AS INT) AS dim", "n", "min_e6", "max_e6",
+        "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_e6",
+        """sqrt((CAST(ss AS DOUBLE) -
+             CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1.0)) AS std_e6""")
+      .orderBy("dim")
+
+  // ---------------------------------------------------------------------
   // llm_ann_batch_queries — BATCHED multi-query IVF probe: 5 queries
   // answered in ONE pass over the index. This is the shape retrieval
   // actually runs at — queries arrive in batches, and the win is
@@ -1285,6 +1316,7 @@ object LlmVector {
     "llm_ann_ivf" -> (annIvf _),
     "llm_ann_range" -> (annRange _),
     "llm_ann_batch_queries" -> (annBatchQueries _),
+    "llm_embedding_stats" -> (embeddingStats _),
     "llm_ann_recall" -> (annRecall _),
     "llm_matryoshka_rerank" -> (matryoshkaRerank _),
     "llm_ann_ivf_persisted" -> (annIvfPersisted _),
@@ -1751,6 +1783,26 @@ object LlmVector {
           SELECT vec_id, cluster_id, is_kept FROM labels ORDER BY vec_id""",
     "llm_ann_ivf" -> AnnIvfOracle,
     "llm_ann_range" -> AnnRangeOracle,
+    "llm_embedding_stats" ->
+      """WITH v AS (
+           SELECT d.d AS dim,
+                  CAST(round(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS v
+           FROM embeddings
+           CROSS JOIN (SELECT unnest(range(0, 64)) AS d) d),
+         s AS (
+           SELECT dim, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+                  CAST(sum(v * v) AS BIGINT) AS ss,
+                  CAST(min(v) AS BIGINT) AS min_e6,
+                  CAST(max(v) AS BIGINT) AS max_e6
+           FROM v GROUP BY 1)
+         SELECT CAST(dim AS INTEGER) AS dim, n, min_e6, max_e6,
+                CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_e6,
+                sqrt((CAST(ss AS DOUBLE) -
+                      CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1.0)) AS std_e6
+         FROM s ORDER BY dim""",
     "llm_ann_batch_queries" ->
       s"""WITH $IvfBaseCte,
           qs AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn

@@ -565,6 +565,36 @@ object Windows {
       .orderBy("event_type", "lag_h")
   }
 
+  /** F. Seasonal-naive forecast backtest — the baseline every real
+    * forecaster is judged against: predict each hour's revenue as the
+    * SAME HOUR YESTERDAY (x̂(t) = x(t−24 h)) and report the per-type
+    * MAE over the overlap. Publishing this number next to win_ewma /
+    * win_autocorr closes the monitoring loop: a model that can't beat
+    * seasonal-naive on this table isn't earning its complexity. Same
+    * bounded-series shape as [[winAutocorr]]: the hourly aggregation
+    * is the data-sized pass; the lag join is one (type, bucket+24h)
+    * equi-join over the bounded series. Errors are exact cents
+    * integers end to end (|x−x̂| sums in int64; MAE floor-divides
+    * non-negatives, where trunc and floor agree in both engines). */
+  private def winForecastNaive(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = t(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("x"))
+    val prev = hourly.selectExpr("event_type",
+      "bucket + make_interval(0, 0, 0, 0, 24, 0, 0) AS bucket",
+      "x AS x_hat")
+    hourly.join(prev, Seq("event_type", "bucket"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(expr("abs(x - x_hat)")).as("sum_abs_err_c"),
+        sum(col("x")).as("sum_actual_c"))
+      .selectExpr("event_type", "n_hours", "sum_abs_err_c",
+        "CAST(sum_abs_err_c DIV n_hours AS BIGINT) AS mae_c",
+        """CAST(sum_abs_err_c * 1000000 DIV greatest(sum_actual_c,
+           CAST(1 AS BIGINT)) AS BIGINT) AS wape_ppm""")
+      .orderBy("event_type")
+  }
+
   /** F. Multi-touch attribution — the conversion-credit operator a
     * marketing/traffic pipeline runs after sessionization: every
     * purchase credits the SAME USER's clicks in the preceding 24 h,
@@ -720,6 +750,7 @@ object Windows {
     "win_trend_mann_kendall" -> (winTrendMannKendall _),
     "win_autocorr" -> (winAutocorr _),
     "win_attribution" -> (winAttribution _),
+    "win_forecast_naive" -> (winForecastNaive _),
     "win_drawdown" -> (winDrawdown _),
     "win_pattern_match" -> (winPatternMatch _),
     "win_cumulative_distinct" -> (winCumulativeDistinct _),
@@ -897,6 +928,25 @@ object Windows {
                           ELSE 0 END AS BIGINT) AS credit_c
          FROM ranked
          ORDER BY purchase_id, click_id""",
+    "win_forecast_naive" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS bucket,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS x
+           FROM events GROUP BY 1, 2),
+         prev AS (
+           SELECT event_type, bucket + to_hours(24) AS bucket,
+                  x AS x_hat
+           FROM hourly)
+         SELECT h.event_type, count(*) AS n_hours,
+                CAST(sum(abs(h.x - p.x_hat)) AS BIGINT) AS sum_abs_err_c,
+                CAST(sum(abs(h.x - p.x_hat)) // count(*) AS BIGINT)
+                  AS mae_c,
+                CAST(sum(abs(h.x - p.x_hat)) * 1000000
+                     // greatest(sum(h.x), CAST(1 AS BIGINT)) AS BIGINT)
+                  AS wape_ppm
+         FROM hourly h JOIN prev p USING (event_type, bucket)
+         GROUP BY 1 ORDER BY h.event_type""",
     "win_drawdown" ->
       """WITH hourly AS (
            SELECT event_type, date_trunc('hour', ts) AS bucket,

@@ -598,6 +598,56 @@ class PropertySpec extends AnyFunSuite {
       assert(cums(expected.length) > 300L)
   }
 
+  test("embedding stats equal the sequential per-dimension replay") {
+    val sfDir = "/root/testdata/sf0.001"
+    val embs = Tables.t(spark, sfDir, "embeddings")
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    val got = SparkEntry.queries("llm_embedding_stats")(spark, sfDir)
+      .collect()
+    assert(got.length === 64)
+    got.foreach { r =>
+      val d = r.getInt(0)
+      // HALF_UP (away from zero) — the engines' round(), not
+      // math.round's toward-positive-infinity convention
+      val vs = embs.map(e => BigDecimal(e(d).toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      assert(r.getLong(1) === vs.length.toLong)
+      assert(r.getLong(2) === vs.min && r.getLong(3) === vs.max)
+      val mean = vs.sum.toDouble / vs.length
+      assert(r.getDouble(4) === mean)
+      val ss = vs.map(v => v * v).sum
+      assert(r.getDouble(5) === math.sqrt(
+        (ss.toDouble - vs.sum.toDouble * vs.sum.toDouble / vs.length) /
+          (vs.length - 1.0)))
+    }
+  }
+
+  test("seasonal-naive backtest equals the lag-24 sequential replay") {
+    val sfDir = "/root/testdata/sf0.001"
+    val hourly = Tables.t(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("b"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("x"))
+      .collect().map(r => ((r.getString(0), r.getTimestamp(1).getTime), r.getLong(2)))
+      .toMap
+    val expected = hourly.keys.toSeq
+      .flatMap { case (et, tms) =>
+        hourly.get((et, tms - 24L * 3600 * 1000))
+          .map(prev => et -> (math.abs(hourly((et, tms)) - prev), hourly((et, tms))))
+      }
+      .groupBy(_._1)
+      .map { case (et, xs) =>
+        val errs = xs.map(_._2._1).sum
+        val act = xs.map(_._2._2).sum
+        et -> ((xs.length.toLong, errs, errs / xs.length,
+          errs * 1000000L / math.max(act, 1L)))
+      }
+    val got = SparkEntry.queries("win_forecast_naive")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+  }
+
   test("k-core peeling has converged by round 4 and is degree-valid") {
     val sfDir = "/root/testdata/sf0.001"
     val edges = SparkEntry.queries("llm_knn_graph")(spark, sfDir).collect()

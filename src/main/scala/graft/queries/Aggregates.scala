@@ -603,8 +603,13 @@ object Aggregates {
     * integers (identical operand order in both engines, the
     * Mann-Kendall convention), emitted e6-rounded next to the α=0.05
     * verdict (z² vs 1.96² = 3.8416 exactly). Sample variances use the
-    * n/(n−1) correction; a degenerate rest side (one group) would
-    * divide by zero — guarded to 'insufficient'. */
+    * n/(n−1) correction; BOTH degenerate shapes are guarded to
+    * 'insufficient': a one-group rest side (n < 2) and a zero pooled
+    * variance (constant whole-dollar values on both sides — se2 ≤ 0,
+    * where an unguarded divide-by-zero is exactly where engines
+    * diverge: Spark yields ±Inf/NaN while DuckDB defines x/0.0 as
+    * NULL). The se2 guard is the same fixed double expression in both
+    * engines, so the guard itself cannot diverge either. */
   private def aggAbTtest(spark: SparkSession, sfDir: String): DataFrame = {
     val g = t(spark, sfDir, "events")
       .selectExpr("event_type", "cast(round(value) as bigint) AS v")
@@ -619,20 +624,21 @@ object Aggregates {
         "s", "ss", "CAST(ts - s AS BIGINT) AS s2",
         "CAST(tss - ss AS BIGINT) AS ss2")
       .selectExpr("event_type", "n", "n2",
-        """CASE WHEN n < 2 OR n2 < 2 THEN CAST(NULL AS BIGINT) ELSE
-           CAST(round(1000000.0 *
-             (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) -
-              CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) *
-             (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) -
-              CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
-             ((CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) -
-               (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) *
-               (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) /
-              (CAST(n AS DOUBLE) - 1.0) +
-              (CAST(ss2 AS DOUBLE) / CAST(n2 AS DOUBLE) -
-               (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) *
-               (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) /
-              (CAST(n2 AS DOUBLE) - 1.0))) AS BIGINT) END AS z2_e6""")
+        """CASE WHEN n < 2 OR n2 < 2 THEN CAST(NULL AS DOUBLE) ELSE
+           (CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) -
+            (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) *
+            (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) /
+           (CAST(n AS DOUBLE) - 1.0) +
+           (CAST(ss2 AS DOUBLE) / CAST(n2 AS DOUBLE) -
+            (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) *
+            (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) /
+           (CAST(n2 AS DOUBLE) - 1.0) END AS se2""",
+        """CAST(s AS DOUBLE) / CAST(n AS DOUBLE) -
+           CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS d""")
+      .selectExpr("event_type", "n", "n2",
+        """CASE WHEN se2 IS NULL OR se2 <= 0.0 THEN CAST(NULL AS BIGINT)
+           ELSE CAST(round(1000000.0 * d * d / se2) AS BIGINT)
+           END AS z2_e6""")
       .selectExpr("event_type", "n", "n2", "z2_e6",
         """CASE WHEN z2_e6 IS NULL THEN 'insufficient'
                 WHEN z2_e6 > 3841600 THEN 'significant'
@@ -963,22 +969,25 @@ object Aggregates {
                       CAST(ts - s AS BIGINT) AS s2,
                       CAST(tss - ss AS BIGINT) AS ss2
                FROM g CROSS JOIN tot),
+         sed AS (SELECT event_type, n, n2,
+                 CASE WHEN n < 2 OR n2 < 2 THEN CAST(NULL AS DOUBLE) ELSE
+                   (CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) -
+                    (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) *
+                    (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) /
+                   (CAST(n AS DOUBLE) - 1.0) +
+                   (CAST(ss2 AS DOUBLE) / CAST(n2 AS DOUBLE) -
+                    (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) *
+                    (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) /
+                   (CAST(n2 AS DOUBLE) - 1.0) END AS se2,
+                 CAST(s AS DOUBLE) / CAST(n AS DOUBLE) -
+                   CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS d
+               FROM j),
          z AS (SELECT event_type, n, n2,
-                 CASE WHEN n < 2 OR n2 < 2 THEN CAST(NULL AS BIGINT) ELSE
-                 CAST(round(1000000.0 *
-                   (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) -
-                    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) *
-                   (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) -
-                    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
-                   ((CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) -
-                     (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) *
-                     (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) /
-                    (CAST(n AS DOUBLE) - 1.0) +
-                    (CAST(ss2 AS DOUBLE) / CAST(n2 AS DOUBLE) -
-                     (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) *
-                     (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) /
-                    (CAST(n2 AS DOUBLE) - 1.0))) AS BIGINT) END AS z2_e6
-               FROM j)
+                 CASE WHEN se2 IS NULL OR se2 <= 0.0
+                      THEN CAST(NULL AS BIGINT)
+                      ELSE CAST(round(1000000.0 * d * d / se2) AS BIGINT)
+                 END AS z2_e6
+               FROM sed)
          SELECT event_type, n, n2, z2_e6,
                 CASE WHEN z2_e6 IS NULL THEN 'insufficient'
                      WHEN z2_e6 > 3841600 THEN 'significant'

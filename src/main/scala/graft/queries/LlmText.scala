@@ -551,19 +551,19 @@ object LlmText {
       // groupBy would execute twice per normalization call.
       val raw = rawIn.localCheckpoint(true)
       val mx = raw.agg(greatest(max(col("raw")), lit(1L)).as("mx"))
+      // ONE source for the adaptive scale (interpolated at both use
+      // sites, like the oracle's single `sc` binding) — the two
+      // occurrences cannot drift apart.
+      val sc =
+        """(CASE WHEN mx <= CAST(9000000000000 AS BIGINT)
+              THEN CAST(1000000 AS BIGINT)
+            WHEN mx <= CAST(9000000000000000 AS BIGINT)
+              THEN CAST(1000 AS BIGINT)
+            ELSE CAST(1 AS BIGINT) END)"""
       raw.crossJoin(broadcast(mx))
         .selectExpr("node",
-          s"""CAST(raw * (CASE WHEN mx <= CAST(9000000000000 AS BIGINT)
-                            THEN CAST(1000000 AS BIGINT)
-                          WHEN mx <= CAST(9000000000000000 AS BIGINT)
-                            THEN CAST(1000 AS BIGINT)
-                          ELSE CAST(1 AS BIGINT) END) DIV mx
-                * (CAST(1000000 AS BIGINT) DIV
-                   (CASE WHEN mx <= CAST(9000000000000 AS BIGINT)
-                       THEN CAST(1000000 AS BIGINT)
-                     WHEN mx <= CAST(9000000000000000 AS BIGINT)
-                       THEN CAST(1000 AS BIGINT)
-                     ELSE CAST(1 AS BIGINT) END)) AS BIGINT) AS $out""")
+          s"""CAST(raw * $sc DIV mx
+                * (CAST(1000000 AS BIGINT) DIV $sc) AS BIGINT) AS $out""")
         .localCheckpoint(true)
     }
     for (_ <- 1 to 3) {
@@ -2386,11 +2386,19 @@ object LlmText {
   // audit runs per query over a query SAMPLE; per query the cost is
   // the BM25 scan itself.
   // ---------------------------------------------------------------------
-  private def retrievalNdcg(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = bm25Score(spark, sfDir).localCheckpoint(true)
-    val pred = scored.orderBy(col("score").desc, col("doc_id")).limit(10)
+  /** The BM25 top-10 cut with its rank attached — TakeOrderedAndProject
+    * plus a row_number over the 10-row cut. The ONE Spark-side ranking
+    * derivation both the NDCG audit and the context packer consume
+    * (their oracles already share Bm25Cte + the identical ORDER BY);
+    * a tie-break change lands in both keys or neither. */
+  private def bm25Top10(scored: DataFrame): DataFrame =
+    scored.orderBy(col("score").desc, col("doc_id")).limit(10)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))))
+
+  private def retrievalNdcg(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = bm25Score(spark, sfDir).localCheckpoint(true)
+    val pred = bm25Top10(scored)
     val ideal = scored.orderBy(col("n_matched").desc, col("doc_id")).limit(10)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("n_matched").desc, col("doc_id"))))
@@ -2419,10 +2427,7 @@ object LlmText {
   // over ≤ 10 rows — bounded at any corpus size.
   // ---------------------------------------------------------------------
   private def ragContextPack(spark: SparkSession, sfDir: String): DataFrame = {
-    val pred = bm25Score(spark, sfDir)
-      .orderBy(col("score").desc, col("doc_id")).limit(10)
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))))
+    val pred = bm25Top10(bm25Score(spark, sfDir))
       .select("doc_id", "rk")
     t(spark, sfDir, "documents")
       .selectExpr("doc_id", "size(split(text, ' ')) AS n_tokens")
@@ -2480,24 +2485,36 @@ object LlmText {
         .write.mode("overwrite").parquet(d)
     }).select("doc_a", "doc_b")
 
-  private def dedupEval(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared stratum-audit inputs: the exact PPJoin truth (flagged
+    * `in_truth`) and every LSH candidate pair's signature-agreement
+    * count, over the SAME staged stratum signature artifact — the
+    * single derivation llm_dedup_eval thresholds at 6 and
+    * llm_opt_threshold sweeps 4..9 (the sweep(6) == dedup_eval spec
+    * pin depends on this being one code path). Both stratum-side
+    * inputs (the PPJoin prefix table and the MinHash signature table)
+    * are parquet-staged once per (JVM, sfDir) with memoized persisted
+    * reads — the stratum predicate is deterministic, so the fixtures
+    * are too. This replaces the former per-invocation .persist() pair
+    * that leaked a cached copy per run (3 per key under min-of-3;
+    * ADVICE r6) and rode the same eviction-recompute sensitivity as
+    * llm_setsim_join's prefix stage. */
+  private def stratumAgreement(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val docs = t(spark, sfDir, "documents").where(expr(EvalStratum))
-    // Both stratum-side inputs (the PPJoin prefix table and the MinHash
-    // signature table) are parquet-staged once per (JVM, sfDir) with
-    // memoized persisted reads — the stratum predicate is
-    // deterministic, so the fixtures are too. This replaces the former
-    // per-invocation .persist() pair that leaked a cached copy per run
-    // (3 per key under min-of-3; ADVICE r6) and rode the same
-    // eviction-recompute sensitivity as llm_setsim_join's prefix stage.
     val truth = stratumTruth(spark, sfDir)
       .withColumn("in_truth", lit(1))
     val s = graft.etl.Fixtures.stagedPersisted(spark, sfDir, "signed_strat") {
       d => signedOn(docs).write.mode("overwrite").parquet(d)
     }
-    val pred = candidatesFrom(s)
+    val predn = candidatesFrom(s)
       .selectExpr("doc_a", "doc_b",
         """aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),
                      0, (acc, v) -> acc + v) AS n_agree""")
+    (truth, predn)
+  }
+
+  private def dedupEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val (truth, predn) = stratumAgreement(spark, sfDir)
+    val pred = predn
       .where(col("n_agree") >= 6).select("doc_a", "doc_b")
       .withColumn("in_pred", lit(1))
     truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
@@ -2534,16 +2551,7 @@ object LlmText {
   // needs no float form).
   // ---------------------------------------------------------------------
   private def optThreshold(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = t(spark, sfDir, "documents").where(expr(EvalStratum))
-    val truth = stratumTruth(spark, sfDir)
-      .withColumn("in_truth", lit(1))
-    val s = graft.etl.Fixtures.stagedPersisted(spark, sfDir, "signed_strat") {
-      d => signedOn(docs).write.mode("overwrite").parquet(d)
-    }
-    val predn = candidatesFrom(s)
-      .selectExpr("doc_a", "doc_b",
-        """aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),
-                     0, (acc, v) -> acc + v) AS n_agree""")
+    val (truth, predn) = stratumAgreement(spark, sfDir)
     val lvl = truth.join(predn, Seq("doc_a", "doc_b"), "full_outer")
       .selectExpr("coalesce(n_agree, -1) AS n_agree",
         "in_truth IS NOT NULL AS it")

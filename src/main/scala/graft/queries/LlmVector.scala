@@ -357,12 +357,19 @@ object LlmVector {
     * (threshold tail) build on this ONE derivation, matching the
     * shared IvfCellsCte their oracles replay — the Spark side can no
     * longer drift between the two keys any more than the oracle can. */
+  /** Map-side cell assignment over the fixed-centroid IVF index —
+    * argmax over the centroid scores array, ties to the smallest
+    * centroid id. The ONE Spark-side derivation of `cell`, shared by
+    * the single-query probe and the batch-query key exactly as their
+    * oracles share IvfBaseCte's `assigned` CTE. */
+  private def ivfAssigned(e: DataFrame): DataFrame = e
+    .withColumn("best", array_max(centScores(col("embedding"), col("nrm"))))
+    .select(col("vec_id"), col("embedding"), col("nrm"),
+      (-col("best.nid")).cast("int").as("cell"))
+
   private def ivfProbedCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
-    val assigned = e
-      .withColumn("best", array_max(centScores(col("embedding"), col("nrm"))))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        (-col("best.nid")).cast("int").as("cell"))
+    val assigned = ivfAssigned(e)
     // query row: same scores array, sorted desc, top-nprobe(=2) cells
     val q = e.where(col("vec_id") === 7)
       .select(col("embedding").as("qe"), col("nrm").as("qn"))
@@ -430,9 +437,14 @@ object LlmVector {
         min(col("v")).as("min_e6"), max(col("v")).as("max_e6"))
       .selectExpr("CAST(dim AS INT) AS dim", "n", "min_e6", "max_e6",
         "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_e6",
-        """sqrt((CAST(ss AS DOUBLE) -
+        // greatest(…, 0.0): for a dead dimension the double rounding
+        // of ss − s²/n can land a hair below the exact-integer 0
+        // (Cauchy–Schwarz floor) — Spark would return NaN but DuckDB
+        // ERRORS on sqrt(negative), so the clamp is an engine-parity
+        // requirement, not cosmetics. Identical clamp in the oracle.
+        """sqrt(greatest((CAST(ss AS DOUBLE) -
              CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-             / (CAST(n AS DOUBLE) - 1.0)) AS std_e6""")
+             / (CAST(n AS DOUBLE) - 1.0), 0.0)) AS std_e6""")
       .orderBy("dim")
 
   // ---------------------------------------------------------------------
@@ -452,10 +464,7 @@ object LlmVector {
   // ---------------------------------------------------------------------
   private def annBatchQueries(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
-    val assigned = e
-      .withColumn("best", array_max(centScores(col("embedding"), col("nrm"))))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        (-col("best.nid")).cast("int").as("cell"))
+    val assigned = ivfAssigned(e)
     val qs = e.where(col("vec_id").isin(3, 7, 11, 19, 23))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"))
@@ -1798,10 +1807,10 @@ object LlmVector {
            FROM v GROUP BY 1)
          SELECT CAST(dim AS INTEGER) AS dim, n, min_e6, max_e6,
                 CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_e6,
-                sqrt((CAST(ss AS DOUBLE) -
+                sqrt(greatest((CAST(ss AS DOUBLE) -
                       CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
                         / CAST(n AS DOUBLE))
-                     / (CAST(n AS DOUBLE) - 1.0)) AS std_e6
+                     / (CAST(n AS DOUBLE) - 1.0), 0.0)) AS std_e6
          FROM s ORDER BY dim""",
     "llm_ann_batch_queries" ->
       s"""WITH $IvfBaseCte,

@@ -550,12 +550,18 @@ object Aggregates {
       .agg(sum(expr("v * c * (2 * fprev + c + 1)")).as("s2ix"),
         sum(expr("v * c")).as("sx"),
         sum(col("c")).as("n"))
+      // greatest(sx, 1): an all-zero-value group would make the Gini
+      // denominator n*sx = 0 — Spark rounds the resulting NaN to NULL
+      // while DuckDB's CAST(NaN) raises. Same degenerate-data guard
+      // convention as win_seasonal_profile / agg_ab_ttest; unreachable
+      // on current fixtures (prices are positive) but engine-equivalent
+      // on any input.
       .selectExpr("o_orderpriority", "n", "sx AS total_usd",
         """CAST(round(1000000.0 *
              (CAST(s2ix AS DOUBLE) -
               (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)) /
-             (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
-           AS gini_e6""")
+             (CAST(n AS DOUBLE) * CAST(greatest(sx, 1) AS DOUBLE)))
+           AS BIGINT) AS gini_e6""")
       .orderBy("o_orderpriority")
   }
 
@@ -934,7 +940,7 @@ object Aggregates {
                 CAST(round(1000000.0 *
                      (CAST(s2ix AS DOUBLE) -
                       (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)) /
-                     (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)))
+                     (CAST(n AS DOUBLE) * CAST(greatest(sx, 1) AS DOUBLE)))
                   AS BIGINT) AS gini_e6
          FROM g ORDER BY o_orderpriority""",
     "agg_benford" ->

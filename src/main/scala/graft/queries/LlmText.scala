@@ -533,8 +533,13 @@ object LlmText {
   // stays e6 via the compensating (1e6 DIV scale) factor, identically
   // in both engines (Spark would silently wrap a bare raw·1e6 while
   // DuckDB's HUGEINT path raises — the adaptive scale removes the
-  // divergence instead of documenting it). localCheckpoint per round
-  // keeps the plan round-sized.
+  // divergence instead of documenting it). The UNIT stays e6 but the
+  // RESOLUTION degrades with the tier: the 1e3 tier quantizes scores
+  // to e3 steps, and the sc=1 tier (max > 9e15, i.e. ≳9e9 nodes)
+  // floors every non-maximum score toward 0 before the compensating
+  // multiply — acceptable because at that extreme only the argmax
+  // ordering is meaningful, and both engines degrade identically.
+  // localCheckpoint per round keeps the plan round-sized.
   // ---------------------------------------------------------------------
   private def graphHits(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = knnGraph(spark, sfDir)
@@ -2968,7 +2973,13 @@ object LlmText {
       .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
       .groupBy("doc_id", "fp")
       .agg((min(coalesce(col("hit"), lit(0))) === 1).as("maybe_dup"))
-      .join(broadcast(exFps), col("fp") === col("ex_fp"), "left")
+      // NO broadcast hint on exFps: the distinct fingerprint set is
+      // corpus-sized (unlike the m-bounded bits table above), so the
+      // true_dup audit column rides a plain fp-keyed shuffle join that
+      // scales with the data — only the 2^20-bounded position table
+      // earns the broadcast. At test scale AQE may still choose to
+      // broadcast it; at 100 TB it correctly will not.
+      .join(exFps, col("fp") === col("ex_fp"), "left")
       .selectExpr("doc_id", "maybe_dup", "ex_fp IS NOT NULL AS true_dup")
       .orderBy("doc_id")
   }

@@ -613,7 +613,14 @@ object Windows {
     val clicks = ev.where(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("cts"))
-    val purch = ev.where(col("event_type") === "purchase")
+    // value >= 0: attribution splits cents with integer division, and
+    // a negative amount (refund) would diverge between engines (Spark
+    // DIV truncates toward zero, DuckDB // floors) AND break the
+    // remainder-to-last-touch conservation. Refund rows are excluded
+    // from attribution in BOTH engines — the same stated-assumption
+    // convention as winAutocorr's non-negativity note, made executable.
+    val purch = ev.where(col("event_type") === "purchase" &&
+        col("value") >= 0)
       .select(col("user_id"), col("event_id").as("purchase_id"),
         col("ts").as("pts"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
@@ -695,9 +702,14 @@ object Windows {
       .select(col("event_type"), col("hod"), col("n_events"), col("rev_c"),
         sum(col("rev_c")).over(wt).as("type_rev"),
         row_number().over(peak).as("peak_rk"))
+      // greatest(type_rev, 1): an all-zero-revenue type would make the
+      // share denominator 0 — Spark DIV 0 yields NULL while DuckDB //0
+      // raises, the degenerate-data parity class win_forecast_naive /
+      // win_autocorr already guard. Unreachable on current fixtures but
+      // the guard keeps the two engines equivalent on ANY input.
       .selectExpr("event_type", "hod", "n_events",
         "CAST(rev_c * 1000000 DIV n_events AS BIGINT) AS mean_rev_e6",
-        "CAST(rev_c * 1000000 DIV type_rev AS BIGINT) AS share_ppm",
+        "CAST(rev_c * 1000000 DIV greatest(type_rev, 1) AS BIGINT) AS share_ppm",
         "peak_rk = 1 AS is_peak_hour")
       .orderBy("event_type", "hod")
   }
@@ -845,7 +857,8 @@ object Windows {
            FROM byhod)
          SELECT event_type, hod, n_events,
                 CAST(rev_c * 1000000 // n_events AS BIGINT) AS mean_rev_e6,
-                CAST(rev_c * 1000000 // type_rev AS BIGINT) AS share_ppm,
+                CAST(rev_c * 1000000 // greatest(type_rev, 1) AS BIGINT)
+                  AS share_ppm,
                 peak_rk = 1 AS is_peak_hour
          FROM w ORDER BY event_type, hod""",
     "win_trend_mann_kendall" ->
@@ -908,7 +921,7 @@ object Windows {
          purch AS (
            SELECT user_id, event_id AS purchase_id, ts AS pts,
                   CAST(round(value * 100) AS BIGINT) AS cents
-           FROM events WHERE event_type = 'purchase'),
+           FROM events WHERE event_type = 'purchase' AND value >= 0),
          touches AS (
            SELECT p.purchase_id, c.click_id, p.cents, c.cts
            FROM purch p JOIN clicks c ON p.user_id = c.user_id

@@ -870,32 +870,40 @@ object StreamingQ {
     val cellsOf = "transform(sequence(0, 2), r -> struct(r AS row, " +
       "substring(md5(concat(cast(user_id as string), '#', " +
       "cast(r as string))), 1, 3) AS cell))"
-    var cur = freshDir("graft_stream_cms_t_")
+    // Snapshot dirs are keyed by BATCH ID, making the merge IDEMPOTENT:
+    // a failed-then-retried micro-batch finds its own committed
+    // snapshot (_SUCCESS present) and skips the re-merge instead of
+    // re-adding its cell sums to the already-merged state — the
+    // double-add would corrupt counts silently and break the
+    // maintained-sketch == one-shot-sketch oracle equality. A
+    // partially-written snapshot (no _SUCCESS) is re-written with
+    // mode(overwrite), so every path converges to exactly-once merge
+    // semantics. Snapshots are d·w-bounded (≤ 12,288 rows) so keeping
+    // the per-batch chain costs batches·|sketch|, trivially small; the
+    // root temp dir is per-invocation.
+    val snapRoot = freshDir("graft_stream_cms_t_")
+    var cur = s"$snapRoot/b_init"
     ev.limit(0).selectExpr("CAST(0 AS INT) AS row", "'' AS cell",
       "CAST(0 AS BIGINT) AS cnt").write.mode("overwrite").parquet(cur)
     val src = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     val q = src.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val part = batch.groupBy("user_id").agg(count(lit(1)).as("cnt"))
-          .selectExpr(s"explode($cellsOf) AS rc", "cnt")
-          .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
-          .agg(sum(col("cnt")).as("b_cnt"))
-        val merged = spark.read.parquet(cur)
-          .join(part, Seq("row", "cell"), "full_outer")
-          .select(col("row"), col("cell"),
-            (coalesce(col("cnt"), lit(0L)) +
-              coalesce(col("b_cnt"), lit(0L))).as("cnt"))
-        val next = freshDir("graft_stream_cms_t_")
-        merged.write.mode("overwrite").parquet(next)
-        val prev = cur
-        cur = next
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val next = s"$snapRoot/b$batchId"
+        if (!new java.io.File(next, "_SUCCESS").exists()) {
+          val part = batch.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+            .selectExpr(s"explode($cellsOf) AS rc", "cnt")
+            .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
+            .agg(sum(col("cnt")).as("b_cnt"))
+          val merged = spark.read.parquet(cur)
+            .join(part, Seq("row", "cell"), "full_outer")
+            .select(col("row"), col("cell"),
+              (coalesce(col("cnt"), lit(0L)) +
+                coalesce(col("b_cnt"), lit(0L))).as("cnt"))
+          merged.write.mode("overwrite").parquet(next)
         }
-        rm(new java.io.File(prev))
+        cur = next
       }
       .option("checkpointLocation", freshDir("graft_stream_ckpt_"))
       .trigger(Trigger.AvailableNow())

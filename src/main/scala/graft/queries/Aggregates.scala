@@ -53,13 +53,23 @@ object Aggregates {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderstatus")
 
-  /** Approximate COUNT(DISTINCT) via HyperLogLog++. No oracle — HLL
-    * sketches differ across engines; PropertySpec bounds the relative
-    * error against the exact count instead. */
+  /** Approximate COUNT(DISTINCT) via HyperLogLog++ — graduated from
+    * spec-only to ORACLE-BOUNDED: the sketch estimate is
+    * engine-specific (DuckDB cannot reproduce Spark's HLL++ registers)
+    * but its BOUND is oracle-able. The query emits the exact distinct
+    * count next to a within_bound flag asserting |estimate − exact| ≤
+    * 10% of exact (5σ at the configured rsd = 0.02), in exact integer
+    * arithmetic; the oracle emits DuckDB's independently-computed
+    * exact count with within_bound = TRUE — so a sketch drifting out
+    * of bound now FAILS the driver hash gate instead of being invisible
+    * to it. PropertySpec keeps asserting the raw-estimate bound. */
   private def aggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .selectExpr("l_returnflag", "exact_orders",
+        "abs(approx - exact_orders) * 10 <= exact_orders AS within_bound")
       .orderBy("l_returnflag")
 
   /** E. Mergeable HLL sketches (DataSketches `hll_sketch_agg` /
@@ -67,12 +77,23 @@ object Aggregates {
     * pattern for APPROXIMATE distinct at 100 TB: each shard (think
     * daily partition) pre-aggregates to a fixed-size binary sketch,
     * stored once; any later query unions sketches instead of re-reading
-    * raw data. Register merge at equal lgK is lossless, so the
-    * two-level estimate EQUALS the single-pass estimate —
-    * PropertySpec asserts that equality plus an error bound vs the
-    * exact count (no DuckDB oracle: estimates are engine-specific). */
-  private def aggHllSketchMerge(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "lineitem")
+    * raw data. Register merge at equal lgK is lossless once both
+    * sketches are in dense (HLL-register) mode; across the
+    * sparse→dense promotion the union's estimator can diverge slightly
+    * from the single-pass sketch (measured ~0.8% at sf0.01 — the union
+    * target promotes to HLL mode while the single-pass sketch still
+    * answers from its exact coupon set). Graduated to ORACLE-BOUNDED:
+    * the output carries the exact distinct count (DuckDB-checkable)
+    * plus two flags — merge_consistent (|two-level − single-pass| ≤ 2%
+    * of single-pass, the mergeability property stated mode-honestly)
+    * and within_bound (|estimate − exact| ≤ 5% of exact, generous vs
+    * lgK=14's ~0.8% rse) — both exact integer compares; the oracle
+    * emits the exact count with both flags TRUE, so either property
+    * breaking now fails the driver hash gate. PropertySpec keeps the
+    * raw-estimate view. */
+  private def aggHllSketchMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val merged = li
       .selectExpr("l_returnflag", "l_orderkey",
         "pmod(hash(l_orderkey), 16) AS shard")
       .groupBy("l_returnflag", "shard")
@@ -80,7 +101,19 @@ object Aggregates {
       .groupBy("l_returnflag")
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")
         .as("approx_orders"))
+    val single = li
+      .groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey, 14))")
+        .as("single_est"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+    merged.join(single, Seq("l_returnflag"))
+      .selectExpr("l_returnflag", "exact_orders",
+        "abs(approx_orders - single_est) * 50 <= single_est" +
+          " AS merge_consistent",
+        "abs(approx_orders - exact_orders) * 20 <= exact_orders" +
+          " AS within_bound")
       .orderBy("l_returnflag")
+  }
 
   /** ROLLUP with grouping flags; group keys coalesced to a sentinel so
     * ordering needs no null rules. */
@@ -197,14 +230,25 @@ object Aggregates {
   /** Approximate percentiles (Greenwald-Khanna sketch) — the
     * mergeable-sketch path for quantiles at 100 TB, where the exact
     * interpolated form (agg_percentile) would need a full sort per
-    * group. No oracle: sketch internals differ across engines;
-    * PropertySpec bounds the error against the exact result. */
+    * group. Graduated to ORACLE-BOUNDED: sketch internals differ
+    * across engines, but the tolerance is oracle-able — the query
+    * emits the exact interpolated quantiles (the agg_percentile
+    * parity surface, Spark percentile == DuckDB quantile_cont) plus
+    * in-tolerance flags |approx − exact| ≤ 2.0 (accuracy=1000 ⇒ rank
+    * error ≤ 1/1000 over quantities spanning [1, 50]); the oracle
+    * emits the exact quantiles with both flags TRUE. A sketch outside
+    * tolerance now fails the driver hash gate. */
   private def aggApproxPercentile(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_median"),
-        expr("approx_percentile(l_quantity, 0.9, 1000)").as("approx_p90"))
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("am"),
+        expr("approx_percentile(l_quantity, 0.9, 1000)").as("a90"),
+        expr("percentile(l_quantity, 0.5)").as("exact_median"),
+        expr("percentile(l_quantity, 0.9)").as("exact_p90"))
+      .selectExpr("l_returnflag", "exact_median", "exact_p90",
+        "abs(am - exact_median) <= 2.0d AS median_in_tol",
+        "abs(a90 - exact_p90) <= 2.0d AS p90_in_tol")
       .orderBy("l_returnflag")
 
   /** Statistical aggregates: stddev/variance/correlation/covariance.
@@ -811,6 +855,29 @@ object Aggregates {
     "agg_collect" -> (aggCollect _))
 
   val oracle: Map[String, String] = Map(
+    // Approx-sketch keys (VERDICT r8 #2 graduation): DuckDB cannot
+    // reproduce the sketch estimates, so each oracle independently
+    // computes the EXACT value and asserts the bound flags TRUE — the
+    // Spark side computes the flags from its own sketch, so an
+    // out-of-bound estimate hash-mismatches.
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+                TRUE AS within_bound
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "agg_approx_percentile" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.5) AS exact_median,
+                quantile_cont(l_quantity, 0.9) AS exact_p90,
+                TRUE AS median_in_tol,
+                TRUE AS p90_in_tol
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "agg_hll_sketch_merge" ->
+      """SELECT l_returnflag,
+                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+                TRUE AS merge_consistent,
+                TRUE AS within_bound
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "agg_countmin" ->
       """WITH rs AS (SELECT unnest(range(0, 3)) AS r),
          kc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt

@@ -1,0 +1,466 @@
+#!/usr/bin/env python3
+"""Generate SCALE.md — the per-key scale-evidence register — mechanically.
+
+Usage: python3 tools/scale_table.py <plans_snapshot.json> > SCALE.md
+
+Sibling of survey_table.py, same contract: the key list comes from the
+committed plan snapshot (written by graft.PlanDigest from
+SparkEntry.queries), and this script FAILS when any key lacks an
+evidence entry here (or an entry names a key that no longer exists) —
+so a new operator cannot land without a scale story, the same way it
+cannot land without an oracle. ScaleEvidenceSpec enforces the committed
+SCALE.md against SparkEntry.queries in `sbt test`.
+
+Every key carries exactly one of:
+  - measured: a wall-clock ratio on the tools/stage_scale.py keyed
+    corpus (×8 = 8 disjoint-key copies of sf0.1; ×64 where spot-checked)
+    as recorded in BASELINE.md's per-round sweep tables, with the round
+    it was measured in. Sub-8× at ×8 data (fixed local[32] parallelism)
+    = sublinear; ratios far below 1× are fixed-cost-dominated keys.
+  - bounded: a named bounded-by-construction tag restating the scaling
+    argument from the key's doc comment. Tags (closed vocabulary):
+      linear-scan     one data-parallel pass / key-partitioned shuffle;
+                      no state or candidate set that outgrows partials
+      output-sized    cost driven by the result / candidate set itself
+      metadata-sized  touches file-listing / version / catalog metadata
+      vocab-bound     state bounded by a vocabulary or value domain,
+                      not by row count
+      bounded-series  computed over a fixed time-bucketed series
+                      (e.g. 24 hourly buckets × event types)
+      key-cardinality per-key window/state; bounded by distinct keys
+      broadcast-dim   joins only against a fixed-size broadcast side
+      fixed-cut       operates on a TakeOrdered-limited / fixed-size cut
+      pair-set-bounded candidates only from a band/bucket/cell/prefix
+                      equi-join — never all-pairs on data-sized inputs
+      edge-rounds     fixed number of O(edges)-per-round iterations
+      state-bounded   streaming state expired by watermark / bounded by
+                      keys, open windows, or live sessions
+Developer tooling only (driver-side python); the shipped library never
+reads this.
+"""
+import json
+import sys
+
+M = "measured"
+B = "bounded"
+TAGS = {"linear-scan", "output-sized", "metadata-sized", "vocab-bound",
+        "bounded-series", "key-cardinality", "broadcast-dim", "fixed-cut",
+        "pair-set-bounded", "edge-rounds", "state-bounded"}
+
+TIERS = [
+    ("scan", "A. Scans / sources"),
+    ("sink", "B1. Sinks"),
+    ("catalog", "B2. Catalog"),
+    ("etl", "B3. Table maintenance / ETL"),
+    ("project", "C1. Projection"),
+    ("filter", "C2. Filters"),
+    ("dedup", "C3. Row dedup"),
+    ("typed", "C4. Typed Dataset"),
+    ("join", "D. Joins"),
+    ("agg", "E. Aggregation"),
+    ("win", "F. Windows"),
+    ("sort", "G1. Sort / limit"),
+    ("set", "G2. Set ops"),
+    ("sql", "G3. SQL surface"),
+    ("fn", "H. Scalar functions"),
+    ("stream", "I. Structured Streaming"),
+    ("tpch", "D+. TPC-H adaptations"),
+    ("llm", "K. LLM-data-pipeline extensions"),
+    ("q", "L. Flagship"),
+]
+
+FN_ARG = ("pure per-row expression family: map-side, whole-stage "
+          "codegen, zero shuffle at any scale")
+
+EVIDENCE = {
+    # ----- A. scans: a scan IS the linear baseline; pruning keys cost
+    # selected-partition/column-sized, never corpus-sized.
+    "scan_csv": (B, "linear-scan", "splittable text scan, explicit schema — parallelism grows with input files/blocks"),
+    "scan_csv_gzip": (B, "linear-scan", "gzip is non-splittable: one task per FILE (documented in-key); scale path is many files, which the file source parallelizes over"),
+    "scan_csv_permissive": (B, "linear-scan", "PERMISSIVE parse is per-row map work; corrupt capture adds one column, no state"),
+    "scan_csv_multiline": (B, "linear-scan", "multiLine forces per-file tasks (documented); scale path is file count"),
+    "scan_csv_delim": (B, "linear-scan", "per-row decode with custom delimiter/charset, map-side"),
+    "scan_csv_inferschema": (B, "linear-scan", "inference pass + read pass, both data-parallel; production path pins the schema to skip pass 1"),
+    "scan_ignore_corrupt": (B, "linear-scan", "corrupt files skipped at task granularity; healthy-file work unchanged"),
+    "scan_glob_filter": (B, "metadata-sized", "glob + pathGlobFilter select files at LISTING time — pruned files are never opened"),
+    "scan_schema_evolution": (B, "linear-scan", "mergeSchema reconciles footers at planning; per-file read work unchanged"),
+    "scan_parquet": (B, "linear-scan", "PushedFilters + ReadSchema plan-pinned: row-group skip + column prune make cost selected-data-sized"),
+    "scan_partition_pruned": (B, "metadata-sized", "partition predicate resolved against the file index — unselected partitions never listed into the scan"),
+    "scan_nested_pruned": (B, "linear-scan", "ReadSchema carries only touched struct leaves (plan-pinned); IO is pruned-leaf-sized"),
+    "scan_orc": (B, "linear-scan", "ORC stripe-statistics pruning, same pushdown contract as parquet"),
+    "scan_xml": (B, "linear-scan", "rowTag record split is per-file streaming parse; scale path is file count"),
+    "scan_avro": (B, "linear-scan", "container block-splittable read via graft.sources.AvroIO"),
+    "scan_json": (B, "linear-scan", "multiline JSON forces per-file tasks (documented); JSONL is the splittable path"),
+    "scan_jsonl": (B, "linear-scan", "line-splittable JSON with explicit schema — no inference pass"),
+    "scan_text": (B, "linear-scan", "raw line source, splittable; provenance via input_file_name is free metadata"),
+    "scan_binaryfile": (B, "linear-scan", "one row per file with opaque content; parallelism = file count, no decode"),
+    "scan_file_lineage": (B, "metadata-sized", "per-file min/max audit aggregates to file-count rows; the collect is file-list-sized, not data-sized"),
+    # ----- B1. sinks: a write pass is linear by construction; the
+    # interesting keys bound the REWRITE surface.
+    "sink_parquet": (B, "linear-scan", "partition-parallel write; one task per output partition"),
+    "sink_parquet_partitioned": (B, "linear-scan", "partitionBy(dt) write; driver r8 headline key (1.1-1.9 s band at sf0.1)"),
+    "sink_overwrite_dynamic": (B, "output-sized", "dynamic overwrite replaces only TOUCHED partitions — rewrite surface is incoming-data-sized, never table-sized"),
+    "sink_parquet_bloom": (B, "linear-scan", "bloom columns add per-row-group filter bytes at write; IN-probe read-back row-group-skips (spec-pinned)"),
+    "sink_compaction": (B, "output-sized", "rewrite cost is the compacted partition's size; target file count fixed"),
+    "sink_range_partitioned": (B, "linear-scan", "repartitionByRange = sample + one range shuffle + write; range files enable band pruning downstream"),
+    "sink_zorder": (M, "x8 1.3x (r6)", "interleaved-bit keys are map-side; the z-sort is one range shuffle"),
+    "sink_csv": (B, "linear-scan", "quoting/escape round trip is per-row encode"),
+    "sink_json": (B, "linear-scan", "JSONL encode is per-row map work"),
+    # ----- B2. catalog
+    "catalog_register": (B, "linear-scan", "saveAsTable is one write pass + one catalog entry; read-back a plain scan"),
+    "catalog_recover_partitions": (B, "metadata-sized", "MSCK walks the directory tree — partition-count-sized, zero data read"),
+    "catalog_analyze_stats": (B, "linear-scan", "one stats pass (count/min/max partial aggs); output is per-column catalog metadata"),
+    # ----- B3. ETL
+    "etl_merge_upsert": (M, "x8 1.1x (r6)", "anti-join/union MERGE rewrite; shuffle keyed on the merge key"),
+    "etl_delete_rewrite": (B, "output-sized", "file-level victim prune: only files CONTAINING victims are rewritten — cost is affected-file-sized"),
+    "etl_vacuum": (M, "x8 1.1x (r7)", "retention scan is version-directory metadata; reclaimed-count read partition-pruned — corpus size never enters"),
+    "etl_time_travel": (B, "metadata-sized", "version resolution is a manifest read; the chosen snapshot is then a plain pruned scan"),
+    "etl_partition_backfill": (M, "x8 1.3x (r6)", "spine diff is partition-metadata-sized; rebuild partition-pruned to missing partitions (fixture staging dominates the bench number)"),
+    "etl_schema_drift": (B, "linear-scan", "drift reconciliation is a schema-level computation + one pass over the incoming batch only"),
+    "etl_k_anonymize": (B, "linear-scan", "generalization is map-side bucketing; the k-filter one grouped count"),
+    "etl_pipeline": (B, "linear-scan", "bronze->silver->gold stages are each one pass; per-stage accounting via Observation, no second scan"),
+    "etl_dq_report": (B, "linear-scan", "rule metrics are partial aggs off one pass; referential check joins broadcast dims"),
+    "etl_scd2_diff": (B, "linear-scan", "key-partitioned diff join of current vs incoming; state per business key"),
+    "etl_observe": (B, "linear-scan", "Observation metrics collected off the same pass — zero extra scan by construction"),
+    "etl_orphan_audit": (M, "x8 0.6x (r8)", "manifest-less debris detection is file-listing metadata work; ratio inside fixed-cost noise"),
+    # ----- C
+    "project_select": (B, "linear-scan", "column-pruned scan (ReadSchema pinned); map-side only"),
+    "project_rename": (B, "linear-scan", "alias-only projection, zero compute"),
+    "project_cast": (B, "linear-scan", "per-row casts incl. the decimal(18,2) money convention, codegen'd"),
+    "project_derive_partition": (B, "linear-scan", "derived partition column is one date_format per row"),
+    "filter_predicate": (B, "linear-scan", "compound predicates pushed to the scan (PushedFilters plan-pinned)"),
+    "filter_null_handling": (B, "linear-scan", "null-semantics expressions are map-side, codegen'd"),
+    "dedup_exact": (B, "linear-scan", "one hash-partitioned shuffle keyed on the full-row hash; group partials only"),
+    "typed_dataset": (B, "linear-scan", "Encoder round trip adds ser/de per row, no shuffle"),
+    # ----- D. joins
+    "join_inner": (B, "broadcast-dim", "dim side broadcast by stats; fact side never shuffles"),
+    "join_broadcast": (B, "broadcast-dim", "explicit broadcast() of the small dimension — zero fact shuffle at any fact size"),
+    "join_sortmerge": (B, "linear-scan", "the big-big shape: one key-partitioned shuffle + sort each side, SMJ streams — no state beyond sorted runs"),
+    "join_shuffled_hash": (B, "linear-scan", "one shuffle each side; build-side hash map is partition-sized (AQE re-plans if it would not fit)"),
+    "join_outer": (B, "linear-scan", "key-partitioned full outer; null completion is streamed, no extra state"),
+    "join_semi": (B, "linear-scan", "LEFT SEMI carries keys only on the build side"),
+    "join_anti": (B, "linear-scan", "LEFT ANTI, same key-only build as semi"),
+    "join_null_safe": (B, "linear-scan", "<=> equi-join shuffles on the null-safe key like any equi-join"),
+    "join_theta": (B, "pair-set-bounded", "value-band candidates from a bucket equi-join + exact residual — no cartesian at any scale"),
+    "join_range": (B, "pair-set-bounded", "overlapping-bucket candidates + exact residual predicate; candidate volume is bucket-occupancy-sized"),
+    "join_asof": (B, "key-cardinality", "union + per-key ordered window — one key-partitioned sort, no cartesian"),
+    "join_asof_tolerance": (B, "key-cardinality", "as-of window with staleness filter; same union+window shape"),
+    "join_asof_nearest": (B, "key-cardinality", "bidirectional as-of = two ordered passes per key"),
+    "join_interval": (M, "x8 5.8x (r6)", "interval-bucketed candidate probe, linear in fact rows; output constant across scales"),
+    "join_fuzzy_blocked": (M, "x8 7.3x (r6; redesigned from 59x)", "SymDelete deletion-variant equi-join candidates — the measured redesign that killed the quadratic blocking"),
+    "join_spatial_grid": (M, "x8 28.7x (r7)", "sublinear in its own output: fixed-world 8x points = 64x pair density, output measured 63.9x; per-candidate work flat"),
+    "join_lateral": (B, "output-sized", "correlated expansion per outer row — cost is the expanded result itself"),
+    "join_subquery": (B, "broadcast-dim", "EXISTS/scalar subqueries rewrite to semi/broadcast joins; scalar side is 1-row"),
+    "join_salted": (B, "linear-scan", "deterministic salt split bounds the hot key by the salt factor; result proven equal to unsalted"),
+    "join_skew_aqe": (B, "linear-scan", "AQE OptimizeSkewedJoin splits oversized partitions at runtime (plan-pinned)"),
+    "join_dpp": (B, "output-sized", "dynamic partition pruning: fact scan cost is selected-partition-sized at runtime"),
+    "join_runtime_filter": (B, "linear-scan", "runtime bloom/semi filter drops fact rows BEFORE the shuffle; filter itself is dim-key-sized"),
+    "join_bucketed": (M, "x8 1.4x (r5)", "bucketBy-staged co-located join, zero Exchange (plan-pinned)"),
+    # ----- E. aggregation
+    "agg_groupby": (B, "linear-scan", "canonical partial-agg map-side combine; 6 groups — driver headline key, flat across rounds"),
+    "agg_global": (B, "linear-scan", "no-key aggregate: partials to one row"),
+    "agg_distinct": (B, "key-cardinality", "two-phase distinct; shuffle sized by distinct composite keys"),
+    "agg_count_distinct": (B, "key-cardinality", "expand + two-phase exact distinct; shuffle sized by distinct (group,value) pairs"),
+    "agg_approx_distinct": (B, "linear-scan", "HLL++ partials are fixed-size registers per group; the exact-count audit column is a standard two-phase distinct"),
+    "agg_approx_percentile": (B, "linear-scan", "GK sketch partials are accuracy-bounded per group; merge is sketch-sized"),
+    "agg_hll_sketch_merge": (B, "linear-scan", "the 100 TB sketch pattern itself: per-shard fixed-size sketches, merge cost is shards x groups x sketch bytes"),
+    "agg_bitmap_distinct": (B, "key-cardinality", "per-group distinct-set semantics; state bounded by the group's value domain"),
+    "agg_approx_topk": (B, "key-cardinality", "heavy-hitter counts keyed by distinct values; top-k cut is k-bounded"),
+    "agg_approx_topk_merge": (B, "key-cardinality", "per-shard partial summaries are k-bounded; merge input is shards x k rows"),
+    "agg_rollup": (B, "vocab-bound", "expand by fixed grouping-set count; result bounded by the dim-domain product"),
+    "agg_cube": (B, "vocab-bound", "expand x4 fixed; output bounded by dim domains"),
+    "agg_grouping_sets": (B, "vocab-bound", "explicit sets = fixed expand factor; domain-bounded output"),
+    "agg_conditional": (B, "linear-scan", "FILTER-clause aggregates are per-row guards on the same partials"),
+    "agg_collect": (B, "output-sized", "collect_list/set carries group contents by definition — the result IS the data; per-group order made deterministic"),
+    "agg_pivot": (B, "vocab-bound", "wide output = groups x pivot domain (status x priority)"),
+    "agg_unpivot": (B, "linear-scan", "stack() melt is a fixed-factor map-side explode"),
+    "agg_percentile": (B, "vocab-bound", "exact percentile state is the per-group value histogram — bounded by the quantity domain"),
+    "agg_weighted_percentile": (M, "x8 0.8x (r6)", "histogram is price-cardinality-bound, not corpus-bound"),
+    "agg_stats": (B, "linear-scan", "min/max/avg/stddev family: constant-size moment partials per group"),
+    "agg_moments": (B, "linear-scan", "skewness/kurtosis via scaled central-moment partials, one pass"),
+    "agg_regression": (B, "linear-scan", "regr_* family reduces to 6 moment partials per group"),
+    "agg_entropy": (B, "key-cardinality", "per-(group,value) counts then one log pass; state is distinct-pair-sized"),
+    "agg_salted": (B, "linear-scan", "two-stage salted agg: both stages map-side-combined; intermediate is groups x salt"),
+    "agg_mode": (B, "key-cardinality", "mode over distinct (group,value) counts; tie-break window runs on the count table, not rows"),
+    "agg_median": (B, "vocab-bound", "exact median via percentile state — value-histogram-sized per group"),
+    "agg_outlier_mad": (B, "vocab-bound", "two median passes over the bounded value histogram"),
+    "agg_bool": (B, "linear-scan", "bool_and/or/count_if are 1-bit partials"),
+    "agg_string_agg": (B, "output-sized", "listagg carries group contents; deterministic order via in-group sort"),
+    "agg_custom_vector_mean": (B, "linear-scan", "typed Aggregator partial = one 64-dim scaled-long sum per group"),
+    "agg_countmin": (M, "x8 1.7x / x64 2.4x (r8)", "sketch built from per-key distinct counts (pre-agg rewrite measured 2.2->0.58 s); cell table d*w-bounded broadcast"),
+    "agg_equidepth_hist": (M, "x8 0.8x (r8)", "cumulative window + fence explode over the bounded price-bucket domain"),
+    "agg_gini": (M, "x8 1.1x (r8)", "tied-rank identity on the bounded dollar histogram — never sorts rows"),
+    "agg_ab_ttest": (M, "x8 0.9x (r8)", "one corpus pass into three integer moments per type; rest is a 5-row broadcast"),
+    "agg_benford": (M, "x8 1.0x (r8)", "one (group,digit) count shuffle; deviation table is 45 rows at any scale"),
+    # ----- F. windows
+    "win_rank": (B, "key-cardinality", "window partitioned by group key; per-partition sort only"),
+    "win_distribution": (B, "key-cardinality", "ntile/percent_rank over key partitions"),
+    "win_lag_lead": (B, "key-cardinality", "per-key ordered access, single pass"),
+    "win_running_sum": (B, "key-cardinality", "running frame per key; no global window"),
+    "win_range_frame": (B, "key-cardinality", "RANGE frame per key over the value band"),
+    "win_topk_per_group": (B, "fixed-cut", "custom TopKPerGroup physical operator: per-partition k-bounded heaps, no full sort (plan-pinned)"),
+    "win_topk_custom": (B, "key-cardinality", "window-function twin of the custom plan; rank filter k-bounded per key"),
+    "win_session_batch": (B, "key-cardinality", "gap detection per user partition"),
+    "win_funnel": (B, "key-cardinality", "ordered step matching per user"),
+    "win_retention": (B, "bounded-series", "cohort matrix output is weeks x weeks regardless of corpus"),
+    "win_streak": (B, "key-cardinality", "gaps-and-islands per user partition"),
+    "win_gap_fill": (B, "bounded-series", "calendar spine bounded by the date span, not row count"),
+    "win_resample_ohlc": (B, "bounded-series", "OHLC bars bounded by time buckets x types"),
+    "win_ewma": (B, "bounded-series", "closed-form prefix scan over the bounded hourly series"),
+    "win_anomaly_zscore": (B, "bounded-series", "rolling stats over the bounded series"),
+    "win_rolling_corr": (B, "bounded-series", "two bounded series, fixed window"),
+    "win_cumulative_distinct": (M, "x8 ~1x (r6)", "bounded hourly series — input growth never reaches the window"),
+    "win_pattern_match": (M, "x8 1.6x (r6)", "per-user sequences bounded; growth is the user-keyed shuffle"),
+    "win_drawdown": (M, "x8 1.0x (r7)", "time-bounded hourly series; agg pass amortized"),
+    "win_trend_mann_kendall": (M, "x8 1.1x (r7)", "pairwise S on the bounded series — constant in corpus size"),
+    "win_cusum_changepoint": (M, "x8 1.0x (r8)", "prefix-sum/prefix-min closed form on the bounded series"),
+    "win_seasonal_profile": (M, "x8 1.0x (r8)", "24 x types output at any corpus size"),
+    "win_theil_sen": (M, "x8 1.1x (r8)", "pairwise slopes on the bounded series"),
+    "win_attribution": (M, "x8 1.3x (r8)", "user-keyed equi-join; per-purchase windows bounded by 24 h per-user activity"),
+    "win_autocorr": (M, "x8 1.0x (r8)", "bounded hourly series; lag self-join span-sized at any corpus"),
+    "win_forecast_naive": (M, "x8 1.1x (r8)", "bounded hourly series, the winAutocorr class"),
+    # ----- G
+    "sort_global": (B, "linear-scan", "range-partitioned total order: sample + one range shuffle, per-partition sorts"),
+    "sort_topk": (B, "fixed-cut", "TakeOrderedAndProject (plan-pinned): per-partition k-heaps, no full sort"),
+    "sort_skyline": (M, "x8 4.6x (r6; after measured grid-prune fix)", "strict-dominance grid prune bounds the pairwise verify"),
+    "set_union": (B, "linear-scan", "UNION ALL is free; DISTINCT adds one row-hash shuffle"),
+    "set_union_by_name": (B, "linear-scan", "column alignment is schema work; union is concat"),
+    "set_intersect": (B, "key-cardinality", "two-phase distinct shuffle on row hash"),
+    "set_intersect_all": (B, "key-cardinality", "bag semantics via per-row counts — distinct-row-sized state"),
+    "set_except": (B, "key-cardinality", "anti-style distinct shuffle"),
+    "set_except_all": (B, "key-cardinality", "count-difference bag semantics, distinct-row state"),
+    "sql_recursive_cte": (B, "edge-rounds", "recursion is one equi-join per level, bounded by hierarchy depth"),
+    "sql_pipe": (B, "linear-scan", "pipe syntax lowers to the same Catalyst plan as the method chain"),
+    "sql_join_hint": (B, "broadcast-dim", "hint surface resolves to broadcast/SMJ/SHJ strategies — plan-pinned, no new shape"),
+    # ----- H. scalar fns: one shared argument, map-side by construction
+    "fn_string": (B, "linear-scan", FN_ARG),
+    "fn_regex": (B, "linear-scan", FN_ARG),
+    "fn_math": (B, "linear-scan", FN_ARG),
+    "fn_bitwise": (B, "linear-scan", FN_ARG),
+    "fn_misc": (B, "linear-scan", FN_ARG),
+    "fn_fuzzy": (B, "linear-scan", FN_ARG),
+    "fn_mask": (B, "linear-scan", FN_ARG),
+    "fn_crypto": (B, "linear-scan", FN_ARG),
+    "fn_collation": (B, "linear-scan", FN_ARG),
+    "fn_datetime": (B, "linear-scan", FN_ARG),
+    "fn_datetime2": (B, "linear-scan", FN_ARG),
+    "fn_conditional": (B, "linear-scan", FN_ARG),
+    "fn_array": (B, "linear-scan", FN_ARG),
+    "fn_array_higher_order": (B, "linear-scan", FN_ARG),
+    "fn_map": (B, "linear-scan", FN_ARG),
+    "fn_map_higher_order": (B, "linear-scan", FN_ARG),
+    "fn_json": (B, "linear-scan", FN_ARG),
+    "fn_variant": (B, "linear-scan", FN_ARG),
+    "fn_try": (B, "linear-scan", FN_ARG),
+    "fn_url": (B, "linear-scan", FN_ARG),
+    # ----- I. streaming
+    "stream_ingest": (B, "linear-scan", "file-arrival source: per-batch work is batch-sized, exactly-once per file, zero state"),
+    "stream_window_tumbling": (B, "state-bounded", "watermark expires closed windows; state = open windows x keys"),
+    "stream_window_sliding": (B, "state-bounded", "overlap assignment is map-side; state = open sliding windows x keys"),
+    "stream_window_session": (M, "x8 1.9x (r7)", "session merge state bounded by open windows x keys; steepest of the state tier because merge work grows with per-key density"),
+    "stream_watermark": (B, "state-bounded", "late rows dropped at the watermark — state horizon-bounded by construction"),
+    "stream_dedup": (B, "state-bounded", "dropDuplicates state lives within the watermark horizon only"),
+    "stream_stateful_session": (M, "x8 1.4x (r7)", "mapGroupsWithState: live-session-bound — closed sessions emitted and dropped"),
+    "stream_transform_with_state": (M, "x8 1.3x (r7)", "transformWithState per-key running state: key-cardinality-bound, per-batch work incoming-sized"),
+    "stream_join": (B, "state-bounded", "stream-stream inner join state within watermark bounds on both sides"),
+    "stream_join_outer": (M, "x8 3.8x (r7)", "join state data-sized within the watermark horizon — expected near-linear-in-state, sublinear in total"),
+    "stream_join_right_outer": (B, "state-bounded", "same watermark-bounded state as the measured left-outer twin"),
+    "stream_join_full_outer": (B, "state-bounded", "same watermark-bounded state as the measured left-outer twin"),
+    "stream_static_join": (B, "broadcast-dim", "stateless enrich against a broadcast static dimension"),
+    "stream_foreach_batch": (B, "linear-scan", "per-batch idempotent write; work batch-sized"),
+    "stream_merge_upsert": (B, "linear-scan", "per-batch MERGE: cost per batch is batch + affected-file-sized"),
+    "stream_dedup_minhash": (M, "x8 3.6x (r7)", "band-hash state grows with distinct docs; per-batch probe work incoming-sized"),
+    "stream_ann_index": (B, "state-bounded", "incremental IVF maintenance: state is the cell assignment table, batch work incoming-sized"),
+    "stream_incremental_agg": (M, "x8 1.4x (r7)", "per-key running aggregate: key-cardinality-bound state, checkpoint fixed cost dominates"),
+    "stream_topk": (B, "state-bounded", "heavy-hitter state k-bounded per group per update"),
+    "stream_window_distinct": (M, "x8 1.6x (r5)", "chained stateful aggs; checkpoint fixed cost amortizing"),
+    "stream_resample_ohlc": (M, "x8 1.4x (r7)", "per-(bucket,type) OHLC state: time-span-bound, not data-bound"),
+    "stream_countmin": (M, "x8 1.1x (r8)", "bounded-state class: per-batch work is batch + d*w cells; maintained sketch 12,288 rows at any stream length"),
+    # ----- TPC-H: classic pushdown + broadcast-dim + partial-agg shapes;
+    # q_flagship carries the measured row for the family.
+    "tpch_q1": (B, "linear-scan", "pure scan-filter-agg with 4-group partials"),
+    "tpch_q2": (B, "broadcast-dim", "min-cost supplier over broadcast region/nation/supplier dims"),
+    "tpch_q3": (B, "linear-scan", "the flagship's shape: see q_flagship's measured row"),
+    "tpch_q4": (B, "linear-scan", "EXISTS semi carries order keys only"),
+    "tpch_q5": (B, "broadcast-dim", "local-supplier volume: dims broadcast, one fact shuffle"),
+    "tpch_q6": (B, "linear-scan", "pure scan-filter-agg, fully pushed down"),
+    "tpch_q7": (B, "broadcast-dim", "nation pair filter on broadcast dims, fact shuffles once"),
+    "tpch_q8": (B, "broadcast-dim", "market-share: dims broadcast, year partials"),
+    "tpch_q9": (B, "linear-scan", "profit measure: part filter prunes before the fact joins"),
+    "tpch_q10": (B, "fixed-cut", "top-20 customers via TakeOrdered after grouped agg"),
+    "tpch_q11": (B, "key-cardinality", "group share vs a 1-row global threshold (broadcast scalar)"),
+    "tpch_q12": (B, "linear-scan", "shipmode split is a filtered partial agg"),
+    "tpch_q13": (B, "key-cardinality", "outer join + order-count histogram, customer-keyed"),
+    "tpch_q14": (B, "linear-scan", "promo share: one filtered pass"),
+    "tpch_q15": (B, "key-cardinality", "top supplier vs max-revenue scalar subquery (1-row broadcast)"),
+    "tpch_q16": (B, "key-cardinality", "relation counts with NOT IN exclusion on a broadcast list"),
+    "tpch_q17": (B, "key-cardinality", "per-part avg subquery joined back part-keyed"),
+    "tpch_q18": (B, "key-cardinality", "HAVING threshold on order-keyed partials"),
+    "tpch_q19": (B, "linear-scan", "disjunctive predicate pushed to the scan"),
+    "tpch_q20": (B, "key-cardinality", "nested semi with exact threshold, part/supplier-keyed"),
+    "tpch_q21": (B, "key-cardinality", "multi-exists/anti per supplier-order"),
+    "tpch_q22": (B, "linear-scan", "avg-balance scalar (1-row broadcast) + anti join"),
+    # ----- K. LLM tier
+    "llm_lang_id": (B, "linear-scan", "n-gram profile scoring is per-doc map work against broadcast profiles"),
+    "llm_token_count": (B, "linear-scan", "per-doc regex token counting, zero shuffle"),
+    "llm_quality_score": (B, "linear-scan", "length/punct/stopword ratios per doc"),
+    "llm_quality_classifier": (B, "linear-scan", "rule gates + logistic-style score, map-side"),
+    "llm_text_stats": (B, "linear-scan", "per-doc char/word/line stats"),
+    "llm_fingerprint": (B, "linear-scan", "content/bag/rolling-hash fingerprints per doc"),
+    "llm_pii_redact": (B, "linear-scan", "regex redaction with per-doc audit counts"),
+    "llm_chunk_text": (B, "linear-scan", "fixed-token chunking: per-doc explode, output chunk-sized"),
+    "llm_repetition_ratio": (B, "linear-scan", "intra-doc array lambdas, zero shuffle"),
+    "llm_gopher_rules": (B, "linear-scan", "per-doc quality gates"),
+    "llm_length_histogram": (B, "vocab-bound", "bounded length buckets"),
+    "llm_ngram_freq": (M, "x8 covered via llm_cooccurrence_pmi 4.1x (r6)", "map-side explode linear; count table observed-n-gram-vocab-sized (same shape, measured sibling)"),
+    "llm_cooccurrence_pmi": (M, "x8 4.1x (r6)", "pair explode linear; count tables vocab-bound"),
+    "llm_vocab_build": (M, "corpus x8 -> +60% cost (r5)", "vocab-bound by construction, measured holding"),
+    "llm_tokenize_apply": (M, "x8 7.8x (r5)", "~linear: per-doc greedy segmentation against the broadcast vocab"),
+    "llm_bpe_train": (M, "x8 1.6x (r5)", "merge-rule iteration is vocab-bound, measured holding"),
+    "llm_bpe_apply": (B, "linear-scan", "per-word segmentation against broadcast merge rules"),
+    "llm_tokenizer_fertility": (B, "key-cardinality", "tokens-per-word rollup per language"),
+    "llm_pack_sequences": (B, "key-cardinality", "running token budget per language shard window"),
+    "llm_span_corruption": (B, "linear-scan", "deterministic span masks per doc"),
+    "llm_unigram_logprob": (B, "vocab-bound", "corpus-unigram table is vocab-sized; scoring joins on token"),
+    "llm_bigram_lm_score": (M, "x8 5.6x (r7)", "two corpus passes + (p,w)-keyed scoring join; bigram table grows with observed vocab"),
+    "llm_zipf_slope": (M, "x8 2.2x (r7)", "vocab-bound rank fit on top-1000 terms; corpus token pass dominates"),
+    "llm_perplexity_bucket": (B, "key-cardinality", "per-language terciles, no global window"),
+    "llm_dsir_weight": (M, "x8 4.1x / x64 10.2x (r5/r6)", "4096-cell hashed LM broadcast; corpus pass dominates"),
+    "llm_domain_mix": (B, "key-cardinality", "per-source token totals + power-law weights on the source table"),
+    "llm_domain_cap": (B, "key-cardinality", "rank window within domain partitions"),
+    "llm_mix_resample": (B, "linear-scan", "deterministic hash draw per doc against broadcast target weights"),
+    "llm_sample_split": (B, "linear-scan", "hash-based split, map-side"),
+    "llm_sample_stratified": (B, "linear-scan", "per-language hash threshold, map-side"),
+    "llm_sample_reservoir": (B, "fixed-cut", "deterministic fixed-size sample via TakeOrdered on a hash key"),
+    "llm_shuffle_shards": (B, "linear-scan", "salted-hash shard assignment + in-shard position window (shard-keyed partitions)"),
+    "llm_leakage_safe_split": (B, "linear-scan", "hash split joined with the cluster map (cluster-keyed equi-join)"),
+    "llm_decontaminate": (B, "broadcast-dim", "benchmark n-grams are eval-set-sized and broadcast; candidates from exact-match equi-join"),
+    "llm_decontaminate_bloom": (B, "broadcast-dim", "m-bounded Bloom broadcast pre-filter, exact confirm join on survivors only"),
+    "llm_contamination_overlap": (B, "broadcast-dim", "train/eval overlap vs broadcast eval n-grams"),
+    "llm_ngram_novelty": (B, "vocab-bound", "novelty join keyed on n-gram; reference table observed-vocab-sized"),
+    "llm_dataset_card": (B, "key-cardinality", "per-source/lang rollup; card is domain-sized"),
+    "llm_corpus_pipeline": (B, "linear-scan", "composition of linear gates + banded dedup + domain rollups — each stage individually classified here"),
+    "llm_dedup_exact": (B, "linear-scan", "hash group on content digest, keep-min-id"),
+    "llm_dedup_minhash": (M, "x8 2.6x (r5)", "band equi-join candidates only; signature table staged"),
+    "llm_dedup_ngram_jaccard": (B, "pair-set-bounded", "exact Jaccard re-score of LSH candidates only"),
+    "llm_dedup_simhash": (B, "linear-scan", "64-bit fingerprints via the SimHashBands codegen Expression, map-side"),
+    "llm_dedup_simhash_pairs": (M, "x8 12.4x (r5)", "superlinear in data but bounded by its own pair output: hamming<=3 pair set grew 15.8x at x8 (r6 profile); candidates from 4x16 pigeonhole band equi-join only"),
+    "llm_minhash_containment": (B, "pair-set-bounded", "asymmetric containment over banded candidates only"),
+    "llm_setsim_join": (M, "x8 6.8x / x64 52.6x on 64x output (r6)", "PPJoin prefix postings; sublinear in input AND its own 64x-grown output"),
+    "llm_dedup_eval": (M, "x8 3.4x (r6)", "75% stratum audit; truth side tracks setsim at p^2 pair work"),
+    "llm_simhash_eval": (M, "x64 25.1x (r8, post-stratum)", "audit bounded by its own predicted-pair output; the deliberately-bad unigram featurization grows the pair set superlinearly, wall clock stays ~0.4x-of-linear"),
+    "llm_simhash_shingle_eval": (M, "x8 1.2x / x64 6.4x (r7)", "post-stratum: truth and prediction pair-set-bounded on the 75% stratum"),
+    "llm_minhash_lsh_tune": (M, "x8 2.2x (r7)", "4 band joins over the shared persisted signature table"),
+    "llm_dedup_clusters": (B, "edge-rounds", "connected components: min-label rounds, each one edge equi-join over the verified pair set"),
+    "llm_dedup_cluster_stats": (B, "output-sized", "histogram over components — component-count-sized"),
+    "llm_cluster_representative": (B, "key-cardinality", "quality argmax per cluster via cluster-keyed window"),
+    "llm_paragraph_dedup": (M, "x8 2.7x (r6)", "paragraph-hash group + doc reconstruction"),
+    "llm_substring_dedup": (M, "x8 6.2x / x64 12.0x (r6)", "winnowing-anchor spans; exact span set grows with replicated families"),
+    "llm_winnow_fingerprint": (M, "x8 6.9x / x64 21.1x (r6)", "fingerprint windows track the corpus, strongly sublinear"),
+    "llm_incremental_dedup": (M, "x8 0.8x (r6)", "new batch probes boundary-crossing candidates only"),
+    "llm_semdedup": (M, "x8 3.1x (r5)", "embedding-cluster near-dups above the cosine cut; candidates within cells"),
+    "llm_url_canonicalize": (B, "linear-scan", "per-URL normalization + hash dedup group"),
+    "llm_shingle_stream": (B, "linear-scan", "shingle explode shared upstream of the sketch tiers; output shingle-sized"),
+    "llm_embed_neardup": (B, "fixed-cut", "explicitly the bounded-corpus brute-force BASELINE; the scale path is llm_embed_neardup_lsh"),
+    "llm_embed_neardup_lsh": (B, "pair-set-bounded", "hyperplane-LSH buckets; ids-only exchange, candidates from bucket equi-join"),
+    "llm_cosine_pair": (B, "fixed-cut", "fixed pair list broadcast; DotProduct codegen per pair"),
+    "llm_topk_similarity": (B, "fixed-cut", "one query broadcast; linear scan + TakeOrdered top-k, zero shuffle"),
+    "llm_ann_lsh": (B, "pair-set-bounded", "random-hyperplane buckets; candidates from bucket equi-join (driver headline key, flat across rounds)"),
+    "llm_ann_ivf": (B, "pair-set-bounded", "map-side argmax assignment; candidates only from 2 probed cells"),
+    "llm_ann_ivf_persisted": (B, "pair-set-bounded", "the index-reuse path: persisted assignment table, probe-cell candidates"),
+    "llm_ann_ivf_kmeans": (B, "pair-set-bounded", "centroids from a 4096-row bounded sample (TakeOrdered plan-pinned against driver-collect regression); probe unchanged"),
+    "llm_ann_hamming": (M, "x8 1.2x (r6)", "2x32-bit sign codes; hamming coarse pass bucketed, rerank on survivors"),
+    "llm_embedding_quantize": (B, "linear-scan", "per-vector int8 quantize + reconstruction error, map-side"),
+    "llm_embedding_pq": (B, "vocab-bound", "codebook trained on a bounded sample; encoding map-side against broadcast codebooks"),
+    "llm_ann_pq_adc": (B, "linear-scan", "ADC table broadcast; one map-side scan over codes, TakeOrdered cut"),
+    "llm_ann_ivfpq": (B, "pair-set-bounded", "cell prune then PQ ADC on probed cells only; zero pre-top-k exchange"),
+    "llm_ann_recall": (M, "x8 4.3x (r6)", "brute-force truth scan tracks corpus; audit join stays 10-row"),
+    "llm_ann_range": (M, "x8 1.2x (r8)", "probed-cells scan + map-side threshold; emitted set radius-selectivity-sized"),
+    "llm_ann_batch_queries": (M, "x8 3.6x (r8)", "whole 5-query batch pays ONE assignment scan; per-query cut on TopKPerGroup"),
+    "llm_matryoshka_rerank": (M, "x8 ~1x (r6)", "both stages TakeOrdered cuts"),
+    "llm_vector_mean": (B, "linear-scan", "declarative element-wise mean: 64-dim partials per group"),
+    "llm_embed_cluster": (M, "x8 2.8x (r6)", "fixed k-means rounds; assignment map-side vs broadcast centroids"),
+    "llm_knn_graph": (M, "x8 2.5x (r6)", "per-node top-k over LSH candidates"),
+    "llm_pagerank": (M, "x8 2.3x (r6)", "3 unrolled O(edges) rounds, localCheckpoint'd"),
+    "llm_contamination_reach": (M, "x8 3.0x on 8x edges (r7)", "3 BFS rounds, each one edge equi-join + min-depth re-agg"),
+    "llm_label_propagation": (M, "x8 2.9x (r6)", "iterative min-label rounds, O(edges) each"),
+    "llm_triangle_count": (B, "pair-set-bounded", "oriented wedge join on the near-dup edge set, degree-bounded"),
+    "llm_graph_hits": (M, "x8 1.9x on 8x edges (r8)", "3 rounds of one edge equi-join + integer sum; localCheckpoint per round"),
+    "llm_graph_kcore": (M, "x8 2.4x on 8x edges (r8)", "4 O(edges) peel rounds, the HITS/BFS class"),
+    "llm_graph_linkpred": (M, "x8 2.1x / x64 3.9x (r8)", "wedge join O(sum deg^2) with kNN-bounded degrees"),
+    "llm_inverted_index": (B, "output-sized", "token-keyed shuffle; serialized postings ARE the output"),
+    "llm_tfidf": (B, "vocab-bound", "df table is vocab-sized; scoring joins on token"),
+    "llm_bm25_score": (B, "linear-scan", "one corpus pass vs broadcast query terms; cut TakeOrdered"),
+    "llm_tfidf_topterms": (M, "x8 4.1x (r8)", "doc x term tf table is the data-sized shuffle; WindowGroupLimit caps per-doc state at 3"),
+    "llm_retrieval_rrf": (M, "x8 2.9x (r6)", "rank lists stay top-20; growth is the two retrieval scans"),
+    "llm_retrieval_ndcg": (M, "x8 2.9x / x64 9.7x (r8)", "BM25 corpus pass dominates; both top-10 cuts TakeOrderedAndProject"),
+    "llm_rag_context_pack": (M, "x8 3.2x (r8)", "corpus joins a 10-row broadcast cut; packing window <=10 rows"),
+    "llm_hard_negatives": (B, "pair-set-bounded", "top-similar non-matches per anchor from banded candidates, k-bounded per anchor"),
+    "llm_bitext_margin": (M, "x8 2.6x (r5)", "margin vs mean of k-NN cosines; candidates banded"),
+    "llm_kneser_ney_score": (M, "x8 4.8x / x64 12.2x (r8)", "corpus passes + (p,w)-keyed scoring join; KN stats reuse the staged bigram artifact"),
+    "llm_quality_logreg": (M, "x8 2.8x / x64 8.9x (r8)", "3 GD iterations = 3 corpus passes into 3-integer partials; weights 1-row broadcast"),
+    "llm_opt_threshold": (M, "x8 1.6x (r8)", "one dedup_eval-class audit pass; all 6 thresholds score off a <=14-row histogram"),
+    "llm_bloom_dedup": (M, "x8 1.5x (r8)", "position table m-bounded (2^20) broadcast; membership probe map-side"),
+    "llm_dist_drift": (M, "x8 2.2x (r8)", "one token-grouped conditional-count shuffle; vocabulary governs"),
+    "llm_embedding_stats": (M, "x8 0.8x (r8)", "64 map-side-combined dimension groups"),
+    "llm_multimodal_passthrough": (B, "linear-scan", "opaque binary payloads through relational plumbing, per-row"),
+    "llm_multimodal_features": (B, "linear-scan", "per-row PPM decode to pixel stats, map-side"),
+    "llm_multimodal_framesample": (B, "linear-scan", "per-row frame-array sampling, byte-exact fingerprints"),
+    "llm_multimodal_audio": (B, "linear-scan", "per-row RMS/zero-crossing features"),
+    "llm_multimodal_phash": (M, "x8 1.1x (r8)", "per-row decode+dHash map work; dedup group distinct-hash-bounded"),
+    # ----- L
+    "q_flagship": (M, "x8 1.7x (r5)", "the TPC-H-Q3-shaped flagship: broadcast dims, one fact shuffle, top-10 TakeOrdered"),
+}
+
+
+def main(plans_path):
+    keys = sorted(json.load(open(plans_path)))
+    missing = [k for k in keys if k not in EVIDENCE]
+    stale = [k for k in EVIDENCE if k not in keys]
+    if missing or stale:
+        sys.exit(f"EVIDENCE drift — missing: {missing} stale: {stale}")
+    bad_kind = [k for k, (kind, _, _) in EVIDENCE.items() if kind not in (M, B)]
+    bad_tag = [k for k, (kind, tag, _) in EVIDENCE.items()
+               if kind == B and tag not in TAGS]
+    if bad_kind or bad_tag:
+        sys.exit(f"EVIDENCE invalid — bad kind: {bad_kind} bad tag: {bad_tag}")
+    n_meas = sum(1 for kind, _, _ in EVIDENCE.values() if kind == M)
+    print(f"<!-- generated by tools/scale_table.py from {plans_path} "
+          f"({len(keys)} keys): {n_meas} measured, "
+          f"{len(keys) - n_meas} bounded-by-construction -->")
+    print("""
+# SCALE — per-key scale-evidence register
+
+Every `SparkEntry.queries` key carries exactly one of:
+
+- **measured** — a wall-clock ratio on the `tools/stage_scale.py`
+  keyed-scaling corpus (×8 = 8 disjoint-key copies of sf0.1, ×64 where
+  spot-checked), min-of-N per key per JVM at `local[32]`, as recorded in
+  BASELINE.md's per-round sweep tables (round in parentheses). At fixed
+  parallelism, a ratio below the data growth factor is sublinear;
+  ratios near 1× are fixed-cost-dominated.
+- **bounded** — a named bounded-by-construction tag (closed vocabulary,
+  defined in `tools/scale_table.py`) restating the scaling argument
+  from the key's doc comment: why a measured row would be noise.
+
+`tools/scale_table.py` FAILS on any key without an entry (or any entry
+without a key), and `ScaleEvidenceSpec` asserts this file covers
+`SparkEntry.queries` exactly — a new operator cannot land without a
+scale story, the same way it cannot land without an oracle.""")
+    for prefix, title in TIERS:
+        tier_keys = [k for k in keys
+                     if k.split("_")[0] == prefix
+                     or (prefix == "q" and k == "q_flagship")]
+        if not tier_keys:
+            continue
+        print(f"\n## {title} ({len(tier_keys)} keys)\n")
+        print("| key | evidence | scale story |")
+        print("|---|---|---|")
+        for k in tier_keys:
+            kind, tag, arg = EVIDENCE[k]
+            ev = f"**{tag}**" if kind == M else f"bounded: `{tag}`"
+            print(f"| `{k}` | {ev} | {arg} |")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1])

@@ -879,13 +879,30 @@ object EtlQueries {
     * survivor re-read exactly two snapshots wide. */
   private[graft] def vacuumWithRoot(spark: SparkSession,
       sfDir: String): (DataFrame, String) = {
-    import spark.implicits._
+    val root = stageVacuumFixture(spark, sfDir)
+    (vacuumRun(spark, root), root)
+  }
+
+  /** Stage the 3-version snapshot layout the vacuum will mutate — a
+    * FRESH copy per call, because the op deletes directories (a cached
+    * fixture would hand re-runs an already-vacuumed table). Split from
+    * [[vacuumRun]] so Bench can re-stage between runs UNTIMED and time
+    * only the op (VERDICT r8 #5 — the staging write dominated the
+    * key's bench number). */
+  private[graft] def stageVacuumFixture(spark: SparkSession,
+      sfDir: String): String = {
     val root = Fixtures.tempDir("graft_vacuum")
     val base = t(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
     (1 to 3).foreach { v =>
       base.withColumn("v", lit(v))
         .write.partitionBy("v").mode(SaveMode.Append).parquet(root)
     }
+    root
+  }
+
+  /** The vacuum op itself, against an already-staged root. */
+  private[graft] def vacuumRun(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
     val snaps = spark.read.parquet(root)
     val versions = snaps.select("v").distinct()
       .collect().map(_.getInt(0)).sorted
@@ -906,7 +923,7 @@ object EtlQueries {
     val liveDf = spark.read.parquet(root)
       .groupBy("v").agg(count(lit(1)).as("n_rows"))
       .selectExpr("v", "n_rows", "'live' AS status")
-    (removedDf.unionByName(liveDf).orderBy("v"), root)
+    removedDf.unionByName(liveDf).orderBy("v")
   }
 
   private def etlVacuum(spark: SparkSession, sfDir: String): DataFrame =
@@ -1011,12 +1028,29 @@ object EtlQueries {
     * reads only the missing months (partition-pruned source scan) and
     * appends only those directories — O(missing), never a full
     * rewrite. */
-  private def etlPartitionBackfill(spark: SparkSession, sfDir: String): DataFrame = {
+  private def etlPartitionBackfill(spark: SparkSession, sfDir: String): DataFrame =
+    backfillRun(spark, sfDir, stageBackfillFixture(spark, sfDir))
+
+  /** Stage the damaged partitioned copy the repair will mutate — a
+    * FRESH copy per call (the repair appends the missing months, so a
+    * cached fixture would hand re-runs an already-repaired table).
+    * Split from [[backfillRun]] so Bench can re-stage between runs
+    * UNTIMED and time only the repair (VERDICT r8 #5). */
+  private[graft] def stageBackfillFixture(spark: SparkSession,
+      sfDir: String): String = {
     val src = t(spark, sfDir, "orders")
       .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
     val dir = Fixtures.tempDir("graft_backfill_")
     src.where(!col("om").isin("1996-03", "1996-07")) // the damaged write
       .write.partitionBy("om").mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** The spine-diff + partition-pruned repair, against a staged copy. */
+  private[graft] def backfillRun(spark: SparkSession, sfDir: String,
+      dir: String): DataFrame = {
+    val src = t(spark, sfDir, "orders")
+      .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
     val actual = spark.read.parquet(dir).select("om").distinct()
     val expected = src.select("om").distinct()
     val missing = expected.exceptAll(actual)

@@ -49,6 +49,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHashBands(args.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 && args(1).foldable,
+          "graft_normalize(text, form) with literal form")
+        val form = args(1).eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_normalize: form must be a string literal, got $other")
+        }
+        UnicodeNormalize(args.head, form)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[WordNGrams].getName, "graft_ngrams"),
       (args: Seq[Expression]) => {

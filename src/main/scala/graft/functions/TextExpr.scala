@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -191,6 +191,61 @@ case class WordNGrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Unicode normalization (`java.text.Normalizer`) as a REAL-codegen
+  * unary expression — stays inside whole-stage codegen, unlike the
+  * digest-loop expressions above (whose loop bodies dominate and make
+  * CodegenFallback the right call). Spark ships no normalization
+  * function, yet NFC canonicalization is a standard corpus-hygiene
+  * step: the same text can arrive precomposed (é = U+00E9) or
+  * decomposed (e + U+0301), byte-different but canonically equal, so
+  * exact dedup silently misses cross-form duplicates. The generated
+  * code takes the `isNormalized` fast path first — for the (typical)
+  * already-NFC row it costs one scan and ZERO allocation, so at 100 TB
+  * the pass is cheap map-side work that only pays the normalize
+  * allocation on the rows that need it. Form is constructor-pinned to
+  * the java.text enum names; NFC matches DuckDB's `nfc_normalize`
+  * byte-for-byte (both implement Unicode TR-15), which is what makes
+  * `llm_unicode_normalize` oracle-able. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  require(Set("NFC", "NFD", "NFKC", "NFKD").contains(form),
+    s"unsupported normalization form: $form")
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "graft_normalize"
+
+  @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, f)) u
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, f))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("normStr")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |if (java.text.Normalizer.isNormalized($s,
+         |    java.text.Normalizer.Form.$form)) {
+         |  ${ev.value} = $c;
+         |} else {
+         |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String
+         |    .fromString(java.text.Normalizer.normalize($s,
+         |      java.text.Normalizer.Form.$form));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}
+
 object TextOps {
   /** k-hash MinHash signature of an array<string> column. */
   def minhashSig(shingles: Column, k: Int): Column =
@@ -206,4 +261,10 @@ object TextOps {
   def wordNGrams(text: Column, n: Int): Column =
     GraftSqlBridge.toColumn(
       WordNGrams(GraftSqlBridge.toExpression(text), n))
+
+  /** Unicode-normalized form of a string column (NFC by default —
+    * the DuckDB-parity form). */
+  def unicodeNorm(text: Column, form: String = "NFC"): Column =
+    GraftSqlBridge.toColumn(
+      UnicodeNormalize(GraftSqlBridge.toExpression(text), form))
 }

@@ -830,6 +830,59 @@ object EtlQueries {
       .orderBy("o_orderkey")
   }
 
+  /** B. Shallow clone — the zero-copy table fork every lakehouse
+    * format ships (`CREATE TABLE ... SHALLOW CLONE src`): the clone is
+    * METADATA ONLY — a manifest of references into the source's
+    * version directories — so forking a 100 TB table costs a
+    * manifest write, not a data copy, and the clone then evolves
+    * independently by landing its OWN versions next to the manifest.
+    * Here the source is the shared time-travel-style v=1,2 layout
+    * (never mutated, so its fixture is cacheable), the clone manifest
+    * references both source versions, and the clone appends a v=3 of
+    * its own (high-value orders only). Reading the clone = resolving
+    * the manifest (a 2-row metadata read) into a multi-path
+    * partitioned scan with basePath — partition pruning still works
+    * on the borrowed directories — union the clone-local versions.
+    * The report counts rows per version with provenance; EtlSpec pins
+    * the physical contract: the clone directory contains ZERO copied
+    * source data files. */
+  private[graft] def shallowCloneWithDirs(spark: SparkSession,
+      sfDir: String): (DataFrame, String, String) = {
+    import spark.implicits._
+    val srcRoot = Fixtures.stagedDir(sfDir, "shallow_clone_src") { d =>
+      val base = t(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
+      (1 to 2).foreach { v =>
+        base.withColumn("v", lit(v))
+          .write.partitionBy("v").mode(SaveMode.Append).parquet(d)
+      }
+    }
+    val cloneRoot = Fixtures.tempDir("graft_shallow_clone_")
+    // the clone operation itself: ONE manifest write, zero data copied
+    Seq((1, s"$srcRoot/v=1"), (2, s"$srcRoot/v=2"))
+      .toDF("v", "src_path").coalesce(1)
+      .write.mode("overwrite").parquet(s"$cloneRoot/_manifest")
+    // independent evolution: the clone lands its own v=3
+    t(spark, sfDir, "orders")
+      .where(col("o_totalprice") > 200000)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$cloneRoot/v=3")
+    // resolve the manifest (metadata-sized collect, the MSCK class)
+    val refs = spark.read.parquet(s"$cloneRoot/_manifest")
+      .collect().map(_.getString(1)).sorted
+    val shared = spark.read.option("basePath", srcRoot)
+      .parquet(refs.toIndexedSeq: _*)
+      .groupBy("v").agg(count(lit(1)).as("n_rows"))
+      .withColumn("origin", lit("shared"))
+    val own = spark.read.parquet(s"$cloneRoot/v=3")
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit(3).as("v"), col("n_rows"), lit("own").as("origin"))
+    (shared.unionByName(own).select("v", "origin", "n_rows").orderBy("v"),
+      srcRoot, cloneRoot)
+  }
+
+  private def etlShallowClone(spark: SparkSession, sfDir: String): DataFrame =
+    shallowCloneWithDirs(spark, sfDir)._1
+
   /** B. Time travel on plain parquet — snapshot versioning as a lake
     * layout: every write lands under a `v=<n>` partition, so "AS OF
     * version n" is partition pruning (the same planning-time directory
@@ -1172,6 +1225,7 @@ object EtlQueries {
     "etl_schema_drift" -> (etlSchemaDrift _),
     "etl_merge_upsert" -> (etlMergeUpsert _),
     "etl_time_travel" -> (etlTimeTravel _),
+    "etl_shallow_clone" -> (etlShallowClone _),
     "etl_vacuum" -> (etlVacuum _),
     "etl_orphan_audit" -> (etlOrphanAudit _),
     "etl_delete_rewrite" -> (etlDeleteRewrite _),
@@ -1293,6 +1347,16 @@ object EtlQueries {
                 min_status, max_status
          FROM s
          ORDER BY col_name""",
+    "etl_shallow_clone" ->
+      """SELECT v, origin, n_rows FROM (
+           SELECT 1 AS v, 'shared' AS origin,
+                  CAST(count(*) AS BIGINT) AS n_rows FROM orders
+           UNION ALL
+           SELECT 2, 'shared', CAST(count(*) AS BIGINT) FROM orders
+           UNION ALL
+           SELECT 3, 'own', CAST(count(*) AS BIGINT) FROM orders
+           WHERE o_totalprice > 200000)
+         ORDER BY v""",
     "etl_schema_drift" ->
       """SELECT * FROM (VALUES
            ('o_custkey', CAST(NULL AS VARCHAR), 'bigint', 'added'),

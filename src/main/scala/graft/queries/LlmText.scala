@@ -674,6 +674,54 @@ object LlmText {
   }
 
   // ---------------------------------------------------------------------
+  // llm_graph_modularity — Newman modularity of the dedup clustering
+  // against the verified near-dup graph: the one-number quality score
+  // for "did the clustering carve the graph at its joints", computed
+  // as Q = Σ_c [e_c/m − (d_c/2m)²]. Because the labels ARE connected
+  // components, every edge is intra-cluster (Σe_c = m — the oracle
+  // equality doubles as a sanity invariant), so Q reduces to
+  // 1 − Σ(d_c/2m)²: near 1 for many balanced clusters, near 0 when
+  // one giant component owns the graph — exactly the collapse signal
+  // a dedup-pipeline dashboard watches (a runaway transitive chain
+  // gluing the corpus into one cluster). Engine parity: the numerator
+  // Σ(4·m·e_c − d_c²) and denominator 4m² stay exact integers; ONE
+  // double division rounds to e6 (num can be negative for general
+  // labels, so integer DIV — truncate-vs-floor — is never used).
+  // Cost: two cluster-keyed count shuffles over the edge set +
+  // arithmetic on cluster-count rows.
+  // ---------------------------------------------------------------------
+  private def graphModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val labels = dedupClusters(spark, sfDir).select("doc_id", "cluster_id")
+    val deg = pairs.select(col("doc_a").as("node"))
+      .unionAll(pairs.select(col("doc_b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val dc = deg.join(labels.withColumnRenamed("doc_id", "node"), Seq("node"))
+      .groupBy("cluster_id").agg(sum(col("d")).as("d_c"))
+    val ec = pairs
+      .join(labels.select(col("doc_id").as("doc_a"),
+        col("cluster_id").as("ca")), Seq("doc_a"))
+      .join(labels.select(col("doc_id").as("doc_b"),
+        col("cluster_id").as("cb")), Seq("doc_b"))
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca")).agg(count(lit(1)).as("e_c"))
+      .withColumnRenamed("ca", "cluster_id")
+    val m = pairs.agg(count(lit(1)).as("m"))
+    dc.join(ec, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("d_c"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"))
+      .crossJoin(broadcast(m))
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_clusters_connected"),
+        sum(col("e_c")).as("intra_edges"),
+        sum(expr("4 * m * e_c - d_c * d_c")).as("num"))
+      .selectExpr("m AS n_edges", "n_clusters_connected", "intra_edges",
+        """CAST(round(1000000.0 * CAST(num AS DOUBLE) /
+             CAST(4 * greatest(m, 1) * greatest(m, 1) AS DOUBLE))
+           AS BIGINT) AS modularity_e6""")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_graph_kcore — 2-core of the kNN near-dup graph by FOUR fixed
   // peeling rounds: each round drops nodes of degree < 2 and the
   // edges that touched them. The k-core is the dense-duplication
@@ -1184,6 +1232,38 @@ object LlmText {
       .selectExpr("doc_id", "n_emails", "n_phones",
         "substring(redacted, length(redacted) - 40, 41) AS redacted_tail")
       .orderBy("doc_id")
+
+  // ---------------------------------------------------------------------
+  // llm_unicode_normalize — NFC canonicalization through the codegen'd
+  // graft.functions.UnicodeNormalize expression (§2-J tier: Spark ships
+  // no Unicode-normalization function). The same text can arrive
+  // precomposed (á = U+00E1) or decomposed (a + U+0301): byte-different,
+  // canonically equal — so hash-based exact dedup silently misses
+  // cross-form duplicates until texts are NFC-normalized. The corpus is
+  // ASCII-synthetic, so both variants are staged deterministically per
+  // doc (the piiRedact convention: inject, then process with the real
+  // production pass); the audit emits per-doc mark counts plus the two
+  // facts the dedup story rests on: the variants are byte-unequal
+  // before NFC and identical after. One projection, zero shuffle —
+  // map-parallel at any corpus size; the expression's isNormalized
+  // fast path makes already-NFC rows allocation-free. Oracle: DuckDB's
+  // nfc_normalize (both sides implement Unicode TR-15).
+  // ---------------------------------------------------------------------
+  private def unicodeNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "a", "\u00e1").as("pre"),
+        regexp_replace(col("text"), "a", "a\u0301").as("decomp"))
+    val nfcDec = graft.functions.TextOps.unicodeNorm(col("decomp"))
+    val nfcPre = graft.functions.TextOps.unicodeNorm(col("pre"))
+    staged.select(col("doc_id"),
+        length(col("decomp")).as("len_decomposed"),
+        length(nfcDec).as("len_nfc"),
+        (length(col("decomp")) - length(nfcDec)).as("n_marks_composed"),
+        (nfcDec === nfcPre).as("forms_converge"),
+        (col("decomp") === col("pre")).as("bytes_equal_pre"))
+      .orderBy("doc_id")
+  }
 
   // ---------------------------------------------------------------------
   // llm_ngram_freq — corpus bigram frequency: per-doc bigram arrays
@@ -1741,6 +1821,40 @@ object LlmText {
       .orderBy("doc_id")
 
   // ---------------------------------------------------------------------
+  // llm_char_entropy — per-document character-entropy gibberish gate
+  // (the C4/Gopher-family quality signal repetitionRatio's bigram view
+  // misses): binary-pasted blobs and single-char floods sit at the
+  // entropy extremes while natural text clusters mid-band. Entirely
+  // array lambdas inside the scan projection — the per-doc character
+  // histogram never leaves the row, nothing shuffles, so the gate is
+  // pure map parallelism at any corpus size. Engine parity via the e6-ln
+  // device (agg_entropy): each char's ln(count/n) rounds ONCE to a
+  // scaled BIGINT, the Σ count·lp_e6 accumulates in exact integer
+  // arithmetic inside the lambda (order-independent — list_distinct
+  // ordering differs across engines, integer addition doesn't care),
+  // and one double division ends the computation.
+  // ---------------------------------------------------------------------
+  private def charEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .selectExpr("doc_id",
+        "filter(split(text, ''), x -> x <> '') AS cs")
+      .selectExpr("doc_id", "size(cs) AS n_chars",
+        """transform(array_distinct(cs),
+             ch -> size(filter(cs, x -> x = ch))) AS counts""")
+      .selectExpr("doc_id", "n_chars", "size(counts) AS n_distinct_chars",
+        """aggregate(counts, cast(0 as bigint), (acc, k) -> acc +
+             k * cast(round(ln(cast(k as double) / cast(n_chars as double))
+                            * 1000000.0) as bigint)) AS s_e6""")
+      .selectExpr("doc_id", "n_chars", "n_distinct_chars",
+        """-(cast(s_e6 as double) / cast(n_chars as double) / 1000000.0)
+           AS entropy_nats""")
+      .selectExpr("doc_id", "n_chars", "n_distinct_chars", "entropy_nats",
+        """CASE WHEN entropy_nats < 2.0 THEN 'low'
+                WHEN entropy_nats > 4.5 THEN 'high'
+                ELSE 'normal' END AS entropy_band""")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------------
   // llm_domain_mix — per-source token totals and sampling weights
   // (power-law temperature 0.7, the standard multi-corpus mixing rule):
   // one map-side-combined aggregation over the corpus; the normalizing
@@ -1788,6 +1902,68 @@ object LlmText {
         Window.partitionBy("shard").orderBy("fp", "doc_id")))
       .select("doc_id", "shard", "pos")
       .orderBy("doc_id")
+
+  // ---------------------------------------------------------------------
+  // llm_shard_balance — skew audit of the training shuffle (the check
+  // that decides whether llm_shuffle_shards' hash actually balanced the
+  // shards — a skewed shard IS a straggler at training time): per-shard
+  // counts over the FULL 64-shard spine (an empty shard is the worst
+  // skew, so absent shards join in as zero), then one global row of
+  // balance statistics. All integer-exact: the deviation sum avoids
+  // the fractional mean n/64 by working in 64ths (Σ(64·cnt − n)²), and
+  // the min/max-over-mean ratios are ppm integer division on
+  // positives. Cost: one shard-keyed count shuffle (64 groups,
+  // map-side combined) + arithmetic on 64 rows — the audit is
+  // count-shuffle-priced at any corpus size.
+  // ---------------------------------------------------------------------
+  private def shardBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val spine = spark.range(0, 64)
+      .select(col("id").cast("int").as("shard"))
+    val cnts = shuffleShards(spark, sfDir)
+      .groupBy("shard").agg(count(lit(1)).as("c"))
+    val full = spine.join(cnts, Seq("shard"), "left")
+      .select(col("shard"), coalesce(col("c"), lit(0L)).as("cnt"))
+    val tot = full.agg(sum(col("cnt")).as("n_docs"))
+    full.crossJoin(broadcast(tot))
+      .withColumn("dev2",
+        expr("(64 * cnt - n_docs) * (64 * cnt - n_docs)"))
+      .groupBy("n_docs")
+      .agg(sum(when(col("cnt") > 0, 1L).otherwise(0L))
+          .as("n_shards_occupied"),
+        min(col("cnt")).as("min_cnt"),
+        max(col("cnt")).as("max_cnt"),
+        sum(col("dev2")).as("ssd_x4096"))
+      .selectExpr("n_docs", "n_shards_occupied", "min_cnt", "max_cnt",
+        "max_cnt * 64 * 1000000 DIV n_docs AS max_over_mean_ppm",
+        "min_cnt * 64 * 1000000 DIV n_docs AS min_over_mean_ppm",
+        "ssd_x4096")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_pack_efficiency — utilization audit of the token-budget packing
+  // (the number a training-throughput dashboard actually watches:
+  // wasted pack capacity is wasted accelerator time): per language,
+  // pack count, fill ratio against the 512-token budget, and the
+  // straddler fraction (docs whose span crosses a pack boundary — the
+  // rows a sequence-boundary-respecting loader must split or drop).
+  // Consumes llm_pack_sequences' own output (one audit shares the
+  // pipeline's derivation, the llm_opt_threshold discipline), then
+  // reduces to one language-keyed aggregation — audit cost is the
+  // packing pass itself. Integer-exact ppm ratios.
+  // ---------------------------------------------------------------------
+  private def packEfficiency(spark: SparkSession, sfDir: String): DataFrame =
+    packSequences(spark, sfDir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (max(col("pack_id")) + 1).as("n_packs"),
+        sum(when(col("pack_offset") + col("n_tokens") > PackBudget, 1L)
+          .otherwise(0L)).as("n_straddlers"))
+      .selectExpr("lang", "n_docs", "total_tokens", "n_packs",
+        "n_straddlers",
+        s"total_tokens * 1000000 DIV (n_packs * $PackBudget) AS fill_ppm",
+        "n_straddlers * 1000000 DIV n_docs AS straddle_ppm")
+      .orderBy("lang")
 
   // ---------------------------------------------------------------------
   // llm_length_histogram — token-length distribution (the corpus-shape
@@ -2443,6 +2619,63 @@ object LlmText {
       .where(col("cum_tokens") <= 300)
       .select("rk", "doc_id", "n_tokens", "cum_tokens")
       .orderBy("rk")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_mmr_diversify — maximal-marginal-relevance re-rank of the BM25
+  // top-10 cut (k = 5, λ = 0.7): the diversity step a RAG serving layer
+  // runs between retrieval and packing, so the context window doesn't
+  // spend its budget on five near-copies of the best hit. Every stage
+  // is bounded by the CUT, never the corpus: the cut is the shared
+  // bm25Top10 TakeOrderedAndProject derivation, token sets attach by
+  // joining the corpus against the 10-row broadcast cut (rag_context
+  // _pack's shape), pairwise Jaccard runs on the ≤90 ordered pairs of
+  // the cut, and each of the 4 unrolled selection rounds is an argmax
+  // over ≤9 rows — at 100 TB only the BM25 scan itself grows. Engine
+  // parity: rel_e6 rounds the (already parity-pinned) BM25 double
+  // once; Jaccard is integer DIV on positives; the MMR objective stays
+  // the UNDIVIDED integer 7·rel_e6 − 3·maxsim_e6 (λ=0.7 scaled ×10) —
+  // a negative numerator under DIV would truncate toward zero in Spark
+  // but floor in DuckDB, so the division is simply never performed.
+  // ---------------------------------------------------------------------
+  private def mmrDiversify(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = bm25Top10(bm25Score(spark, sfDir))
+      .select(col("doc_id"),
+        expr("CAST(round(score * 1000000) AS BIGINT)").as("rel_e6"))
+    val toks = t(spark, sfDir, "documents")
+      .selectExpr("doc_id", s"array_distinct(split($NormText, ' ')) AS ts")
+      .join(broadcast(cut), Seq("doc_id"))
+      .localCheckpoint(true) // ≤ 10 rows: the cut with token sets
+    val sims = toks.as("a").join(toks.as("b"),
+        col("a.doc_id") =!= col("b.doc_id"))
+      .selectExpr("a.doc_id AS da", "b.doc_id AS db",
+        """size(array_intersect(a.ts, b.ts)) * 1000000
+           DIV size(array_union(a.ts, b.ts)) AS sim_e6""")
+      .localCheckpoint(true) // ≤ 90 ordered pairs
+    val docs = toks.select("doc_id", "rel_e6")
+    var picked = docs.orderBy(col("rel_e6").desc, col("doc_id")).limit(1)
+      .select(col("doc_id"), col("rel_e6"),
+        lit(0L).as("maxsim_e6"),
+        (col("rel_e6") * 7).as("mmr_e6x10"),
+        lit(1).as("pick_order"))
+      .localCheckpoint(true)
+    for (r <- 2 to 5) {
+      val next = docs
+        .join(picked.select("doc_id"), Seq("doc_id"), "left_anti")
+        .join(sims.withColumnRenamed("da", "doc_id"), Seq("doc_id"))
+        .join(picked.select(col("doc_id").as("db")), Seq("db"))
+        .groupBy(col("doc_id"), col("rel_e6"))
+        .agg(max(col("sim_e6")).as("maxsim_e6"))
+        .withColumn("mmr_e6x10", col("rel_e6") * 7 - col("maxsim_e6") * 3)
+        .orderBy(col("mmr_e6x10").desc, col("doc_id")).limit(1)
+        .withColumn("pick_order", lit(r))
+        .select("doc_id", "rel_e6", "maxsim_e6", "mmr_e6x10", "pick_order")
+      picked = picked.unionByName(next).localCheckpoint(true)
+    }
+    picked
+      .select(col("pick_order"), col("doc_id"), col("rel_e6"),
+        col("maxsim_e6"), col("mmr_e6x10"))
+      .orderBy("pick_order")
   }
 
   // ---------------------------------------------------------------------
@@ -3109,6 +3342,8 @@ object LlmText {
     "llm_sample_reservoir" -> (sampleReservoir _),
     "llm_triangle_count" -> (triangleCount _),
     "llm_url_canonicalize" -> (urlCanonicalize _),
+    "llm_unicode_normalize" -> (unicodeNormalize _),
+    "llm_char_entropy" -> (charEntropy _),
     "llm_domain_cap" -> (domainCap _),
     "llm_paragraph_dedup" -> (paragraphDedup _),
     "llm_contamination_overlap" -> (contaminationOverlap _),
@@ -3116,6 +3351,8 @@ object LlmText {
     "llm_repetition_ratio" -> (repetitionRatio _),
     "llm_domain_mix" -> (domainMix _),
     "llm_shuffle_shards" -> (shuffleShards _),
+    "llm_shard_balance" -> (shardBalance _),
+    "llm_pack_efficiency" -> (packEfficiency _),
     "llm_length_histogram" -> (lengthHistogram _),
     "llm_chunk_text" -> (chunkText _),
     "llm_pack_sequences" -> (packSequences _),
@@ -3134,9 +3371,11 @@ object LlmText {
     "llm_graph_hits" -> (graphHits _),
     "llm_graph_linkpred" -> (graphLinkPred _),
     "llm_graph_kcore" -> (graphKcore _),
+    "llm_graph_modularity" -> (graphModularity _),
     "llm_dist_drift" -> (distDrift _),
     "llm_retrieval_ndcg" -> (retrievalNdcg _),
     "llm_rag_context_pack" -> (ragContextPack _),
+    "llm_mmr_diversify" -> (mmrDiversify _),
     "llm_opt_threshold" -> (optThreshold _),
     "llm_corpus_pipeline" -> (corpusPipeline _),
     "llm_span_corruption" -> (spanCorruption _),
@@ -3366,6 +3605,52 @@ object LlmText {
                        list_transform(list(contrib ORDER BY token), x -> x)),
                      (a, v) -> a + v) AS score
             FROM c GROUP BY 1)"""
+
+  /** DuckDB twin of the MMR diversification: the selection rounds are
+    * UNROLLED CTEs generated by the same 2-to-5 loop the Spark side
+    * runs (the LshTuneOracle discipline — shared iteration, no drift).
+    * Shares Bm25Cte's `d`/`bm` and the identical cut ORDER BY. */
+  private val MmrOracle: String = {
+    val rounds = (2 to 5).map { r =>
+      val prev = (1 until r).map(i => s"SELECT doc_id FROM sel$i")
+        .mkString(" UNION ALL ")
+      s"""sel$r AS (
+            SELECT doc_id, rel_e6, maxsim_e6,
+                   rel_e6 * 7 - maxsim_e6 * 3 AS mmr_e6x10,
+                   CAST($r AS INTEGER) AS pick_order
+            FROM (
+              SELECT t.doc_id, t.rel_e6, max(s.sim_e6) AS maxsim_e6
+              FROM tox t
+              JOIN sims s ON s.da = t.doc_id
+              WHERE s.db IN ($prev)
+                AND t.doc_id NOT IN ($prev)
+              GROUP BY 1, 2)
+            ORDER BY mmr_e6x10 DESC, doc_id LIMIT 1)"""
+    }.mkString(",\n")
+    s"""$Bm25Cte,
+        p10 AS (SELECT doc_id, score,
+                  row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+                FROM bm),
+        cut AS (SELECT doc_id,
+                  CAST(round(score * 1000000) AS BIGINT) AS rel_e6
+                FROM p10 WHERE rk <= 10),
+        tox AS (SELECT d.doc_id, c.rel_e6, list_distinct(d.toks) AS ts
+                FROM cut c JOIN d ON c.doc_id = d.doc_id),
+        sims AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                   len(list_intersect(a.ts, b.ts)) * 1000000
+                     // len(list_distinct(list_concat(a.ts, b.ts)))
+                     AS sim_e6
+                 FROM tox a JOIN tox b ON a.doc_id <> b.doc_id),
+        sel1 AS (SELECT doc_id, rel_e6, CAST(0 AS BIGINT) AS maxsim_e6,
+                   rel_e6 * 7 AS mmr_e6x10, CAST(1 AS INTEGER) AS pick_order
+                 FROM tox ORDER BY rel_e6 DESC, doc_id LIMIT 1),
+        $rounds
+        SELECT pick_order, doc_id, rel_e6, maxsim_e6, mmr_e6x10
+        FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+              UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+              UNION ALL SELECT * FROM sel5)
+        ORDER BY pick_order"""
+  }
 
   /** DuckDB twin of the LSH banding sweep — one banded CTE + one
     * candidate/estimate block per (b, r) config, generated from the
@@ -3736,6 +4021,7 @@ object LlmText {
                  CAST(n_tokens AS INTEGER) AS n_tokens,
                  CAST(cum_tokens AS BIGINT) AS cum_tokens
           FROM packed WHERE cum_tokens <= 300 ORDER BY rk""",
+    "llm_mmr_diversify" -> MmrOracle,
     "llm_bloom_dedup" ->
       s"""WITH fpt AS (SELECT doc_id, md5($DNorm) AS fp FROM documents),
           js AS (SELECT unnest(range(0, 4)) AS j),
@@ -4050,6 +4336,48 @@ object LlmText {
                   JOIN oriented e2 ON e1.dst = e2.src
                   JOIN oriented e3 ON e1.src = e3.src
                                   AND e2.dst = e3.dst) AS n_triangles""",
+    "llm_char_entropy" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, ''),
+                              x -> x <> '') AS cs
+           FROM documents),
+         k AS (
+           SELECT doc_id, len(cs) AS n_chars,
+                  list_transform(list_distinct(cs),
+                    ch -> len(list_filter(cs, x -> x = ch))) AS counts
+           FROM c),
+         s AS (
+           SELECT doc_id, n_chars, len(counts) AS n_distinct_chars,
+                  list_sum(list_transform(counts, k2 -> k2 *
+                    CAST(round(ln(CAST(k2 AS DOUBLE)
+                                  / CAST(n_chars AS DOUBLE))
+                               * 1000000.0) AS BIGINT))) AS s_e6
+           FROM k)
+         SELECT doc_id, n_chars, n_distinct_chars,
+                -(CAST(s_e6 AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                  / 1000000.0) AS entropy_nats,
+                CASE WHEN -(CAST(s_e6 AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                            / 1000000.0) < 2.0 THEN 'low'
+                     WHEN -(CAST(s_e6 AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                            / 1000000.0) > 4.5 THEN 'high'
+                     ELSE 'normal' END AS entropy_band
+         FROM s ORDER BY doc_id""",
+    "llm_unicode_normalize" ->
+      """WITH v AS (
+           SELECT doc_id,
+                  replace(text, 'a', chr(225)) AS pre,
+                  replace(text, 'a', 'a' || chr(769)) AS decomp
+           FROM documents)
+         SELECT doc_id,
+                length(decomp) AS len_decomposed,
+                length(nfc_normalize(decomp)) AS len_nfc,
+                length(decomp) - length(nfc_normalize(decomp))
+                  AS n_marks_composed,
+                nfc_normalize(decomp) = nfc_normalize(pre)
+                  AS forms_converge,
+                decomp = pre AS bytes_equal_pre
+         FROM v ORDER BY doc_id""",
     "llm_url_canonicalize" ->
       """WITH raw AS (
            SELECT doc_id,
@@ -4218,6 +4546,52 @@ object LlmText {
                     AS w_raw_e6
            FROM documents GROUP BY source)
          ORDER BY source""",
+    "llm_shard_balance" ->
+      """WITH sh AS (
+           SELECT ((instr('0123456789abcdef', fp[1:1]) - 1) * 16 +
+                   (instr('0123456789abcdef', fp[2:2]) - 1)) % 64 AS shard
+           FROM (SELECT md5(CAST(doc_id AS VARCHAR) || '#shuffle-epoch-0')
+                          AS fp
+                 FROM documents)),
+         c AS (SELECT s.shard, CAST(count(d.shard) AS BIGINT) AS cnt
+               FROM (SELECT unnest(range(0, 64)) AS shard) s
+               LEFT JOIN sh d ON d.shard = s.shard
+               GROUP BY s.shard),
+         t2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_docs FROM c)
+         SELECT n_docs,
+                CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_shards_occupied,
+                min(cnt) AS min_cnt, max(cnt) AS max_cnt,
+                CAST(max(cnt) * 64 * 1000000 // n_docs AS BIGINT)
+                  AS max_over_mean_ppm,
+                CAST(min(cnt) * 64 * 1000000 // n_docs AS BIGINT)
+                  AS min_over_mean_ppm,
+                CAST(sum((64 * cnt - n_docs) * (64 * cnt - n_docs))
+                     AS BIGINT) AS ssd_x4096
+         FROM c CROSS JOIN t2 GROUP BY n_docs""",
+    "llm_pack_efficiency" ->
+      """WITH p AS (
+           SELECT doc_id, lang, n_tokens,
+                  (cum_end - n_tokens) // 512 AS pack_id,
+                  (cum_end - n_tokens) % 512 AS pack_offset
+           FROM (
+             SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+                    CAST(sum(len(string_split(text, ' '))) OVER (
+                      PARTITION BY lang ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+             FROM documents))
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                CAST(max(pack_id) + 1 AS BIGINT) AS n_packs,
+                CAST(sum(CASE WHEN pack_offset + n_tokens > 512
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_straddlers,
+                CAST(sum(n_tokens) * 1000000
+                     // ((max(pack_id) + 1) * 512) AS BIGINT) AS fill_ppm,
+                CAST(sum(CASE WHEN pack_offset + n_tokens > 512
+                              THEN 1 ELSE 0 END) * 1000000
+                     // count(*) AS BIGINT) AS straddle_ppm
+         FROM p GROUP BY lang ORDER BY lang""",
     "llm_shuffle_shards" ->
       """SELECT doc_id, CAST(shard AS INTEGER) AS shard,
                 CAST(row_number() OVER (PARTITION BY shard
@@ -4352,6 +4726,35 @@ object LlmText {
                 WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
                 ELSE 'tail' END AS ppl_bucket
          FROM r ORDER BY doc_id""",
+    "llm_graph_modularity" ->
+      s"""$DClusterLabels,
+          mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+          deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+                  FROM (SELECT doc_a AS node FROM pairs
+                        UNION ALL SELECT doc_b AS node FROM pairs)
+                  GROUP BY node),
+          dc AS (SELECT l.cluster_id, CAST(sum(d) AS BIGINT) AS d_c
+                 FROM deg JOIN labels l ON deg.node = l.doc_id
+                 GROUP BY l.cluster_id),
+          ec AS (SELECT la.cluster_id, CAST(count(*) AS BIGINT) AS e_c
+                 FROM pairs p
+                 JOIN labels la ON p.doc_a = la.doc_id
+                 JOIN labels lb ON p.doc_b = lb.doc_id
+                 WHERE la.cluster_id = lb.cluster_id
+                 GROUP BY la.cluster_id),
+          cl AS (SELECT dc.cluster_id, d_c,
+                        coalesce(e_c, CAST(0 AS BIGINT)) AS e_c
+                 FROM dc LEFT JOIN ec ON dc.cluster_id = ec.cluster_id),
+          ag AS (SELECT m,
+                        CAST(count(*) AS BIGINT) AS n_clusters_connected,
+                        CAST(sum(e_c) AS BIGINT) AS intra_edges,
+                        CAST(sum(4 * m * e_c - d_c * d_c) AS BIGINT) AS num
+                 FROM cl CROSS JOIN mm GROUP BY m)
+          SELECT m AS n_edges, n_clusters_connected, intra_edges,
+                 CAST(round(1000000.0 * CAST(num AS DOUBLE) /
+                      CAST(4 * greatest(m, 1) * greatest(m, 1) AS DOUBLE))
+                   AS BIGINT) AS modularity_e6
+          FROM ag""",
     "llm_dedup_clusters" ->
       s"""$DClusterLabels
           SELECT doc_id, cluster_id, is_kept

@@ -237,6 +237,51 @@ object Windows {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** F. Kaplan–Meier user-survival curve — the retention matrix's
+    * principled sibling: discrete weekly survival S(w) = Π_{w'≤w}
+    * (1 − d_w'/n_w') over user lifetimes, with users still active in
+    * the final two observed days treated as CENSORED (they haven't
+    * churned; counting them as deaths is the classic retention-curve
+    * mistake). Each user reduces to one (duration, censored) row —
+    * one user-keyed aggregation — and everything after runs on the
+    * BOUNDED day series (n_at_risk is a reverse running sum over
+    * ≤ span-days rows; the survival product is an O(W²) array fold
+    * over the same rows, W ≤ hundreds at any corpus size). Engine parity: the
+    * KM product stays in e6-scaled INTEGER arithmetic — each step
+    * multiplies by (n−d) then integer-DIVs by n, positives only, so
+    * Spark's truncation and DuckDB's floor agree; the oracle replays
+    * the identical ascending-day recurrence as a recursive CTE. */
+  private def winKaplanMeier(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+    val horizon = ev.agg(max(col("d")).as("hmax"))
+    val users = ev.groupBy("user_id")
+      .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+      .crossJoin(broadcast(horizon))
+      .selectExpr("user_id",
+        "CAST(datediff(last_d, first_d) AS INT) AS dur_d",
+        "last_d > date_sub(hmax, 1) AS censored")
+    val byDay = users.groupBy("dur_d")
+      .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("n_deaths"),
+        count(lit(1)).as("ending"))
+    // reverse running sum over the bounded week series (≤ span/7 rows
+    // — the benign single-partition window class)
+    val wk = byDay
+      .withColumn("n_at_risk", sum(col("ending")).over(
+        Window.orderBy(col("dur_d").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("dur_d").as("day"), col("n_deaths"), col("n_at_risk"))
+    val arr = wk.agg(array_sort(collect_list(
+      struct(col("day"), col("n_deaths"), col("n_at_risk")))).as("ds"))
+    wk.crossJoin(broadcast(arr))
+      .selectExpr("day", "n_at_risk", "n_deaths",
+        """aggregate(filter(ds, x -> x.day <= day),
+             CAST(1000000 AS BIGINT),
+             (acc, x) -> acc * (x.n_at_risk - x.n_deaths)
+                         DIV x.n_at_risk) AS survival_ppm""")
+      .orderBy("day")
+  }
+
   /** F. Longest activity streak per user — gaps-and-islands: group
     * consecutive active DAYS by the classic `date - row_number`
     * constant-per-island trick (two window passes over one user-keyed
@@ -771,6 +816,7 @@ object Windows {
     "win_ewma" -> (winEwma _),
     "win_streak" -> (winStreak _),
     "win_retention" -> (winRetention _),
+    "win_kaplan_meier" -> (winKaplanMeier _),
     "win_funnel" -> (winFunnel _),
     "win_gap_fill" -> (winGapFill _),
     "win_resample_ohlc" -> (winResampleOhlc _),
@@ -1128,6 +1174,40 @@ object Windows {
                  ORDER BY streak_days DESC, streak_start) AS rk
                FROM streaks)
          WHERE rk = 1 ORDER BY user_id""",
+    "win_kaplan_meier" ->
+      """WITH RECURSIVE ev AS (
+           SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+         hz AS (SELECT max(d) AS hmax FROM ev),
+         users AS (
+           SELECT user_id,
+                  CAST(date_diff('day', min(d), max(d)) AS INTEGER)
+                    AS dur_d,
+                  max(d) > (SELECT hmax FROM hz) - 1 AS censored
+           FROM ev GROUP BY user_id),
+         byday AS (
+           SELECT dur_d,
+                  CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_deaths,
+                  CAST(count(*) AS BIGINT) AS ending
+           FROM users GROUP BY dur_d),
+         wk AS (
+           SELECT dur_d AS day, n_deaths,
+                  CAST(sum(ending) OVER (ORDER BY dur_d DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk,
+                  row_number() OVER (ORDER BY dur_d) AS rn
+           FROM byday),
+         km AS (
+           SELECT rn, day, n_deaths, n_at_risk,
+                  CAST(1000000 AS BIGINT) * (n_at_risk - n_deaths)
+                    // n_at_risk AS survival_ppm
+           FROM wk WHERE rn = 1
+           UNION ALL
+           SELECT w.rn, w.day, w.n_deaths, w.n_at_risk,
+                  km.survival_ppm * (w.n_at_risk - w.n_deaths)
+                    // w.n_at_risk
+           FROM km JOIN wk w ON w.rn = km.rn + 1)
+         SELECT day, n_at_risk, n_deaths, survival_ppm
+         FROM km ORDER BY day""",
     "win_retention" ->
       """WITH act AS (
            SELECT DISTINCT user_id,

@@ -293,6 +293,24 @@ class EtlSpec extends AnyFunSuite {
     assert(new java.io.File(s"$root/_manifest").exists())
   }
 
+  test("shallow clone copies zero source data files and reads correctly") {
+    val sfDir = "/root/testdata/sf0.001"
+    val (report, srcRoot, cloneRoot) =
+      graft.queries.EtlQueries.shallowCloneWithDirs(spark, sfDir)
+    val rows = report.collect()
+    val srcRows = spark.read.parquet(s"$srcRoot/v=1").count()
+    // shared versions read THROUGH the manifest equal the source
+    assert(rows.filter(_.getString(1) == "shared")
+      .map(_.getLong(2)).toSeq === Seq(srcRows, srcRows))
+    // the physical contract: the clone directory contains only its
+    // manifest and its OWN v=3 — no source data file was copied
+    val entries = new java.io.File(cloneRoot).listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+    assert(entries === Seq("_manifest", "v=3"), entries.toString)
+    // the clone's own version really is independent of the source
+    assert(!new java.io.File(s"$srcRoot/v=3").exists())
+  }
+
   test("HITS scores are max-normalized exact integers on a real digraph") {
     val rows = SparkEntry.queries("llm_graph_hits")(spark,
       "/root/testdata/sf0.001").collect()

@@ -51,6 +51,37 @@ class ExtensionsSpec extends AnyFunSuite {
       val ng = spark.sql("SELECT graft_ngrams('a b c', 2) AS ngram")
         .collect().map(_.getString(0)).toSeq
       assert(ng === Seq("a b", "b c"))
+      // SQL-registered unicode normalization: decomposed e+U+0301
+      // composes to U+00E9 under NFC (5 code points -> 4), the result
+      // is idempotent, and NFKC additionally folds compatibility
+      // characters (U+FB01 'fi' ligature -> 'fi') where NFC must not.
+      val norm = spark.sql(
+        "SELECT graft_normalize('cafe\u0301', 'NFC') AS nfc, " +
+          "length(graft_normalize('cafe\u0301', 'NFC')) AS n, " +
+          "graft_normalize(graft_normalize('cafe\u0301', 'NFC')," +
+          " 'NFC') AS idem, " +
+          "graft_normalize('\ufb01n', 'NFKC') AS nfkc, " +
+          "graft_normalize('\ufb01n', 'NFC') AS nfc_keeps")
+        .head()
+      assert(norm.getString(0) === "caf\u00e9")
+      assert(norm.getInt(1) === 4)
+      assert(norm.getString(2) === norm.getString(0))
+      assert(norm.getString(3) === "fin")
+      assert(norm.getString(4) === "\ufb01n")
+      // the expression participates in REAL codegen (not fallback): a
+      // projection over a parquet scan must plan inside a
+      // WholeStageCodegen span (a local Seq would collapse to
+      // LocalTableScan and prove nothing) and still execute correctly
+      import org.apache.spark.sql.functions.{concat, lit}
+      val cg = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+        .select(graft.functions.TextOps.unicodeNorm(
+          concat(col("text"), lit("nai\u0308ve"))).as("n"))
+      // the `*(n)` prefix on Project is executedPlan.toString's
+      // whole-stage-codegen marker (a fallback expression would plan
+      // an unstarred Project)
+      val cgPlan = cg.queryExecution.executedPlan.toString
+      assert(cgPlan.contains("*(1) Project"), cgPlan)
+      assert(cg.head().getString(0).endsWith("na\u00efve"))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -408,6 +408,15 @@ EVIDENCE = {
     "llm_multimodal_framesample": (B, "linear-scan", "per-row frame-array sampling, byte-exact fingerprints"),
     "llm_multimodal_audio": (B, "linear-scan", "per-row RMS/zero-crossing features"),
     "llm_multimodal_phash": (M, "x8 1.1x (r8)", "per-row decode+dHash map work; dedup group distinct-hash-bounded"),
+    # ----- round-9 additions
+    "llm_unicode_normalize": (B, "linear-scan", "per-row NFC through the codegen expression; isNormalized fast path keeps already-NFC rows allocation-free"),
+    "llm_char_entropy": (B, "linear-scan", "per-doc char histogram entirely in array lambdas — never leaves the row, zero shuffle"),
+    "llm_mmr_diversify": (B, "fixed-cut", "all selection work on the 10-row BM25 cut (<=90 pair sims, 4 argmax rounds over <=9 rows); only the BM25 scan grows"),
+    "llm_pack_efficiency": (B, "key-cardinality", "consumes llm_pack_sequences' output; one language-keyed aggregation"),
+    "llm_shard_balance": (B, "vocab-bound", "one 64-group count shuffle (map-side combined) + arithmetic on the fixed 64-shard spine"),
+    "llm_graph_modularity": (B, "pair-set-bounded", "two cluster-keyed count shuffles over the verified near-dup edge set; arithmetic on cluster-count rows"),
+    "win_kaplan_meier": (B, "bounded-series", "one user-keyed agg reduces each user to a row; survival fold runs on the <=span-days series"),
+    "etl_shallow_clone": (B, "metadata-sized", "the clone IS a manifest write; reads resolve a 2-row manifest into pruned multi-path scans (clone-local v=3 write is fixture-sized)"),
     # ----- L
     "q_flagship": (M, "x8 1.7x (r5)", "the TPC-H-Q3-shaped flagship: broadcast dims, one fact shuffle, top-10 TakeOrdered"),
 }

@@ -409,14 +409,14 @@ EVIDENCE = {
     "llm_multimodal_audio": (B, "linear-scan", "per-row RMS/zero-crossing features"),
     "llm_multimodal_phash": (M, "x8 1.1x (r8)", "per-row decode+dHash map work; dedup group distinct-hash-bounded"),
     # ----- round-9 additions
-    "llm_unicode_normalize": (B, "linear-scan", "per-row NFC through the codegen expression; isNormalized fast path keeps already-NFC rows allocation-free"),
-    "llm_char_entropy": (B, "linear-scan", "per-doc char histogram entirely in array lambdas — never leaves the row, zero shuffle"),
-    "llm_mmr_diversify": (B, "fixed-cut", "all selection work on the 10-row BM25 cut (<=90 pair sims, 4 argmax rounds over <=9 rows); only the BM25 scan grows"),
-    "llm_pack_efficiency": (B, "key-cardinality", "consumes llm_pack_sequences' output; one language-keyed aggregation"),
-    "llm_shard_balance": (B, "vocab-bound", "one 64-group count shuffle (map-side combined) + arithmetic on the fixed 64-shard spine"),
-    "llm_graph_modularity": (B, "pair-set-bounded", "two cluster-keyed count shuffles over the verified near-dup edge set; arithmetic on cluster-count rows"),
-    "win_kaplan_meier": (B, "bounded-series", "one user-keyed agg reduces each user to a row; survival fold runs on the <=span-days series"),
-    "etl_shallow_clone": (B, "metadata-sized", "the clone IS a manifest write; reads resolve a 2-row manifest into pruned multi-path scans (clone-local v=3 write is fixture-sized)"),
+    "llm_unicode_normalize": (M, "x8 1.0x (r9)", "per-row NFC through the codegen expression; isNormalized fast path keeps already-NFC rows allocation-free"),
+    "llm_char_entropy": (M, "x8 1.2x (r9)", "per-doc char histogram entirely in array lambdas — never leaves the row, zero shuffle; fixed-cost-dominated at this scale"),
+    "llm_mmr_diversify": (M, "x8 2.6x (r9)", "all selection work on the 10-row BM25 cut (<=90 pair sims, 4 argmax rounds over <=9 rows); the growth is the BM25 scan, the llm_rag_context_pack class"),
+    "llm_pack_efficiency": (M, "x8 1.2x (r9)", "consumes llm_pack_sequences' output; one language-keyed aggregation"),
+    "llm_shard_balance": (M, "x8 1.1x (r9)", "one 64-group count shuffle (map-side combined) + arithmetic on the fixed 64-shard spine"),
+    "llm_graph_modularity": (M, "x8 4.7x on 8x edges (r9)", "two cluster-keyed count shuffles over the verified near-dup edge set; arithmetic on cluster-count rows"),
+    "win_kaplan_meier": (M, "x8 1.2x (r9)", "one user-keyed agg reduces each user to a row; survival fold runs on the <=span-days bounded series"),
+    "etl_shallow_clone": (M, "x8 1.1x (r9)", "the clone IS a manifest write (metadata-sized); reads resolve a 2-row manifest into pruned multi-path scans"),
     # ----- L
     "q_flagship": (M, "x8 1.7x (r5)", "the TPC-H-Q3-shaped flagship: broadcast dims, one fact shuffle, top-10 TakeOrdered"),
 }

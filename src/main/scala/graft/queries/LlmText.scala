@@ -1845,9 +1845,15 @@ object LlmText {
         """aggregate(counts, cast(0 as bigint), (acc, k) -> acc +
              k * cast(round(ln(cast(k as double) / cast(n_chars as double))
                             * 1000000.0) as bigint)) AS s_e6""")
+      // greatest(n_chars, 1): an empty document would divide by zero —
+      // Spark doubles give NaN where DuckDB may differ; the guard keeps
+      // the engines equivalent on ANY input (the win_seasonal_profile /
+      // agg_gini degenerate-data convention). Unreachable on current
+      // fixtures (texts are non-empty); s_e6 is 0 for the empty doc, so
+      // the guarded entropy is 0, the right answer.
       .selectExpr("doc_id", "n_chars", "n_distinct_chars",
-        """-(cast(s_e6 as double) / cast(n_chars as double) / 1000000.0)
-           AS entropy_nats""")
+        """-(cast(s_e6 as double) / cast(greatest(n_chars, 1) as double)
+           / 1000000.0) AS entropy_nats""")
       .selectExpr("doc_id", "n_chars", "n_distinct_chars", "entropy_nats",
         """CASE WHEN entropy_nats < 2.0 THEN 'low'
                 WHEN entropy_nats > 4.5 THEN 'high'
@@ -1933,9 +1939,14 @@ object LlmText {
         min(col("cnt")).as("min_cnt"),
         max(col("cnt")).as("max_cnt"),
         sum(col("dev2")).as("ssd_x4096"))
+      // greatest(n_docs, 1): zero documents would make the ratios DIV 0
+      // (Spark NULL vs DuckDB error) — same degenerate-data guard as
+      // win_seasonal_profile; unreachable on current fixtures.
       .selectExpr("n_docs", "n_shards_occupied", "min_cnt", "max_cnt",
-        "max_cnt * 64 * 1000000 DIV n_docs AS max_over_mean_ppm",
-        "min_cnt * 64 * 1000000 DIV n_docs AS min_over_mean_ppm",
+        "max_cnt * 64 * 1000000 DIV greatest(n_docs, 1)" +
+          " AS max_over_mean_ppm",
+        "min_cnt * 64 * 1000000 DIV greatest(n_docs, 1)" +
+          " AS min_over_mean_ppm",
         "ssd_x4096")
   }
 
@@ -4355,11 +4366,13 @@ object LlmText {
                                * 1000000.0) AS BIGINT))) AS s_e6
            FROM k)
          SELECT doc_id, n_chars, n_distinct_chars,
-                -(CAST(s_e6 AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                -(CAST(s_e6 AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)
                   / 1000000.0) AS entropy_nats,
-                CASE WHEN -(CAST(s_e6 AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                CASE WHEN -(CAST(s_e6 AS DOUBLE)
+                            / CAST(greatest(n_chars, 1) AS DOUBLE)
                             / 1000000.0) < 2.0 THEN 'low'
-                     WHEN -(CAST(s_e6 AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                     WHEN -(CAST(s_e6 AS DOUBLE)
+                            / CAST(greatest(n_chars, 1) AS DOUBLE)
                             / 1000000.0) > 4.5 THEN 'high'
                      ELSE 'normal' END AS entropy_band
          FROM s ORDER BY doc_id""",
@@ -4562,10 +4575,10 @@ object LlmText {
                 CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_shards_occupied,
                 min(cnt) AS min_cnt, max(cnt) AS max_cnt,
-                CAST(max(cnt) * 64 * 1000000 // n_docs AS BIGINT)
-                  AS max_over_mean_ppm,
-                CAST(min(cnt) * 64 * 1000000 // n_docs AS BIGINT)
-                  AS min_over_mean_ppm,
+                CAST(max(cnt) * 64 * 1000000 // greatest(n_docs, 1)
+                     AS BIGINT) AS max_over_mean_ppm,
+                CAST(min(cnt) * 64 * 1000000 // greatest(n_docs, 1)
+                     AS BIGINT) AS min_over_mean_ppm,
                 CAST(sum((64 * cnt - n_docs) * (64 * cnt - n_docs))
                      AS BIGINT) AS ssd_x4096
          FROM c CROSS JOIN t2 GROUP BY n_docs""",

@@ -609,6 +609,41 @@ object Aggregates {
       .orderBy("o_orderpriority")
   }
 
+  /** E. Theil inequality index — Gini's information-theoretic sibling
+    * (T = (1/n)·Σ (x/μ)·ln(x/μ)): decomposable across subgroups where
+    * Gini is not, which is why DQ/economics dashboards report both.
+    * Same scale shape as agg_gini: the statistic runs on the bounded
+    * (group, dollar-value) HISTOGRAM, never the rows — one grouped
+    * count, one totals join, arithmetic on histogram-sized relations.
+    * Engine parity by the e6-ln device (agg_entropy): each distinct
+    * value's ln(v·n/S) is computed from exact integers and rounded
+    * ONCE to a scaled BIGINT, Σ c·v·l_e6 accumulates exactly
+    * (order-independent), and one rounded double division by the
+    * exact total ends it. Zero-value rows are excluded on both sides
+    * (their x·ln x contribution is 0 by limit); prices are positive
+    * on the fixture so the filter is a no-op guard. */
+  private def aggTheil(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = t(spark, sfDir, "orders")
+      .selectExpr("o_orderpriority",
+        "cast(round(o_totalprice) as bigint) AS v")
+      .where(col("v") > 0)
+      .groupBy("o_orderpriority", "v").agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy("o_orderpriority")
+      .agg(sum(expr("v * c")).as("s"), sum(col("c")).as("n"))
+    hist.join(tot, Seq("o_orderpriority"))
+      .selectExpr("o_orderpriority", "c", "v", "s", "n",
+        """cast(round(ln(cast(v as double) * cast(n as double)
+                         / cast(s as double)) * 1000000.0) as bigint)
+           AS l_e6""")
+      .groupBy("o_orderpriority")
+      .agg(max(col("n")).as("n"), max(col("s")).as("total_usd"),
+        sum(expr("c * v * l_e6")).as("num"))
+      .selectExpr("o_orderpriority", "n", "total_usd",
+        """CAST(round(CAST(num AS DOUBLE) / CAST(total_usd AS DOUBLE))
+           AS BIGINT) AS theil_e6""")
+      .orderBy("o_orderpriority")
+  }
+
   /** First-digit Benford expectation log10(1+1/d), d = 1..9, as FIXED
     * e6 integers — interpolated into BOTH engines (the libm-free
     * parity device shared with the NDCG discount table; PropertySpec
@@ -825,6 +860,7 @@ object Aggregates {
     "agg_weighted_percentile" -> (aggWeightedPercentile _),
     "agg_equidepth_hist" -> (aggEquidepthHist _),
     "agg_gini" -> (aggGini _),
+    "agg_theil_index" -> (aggTheil _),
     "agg_benford" -> (aggBenford _),
     "agg_ab_ttest" -> (aggAbTtest _),
     "agg_median" -> (aggMedian _),
@@ -1010,6 +1046,26 @@ object Aggregates {
                      (CAST(n AS DOUBLE) * CAST(greatest(sx, 1) AS DOUBLE)))
                   AS BIGINT) AS gini_e6
          FROM g ORDER BY o_orderpriority""",
+    "agg_theil_index" ->
+      """WITH h AS (
+           SELECT o_orderpriority, CAST(round(o_totalprice) AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM orders
+           WHERE CAST(round(o_totalprice) AS BIGINT) > 0
+           GROUP BY 1, 2),
+         t2 AS (SELECT o_orderpriority, CAST(sum(v * c) AS BIGINT) AS s,
+                       CAST(sum(c) AS BIGINT) AS n
+                FROM h GROUP BY 1),
+         l AS (SELECT h.o_orderpriority, c, v, s, n,
+                      CAST(round(ln(CAST(v AS DOUBLE) * CAST(n AS DOUBLE)
+                                    / CAST(s AS DOUBLE)) * 1000000.0)
+                        AS BIGINT) AS l_e6
+               FROM h JOIN t2 USING (o_orderpriority))
+         SELECT o_orderpriority, max(n) AS n,
+                CAST(max(s) AS BIGINT) AS total_usd,
+                CAST(round(CAST(sum(c * v * l_e6) AS DOUBLE)
+                           / CAST(max(s) AS DOUBLE)) AS BIGINT) AS theil_e6
+         FROM l GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "agg_benford" ->
       s"""WITH cnt AS (
            SELECT o_orderpriority,

@@ -273,6 +273,49 @@ object LlmVector {
   }
 
   // ---------------------------------------------------------------------
+  // llm_cluster_coherence — per-cluster quality audit of the semantic
+  // dedup clustering: connected components are only as trustworthy as
+  // the edges that built them, and a TRANSITIVE chain can glue vectors
+  // whose direct similarity is weak (A~B~C with A,C barely related —
+  // the semantic twin of the text-side collapse llm_graph_modularity
+  // watches for). Per non-singleton cluster: size, verified intra-
+  // cluster edge count, mean edge cosine, and edge DENSITY vs the
+  // complete graph — a large cluster with low density is chain-glued,
+  // not a tight duplicate group, and a curation pipeline re-verifies
+  // or splits it before dropping members. ALL-INTEGER arithmetic: the
+  // e6 cosines come from the already-parity-pinned LSH edge scores,
+  // mean/density are integer DIV on positives (every non-singleton CC
+  // has ≥1 intra edge and n·(n−1) ≥ 2 BY CONSTRUCTION — the clusters
+  // are built from these very edges). Cost: one labels join per edge
+  // endpoint + a cluster-keyed aggregation — edge-set-sized, the
+  // modularity class.
+  // ---------------------------------------------------------------------
+  private def clusterCoherence(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = embedNeardupLsh(spark, sfDir)
+      .selectExpr("vec_a", "vec_b",
+        "cast(round(cosine * 1000000) as bigint) AS cos_e6")
+    val labels = embedCluster(spark, sfDir).select("vec_id", "cluster_id")
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_vecs"))
+    val intra = edges
+      .join(labels.select(col("vec_id").as("vec_a"),
+        col("cluster_id").as("ca")), Seq("vec_a"))
+      .join(labels.select(col("vec_id").as("vec_b"),
+        col("cluster_id").as("cb")), Seq("vec_b"))
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca"))
+      .agg(count(lit(1)).as("n_intra_edges"), sum(col("cos_e6")).as("s"))
+      .withColumnRenamed("ca", "cluster_id")
+    sizes.where(col("n_vecs") >= 2)
+      .join(intra, Seq("cluster_id"))
+      .selectExpr("cluster_id", "n_vecs", "n_intra_edges",
+        "s DIV n_intra_edges AS mean_cos_e6",
+        "n_intra_edges * 2000000 DIV (n_vecs * (n_vecs - 1)) AS density_ppm",
+        "s DIV n_intra_edges >= 600000 AS coherent")
+      .orderBy("cluster_id")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_semdedup — SemDeDup-style semantic dedup (the cluster-then-
   // prune pattern from the SemDeDup paper): partition the embedding
   // space into IVF cells around the same 16 broadcast-literal parity
@@ -1322,6 +1365,7 @@ object LlmVector {
     "llm_embed_neardup_lsh" -> (embedNeardupLsh _),
     "llm_bitext_margin" -> (bitextMargin _),
     "llm_embed_cluster" -> (embedCluster _),
+    "llm_cluster_coherence" -> (clusterCoherence _),
     "llm_ann_ivf" -> (annIvf _),
     "llm_ann_range" -> (annRange _),
     "llm_ann_batch_queries" -> (annBatchQueries _),
@@ -1790,6 +1834,42 @@ object LlmVector {
             SELECT id AS vec_id, min(r) AS cluster_id, (min(r) = id) AS is_kept
             FROM reach GROUP BY id)
           SELECT vec_id, cluster_id, is_kept FROM labels ORDER BY vec_id""",
+    "llm_cluster_coherence" ->
+      s"""${LshCandCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          pairs AS (
+            SELECT cand.va, cand.vb,
+                   ${dDot("ea.embedding", "eb.embedding")}
+                     / (ea.nrm * eb.nrm) AS cosine
+            FROM cand JOIN e ea ON cand.va = ea.vec_id
+                      JOIN e eb ON cand.vb = eb.vec_id
+            WHERE ${dDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm)
+                  >= 0.4),
+          lnk AS (SELECT va AS src, vb AS dst FROM pairs
+                  UNION ALL SELECT vb AS src, va AS dst FROM pairs),
+          reach AS (
+            SELECT vec_id AS id, vec_id AS r FROM embeddings
+            UNION
+            SELECT reach.id, l.dst FROM reach JOIN lnk l ON reach.r = l.src),
+          labels AS (
+            SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id),
+          sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vecs
+                    FROM labels GROUP BY 1),
+          ed AS (SELECT la.cluster_id,
+                        CAST(round(p.cosine * 1000000) AS BIGINT) AS cos_e6
+                 FROM pairs p
+                 JOIN labels la ON p.va = la.vec_id
+                 JOIN labels lb ON p.vb = lb.vec_id
+                 WHERE la.cluster_id = lb.cluster_id),
+          ag AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_intra_edges,
+                        CAST(sum(cos_e6) AS BIGINT) AS s
+                 FROM ed GROUP BY 1)
+          SELECT sz.cluster_id, n_vecs, n_intra_edges,
+                 CAST(s // n_intra_edges AS BIGINT) AS mean_cos_e6,
+                 CAST(n_intra_edges * 2000000 // (n_vecs * (n_vecs - 1))
+                   AS BIGINT) AS density_ppm,
+                 s // n_intra_edges >= 600000 AS coherent
+          FROM sizes sz JOIN ag USING (cluster_id)
+          WHERE n_vecs >= 2 ORDER BY cluster_id""",
     "llm_ann_ivf" -> AnnIvfOracle,
     "llm_ann_range" -> AnnRangeOracle,
     "llm_embedding_stats" ->

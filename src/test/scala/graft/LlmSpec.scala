@@ -1019,4 +1019,50 @@ class LlmSpec extends AnyFunSuite {
             "from range result")
       }
   }
+
+  test("round-9 audit keys satisfy their structural invariants") {
+    val sfDir = "/root/testdata/sf0.001"
+    // Kaplan-Meier: survival is non-increasing in time, starts <= 1e6,
+    // and n_at_risk is non-increasing
+    val km = SparkEntry.queries("win_kaplan_meier")(spark, sfDir).collect()
+    assert(km.nonEmpty)
+    km.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(3) <= a.getLong(3), "survival must not rise")
+        assert(b.getLong(1) <= a.getLong(1), "at-risk must not rise")
+      case _ => ()
+    }
+    assert(km.head.getLong(3) <= 1000000L)
+    // MMR: 5 distinct picks, first pick is the relevance argmax, and
+    // every later pick's mmr score is computed from its own fields
+    val mmr = SparkEntry.queries("llm_mmr_diversify")(spark, sfDir).collect()
+    assert(mmr.length === 5)
+    assert(mmr.map(_.getLong(1)).distinct.length === 5)
+    assert(mmr.head.getLong(2) === mmr.map(_.getLong(2)).max,
+      "pick 1 must be the relevance argmax")
+    mmr.foreach { r =>
+      assert(r.getLong(4) === r.getLong(2) * 7 - r.getLong(3) * 3)
+    }
+    // modularity of a CC labeling: every edge is intra-cluster and the
+    // score is a proper fraction of 1e6
+    val mod = SparkEntry.queries("llm_graph_modularity")(spark, sfDir)
+      .head()
+    assert(mod.getLong(0) === mod.getLong(2), "CC labels: intra == m")
+    assert(mod.getLong(3) >= -1000000L && mod.getLong(3) <= 1000000L)
+    // cluster coherence: means inside the edge-score band, density a
+    // proper ppm fraction
+    SparkEntry.queries("llm_cluster_coherence")(spark, sfDir).collect()
+      .foreach { r =>
+        assert(r.getLong(3) >= 400000L && r.getLong(3) <= 1000000L,
+          s"mean cosine outside the >=0.4 edge band: $r")
+        assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L)
+      }
+    // unicode normalize: every doc's variants converge and shrink
+    SparkEntry.queries("llm_unicode_normalize")(spark, sfDir).collect()
+      .foreach { r =>
+        assert(r.getBoolean(4), s"NFC forms must converge: $r")
+        assert(!r.getBoolean(5), "pre/dec variants must differ pre-NFC")
+        assert(r.getInt(1) >= r.getInt(2), "NFC never lengthens")
+      }
+  }
 }

@@ -417,6 +417,8 @@ EVIDENCE = {
     "llm_graph_modularity": (M, "x8 4.7x on 8x edges (r9)", "two cluster-keyed count shuffles over the verified near-dup edge set; arithmetic on cluster-count rows"),
     "win_kaplan_meier": (M, "x8 1.2x (r9)", "one user-keyed agg reduces each user to a row; survival fold runs on the <=span-days bounded series"),
     "etl_shallow_clone": (M, "x8 1.1x (r9)", "the clone IS a manifest write (metadata-sized); reads resolve a 2-row manifest into pruned multi-path scans"),
+    "agg_theil_index": (M, "x8 1.0x (r9)", "the statistic runs on the (group, dollar) histogram like agg_gini; one grouped count + histogram-sized arithmetic"),
+    "llm_cluster_coherence": (M, "x8 3.7x on 8x edges (r9)", "labels join per edge endpoint + one cluster-keyed agg over the verified LSH edge set — the modularity class; cost is the LSH scoring + fixpoint it audits"),
     # ----- L
     "q_flagship": (M, "x8 1.7x (r5)", "the TPC-H-Q3-shaped flagship: broadcast dims, one fact shuffle, top-10 TakeOrdered"),
 }

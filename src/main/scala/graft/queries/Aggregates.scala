@@ -853,7 +853,116 @@ object Aggregates {
       .orderBy("l_partkey")
   }
 
+  /** E. Chi-square test of independence (event_type × day-of-week) +
+    * Cramér's V — the categorical-association screen every
+    * experimentation/DQ dashboard runs ("is traffic mix independent of
+    * weekday, or did a segment shift"). One map-side-combined
+    * (type, dow) count shuffle builds the contingency table; margins
+    * come from re-aggregating the BOUNDED cell table (≤ types×7 rows at
+    * ANY corpus size), never from a second corpus pass. Engine parity:
+    * each cell's deviation d = n·o − rt·ct stays an exact int64
+    * (n·o ≤ ~5e12 even on the ×64 corpus), the per-cell term
+    * 1e6·d²/(n·rt·ct) is ONE fixed double expression over those exact
+    * integers rounded ONCE to e6 (the denominator is a double product
+    * — n·rt·ct would brush int64 at the ×8 corpus), and the statistic
+    * is the exact integer sum of the 35 cell terms — aggregation-order-
+    * independent. Cramér's V ends it with one IEEE-exact sqrt (sqrt is
+    * correctly-rounded by the standard, so bit-identical across
+    * engines on the identical quotient). */
+  private def aggChiSquare(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = t(spark, sfDir, "events")
+      .selectExpr("event_type", "dayofweek(ts) AS dow")
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy("event_type").agg(sum(col("o")).as("rt"))
+    val colTot = cells.groupBy("dow").agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("event_type")).as("r_levels"),
+      countDistinct(col("dow")).as("c_levels"))
+    cells
+      .join(broadcast(rowTot), Seq("event_type"))
+      .join(broadcast(colTot), Seq("dow"))
+      .crossJoin(broadcast(n))
+      .selectExpr("n", "r_levels", "c_levels",
+        "n * o - rt * ct AS d", "rt", "ct")
+      .selectExpr("n", "r_levels", "c_levels",
+        """CAST(round(1000000.0 * CAST(d AS DOUBLE) * CAST(d AS DOUBLE) /
+             (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))
+           AS BIGINT) AS term_e6""")
+      .groupBy("n", "r_levels", "c_levels")
+      .agg(count(lit(1)).as("n_cells"), sum(col("term_e6")).as("chi2_e6"))
+      .selectExpr("n", "n_cells",
+        "(r_levels - 1) * (c_levels - 1) AS dof", "chi2_e6",
+        // V = sqrt(chi2 / (n·min(r−1,c−1))); both engines evaluate the
+        // identical double quotient, then IEEE-754's correctly-rounded
+        // sqrt — no libm dependence beyond the standard's guarantee.
+        """CAST(round(1000000.0 * sqrt(CAST(chi2_e6 AS DOUBLE) / 1000000.0 /
+             (CAST(n AS DOUBLE) *
+              CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE))))
+           AS BIGINT) AS cramers_v_e6""")
+  }
+
+  /** E. Mann–Whitney U (rank-sum) test between two event classes'
+    * purchase values — the nonparametric sibling of [[aggAbTtest]]:
+    * compares DISTRIBUTIONS, not means, so it survives the heavy-tailed
+    * value columns where a t-test's normality assumption is fiction.
+    * The textbook formulation globally ranks every row (a full sort);
+    * this one never ranks rows at all: values quantize to cents, so U
+    * is computed from the bounded VALUE HISTOGRAM — U = Σ_v nA(v)·
+    * (cumB(<v) + tiesB(v)/2), evaluated as exact integer 2U to dodge
+    * the half — the same vocab-bound device as agg_gini/agg_theil (the
+    * histogram is ≤ distinct-cents-values rows at ANY corpus size; one
+    * data-sized count shuffle builds it). The running cumB is a window
+    * over the histogram, not the data. Tie-corrected normal
+    * approximation: σ² = n1n2/12·[(n+1) − Σ(t³−t)/(n(n−1))] with
+    * Σ(t³−t) an exact integer histogram sum; z is ONE fixed double
+    * expression over exact integers rounded once to e6 (guarded for
+    * the all-tied σ=0 degenerate case, the agg_ab_ttest convention).
+    * Rank-biserial effect size r = 1 − 2U/(n1n2) rides the same exact
+    * integers. */
+  private def aggMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = t(spark, sfDir, "events")
+      .where(col("event_type").isin("purchase", "click"))
+      .selectExpr("cast(round(value * 100) as bigint) AS v",
+        "event_type = 'purchase' AS is_a")
+      .groupBy("v")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("a_c"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("b_c"))
+    // running B-count strictly below v: a window over the bounded
+    // cents histogram (vocab-sized, the benign single-partition class)
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum_b_le", sum(col("b_c")).over(wCum))
+      .selectExpr("a_c", "b_c", "cum_b_le - b_c AS cum_b_lt")
+      .agg(sum(col("a_c")).as("n1"), sum(col("b_c")).as("n2"),
+        sum(expr("a_c * (2 * cum_b_lt + b_c)")).as("u2x"),
+        sum(expr("(a_c + b_c) * (a_c + b_c) * (a_c + b_c) - (a_c + b_c)"))
+          .as("tie3"))
+      .selectExpr("n1", "n2", "u2x", "tie3",
+        """CASE WHEN n1 * n2 = 0 OR
+                CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+                  (CAST(n1 + n2 + 1 AS DOUBLE) -
+                   CAST(tie3 AS DOUBLE) /
+                   (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))
+                  <= 0.0
+           THEN NULL
+           ELSE CAST(round(1000000.0 *
+             (CAST(u2x AS DOUBLE) / 2.0 -
+              CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) /
+             sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+                  (CAST(n1 + n2 + 1 AS DOUBLE) -
+                   CAST(tie3 AS DOUBLE) /
+                   (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))))
+             AS BIGINT) END AS z_e6""",
+        """CAST(round(1000000.0 * (1.0 - CAST(u2x AS DOUBLE) /
+             (CAST(greatest(n1, 1) AS DOUBLE) *
+              CAST(greatest(n2, 1) AS DOUBLE))))
+           AS BIGINT) AS rank_biserial_e6""")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_chi_square" -> (aggChiSquare _),
+    "agg_mann_whitney" -> (aggMannWhitney _),
     "agg_countmin" -> (aggCountMin _),
     "agg_entropy" -> (aggEntropy _),
     "agg_regression" -> (aggRegression _),
@@ -891,6 +1000,83 @@ object Aggregates {
     "agg_collect" -> (aggCollect _))
 
   val oracle: Map[String, String] = Map(
+    // DuckDB dayofweek is 0-based (Sun=0); Spark's is 1-based (Sun=1).
+    // The oracle shifts +1 so the group key matches exactly.
+    "agg_chi_square" ->
+      """WITH cells AS (
+           SELECT event_type, dayofweek(ts) + 1 AS dow,
+                  CAST(count(*) AS BIGINT) AS o
+           FROM events GROUP BY 1, 2),
+         rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+                FROM cells GROUP BY 1),
+         ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct
+                FROM cells GROUP BY 1),
+         nn AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                       CAST(count(DISTINCT event_type) AS BIGINT)
+                         AS r_levels,
+                       CAST(count(DISTINCT dow) AS BIGINT) AS c_levels
+                FROM cells),
+         terms AS (
+           SELECT n, r_levels, c_levels,
+                  CAST(round(1000000.0 *
+                    CAST(n * o - rt.rt * ct.ct AS DOUBLE) *
+                    CAST(n * o - rt.rt * ct.ct AS DOUBLE) /
+                    (CAST(n AS DOUBLE) * CAST(rt.rt AS DOUBLE) *
+                     CAST(ct.ct AS DOUBLE))) AS BIGINT) AS term_e6
+           FROM cells
+           JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN nn)
+         SELECT n, CAST(count(*) AS BIGINT) AS n_cells,
+                (r_levels - 1) * (c_levels - 1) AS dof,
+                CAST(sum(term_e6) AS BIGINT) AS chi2_e6,
+                CAST(round(1000000.0 *
+                  sqrt(CAST(sum(term_e6) AS DOUBLE) / 1000000.0 /
+                       (CAST(n AS DOUBLE) *
+                        CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE))))
+                  AS BIGINT) AS cramers_v_e6
+         FROM terms GROUP BY n, r_levels, c_levels""",
+    "agg_mann_whitney" ->
+      """WITH hist AS (
+           SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                  CAST(sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS a_c,
+                  CAST(sum(CASE WHEN event_type <> 'purchase'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS b_c
+           FROM events WHERE event_type IN ('purchase', 'click')
+           GROUP BY 1),
+         cum AS (
+           SELECT a_c, b_c,
+                  CAST(sum(b_c) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) - b_c AS BIGINT) AS cum_b_lt
+           FROM hist),
+         s AS (
+           SELECT CAST(sum(a_c) AS BIGINT) AS n1,
+                  CAST(sum(b_c) AS BIGINT) AS n2,
+                  CAST(sum(a_c * (2 * cum_b_lt + b_c)) AS BIGINT) AS u2x,
+                  CAST(sum((a_c + b_c) * (a_c + b_c) * (a_c + b_c)
+                           - (a_c + b_c)) AS BIGINT) AS tie3
+           FROM cum)
+         SELECT n1, n2, u2x, tie3,
+                CASE WHEN n1 * n2 = 0 OR
+                     CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+                       (CAST(n1 + n2 + 1 AS DOUBLE) -
+                        CAST(tie3 AS DOUBLE) /
+                        (CAST(n1 + n2 AS DOUBLE) *
+                         CAST(n1 + n2 - 1 AS DOUBLE))) <= 0.0
+                THEN NULL
+                ELSE CAST(round(1000000.0 *
+                  (CAST(u2x AS DOUBLE) / 2.0 -
+                   CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) /
+                  sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+                       (CAST(n1 + n2 + 1 AS DOUBLE) -
+                        CAST(tie3 AS DOUBLE) /
+                        (CAST(n1 + n2 AS DOUBLE) *
+                         CAST(n1 + n2 - 1 AS DOUBLE)))))
+                  AS BIGINT) END AS z_e6,
+                CAST(round(1000000.0 * (1.0 - CAST(u2x AS DOUBLE) /
+                  (CAST(greatest(n1, 1) AS DOUBLE) *
+                   CAST(greatest(n2, 1) AS DOUBLE))))
+                  AS BIGINT) AS rank_biserial_e6
+         FROM s""",
     // Approx-sketch keys (VERDICT r8 #2 graduation): DuckDB cannot
     // reproduce the sketch estimates, so each oracle independently
     // computes the EXACT value and asserts the bound flags TRUE — the

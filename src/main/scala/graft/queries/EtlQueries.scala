@@ -1209,7 +1209,44 @@ object EtlQueries {
     (spark.read.parquet(dir).orderBy("o_orderkey"), dir)
   }
 
+  /** B3. Cross-engine table checksum — the migration/replication audit
+    * that answers "are these two copies of the table the SAME" without
+    * shipping rows: per month-partition, row count + an
+    * ORDER-INDEPENDENT 60-bit fingerprint (bit_xor of a per-row
+    * md5-prefix hash over a canonical `|`-joined rendering) + the exact
+    * cents total. XOR is the one aggregate that is commutative,
+    * associative, AND never overflows, so the fingerprint is stable
+    * under any partitioning/ordering at any scale — exactly why
+    * engine-migration validators (and this key's DuckDB oracle, which
+    * IS the second engine recomputing the checksum independently) use
+    * it. One map-side-combined shuffle on the partition key; output is
+    * partition-count rows. The canonical rendering sticks to
+    * int/string/date columns (dates render 'yyyy-MM-dd' in both
+    * engines) and quantizes money to cents so no float formatting
+    * enters the hash. */
+  private def etlChecksumAudit(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .selectExpr("date_format(o_orderdate, 'yyyy-MM') AS part",
+        // concat (not concat_ws): NULL in any column nulls the row
+        // hash, and bit_xor skips NULLs — in BOTH engines, so a null
+        // row degrades the checksum identically instead of silently
+        // reshaping the canonical string on one side only.
+        """CAST(conv(substring(md5(concat(
+             CAST(o_orderkey AS STRING), '|', CAST(o_custkey AS STRING),
+             '|', o_orderstatus, '|',
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING),
+             '|', CAST(CAST(o_orderdate AS DATE) AS STRING))),
+             1, 15), 16, 10)
+           AS BIGINT) AS h""",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .groupBy("part")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_fingerprint"),
+        sum(col("cents")).as("total_cents"))
+      .orderBy("part")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_checksum_audit" -> (etlChecksumAudit _),
     "scan_orc" -> (scanOrc _),
     "scan_avro" -> (scanAvro _),
     "scan_xml" -> (scanXml _),
@@ -1265,6 +1302,24 @@ object EtlQueries {
     "dedup_exact" -> (dedupExact _))
 
   val oracle: Map[String, String] = Map(
+    // The oracle IS the migration scenario: a second engine recomputes
+    // the canonical-row checksum from scratch — count, bit_xor of the
+    // identical md5-prefix hash, exact cents total.
+    "etl_checksum_audit" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS part,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(bit_xor(CAST(('0x' || substring(md5(
+                  CAST(o_orderkey AS VARCHAR) || '|' ||
+                  CAST(o_custkey AS VARCHAR) || '|' ||
+                  o_orderstatus || '|' ||
+                  CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                    AS VARCHAR) || '|' ||
+                  CAST(CAST(o_orderdate AS DATE) AS VARCHAR)), 1, 15))
+                  AS BIGINT))
+                  AS BIGINT) AS xor_fingerprint,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS total_cents
+         FROM orders GROUP BY 1 ORDER BY part""",
     "scan_orc" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
                 l_returnflag

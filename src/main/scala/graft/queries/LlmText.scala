@@ -722,6 +722,54 @@ object LlmText {
   }
 
   // ---------------------------------------------------------------------
+  // llm_graph_assortativity — degree assortativity (Newman 2002) of the
+  // verified near-dup graph: the one-number answer to "do heavy
+  // duplicators link to other heavy duplicators" — strongly positive r
+  // means duplication concentrates into dense template farms (dedup
+  // should cluster-collapse them), negative r means hub-and-spoke
+  // boilerplate radiating into otherwise-unique docs (representative
+  // selection matters more than collapse). Pearson correlation of the
+  // endpoint-degree pairs over the edge list, computed from FOUR exact
+  // integer edge-sums (M, Σjk, Σ(j+k), Σ(j²+k²) — the half-sums stay
+  // doubled to dodge fractions, the Mann–Whitney 2U device): r =
+  // (4·M·Σjk − S²) / (2·M·S2 − S²) with S = Σ(j+k), S2 = Σ(j²+k²),
+  // evaluated as ONE double expression over the exact integers and
+  // rounded once to e6. Degenerate guard: a degree-regular graph makes
+  // the variance denominator 0 → NULL identically in both engines
+  // (CASE, not division). SHARES the pairs derivation with
+  // llm_graph_modularity (Spark: dedupNgramJaccard; oracle:
+  // DPairsEdges) so the two graph health metrics grade the same graph.
+  // Cost: one degree groupBy + two broadcast-sized... no — two
+  // edge-keyed joins against the degree table + a 4-integer global agg:
+  // O(edges), the modularity class.
+  // ---------------------------------------------------------------------
+  private def graphAssortativity(spark: SparkSession,
+                                 sfDir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
+      .localCheckpoint(true) // read 3×: degrees + both endpoint joins
+    val deg = pairs.select(col("doc_a").as("node"))
+      .unionAll(pairs.select(col("doc_b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    pairs
+      .join(deg.select(col("node").as("doc_a"), col("d").as("da")),
+        Seq("doc_a"))
+      .join(deg.select(col("node").as("doc_b"), col("d").as("db")),
+        Seq("doc_b"))
+      .agg(count(lit(1)).as("m"),
+        sum(expr("da * db")).as("sjk"),
+        sum(expr("da + db")).as("s1x2"),
+        sum(expr("da * da + db * db")).as("s2x2"))
+      .selectExpr("m AS n_edges", "sjk AS sum_jk",
+        """CASE WHEN 2 * m * s2x2 - s1x2 * s1x2 = 0 THEN NULL
+           ELSE CAST(round(1000000.0 *
+             (4.0 * CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE) -
+              CAST(s1x2 AS DOUBLE) * CAST(s1x2 AS DOUBLE)) /
+             (2.0 * CAST(m AS DOUBLE) * CAST(s2x2 AS DOUBLE) -
+              CAST(s1x2 AS DOUBLE) * CAST(s1x2 AS DOUBLE)))
+           AS BIGINT) END AS assortativity_e6""")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_graph_kcore — 2-core of the kNN near-dup graph by FOUR fixed
   // peeling rounds: each round drops nodes of degree < 2 and the
   // edges that touched them. The k-core is the dense-duplication
@@ -2234,6 +2282,69 @@ object LlmText {
       .orderBy("source", "cap_rank")
 
   // ---------------------------------------------------------------------
+  // llm_token_budget_trim — quality-thresholded data selection under a
+  // per-language TOKEN budget (the FineWeb/DCLM-style curation step:
+  // "keep the best half of each language's tokens"): docs are taken in
+  // (quality desc, doc_id) order until the running token total crosses
+  // budget = half the language's tokens. The naive shape is a per-lang
+  // full sort of the corpus; this one never sorts docs — the threshold
+  // comes from the bounded QUALITY HISTOGRAM (lang × e6-quantized
+  // score, the agg_gini device): one data-sized (lang, q) aggregation,
+  // a running token sum over the histogram picks every FULLY-kept
+  // quality level, and only the single straddling level per language
+  // pays a doc-granular pass — an equi-join selecting just that
+  // bucket's docs, greedy by doc_id inside it. Quality is the shared
+  // [[qualityScore]] composite (drift-surface dedup); everything after
+  // the histogram is exact integer arithmetic (budget = tok_total DIV
+  // 2, running sums, ppm by integer DIV).
+  // ---------------------------------------------------------------------
+  private def tokenBudgetTrim(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = qualityScore(spark, sfDir)
+      .selectExpr("doc_id", "lang",
+        "CAST(round(quality * 1000000.0) AS BIGINT) AS q_e6")
+      .join(t(spark, sfDir, "documents")
+        .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok"),
+        Seq("doc_id"))
+    val hist = docs.groupBy("lang", "q_e6")
+      .agg(sum(col("n_tok")).as("tok"), count(lit(1)).as("n_docs"))
+    val tot = hist.groupBy("lang")
+      .agg(sum(col("tok")).as("tok_total"), sum(col("n_docs")).as("docs_total"))
+    val wq = Window.partitionBy("lang").orderBy(col("q_e6").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.join(broadcast(tot), Seq("lang"))
+      .withColumn("cum_tok", sum(col("tok")).over(wq))
+      .selectExpr("lang", "q_e6", "tok", "n_docs", "tok_total",
+        "docs_total", "tok_total DIV 2 AS budget",
+        "cum_tok - tok AS cum_before")
+    val full = cum.where(col("cum_before") + col("tok") <= col("budget"))
+      .groupBy("lang")
+      .agg(sum(col("n_docs")).as("full_docs"), sum(col("tok")).as("full_tok"))
+    // the single straddling quality level per language: docs inside it
+    // are taken greedily by doc_id until the remaining budget runs out
+    val cut = cum.where(col("cum_before") <= col("budget") &&
+        col("cum_before") + col("tok") > col("budget"))
+      .selectExpr("lang", "q_e6", "budget - cum_before AS rem")
+    val partial = docs.join(broadcast(cut), Seq("lang", "q_e6"))
+      .withColumn("cum_doc", sum(col("n_tok")).over(
+        Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("cum_doc") <= col("rem"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("cut_docs"), sum(col("n_tok")).as("cut_tok"))
+    tot.join(cut.selectExpr("lang", "q_e6 AS cutoff_q_e6", "rem"),
+        Seq("lang"))
+      .join(full, Seq("lang"), "left")
+      .join(partial, Seq("lang"), "left")
+      .selectExpr("lang", "docs_total", "tok_total",
+        "tok_total DIV 2 AS budget_tok", "cutoff_q_e6",
+        "coalesce(full_docs, 0) + coalesce(cut_docs, 0) AS kept_docs",
+        "coalesce(full_tok, 0) + coalesce(cut_tok, 0) AS kept_tok",
+        """CAST((coalesce(full_tok, 0) + coalesce(cut_tok, 0)) * 1000000
+           DIV tok_total AS BIGINT) AS kept_share_ppm""")
+      .orderBy("lang")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_paragraph_dedup — CCNet-style paragraph-level dedup: the unit
   // of deduplication is the PARAGRAPH (stand-in here: non-overlapping
   // 20-word windows, since the synthetic corpus has no newlines), kept
@@ -3294,7 +3405,13 @@ object LlmText {
          CAST(w1 AS DOUBLE) * CAST(n_tok AS DOUBLE) +
          CAST(w2 AS DOUBLE) * CAST(n_distinct AS DOUBLE)) / 1000000.0)))"""
 
-  private def qualityLogreg(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared train-and-score derivation: 3 GD iterations, then every
+    * doc scored with the final weights — returns the per-doc scored
+    * table (n, w0, w1, w2, y, p). Split out so [[qualityLogreg]] and
+    * [[qualityCalibration]] audit the SAME trained model (the
+    * drift-surface-dedup convention from the IVF probe / stratum
+    * agreement). */
+  private def logregScored(spark: SparkSession, sfDir: String): DataFrame = {
     val tfc = t(spark, sfDir, "documents")
       .selectExpr("doc_id", s"split($NormText, ' ') AS toks")
       .selectExpr("doc_id", "size(toks) AS n_tok", "explode(toks) AS token")
@@ -3327,18 +3444,72 @@ object LlmText {
                (2.0 * CAST(n AS DOUBLE))) AS BIGINT) AS w2""")
     }
     feats.crossJoin(broadcast(w))
-      .selectExpr("n", "w0", "w1", "w2", "y", s"$LogregSigmoid AS p")
+      .selectExpr("doc_id", "n", "w0", "w1", "w2", "y",
+        s"$LogregSigmoid AS p")
+  }
+
+  private def qualityLogreg(spark: SparkSession, sfDir: String): DataFrame =
+    logregScored(spark, sfDir)
       .groupBy("n", "w0", "w1", "w2")
       .agg(sum(when(expr("(p >= 0.5) = (y = 1)"), 1L).otherwise(0L))
         .as("n_correct"))
       .selectExpr("n AS n_docs", "w0 AS w0_e6", "w1 AS w1_e6",
         "w2 AS w2_e6", "n_correct")
+
+  /** K. Calibration audit of BOTH quality scorers — the reliability
+    * table + expected calibration error (ECE) every production scoring
+    * pipeline publishes next to accuracy, run side-by-side for the
+    * trained logreg (p) and the heuristic composite gate (quality),
+    * each graded against the same non-repetitive label: a scorer that
+    * is accurate but over-confident silently skews any downstream
+    * threshold (the dedup operating-point sweep's lesson, applied to
+    * quality scoring — and on this corpus the audit SHOWS it: the
+    * saturated logreg piles all mass into bin 9 with ECE = the
+    * base-rate gap, while the heuristic spreads across bins). SHARES
+    * the training derivation with [[qualityLogreg]] via
+    * [[logregScored]] and the composite formula with [[qualityScore]]
+    * — the drift-surface-dedup convention. Engine parity: both scores
+    * are the identical double expressions their own oracles prove, the
+    * decile bin is floor(score·10) capped at 9, and every bin
+    * statistic is exact integer arithmetic — Σ round(score·1e6) per
+    * bin, positives ppm by integer DIV, gap as an integer difference
+    * (no division, so sign is safe), and per-scorer ECE =
+    * Σ n_b·|gap| DIV N on the ≤20-row bin table. Cost: the logreg
+    * passes (shared) + one heuristic pass + one doc_id-keyed label
+    * join; all calibration arithmetic is bin-table-sized. */
+  private def qualityCalibration(spark: SparkSession,
+                                 sfDir: String): DataFrame = {
+    val scored = logregScored(spark, sfDir)
+    val lr = scored.selectExpr("'logreg' AS scorer",
+      "least(CAST(floor(p * 10.0) AS INT), 9) AS bin",
+      "CAST(round(p * 1000000.0) AS BIGINT) AS s_e6", "y")
+    val hq = qualityScore(spark, sfDir)
+      .selectExpr("doc_id", "quality")
+      .join(scored.selectExpr("doc_id", "y"), Seq("doc_id"))
+      .selectExpr("'heuristic' AS scorer",
+        "least(CAST(floor(quality * 10.0) AS INT), 9) AS bin",
+        "CAST(round(quality * 1000000.0) AS BIGINT) AS s_e6", "y")
+    val bins = lr.unionByName(hq)
+      .groupBy("scorer", "bin")
+      .agg(count(lit(1)).as("n_b"), sum(col("s_e6")).as("sum_s_e6"),
+        sum(col("y")).as("n_pos"))
+      .selectExpr("scorer", "bin", "n_b",
+        "CAST(sum_s_e6 DIV n_b AS BIGINT) AS mean_pred_e6",
+        "CAST(n_pos * 1000000 DIV n_b AS BIGINT) AS frac_pos_e6")
+      .selectExpr("scorer", "bin", "n_b", "mean_pred_e6", "frac_pos_e6",
+        "mean_pred_e6 - frac_pos_e6 AS gap_e6")
+    val ece = bins.groupBy("scorer")
+      .agg(expr("CAST(sum(n_b * abs(gap_e6)) DIV sum(n_b) AS BIGINT)")
+        .as("ece_e6"))
+    bins.join(broadcast(ece), Seq("scorer")).orderBy("scorer", "bin")
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_bloom_dedup" -> (bloomDedup _),
     "llm_tfidf_topterms" -> (tfidfTopterms _),
     "llm_quality_logreg" -> (qualityLogreg _),
+    "llm_quality_calibration" -> (qualityCalibration _),
+    "llm_graph_assortativity" -> (graphAssortativity _),
     "llm_simhash_shingle_eval" -> (simhashShingleEval _),
     "llm_bigram_lm_score" -> (bigramLmScore _),
     "llm_kneser_ney_score" -> (kneserNeyScore _),
@@ -3356,6 +3527,7 @@ object LlmText {
     "llm_unicode_normalize" -> (unicodeNormalize _),
     "llm_char_entropy" -> (charEntropy _),
     "llm_domain_cap" -> (domainCap _),
+    "llm_token_budget_trim" -> (tokenBudgetTrim _),
     "llm_paragraph_dedup" -> (paragraphDedup _),
     "llm_contamination_overlap" -> (contaminationOverlap _),
     "llm_gopher_rules" -> (gopherRules _),
@@ -3808,7 +3980,7 @@ object LlmText {
     * lr·G/n updates as the Spark side, unrolled one CTE pair per
     * iteration (the same generated-CTE convention as the BPE
     * trainer's). */
-  private val LogregOracle: String = {
+  private val LogregCtes: String = {
     val sig = """1.0 / (1.0 + exp(-((CAST(w0 AS DOUBLE) +
          CAST(w1 AS DOUBLE) * CAST(n_tok AS DOUBLE) +
          CAST(w2 AS DOUBLE) * CAST(n_distinct AS DOUBLE)) / 1000000.0)))"""
@@ -3841,14 +4013,57 @@ object LlmText {
         ${iter(1, "it0")},
         ${iter(2, "it1")},
         ${iter(3, "it2")},
-        sf AS (SELECT f.y, w.n, w.w0, w.w1, w.w2, f.n_tok, f.n_distinct,
-                      $sig AS p
-               FROM feats f CROSS JOIN it3 w)
+        sf AS (SELECT f.doc_id, f.y, w.n, w.w0, w.w1, w.w2, f.n_tok,
+                      f.n_distinct, $sig AS p
+               FROM feats f CROSS JOIN it3 w)"""
+  }
+
+  private val LogregOracle: String =
+    s"""$LogregCtes
         SELECT n AS n_docs, w0 AS w0_e6, w1 AS w1_e6, w2 AS w2_e6,
                CAST(sum(CASE WHEN (p >= 0.5) = (y = 1) THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_correct
         FROM sf GROUP BY n, w0, w1, w2"""
-  }
+
+  /** Calibration oracle — DuckDB retrains the identical model through
+    * the shared CTE chain, recomputes the identical heuristic
+    * composite, then replays both decile reliability tables and the
+    * per-scorer integer ECE. */
+  private val CalibrationOracle: String =
+    s"""$LogregCtes,
+        hq AS (
+          SELECT doc_id,
+                 0.4 * least(length(text) / 400.0, 1.0) +
+                 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+                          w -> w IN ('the', 'a', 'of', 'to', 'and')))
+                          / len(string_split(text, ' '))) +
+                 0.3 * (len(list_distinct(string_split(text, ' ')))
+                          / len(string_split(text, ' '))) AS quality
+          FROM documents),
+        binned AS (
+          SELECT 'logreg' AS scorer,
+                 least(CAST(floor(p * 10.0) AS INTEGER), 9) AS bin,
+                 CAST(round(p * 1000000.0) AS BIGINT) AS s_e6, y
+          FROM sf
+          UNION ALL
+          SELECT 'heuristic' AS scorer,
+                 least(CAST(floor(quality * 10.0) AS INTEGER), 9) AS bin,
+                 CAST(round(quality * 1000000.0) AS BIGINT) AS s_e6, sf.y
+          FROM hq JOIN sf USING (doc_id)),
+        bins AS (
+          SELECT scorer, bin, CAST(count(*) AS BIGINT) AS n_b,
+                 CAST(sum(s_e6) // count(*) AS BIGINT) AS mean_pred_e6,
+                 CAST(sum(y) * 1000000 // count(*) AS BIGINT)
+                   AS frac_pos_e6
+          FROM binned GROUP BY scorer, bin),
+        g AS (SELECT scorer, bin, n_b, mean_pred_e6, frac_pos_e6,
+                     mean_pred_e6 - frac_pos_e6 AS gap_e6 FROM bins),
+        e AS (SELECT scorer,
+                     CAST(sum(n_b * abs(gap_e6)) // sum(n_b) AS BIGINT)
+                       AS ece_e6 FROM g GROUP BY scorer)
+        SELECT g.scorer, bin, n_b, mean_pred_e6, frac_pos_e6, gap_e6,
+               ece_e6
+        FROM g JOIN e ON g.scorer = e.scorer ORDER BY g.scorer, bin"""
 
   /** Shared DuckDB replay of the directed kNN edge list (same
     * derivation as the llm_knn_graph oracle, names k-prefixed) —
@@ -4076,6 +4291,78 @@ object LlmText {
                  CAST(round(score * 1000000.0) AS BIGINT) AS score_e6
           FROM rkt WHERE rk <= 3 ORDER BY doc_id, rk""",
     "llm_quality_logreg" -> LogregOracle,
+    "llm_quality_calibration" -> CalibrationOracle,
+    "llm_token_budget_trim" ->
+      """WITH hq AS (
+           SELECT doc_id, lang,
+                  CAST(round((0.4 * least(length(text) / 400.0, 1.0) +
+                    0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'a', 'of', 'to', 'and')))
+                             / len(string_split(text, ' '))) +
+                    0.3 * (len(list_distinct(string_split(text, ' ')))
+                             / len(string_split(text, ' '))))
+                    * 1000000.0) AS BIGINT) AS q_e6,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         hist AS (SELECT lang, q_e6, CAST(sum(n_tok) AS BIGINT) AS tok,
+                         CAST(count(*) AS BIGINT) AS n_docs
+                  FROM hq GROUP BY 1, 2),
+         tot AS (SELECT lang, CAST(sum(tok) AS BIGINT) AS tok_total,
+                        CAST(sum(n_docs) AS BIGINT) AS docs_total
+                 FROM hist GROUP BY 1),
+         cum AS (
+           SELECT h.lang, h.q_e6, h.tok, h.n_docs, t.tok_total,
+                  t.docs_total, t.tok_total // 2 AS budget,
+                  CAST(sum(h.tok) OVER (PARTITION BY h.lang
+                    ORDER BY h.q_e6 DESC ROWS UNBOUNDED PRECEDING)
+                    - h.tok AS BIGINT) AS cum_before
+           FROM hist h JOIN tot t USING (lang)),
+         fullb AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS full_docs,
+                          CAST(sum(tok) AS BIGINT) AS full_tok
+                   FROM cum WHERE cum_before + tok <= budget GROUP BY 1),
+         cut AS (SELECT lang, q_e6, budget - cum_before AS rem
+                 FROM cum
+                 WHERE cum_before <= budget AND cum_before + tok > budget),
+         partialb AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS cut_docs,
+                  CAST(sum(n_tok) AS BIGINT) AS cut_tok
+           FROM (SELECT d.lang, d.n_tok, c.rem,
+                        CAST(sum(d.n_tok) OVER (PARTITION BY d.lang
+                          ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS cum_doc
+                 FROM hq d JOIN cut c
+                   ON d.lang = c.lang AND d.q_e6 = c.q_e6)
+           WHERE cum_doc <= rem GROUP BY 1)
+         SELECT t.lang, docs_total, tok_total,
+                tok_total // 2 AS budget_tok, c.q_e6 AS cutoff_q_e6,
+                CAST(coalesce(full_docs, 0) + coalesce(cut_docs, 0)
+                  AS BIGINT) AS kept_docs,
+                CAST(coalesce(full_tok, 0) + coalesce(cut_tok, 0)
+                  AS BIGINT) AS kept_tok,
+                CAST((coalesce(full_tok, 0) + coalesce(cut_tok, 0))
+                  * 1000000 // tok_total AS BIGINT) AS kept_share_ppm
+         FROM tot t JOIN cut c USING (lang)
+         LEFT JOIN fullb USING (lang) LEFT JOIN partialb USING (lang)
+         ORDER BY t.lang""",
+    "llm_graph_assortativity" ->
+      s"""WITH $DPairsEdges,
+          deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+                  FROM edges GROUP BY 1),
+          s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                       CAST(sum(a.d * b.d) AS BIGINT) AS sjk,
+                       CAST(sum(a.d + b.d) AS BIGINT) AS s1x2,
+                       CAST(sum(a.d * a.d + b.d * b.d) AS BIGINT) AS s2x2
+                FROM pairs p JOIN deg a ON p.doc_a = a.node
+                             JOIN deg b ON p.doc_b = b.node)
+          SELECT m AS n_edges, sjk AS sum_jk,
+                 CASE WHEN 2 * m * s2x2 - s1x2 * s1x2 = 0 THEN NULL
+                 ELSE CAST(round(1000000.0 *
+                   (4.0 * CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE) -
+                    CAST(s1x2 AS DOUBLE) * CAST(s1x2 AS DOUBLE)) /
+                   (2.0 * CAST(m AS DOUBLE) * CAST(s2x2 AS DOUBLE) -
+                    CAST(s1x2 AS DOUBLE) * CAST(s1x2 AS DOUBLE)))
+                 AS BIGINT) END AS assortativity_e6
+          FROM s""",
     "llm_bigram_lm_score" ->
       """WITH tk AS (
            SELECT doc_id, string_split(text, ' ') AS tk FROM documents

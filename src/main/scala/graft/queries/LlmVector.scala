@@ -469,6 +469,69 @@ object LlmVector {
   // diverge). One posexplode + one dim-keyed shuffle of 64 groups —
   // map-side combined, output 64 rows at any corpus size.
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // llm_embedding_pca — top principal direction of the embedding cloud
+  // by DISTRIBUTED POWER ITERATION: the whitening/diagnostic primitive every
+  // embedding pipeline wants before PQ or IVF training ("is there one
+  // dominant axis, and which dims load on it" — a rogue feature or an
+  // unnormalized batch shows up as a single dominating component).
+  // Three unrolled iterations of w ← normalize(Cᵀ(Cw)) where C is the
+  // mean-centered quantized matrix: each iteration is exactly TWO
+  // keyed aggregations — Cw is one vec_id-keyed sum (the dot products),
+  // Cᵀ(·) one dim-keyed sum of 64 groups — with the 64-row weight
+  // vector broadcast back, the logreg-GD communication pattern
+  // (bandwidth-optimal at 100 TB: corpus passes into 64-integer
+  // partials, never a gram matrix, never a collect). Engine-exact by
+  // the fixed-point convention: floats e6-integerize once, the
+  // centering mean rounds once per dim, per-row dot contributions are
+  // exact int64, each dot then rounds ONCE through a double (negative-
+  // safe, unlike DIV) before the second pass, and the normalization is
+  // one rounded double division by max|g| per dim (max-abs, not L2, so
+  // no sqrt enters the loop). Overflow headroom is by construction:
+  // |c| ≤ 2e6, |w| ≤ 1e3 → |Σ_d c·w| ≤ 1.3e11; scaled dots ≤ 1.3e5
+  // keep the dim sums ≤ ~6e17 even on the ×64 corpus. Sign is pinned
+  // by the deterministic all-ones init.
+  // ---------------------------------------------------------------------
+  private def embeddingPca(spark: SparkSession, sfDir: String): DataFrame = {
+    val quant = t(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "posexplode(embedding) AS (dim, valf)")
+      .selectExpr("vec_id", "dim",
+        "CAST(round(CAST(valf AS DOUBLE) * 1000000) AS BIGINT) AS v")
+    val mu = quant.groupBy("dim")
+      .agg(expr("""CAST(round(CAST(sum(v) AS DOUBLE) /
+        CAST(count(1) AS DOUBLE)) AS BIGINT)""").as("mu"))
+    val centered = quant.join(broadcast(mu), Seq("dim"))
+      .selectExpr("vec_id", "dim", "v - mu AS c")
+      .localCheckpoint(true) // read twice per iteration; lineage truncated
+    var w = mu.selectExpr("dim", "CAST(1000 AS BIGINT) AS w")
+    for (_ <- 1 to 3) {
+      val dots = centered.join(broadcast(w), Seq("dim"))
+        .groupBy("vec_id").agg(sum(expr("c * w")).as("dot"))
+        .selectExpr("vec_id",
+          "CAST(round(CAST(dot AS DOUBLE) / 1000000.0) AS BIGINT) AS ds")
+      val g = centered.join(dots, Seq("vec_id"))
+        .groupBy("dim").agg(sum(expr("ds * c")).as("g"))
+      val mx = g.agg(max(expr("abs(g)")).as("mx"))
+      w = g.crossJoin(broadcast(mx))
+        .selectExpr("dim",
+          """CAST(round(1000.0 * CAST(g AS DOUBLE) /
+             CAST(greatest(mx, 1) AS DOUBLE)) AS BIGINT) AS w""")
+    }
+    val lam = centered.join(broadcast(w), Seq("dim"))
+      .groupBy("vec_id").agg(sum(expr("c * w")).as("dot"))
+      .agg(count(lit(1)).as("n_vecs"),
+        // Rayleigh-proxy along the found axis: Σ of scaled squared
+        // projections — exact integers after the shared per-dot
+        // round-through-double
+        sum(expr("""CAST(round(CAST(dot AS DOUBLE) / 1000000.0) AS BIGINT)
+          * CAST(round(CAST(dot AS DOUBLE) / 1000000.0) AS BIGINT)"""))
+          .as("proj_ss"))
+    w.crossJoin(broadcast(lam))
+      .selectExpr("CAST(dim AS INT) AS dim", "w AS loading_e3",
+        "n_vecs", "proj_ss")
+      .orderBy("dim")
+  }
+
   private def embeddingStats(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "embeddings")
       .selectExpr("posexplode(embedding) AS (dim, val)")
@@ -1370,6 +1433,7 @@ object LlmVector {
     "llm_ann_range" -> (annRange _),
     "llm_ann_batch_queries" -> (annBatchQueries _),
     "llm_embedding_stats" -> (embeddingStats _),
+    "llm_embedding_pca" -> (embeddingPca _),
     "llm_ann_recall" -> (annRecall _),
     "llm_matryoshka_rerank" -> (matryoshkaRerank _),
     "llm_ann_ivf_persisted" -> (annIvfPersisted _),
@@ -1384,6 +1448,47 @@ object LlmVector {
     "llm_multimodal_passthrough" -> (multimodalPassthrough _),
     "llm_multimodal_features" -> (multimodalFeatures _),
     "llm_multimodal_phash" -> (multimodalPhash _))
+
+  /** Power-iteration oracle — DuckDB re-runs the identical 3 unrolled
+    * iterations over the identical integer-centered matrix (same
+    * rounding points, same max-abs normalization). */
+  private val PcaOracle: String = {
+    def iter(i: Int, wPrev: String): String =
+      s"""dots$i AS (
+            SELECT vec_id,
+                   CAST(round(CAST(sum(c * w) AS DOUBLE) / 1000000.0)
+                     AS BIGINT) AS ds
+            FROM centered JOIN $wPrev USING (dim) GROUP BY vec_id),
+          g$i AS (SELECT dim, CAST(sum(ds * c) AS BIGINT) AS g
+                  FROM centered JOIN dots$i USING (vec_id) GROUP BY dim),
+          mx$i AS (SELECT CAST(max(abs(g)) AS BIGINT) AS mx FROM g$i),
+          w$i AS (SELECT dim, CAST(round(1000.0 * CAST(g AS DOUBLE) /
+                       CAST(greatest(mx, 1) AS DOUBLE)) AS BIGINT) AS w
+                  FROM g$i CROSS JOIN mx$i)"""
+    s"""WITH quant AS (
+          SELECT vec_id, d.d AS dim,
+                 CAST(round(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000)
+                   AS BIGINT) AS v
+          FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS d) d),
+        mu AS (SELECT dim, CAST(round(CAST(sum(v) AS DOUBLE) /
+                      CAST(count(*) AS DOUBLE)) AS BIGINT) AS mu
+               FROM quant GROUP BY dim),
+        centered AS (SELECT vec_id, dim, v - mu AS c
+                     FROM quant JOIN mu USING (dim)),
+        w0 AS (SELECT dim, CAST(1000 AS BIGINT) AS w FROM mu),
+        ${iter(1, "w0")},
+        ${iter(2, "w1")},
+        ${iter(3, "w2")},
+        lamd AS (SELECT vec_id,
+                        CAST(round(CAST(sum(c * w) AS DOUBLE) / 1000000.0)
+                          AS BIGINT) AS ds
+                 FROM centered JOIN w3 USING (dim) GROUP BY vec_id),
+        lam AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+                       CAST(sum(ds * ds) AS BIGINT) AS proj_ss FROM lamd)
+        SELECT CAST(dim AS INTEGER) AS dim, w AS loading_e3, n_vecs,
+               proj_ss
+        FROM w3 CROSS JOIN lam ORDER BY dim"""
+  }
 
   /** DuckDB twins. Every fold mirrors Spark's sequential left fold
     * (list_reduce over a 0.0-prepended list) so doubles match exactly. */
@@ -1872,6 +1977,7 @@ object LlmVector {
           WHERE n_vecs >= 2 ORDER BY cluster_id""",
     "llm_ann_ivf" -> AnnIvfOracle,
     "llm_ann_range" -> AnnRangeOracle,
+    "llm_embedding_pca" -> PcaOracle,
     "llm_embedding_stats" ->
       """WITH v AS (
            SELECT d.d AS dim,

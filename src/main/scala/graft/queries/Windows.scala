@@ -800,7 +800,116 @@ object Windows {
       .orderBy("event_type")
   }
 
+  /** F. LTTB (largest-triangle-three-buckets) downsampling of the
+    * hourly revenue series to 24 points — the telemetry/dashboard
+    * decimation every monitoring stack runs before plotting a long
+    * series: per target bucket, keep the point forming the largest
+    * triangle with the NEIGHBOR-BUCKET AVERAGES (the parallel-friendly
+    * LTTB variant — classic LTTB anchors on the previously SELECTED
+    * point, a sequential dependency; anchoring on the previous bucket's
+    * average is the standard parallelization and both engines replay
+    * it identically). Shape: one data-sized hourly aggregation, then
+    * ALL selection work on the ≤ span-hours bounded series (the benign
+    * single-partition window class) — bucket stats are a 24-row
+    * broadcast, and the triangle area is exact integer arithmetic:
+    * hours rebase to small offsets and the area comparison is scaled
+    * by the (constant-within-bucket) anchor counts cl²·cr, so argmax
+    * needs no division — ties break to the earliest hour. First/last
+    * points are always kept (area NULL), per the algorithm. */
+  private def winLttbDownsample(spark: SparkSession,
+                                sfDir: String): DataFrame = {
+    val m = 24
+    val hourly = t(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("bucket_ts"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("y"))
+    val bounds = hourly.agg(min(col("bucket_ts")).as("t0"),
+      count(lit(1)).as("n"))
+    val pts = hourly.crossJoin(broadcast(bounds))
+      .selectExpr(
+        """CAST((unix_timestamp(bucket_ts) - unix_timestamp(t0)) DIV 3600
+           AS BIGINT) AS x""", "y", "n")
+      .withColumn("rn", row_number().over(Window.orderBy("x")))
+      .selectExpr("x", "y", "n", "rn",
+        s"""CASE WHEN rn = 1 THEN 0
+                 WHEN rn = n THEN ${m - 1}
+                 ELSE CAST(1 + (rn - 2) * ${m - 2} DIV (n - 2) AS INT)
+            END AS b""")
+    val stats = pts.groupBy("b")
+      .agg(count(lit(1)).as("c"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"))
+    val mids = pts.where(col("b").between(1, m - 2))
+      .join(broadcast(stats.selectExpr("b + 1 AS b", "c AS cl",
+        "sx AS sxl", "sy AS syl")), Seq("b"))
+      .join(broadcast(stats.selectExpr("b - 1 AS b", "c AS cr",
+        "sx AS sxr", "sy AS syr")), Seq("b"))
+      // area × 2·cl²·cr (constant within a bucket): |(ax−bx)(y−ay) −
+      // (ax−x)(ay−by)| with a = left-bucket mean, b = right-bucket
+      // mean, fractions cleared — exact int64 (x rebased ≤ span-hours,
+      // y cents)
+      .withColumn("area", expr(
+        """abs((sxl * cr - sxr * cl) * (y * cl - syl) -
+               (sxl - x * cl) * (syl * cr - syr * cl))"""))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("b").orderBy(col("area").desc, col("x"))))
+      .where(col("rk") === 1)
+      .selectExpr("b AS bucket", "x AS hour_offset", "y AS y_cents",
+        "area AS tri_area_scaled")
+    val ends = pts.where(col("b") === 0 || col("b") === m - 1)
+      .selectExpr("b AS bucket", "x AS hour_offset", "y AS y_cents",
+        "CAST(NULL AS BIGINT) AS tri_area_scaled")
+    mids.unionByName(ends).orderBy("bucket")
+  }
+
+  /** F. Holt linear-trend (double exponential) smoothing per event
+    * type, α = β = ½ — the level+trend upgrade of [[winEwma]] and the
+    * model-based sibling of the seasonal-naive backtest: one smoothed
+    * LEVEL and one smoothed TREND per series, folded left-to-right
+    * over the hourly revenue, plus 1/2/3-hour-ahead linear forecasts
+    * and the in-sample one-step absolute-error total. The fold runs
+    * via `aggregate` over the per-type SORTED bounded series (≤
+    * span-hours elements — the Kaplan-Meier collect-fold device), so
+    * the data-sized work is exactly one (type, hour) aggregation.
+    * Engine parity: the accumulator is DOUBLES on purpose — the fold
+    * order is FIXED by the sorted array in both engines, so IEEE
+    * arithmetic is bit-identical (the float hazard this repo avoids is
+    * ORDER-nondeterministic distributed sums, which a sequential fold
+    * never has), and α = β = ½ keeps every update a power-of-two
+    * division. The coupled update is inlined to closed forms — l' =
+    * (x+l+b)/2, b' = (x−l+b)/4 + b/2 — so no intermediate needs
+    * rebinding inside the lambda; results round ONCE to integer
+    * cents. */
+  private def winHoltLinear(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = t(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("x"))
+    hourly.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("bucket"),
+        col("x").cast("double").as("x")))).as("s"),
+        count(lit(1)).as("n_hours"))
+      .where(col("n_hours") >= 2)
+      .selectExpr("event_type", "n_hours",
+        // brackets are 0-BASED in Spark SQL (slice is 1-based): s[0] /
+        // s[1] are the first two points seeding level and trend
+        """aggregate(slice(s, 3, CAST(size(s) - 2 AS INT)),
+             named_struct('l', s[0].x, 'b', s[1].x - s[0].x,
+                          'sae', CAST(0.0 AS DOUBLE)),
+             (acc, p) -> named_struct(
+               'l', (p.x + acc.l + acc.b) / 2.0,
+               'b', (p.x - acc.l + acc.b) / 4.0 + acc.b / 2.0,
+               'sae', acc.sae + abs(p.x - (acc.l + acc.b)))) AS st""")
+      .selectExpr("event_type", "n_hours",
+        "CAST(round(st.l) AS BIGINT) AS level_c",
+        "CAST(round(st.b * 100.0) AS BIGINT) AS trend_ce2_per_hour",
+        "CAST(round(st.sae) AS BIGINT) AS sae_c",
+        "CAST(round(st.l + st.b) AS BIGINT) AS forecast_1h_c",
+        "CAST(round(st.l + 2.0 * st.b) AS BIGINT) AS forecast_2h_c",
+        "CAST(round(st.l + 3.0 * st.b) AS BIGINT) AS forecast_3h_c")
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_lttb_downsample" -> (winLttbDownsample _),
+    "win_holt_linear" -> (winHoltLinear _),
     "win_theil_sen" -> (winTheilSen _),
     "win_cusum_changepoint" -> (winCusumChangepoint _),
     "win_seasonal_profile" -> (winSeasonalProfile _),
@@ -1174,6 +1283,81 @@ object Windows {
                  ORDER BY streak_days DESC, streak_start) AS rk
                FROM streaks)
          WHERE rk = 1 ORDER BY user_id""",
+    "win_lttb_downsample" ->
+      """WITH hourly AS (
+           SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS y
+           FROM events GROUP BY 1),
+         bounds AS (SELECT min(bucket_ts) AS t0,
+                           CAST(count(*) AS BIGINT) AS n FROM hourly),
+         pts AS (
+           SELECT CAST(date_diff('hour', t0, bucket_ts) AS BIGINT) AS x,
+                  y, n, row_number() OVER (ORDER BY bucket_ts) AS rn
+           FROM hourly CROSS JOIN bounds),
+         bpts AS (
+           SELECT x, y, n, rn,
+                  CASE WHEN rn = 1 THEN 0 WHEN rn = n THEN 23
+                       ELSE CAST(1 + (rn - 2) * 22 // (n - 2) AS INTEGER)
+                  END AS b
+           FROM pts),
+         stats AS (SELECT b, CAST(count(*) AS BIGINT) AS c,
+                          CAST(sum(x) AS BIGINT) AS sx,
+                          CAST(sum(y) AS BIGINT) AS sy
+                   FROM bpts GROUP BY b),
+         mids AS (
+           SELECT p.b, p.x, p.y,
+                  abs((l.sx * r.c - r.sx * l.c) * (p.y * l.c - l.sy) -
+                      (l.sx - p.x * l.c) * (l.sy * r.c - r.sy * l.c))
+                    AS area
+           FROM bpts p JOIN stats l ON l.b = p.b - 1
+                       JOIN stats r ON r.b = p.b + 1
+           WHERE p.b BETWEEN 1 AND 22),
+         sel AS (
+           SELECT b AS bucket, x AS hour_offset, y AS y_cents,
+                  area AS tri_area_scaled,
+                  row_number() OVER (PARTITION BY b
+                    ORDER BY area DESC, x) AS rk
+           FROM mids)
+         SELECT bucket, hour_offset, y_cents, tri_area_scaled
+         FROM sel WHERE rk = 1
+         UNION ALL
+         SELECT b, x, y, CAST(NULL AS BIGINT) FROM bpts WHERE b IN (0, 23)
+         ORDER BY bucket""",
+    "win_holt_linear" ->
+      """WITH RECURSIVE hourly AS (
+           SELECT event_type,
+                  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                    AS x
+           FROM events GROUP BY 1, 2),
+         srt AS (
+           SELECT event_type, x,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY bucket) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM hourly),
+         fold AS (
+           SELECT a.event_type, 2 AS rn, a.n,
+                  a.x AS l, b.x - a.x AS b, CAST(0.0 AS DOUBLE) AS sae
+           FROM (SELECT event_type, x, n FROM srt WHERE rn = 1) a
+           JOIN (SELECT event_type, x FROM srt WHERE rn = 2) b
+             USING (event_type)
+           UNION ALL
+           SELECT f.event_type, f.rn + 1, f.n,
+                  (s.x + f.l + f.b) / 2.0,
+                  (s.x - f.l + f.b) / 4.0 + f.b / 2.0,
+                  f.sae + abs(s.x - (f.l + f.b))
+           FROM fold f JOIN srt s ON s.event_type = f.event_type
+                                 AND s.rn = f.rn + 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+                CAST(round(l) AS BIGINT) AS level_c,
+                CAST(round(b * 100.0) AS BIGINT) AS trend_ce2_per_hour,
+                CAST(round(sae) AS BIGINT) AS sae_c,
+                CAST(round(l + b) AS BIGINT) AS forecast_1h_c,
+                CAST(round(l + 2.0 * b) AS BIGINT) AS forecast_2h_c,
+                CAST(round(l + 3.0 * b) AS BIGINT) AS forecast_3h_c
+         FROM fold WHERE rn = n ORDER BY event_type""",
     "win_kaplan_meier" ->
       """WITH RECURSIVE ev AS (
            SELECT user_id, CAST(ts AS DATE) AS d FROM events),

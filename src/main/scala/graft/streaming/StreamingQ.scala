@@ -922,6 +922,72 @@ object StreamingQ {
   }
 
   // ---------------------------------------------------------------------
+  // stream_hll_distinct — incremental APPROXIMATE-DISTINCT maintenance:
+  // the streaming cardinality monitor ("distinct users per event class,
+  // updated every batch") kept as a DataSketches HLL sketch per key,
+  // each micro-batch hll_sketch_agg'd and hll_union'd into the
+  // snapshot — the mergeable-summaries pattern stream_countmin applies
+  // to frequencies, applied to cardinality. State is sketch-bounded
+  // (lgK=14 ≈ KBs per key) FOREVER, independent of stream length —
+  // exactly why monitors ship HLL instead of distinct sets. Same
+  // batchId-keyed idempotent snapshot chain as stream_countmin (a
+  // retried batch finds its committed snapshot and skips the re-union;
+  // HLL union is max-of-registers so even a double-union is harmless,
+  // but the chain keeps the exactly-once discipline uniform). Oracle-
+  // BOUNDED like the batch sketch keys: the output carries the exact
+  // distinct count plus merge_consistent (|maintained − one-shot| ≤ 2%
+  // of one-shot) and within_bound (|maintained − exact| ≤ 5% of exact)
+  // — DuckDB independently computes the exact side and asserts both
+  // flags TRUE.
+  // ---------------------------------------------------------------------
+  private def streamHllDistinct(spark: SparkSession,
+                                sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val srcDir = evenOddStagedEvents(spark, sfDir)
+    val snapRoot = freshDir("graft_stream_hll_t_")
+    var cur = s"$snapRoot/b_init"
+    ev.limit(0).groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .write.mode("overwrite").parquet(cur)
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val next = s"$snapRoot/b$batchId"
+        if (!new java.io.File(next, "_SUCCESS").exists()) {
+          val part = batch.groupBy("event_type")
+            .agg(expr("hll_sketch_agg(user_id, 14)").as("b_sk"))
+          spark.read.parquet(cur)
+            .join(part, Seq("event_type"), "full_outer")
+            .selectExpr("event_type",
+              """CASE WHEN sk IS NULL THEN b_sk
+                      WHEN b_sk IS NULL THEN sk
+                      ELSE hll_union(sk, b_sk) END AS sk""")
+            .write.mode("overwrite").parquet(next)
+        }
+        cur = next
+      }
+      .option("checkpointLocation", freshDir("graft_stream_hllck_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val maintained = spark.read.parquet(cur)
+      .selectExpr("event_type", "hll_sketch_estimate(sk) AS est_users")
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))")
+          .as("oneshot_est"))
+    maintained.join(exact, Seq("event_type"))
+      .selectExpr("event_type", "exact_users",
+        "abs(est_users - oneshot_est) * 50 <= oneshot_est" +
+          " AS merge_consistent",
+        "abs(est_users - exact_users) * 20 <= exact_users" +
+          " AS within_bound")
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------------
   // stream_topk — streaming HEAVY HITTERS with BOUNDED state: a top-m
   // summary (m=64 keys) maintained per micro-batch by merge-and-prune —
   // each batch's exact counts full-outer-merge into the summary, then
@@ -1095,6 +1161,7 @@ object StreamingQ {
     "stream_merge_upsert" -> (streamMergeUpsert _),
     "stream_incremental_agg" -> (streamIncrementalAgg _),
     "stream_countmin" -> (streamCountMin _),
+    "stream_hll_distinct" -> (streamHllDistinct _),
     "stream_topk" -> (streamTopK _),
     "stream_ann_index" -> (streamAnnIndex _),
     "stream_stateful_session" -> (streamStatefulSession _),
@@ -1153,6 +1220,15 @@ object StreamingQ {
     // one-shot batch CMS over the whole corpus: equality with the
     // incrementally-maintained sketch IS the cell-sum mergeability
     // property (same md5 cells as the agg_countmin oracle)
+    // Sketch estimates are engine-specific; the BOUND is not — DuckDB
+    // computes the exact distinct count and asserts both flags TRUE
+    // (the agg_approx_distinct graduation convention).
+    "stream_hll_distinct" ->
+      """SELECT event_type,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+                TRUE AS merge_consistent,
+                TRUE AS within_bound
+         FROM events GROUP BY 1 ORDER BY event_type""",
     "stream_countmin" ->
       """WITH rs AS (SELECT unnest(range(0, 3)) AS r),
          kc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt

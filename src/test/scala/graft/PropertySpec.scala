@@ -759,4 +759,243 @@ class PropertySpec extends AnyFunSuite {
       assert(byD.map(_._3).toSeq === byD.map(_._3).sorted.toSeq)
     }
   }
+
+  test("chi-square statistic equals the sequential contingency replay") {
+    val sfDir = "/root/testdata/sf0.001"
+    val cells = Tables.t(spark, sfDir, "events")
+      .selectExpr("event_type", "dayofweek(ts) AS dow")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val n = cells.values.sum
+    val rt = cells.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val ct = cells.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+    val chi2 = cells.map { case ((et, dow), o) =>
+      val d = (n * o - rt(et) * ct(dow)).toDouble
+      BigDecimal(1e6 * d * d / (n.toDouble * rt(et).toDouble *
+        ct(dow).toDouble))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.sum
+    val got = SparkEntry.queries("agg_chi_square")(spark, sfDir).head()
+    assert(got.getLong(0) === n)
+    assert(got.getLong(1) === cells.size.toLong)
+    assert(got.getLong(2) === (rt.size - 1L) * (ct.size - 1L))
+    assert(got.getLong(3) === chi2)
+    assert(got.getLong(4) >= 0L && got.getLong(4) <= 1000000L,
+      "Cramér's V is a [0,1] effect size")
+  }
+
+  test("Mann-Whitney 2U equals brute-force pair counting") {
+    val sfDir = "/root/testdata/sf0.001"
+    val vals = Tables.t(spark, sfDir, "events")
+      .where(col("event_type").isin("purchase", "click"))
+      .selectExpr("cast(round(value * 100) as bigint) AS v",
+        "event_type = 'purchase' AS is_a")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val a = vals.filter(_._2).map(_._1)
+    val b = vals.filter(!_._2).map(_._1)
+    // 2U = #(a>b)·2 + #(a==b) over ALL (a,b) pairs — the O(n²)
+    // definition the histogram device must reproduce exactly
+    val u2x = a.map(x =>
+      2L * b.count(_ < x) + b.count(_ == x)).sum
+    val got = SparkEntry.queries("agg_mann_whitney")(spark, sfDir).head()
+    assert(got.getLong(0) === a.length.toLong)
+    assert(got.getLong(1) === b.length.toLong)
+    assert(got.getLong(2) === u2x)
+    // rank-biserial stays in [-1e6, 1e6]
+    assert(math.abs(got.getLong(5)) <= 1000000L)
+  }
+
+  test("table checksum equals the sequential per-row md5 XOR replay") {
+    val sfDir = "/root/testdata/sf0.001"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = Tables.t(spark, sfDir, "orders")
+      .selectExpr("date_format(o_orderdate, 'yyyy-MM') AS part",
+        """concat(CAST(o_orderkey AS STRING), '|',
+           CAST(o_custkey AS STRING), '|', o_orderstatus, '|',
+           CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING),
+           '|', CAST(CAST(o_orderdate AS DATE) AS STRING)) AS canon""")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = rows.groupBy(_._1).map { case (part, rs) =>
+      val xor = rs.map { case (_, canon) =>
+        val hex = md.digest(canon.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16)
+      }.reduce(_ ^ _)
+      part -> ((rs.length.toLong, xor))
+    }
+    val got = SparkEntry.queries("etl_checksum_audit")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    // order independence: XOR of a shuffled copy is identical by
+    // construction — the property that makes the audit portable
+    val shuffled = rows.reverse.groupBy(_._1).map { case (p, rs) =>
+      p -> rs.map { case (_, c) =>
+        java.lang.Long.parseLong(md.digest(c.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16)
+      }.reduce(_ ^ _)
+    }
+    assert(shuffled === expected.map { case (p, (_, x)) => p -> x })
+  }
+
+  test("assortativity equals the Pearson replay over the edge list") {
+    val sfDir = "/root/testdata/sf0.001"
+    val pairs = SparkEntry.queries("llm_dedup_ngram_jaccard")(spark, sfDir)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val m = pairs.length.toLong
+    val sjk = pairs.map { case (x, y) => deg(x) * deg(y) }.sum
+    val s1 = pairs.map { case (x, y) => deg(x) + deg(y) }.sum
+    val s2 = pairs.map { case (x, y) =>
+      deg(x) * deg(x) + deg(y) * deg(y) }.sum
+    val got = SparkEntry.queries("llm_graph_assortativity")(spark, sfDir)
+      .head()
+    assert(got.getLong(0) === m)
+    assert(got.getLong(1) === sjk)
+    if (2 * m * s2 - s1 * s1 != 0) {
+      val r = BigDecimal(1e6 *
+        (4.0 * m * sjk - s1.toDouble * s1.toDouble) /
+        (2.0 * m * s2 - s1.toDouble * s1.toDouble))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(got.getLong(2) === r)
+    } else assert(got.isNullAt(2))
+  }
+
+  test("calibration bins are consistent and ECE matches its identity") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("llm_quality_calibration")(spark, sfDir)
+      .collect()
+    val byScorer = rows.groupBy(_.getString(0))
+    assert(byScorer.keySet === Set("logreg", "heuristic"))
+    // both scorers grade the same population
+    val counts = byScorer.map { case (s, rs) =>
+      s -> rs.map(_.getLong(2)).sum }
+    assert(counts("logreg") === counts("heuristic"))
+    byScorer.foreach { case (_, rs) =>
+      // gap is the integer difference of its own row's columns, and
+      // ECE (constant per scorer) satisfies Σ n_b·|gap| DIV N
+      rs.foreach(r =>
+        assert(r.getLong(5) === r.getLong(3) - r.getLong(4)))
+      val ece = rs.map(r => r.getLong(2) * math.abs(r.getLong(5))).sum /
+        rs.map(_.getLong(2)).sum
+      assert(rs.map(_.getLong(6)).toSeq.distinct === Seq(ece))
+      rs.foreach { r =>
+        assert(r.getInt(1) >= 0 && r.getInt(1) <= 9)
+        assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+        assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L)
+      }
+    }
+    // the audit's reason to exist: the heuristic spreads over multiple
+    // bins while the saturated logreg cannot
+    assert(byScorer("heuristic").length >= 2)
+  }
+
+  test("Holt level/trend equal the sequential fold replay") {
+    val sfDir = "/root/testdata/sf0.001"
+    val series = Tables.t(spark, sfDir, "events")
+      .selectExpr("event_type", "date_trunc('hour', ts) AS bucket",
+        "cast(round(value * 100) as bigint) AS c")
+      .groupBy("event_type", "bucket").agg(sum(col("c")).as("x"))
+      .orderBy("event_type", "bucket")
+      .collect().map(r => (r.getString(0), r.getLong(2).toDouble))
+    val expected = series.groupBy(_._1).map { case (et, rows) =>
+      val xs = rows.map(_._2)
+      var l = xs(0); var b = xs(1) - xs(0); var sae = 0.0
+      xs.drop(2).foreach { x =>
+        val err = math.abs(x - (l + b))
+        val nl = (x + l + b) / 2.0
+        val nb = (x - l + b) / 4.0 + b / 2.0
+        l = nl; b = nb; sae += err
+      }
+      def e(v: Double): Long = BigDecimal(v)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      et -> ((xs.length.toLong, e(l), e(b * 100.0), e(sae), e(l + b)))
+    }
+    val got = SparkEntry.queries("win_holt_linear")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got === expected)
+  }
+
+  test("LTTB keeps endpoints and exactly one point per bucket") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("win_lttb_downsample")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq === (0 to 23))
+    val hours = rows.map(_.getLong(1))
+    // endpoints are the series ends: bucket 0 holds offset 0, bucket 23
+    // the global max offset, and offsets strictly increase with bucket
+    assert(hours.head === 0L)
+    assert(hours.max === hours.last)
+    assert(hours.toSeq === hours.sorted.toSeq)
+    // endpoint rows carry no area; every middle row does
+    assert(rows.head.isNullAt(3) && rows.last.isNullAt(3))
+    rows.slice(1, 23).foreach(r => assert(!r.isNullAt(3)))
+  }
+
+  test("token-budget trim equals the greedy quality-ordered replay") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "lang",
+        """CAST(round((0.4 * least(length(text) / cast(400 as double), 1.0)
+           + 0.3 * (1.0 - size(filter(split(text, ' '),
+               w -> w IN ('the', 'a', 'of', 'to', 'and')))
+               / size(split(text, ' ')))
+           + 0.3 * (size(array_distinct(split(text, ' ')))
+               / size(split(text, ' ')))) * 1000000.0) AS BIGINT) AS q""",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(0),
+        r.getLong(3)))
+    val expected = docs.groupBy(_._1).map { case (lang, ds) =>
+      val budget = ds.map(_._4).sum / 2
+      // PREFIX semantics (what the histogram cutoff computes): walk
+      // (quality desc, doc_id asc) and keep docs while the running
+      // total stays within budget — the total advances past a rejected
+      // doc, it is not skip-greedy
+      var cum = 0L; var kd = 0L; var kt = 0L
+      ds.sortBy(d => (-d._2, d._3)).foreach { d =>
+        cum += d._4
+        if (cum <= budget) { kd += 1; kt += d._4 }
+      }
+      lang -> ((budget, kd, kt))
+    }
+    val got = SparkEntry.queries("llm_token_budget_trim")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(5), r.getLong(6)))).toMap
+    assert(got === expected)
+  }
+
+  test("power-iteration PCA equals the sequential fixed-point replay") {
+    val sfDir = "/root/testdata/sf0.001"
+    val vecs = Tables.t(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).toArray.map(f =>
+        BigDecimal(f.toDouble * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val dims = vecs.head.length
+    val mu = (0 until dims).map(d =>
+      BigDecimal(vecs.map(_(d)).sum.toDouble / vecs.length)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val c = vecs.map(v => (0 until dims).map(d => v(d) - mu(d)).toArray)
+    var w = Array.fill(dims)(1000L)
+    def rnd(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    (1 to 3).foreach { _ =>
+      val ds = c.map(row =>
+        rnd(row.indices.map(d => row(d) * w(d)).sum.toDouble / 1e6))
+      val g = (0 until dims).map(d =>
+        c.indices.map(i => ds(i) * c(i)(d)).sum).toArray
+      val mx = math.max(g.map(math.abs).max, 1L)
+      w = g.map(x => rnd(1000.0 * x.toDouble / mx.toDouble))
+    }
+    val got = SparkEntry.queries("llm_embedding_pca")(spark, sfDir)
+      .collect()
+    assert(got.map(_.getLong(1)).toSeq === w.toSeq)
+    // max-abs normalization pins the dominant loading to ±1000
+    assert(got.map(r => math.abs(r.getLong(1))).max === 1000L)
+    assert(got.head.getLong(2) === vecs.length.toLong)
+  }
 }

@@ -181,4 +181,17 @@ class StreamingSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(2) >= r.getLong(1),
       s"CMS under-counted user ${r.getLong(0)}"))
   }
+
+  test("stream_hll_distinct maintained sketch agrees with one-shot and exact") {
+    // the mergeability property: unioning per-batch sketches lands
+    // within 2% of the single-pass sketch, and the estimate within 5%
+    // of the exact distinct count — the flags the oracle pins TRUE
+    val out = StreamingQ.defs("stream_hll_distinct")(spark, sfDir).collect()
+    assert(out.length === 5)
+    out.foreach { r =>
+      assert(r.getLong(1) > 0L)
+      assert(r.getBoolean(2), s"merge drifted for ${r.getString(0)}")
+      assert(r.getBoolean(3), s"estimate out of bound for ${r.getString(0)}")
+    }
+  }
 }

@@ -960,7 +960,47 @@ object Aggregates {
            AS BIGINT) AS rank_biserial_e6""")
   }
 
+  /** E. Two-sample Kolmogorov–Smirnov test between the purchase and
+    * click value distributions — the distribution-shift screen that
+    * completes the nonparametric toolkit ([[aggMannWhitney]] detects
+    * location shift; KS detects ANY shape difference). Same
+    * never-rank-rows device: both empirical CDFs live on the bounded
+    * cents histogram, D = sup|F1 − F2| is evaluated at each distinct
+    * value as the exact integer max of |cumA·n2 − cumB·n1| (CDFs
+    * cross-multiplied so no fraction exists until the final e6
+    * division), and the α=0.05 decision compares against the
+    * asymptotic critical value 1.358·√((n1+n2)/(n1·n2)) — one fixed
+    * double expression over exact integers, rounded once. One
+    * data-sized count shuffle; everything else histogram-sized. */
+  private def aggKsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = t(spark, sfDir, "events")
+      .where(col("event_type").isin("purchase", "click"))
+      .selectExpr("cast(round(value * 100) as bigint) AS v",
+        "event_type = 'purchase' AS is_a")
+      .groupBy("v")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("a_c"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("b_c"))
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("a_c")).as("n1"), sum(col("b_c")).as("n2"))
+    hist
+      .withColumn("cum_a", sum(col("a_c")).over(wCum))
+      .withColumn("cum_b", sum(col("b_c")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .groupBy("n1", "n2")
+      .agg(max(expr("abs(cum_a * n2 - cum_b * n1)")).as("d_num"))
+      .selectExpr("n1", "n2", "d_num",
+        "CAST(d_num * 1000000 DIV (n1 * n2) AS BIGINT) AS ks_e6",
+        """CAST(round(1358000.0 *
+             sqrt(CAST(n1 + n2 AS DOUBLE) /
+                  (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))))
+           AS BIGINT) AS crit_e6""")
+      .selectExpr("n1", "n2", "d_num", "ks_e6", "crit_e6",
+        "ks_e6 > crit_e6 AS reject_h0")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_ks_test" -> (aggKsTest _),
     "agg_chi_square" -> (aggChiSquare _),
     "agg_mann_whitney" -> (aggMannWhitney _),
     "agg_countmin" -> (aggCountMin _),
@@ -1000,6 +1040,39 @@ object Aggregates {
     "agg_collect" -> (aggCollect _))
 
   val oracle: Map[String, String] = Map(
+    "agg_ks_test" ->
+      """WITH hist AS (
+           SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                  CAST(sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS a_c,
+                  CAST(sum(CASE WHEN event_type <> 'purchase'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS b_c
+           FROM events WHERE event_type IN ('purchase', 'click')
+           GROUP BY 1),
+         tot AS (SELECT CAST(sum(a_c) AS BIGINT) AS n1,
+                        CAST(sum(b_c) AS BIGINT) AS n2 FROM hist),
+         cum AS (
+           SELECT CAST(sum(a_c) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+                  CAST(sum(b_c) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+           FROM hist),
+         s AS (SELECT n1, n2,
+                      CAST(max(abs(cum_a * n2 - cum_b * n1)) AS BIGINT)
+                        AS d_num
+               FROM cum CROSS JOIN tot GROUP BY n1, n2)
+         SELECT n1, n2, d_num,
+                CAST(d_num * 1000000 // (n1 * n2) AS BIGINT) AS ks_e6,
+                CAST(round(1358000.0 *
+                  sqrt(CAST(n1 + n2 AS DOUBLE) /
+                       (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))))
+                  AS BIGINT) AS crit_e6,
+                CAST(d_num * 1000000 // (n1 * n2) AS BIGINT) >
+                  CAST(round(1358000.0 *
+                    sqrt(CAST(n1 + n2 AS DOUBLE) /
+                         (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))))
+                    AS BIGINT) AS reject_h0
+         FROM s""",
     // DuckDB dayofweek is 0-based (Sun=0); Spark's is 1-based (Sun=1).
     // The oracle shifts +1 so the group key matches exactly.
     "agg_chi_square" ->

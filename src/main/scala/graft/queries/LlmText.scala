@@ -2872,6 +2872,43 @@ object LlmText {
     (truth, predn)
   }
 
+  /** K. ROC AUC of the MinHash signature-agreement score as a
+    * duplicate detector, computed EXACTLY — the threshold-free
+    * companion to [[optThreshold]]'s P/R sweep (the sweep grades six
+    * operating points; AUC grades the whole ranking). Scope is the
+    * detector's own candidate pairs (band-join survivors on the shared
+    * 75% stratum): AUC = P(score_dup > score_non-dup) + ½·P(tie),
+    * which is the Mann–Whitney identity — so it reduces to the SAME
+    * histogram device as [[Aggregates]]' rank tests, on a 13-row score
+    * histogram (n_agree ∈ 0..12): exact integer 2U from one running
+    * sum, one integer division to ppm. SHARES [[stratumAgreement]]
+    * with llm_dedup_eval / llm_opt_threshold (one audit pass; all
+    * three keys grade the identical detector), so the work beyond the
+    * shared pass is a ≤13-row fold. */
+  private def dedupAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    val (truth, predn) = stratumAgreement(spark, sfDir)
+    val hist = predn
+      .join(truth.select("doc_a", "doc_b", "in_truth"),
+        Seq("doc_a", "doc_b"), "left")
+      .selectExpr("n_agree",
+        "IF(in_truth IS NOT NULL, CAST(1 AS BIGINT), CAST(0 AS BIGINT))" +
+          " AS pos")
+      .groupBy("n_agree")
+      .agg(sum(col("pos")).as("pos_c"),
+        sum(expr("1 - pos")).as("neg_c"))
+    val wCum = Window.orderBy("n_agree")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum_neg_le", sum(col("neg_c")).over(wCum))
+      .selectExpr("pos_c", "neg_c", "cum_neg_le - neg_c AS cum_neg_lt")
+      .agg(sum(expr("pos_c + neg_c")).as("n_candidates"),
+        sum(col("pos_c")).as("n_pos"), sum(col("neg_c")).as("n_neg"),
+        sum(expr("pos_c * (2 * cum_neg_lt + neg_c)")).as("u2x"))
+      .selectExpr("n_candidates", "n_pos", "n_neg", "u2x",
+        """CAST(u2x * 1000000 DIV nullif(2 * n_pos * n_neg, 0) AS BIGINT)
+           AS auc_e6""")
+  }
+
   private def dedupEval(spark: SparkSession, sfDir: String): DataFrame = {
     val (truth, predn) = stratumAgreement(spark, sfDir)
     val pred = predn
@@ -3517,6 +3554,7 @@ object LlmText {
     "llm_minhash_lsh_tune" -> (minhashLshTune _),
     "llm_simhash_eval" -> (simhashEval _),
     "llm_dedup_eval" -> (dedupEval _),
+    "llm_dedup_auc" -> (dedupAuc _),
     "llm_incremental_dedup" -> (incrementalDedup _),
     "llm_bm25_score" -> (bm25Score _),
     "llm_setsim_join" -> (setSimJoin _),
@@ -4494,6 +4532,42 @@ object LlmText {
                  CAST(2 * tp * 1000000 // nullif(n_pred + n_truth, 0)
                    AS BIGINT) AS f1_ppm
           FROM sw CROSS JOIN nt ORDER BY threshold""",
+    "llm_dedup_auc" ->
+      s"""WITH $DSigned,
+          predn AS (
+            SELECT doc_a, doc_b,
+                   list_reduce(list_prepend(0,
+                     list_transform(range(1, 13),
+                       i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)),
+                     (acc, v) -> acc + v) AS n_agree
+            FROM cand
+            WHERE ${dStratum("doc_a")} AND ${dStratum("doc_b")}),
+          $DSetsimTruth,
+          hist AS (
+            SELECT p.n_agree,
+                   CAST(sum(CASE WHEN t.doc_a IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS pos_c,
+                   CAST(sum(CASE WHEN t.doc_a IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS neg_c
+            FROM predn p LEFT JOIN truth t
+              ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+            GROUP BY 1),
+          cum AS (
+            SELECT pos_c, neg_c,
+                   CAST(sum(neg_c) OVER (ORDER BY n_agree
+                     ROWS UNBOUNDED PRECEDING) - neg_c AS BIGINT)
+                     AS cum_neg_lt
+            FROM hist),
+          s AS (SELECT CAST(sum(pos_c + neg_c) AS BIGINT) AS n_candidates,
+                       CAST(sum(pos_c) AS BIGINT) AS n_pos,
+                       CAST(sum(neg_c) AS BIGINT) AS n_neg,
+                       CAST(sum(pos_c * (2 * cum_neg_lt + neg_c))
+                         AS BIGINT) AS u2x
+                FROM cum)
+          SELECT n_candidates, n_pos, n_neg, u2x,
+                 CAST(u2x * 1000000 // nullif(2 * n_pos * n_neg, 0)
+                   AS BIGINT) AS auc_e6
+          FROM s""",
     "llm_dedup_eval" ->
       s"""WITH $DSigned,
           pred AS (

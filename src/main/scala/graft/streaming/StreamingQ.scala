@@ -922,6 +922,76 @@ object StreamingQ {
   }
 
   // ---------------------------------------------------------------------
+  // stream_quantile_hist — EXACT streaming quantiles via mergeable
+  // value histograms: per event type, each micro-batch aggregates to a
+  // (cents value → count) histogram and full-outer-merges into the
+  // snapshot — histogram merge is LOSSLESS (counts add), so unlike
+  // sketch quantiles the maintained p50/p90/p99 are EXACTLY the batch
+  // quantiles, while state stays bounded by the value domain
+  // (vocab-bound, the agg_gini device made incremental). This is the
+  // production trade: when the domain is quantizable (money, latencies
+  // in µs buckets), a mergeable exact histogram beats t-digest — same
+  // bounded state, zero error. Same batchId-keyed idempotent snapshot
+  // chain as stream_countmin. Quantile rule: smallest value whose
+  // running count reaches ceil(p·n), computed identically in both
+  // engines via integer cross-multiplication (cum·100 ≥ p100·n — no
+  // ceil, no floats); the DuckDB oracle computes the same rule
+  // directly on the full table, which equals the merged-histogram
+  // answer precisely BECAUSE merge is lossless.
+  // ---------------------------------------------------------------------
+  private def streamQuantileHist(spark: SparkSession,
+                                 sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val srcDir = evenOddStagedEvents(spark, sfDir)
+    val snapRoot = freshDir("graft_stream_qh_t_")
+    var cur = s"$snapRoot/b_init"
+    ev.limit(0).selectExpr("event_type",
+      "CAST(0 AS BIGINT) AS v", "CAST(0 AS BIGINT) AS cnt")
+      .write.mode("overwrite").parquet(cur)
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val next = s"$snapRoot/b$batchId"
+        if (!new java.io.File(next, "_SUCCESS").exists()) {
+          val part = batch
+            .selectExpr("event_type",
+              "cast(round(value * 100) as bigint) AS v")
+            .groupBy("event_type", "v").agg(count(lit(1)).as("b_cnt"))
+          spark.read.parquet(cur)
+            .join(part, Seq("event_type", "v"), "full_outer")
+            .select(col("event_type"), col("v"),
+              (coalesce(col("cnt"), lit(0L)) +
+                coalesce(col("b_cnt"), lit(0L))).as("cnt"))
+            .write.mode("overwrite").parquet(next)
+        }
+        cur = next
+      }
+      .option("checkpointLocation", freshDir("graft_stream_qhck_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val hist = spark.read.parquet(cur).where(col("cnt") > 0)
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.groupBy("event_type").agg(sum(col("cnt")).as("n"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .join(broadcast(tot), Seq("event_type"))
+    def pick(p100: Int, name: String) = cum
+      .where(col("cum") * 100 >= col("n") * p100)
+      .groupBy("event_type").agg(min(col("v")).as(name))
+    pick(50, "p50_c")
+      .join(pick(90, "p90_c"), Seq("event_type"))
+      .join(pick(99, "p99_c"), Seq("event_type"))
+      .join(tot, Seq("event_type"))
+      .select("event_type", "n", "p50_c", "p90_c", "p99_c")
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------------
   // stream_hll_distinct — incremental APPROXIMATE-DISTINCT maintenance:
   // the streaming cardinality monitor ("distinct users per event class,
   // updated every batch") kept as a DataSketches HLL sketch per key,
@@ -1162,6 +1232,7 @@ object StreamingQ {
     "stream_incremental_agg" -> (streamIncrementalAgg _),
     "stream_countmin" -> (streamCountMin _),
     "stream_hll_distinct" -> (streamHllDistinct _),
+    "stream_quantile_hist" -> (streamQuantileHist _),
     "stream_topk" -> (streamTopK _),
     "stream_ann_index" -> (streamAnnIndex _),
     "stream_stateful_session" -> (streamStatefulSession _),
@@ -1220,6 +1291,32 @@ object StreamingQ {
     // one-shot batch CMS over the whole corpus: equality with the
     // incrementally-maintained sketch IS the cell-sum mergeability
     // property (same md5 cells as the agg_countmin oracle)
+    // Histogram merge is lossless, so the maintained quantiles equal
+    // the one-shot batch quantiles EXACTLY — the oracle computes the
+    // same smallest-value-reaching-ceil(p·n) rule on the raw table.
+    "stream_quantile_hist" ->
+      """WITH hist AS (
+           SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+                 FROM hist GROUP BY 1),
+         cum AS (
+           SELECT h.event_type, h.v, t.n,
+                  CAST(sum(h.cnt) OVER (PARTITION BY h.event_type
+                    ORDER BY h.v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS cum
+           FROM hist h JOIN tot t USING (event_type)),
+         p50 AS (SELECT event_type, CAST(min(v) AS BIGINT) AS p50_c
+                 FROM cum WHERE cum * 100 >= n * 50 GROUP BY 1),
+         p90 AS (SELECT event_type, CAST(min(v) AS BIGINT) AS p90_c
+                 FROM cum WHERE cum * 100 >= n * 90 GROUP BY 1),
+         p99 AS (SELECT event_type, CAST(min(v) AS BIGINT) AS p99_c
+                 FROM cum WHERE cum * 100 >= n * 99 GROUP BY 1)
+         SELECT event_type, n, p50_c, p90_c, p99_c
+         FROM tot JOIN p50 USING (event_type) JOIN p90 USING (event_type)
+                  JOIN p99 USING (event_type)
+         ORDER BY event_type""",
     // Sketch estimates are engine-specific; the BOUND is not — DuckDB
     // computes the exact distinct count and asserts both flags TRUE
     // (the agg_approx_distinct graduation convention).

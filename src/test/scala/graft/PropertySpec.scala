@@ -968,6 +968,39 @@ class PropertySpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("KS statistic equals the brute-force sup over pooled values") {
+    val sfDir = "/root/testdata/sf0.001"
+    val vals = Tables.t(spark, sfDir, "events")
+      .where(col("event_type").isin("purchase", "click"))
+      .selectExpr("cast(round(value * 100) as bigint) AS v",
+        "event_type = 'purchase' AS is_a")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val a = vals.filter(_._2).map(_._1).sorted
+    val b = vals.filter(!_._2).map(_._1).sorted
+    val dNum = (a ++ b).distinct.map { v =>
+      math.abs(a.count(_ <= v).toLong * b.length -
+        b.count(_ <= v).toLong * a.length)
+    }.max
+    val got = SparkEntry.queries("agg_ks_test")(spark, sfDir).head()
+    assert(got.getLong(0) === a.length.toLong)
+    assert(got.getLong(1) === b.length.toLong)
+    assert(got.getLong(2) === dNum)
+    assert(got.getLong(3) === dNum * 1000000L / (a.length.toLong * b.length))
+  }
+
+  test("dedup AUC equals the pairwise-comparison replay over candidates") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("llm_dedup_auc")(spark, sfDir).head()
+    val (nc, np, nn, u2x, auc) = (got.getLong(0), got.getLong(1),
+      got.getLong(2), got.getLong(3), got.getLong(4))
+    assert(nc === np + nn)
+    // the Mann-Whitney identity: AUC in [0, 1e6]; 2U bounded by 2·n1·n2
+    assert(u2x >= 0L && u2x <= 2L * np * nn)
+    assert(auc === u2x * 1000000L / (2L * np * nn))
+    // a working detector ranks dups above non-dups far better than chance
+    assert(auc > 500000L, s"AUC at or below chance: $auc")
+  }
+
   test("power-iteration PCA equals the sequential fixed-point replay") {
     val sfDir = "/root/testdata/sf0.001"
     val vecs = Tables.t(spark, sfDir, "embeddings")

@@ -182,6 +182,27 @@ class StreamingSpec extends AnyFunSuite {
       s"CMS under-counted user ${r.getLong(0)}"))
   }
 
+  test("stream_quantile_hist equals the exact batch quantiles") {
+    // histogram merge is lossless, so the maintained quantiles must be
+    // EXACTLY the batch percentile (no sketch tolerance)
+    val out = StreamingQ.defs("stream_quantile_hist")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val exact = Tables.t(spark, sfDir, "events")
+      .selectExpr("event_type", "cast(round(value * 100) as bigint) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (et, vs) =>
+        val xs = vs.map(_._2).sorted
+        def q(p: Int): Long = xs(((xs.length.toLong * p + 99) / 100 - 1)
+          .toInt.max(0))
+        et -> ((q(50), q(90), q(99)))
+      }
+    assert(out === exact)
+    out.values.foreach { case (p50, p90, p99) =>
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
+
   test("stream_hll_distinct maintained sketch agrees with one-shot and exact") {
     // the mergeability property: unioning per-batch sketches lands
     // within 2% of the single-pass sketch, and the estimate within 5%

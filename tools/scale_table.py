@@ -429,6 +429,9 @@ EVIDENCE = {
     "llm_token_budget_trim": (M, "x8 2.3x (r9)", "quality histogram replaces the per-lang sort; only the single straddling quality level pays a doc-granular pass"),
     "llm_embedding_pca": (M, "x8 1.5x (r9)", "3 iterations x (vec-keyed + 64-group dim-keyed) aggregations; weights a 64-row broadcast — the logreg GD communication pattern"),
     "stream_hll_distinct": (B, "state-bounded", "state is one lgK=14 HLL sketch per event type forever; each batch one sketch-agg + sketch-sized union"),
+    "agg_ks_test": (B, "vocab-bound", "both CDFs live on the bounded cents histogram (one count shuffle); D is an integer max over histogram rows"),
+    "llm_dedup_auc": (B, "pair-set-bounded", "shares the stratumAgreement audit pass (candidates from band equi-join); AUC itself folds a 13-row score histogram"),
+    "stream_quantile_hist": (B, "vocab-bound", "state is the (type, cents) histogram forever — bounded by the value domain; each batch one histogram-keyed merge"),
     # ----- L
     "q_flagship": (M, "x8 1.7x (r5)", "the TPC-H-Q3-shaped flagship: broadcast dims, one fact shuffle, top-10 TakeOrdered"),
 }

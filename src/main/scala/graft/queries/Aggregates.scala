@@ -999,7 +999,70 @@ object Aggregates {
         "ks_e6 > crit_e6 AS reject_h0")
   }
 
+  /** Poisson(1) CDF thresholds scaled to 16⁶ (the 6-hex-digit md5
+    * prefix domain) as FIXED integer constants — the libm-free parity
+    * device shared with the Benford table; PropertySpec re-derives
+    * each from exp(−1)/k!. A uniform draw u ∈ [0, 16⁷⁷⁷²¹⁶) maps to
+    * the bootstrap weight w = #{thresholds ≤ u}. */
+  private val PoissonCdf16: Seq[Long] =
+    Seq(6171992L, 12343985L, 15429982L, 16458647L, 16715813L)
+
+  /** E. Bootstrap confidence interval for the mean purchase value by
+    * DETERMINISTIC POISSON BOOTSTRAP — the resampling scheme that
+    * actually distributes (Chamandy et al., "Estimating Uncertainty
+    * for Massive Data Streams"): classic bootstrap needs n draws WITH
+    * replacement per replica (a global operation), Poisson bootstrap
+    * gives each row an independent Poisson(1) multiplicity per
+    * replica, so 40 replicas are one map-side pass amplifying each row
+    * into 40 weighted contributions that partial-aggregate into 40
+    * (Σw, Σwx) pairs — no shuffle bigger than 40 groups, no
+    * randomness: the weight is the md5-prefix uniform of
+    * (event_id, replica) cut by the fixed Poisson CDF thresholds, so
+    * both engines replay the identical resample. Replica means round
+    * ONCE to e2 cents; the 95% CI is the [2nd smallest, 2nd largest]
+    * of the 40 ordered replica means (the ~2.5/97.5 percentile rule,
+    * stated exactly so the oracle replays it on the 40-row table). */
+  private def aggBootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val Seq(c0, c1, c2, c3, c4) = PoissonCdf16
+    val w =
+      s"""CASE WHEN u < ${c0}L THEN 0 WHEN u < ${c1}L THEN 1
+              WHEN u < ${c2}L THEN 2 WHEN u < ${c3}L THEN 3
+              WHEN u < ${c4}L THEN 4 ELSE 5 END"""
+    val reps = t(spark, sfDir, "events")
+      .where(col("event_type") === "purchase")
+      .selectExpr("event_id", "cast(round(value * 100) as bigint) AS x",
+        "explode(sequence(0, 39)) AS b")
+      .selectExpr("b", "x",
+        """CAST(conv(substring(md5(concat(CAST(event_id AS STRING),
+           '#boot#', CAST(b AS STRING))), 1, 6), 16, 10) AS BIGINT)
+           AS u""")
+      .selectExpr("b", "x", s"$w AS w")
+      .groupBy("b")
+      .agg(sum(col("w")).as("n_b"), sum(expr("w * x")).as("s_b"))
+      .selectExpr("b",
+        """CAST(round(100.0 * CAST(s_b AS DOUBLE) /
+           CAST(greatest(n_b, 1) AS DOUBLE)) AS BIGINT) AS mean_ce2""")
+    val ranked = reps.withColumn("rk", row_number().over(
+      Window.orderBy(col("mean_ce2"), col("b"))))
+    val point = t(spark, sfDir, "events")
+      .where(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("s"))
+      .selectExpr("n",
+        """CAST(round(100.0 * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           AS BIGINT) AS mean_ce2""")
+    ranked.where(col("rk").isin(2, 39))
+      .groupBy(lit(1).as("one"))
+      .agg(min(col("mean_ce2")).as("ci_lo_ce2"),
+        max(col("mean_ce2")).as("ci_hi_ce2"))
+      .crossJoin(broadcast(point))
+      .selectExpr("n", "mean_ce2", "ci_lo_ce2", "ci_hi_ce2",
+        "ci_hi_ce2 - ci_lo_ce2 AS ci_width_ce2",
+        "CAST(40 AS INT) AS n_replicas")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bootstrap_ci" -> (aggBootstrapCi _),
     "agg_ks_test" -> (aggKsTest _),
     "agg_chi_square" -> (aggChiSquare _),
     "agg_mann_whitney" -> (aggMannWhitney _),
@@ -1040,6 +1103,45 @@ object Aggregates {
     "agg_collect" -> (aggCollect _))
 
   val oracle: Map[String, String] = Map(
+    "agg_bootstrap_ci" ->
+      """WITH px AS (
+           SELECT event_id, CAST(round(value * 100) AS BIGINT) AS x
+           FROM events WHERE event_type = 'purchase'),
+         reps AS (
+           SELECT b.b, x,
+                  CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)
+                    || '#boot#' || CAST(b.b AS VARCHAR)), 1, 6))
+                    AS BIGINT) AS u
+           FROM px CROSS JOIN (SELECT unnest(range(0, 40)) AS b) b),
+         wtd AS (
+           SELECT b, x,
+                  CASE WHEN u < 6171992 THEN 0
+                       WHEN u < 12343985 THEN 1
+                       WHEN u < 15429982 THEN 2
+                       WHEN u < 16458647 THEN 3
+                       WHEN u < 16715813 THEN 4 ELSE 5 END AS w
+           FROM reps),
+         means AS (
+           SELECT b,
+                  CAST(round(100.0 * CAST(sum(w * x) AS DOUBLE) /
+                    CAST(greatest(sum(w), 1) AS DOUBLE)) AS BIGINT)
+                    AS mean_ce2
+           FROM wtd GROUP BY b),
+         ranked AS (
+           SELECT mean_ce2,
+                  row_number() OVER (ORDER BY mean_ce2, b) AS rk
+           FROM means),
+         ci AS (SELECT CAST(min(mean_ce2) AS BIGINT) AS ci_lo_ce2,
+                       CAST(max(mean_ce2) AS BIGINT) AS ci_hi_ce2
+                FROM ranked WHERE rk IN (2, 39)),
+         pt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(round(100.0 * CAST(sum(x) AS DOUBLE) /
+                         CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_ce2
+                FROM px)
+         SELECT n, mean_ce2, ci_lo_ce2, ci_hi_ce2,
+                ci_hi_ce2 - ci_lo_ce2 AS ci_width_ce2,
+                CAST(40 AS INTEGER) AS n_replicas
+         FROM ci CROSS JOIN pt""",
     "agg_ks_test" ->
       """WITH hist AS (
            SELECT CAST(round(value * 100) AS BIGINT) AS v,

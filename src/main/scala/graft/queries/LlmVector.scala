@@ -532,6 +532,55 @@ object LlmVector {
       .orderBy("dim")
   }
 
+  // ---------------------------------------------------------------------
+  // llm_cluster_outliers — member-vs-centroid audit of the labeled
+  // embedding clusters: for each label, the centroid is the
+  // e6-quantized per-dim mean, every member scores its cosine TO ITS
+  // OWN centroid, and the audit reports members below the 0.5 band —
+  // the mislabel/contamination detector that complements
+  // llm_cluster_coherence (coherence grades EDGES of the discovered
+  // clustering; this grades MEMBERS against the labeled one). Shapes:
+  // one (label, dim) aggregation — key-cardinality-bounded — whose
+  // result broadcasts; one member-scoring pass with exact int64
+  // dot/norm sums; cosine is ONE double expression rounded once (IEEE
+  // sqrt, the embedding_stats convention, with the dead-vector
+  // greatest(·,1) guard); the worst member resolves by (min cos, min
+  // vec_id) join — no window over data. Output is label-count rows.
+  // ---------------------------------------------------------------------
+  private def clusterOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val quant = t(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "label", "posexplode(embedding) AS (dim, valf)")
+      .selectExpr("vec_id", "label", "dim",
+        "CAST(round(CAST(valf AS DOUBLE) * 1000000) AS BIGINT) AS v")
+    val cent = quant.groupBy("label", "dim")
+      .agg(expr("""CAST(round(CAST(sum(v) AS DOUBLE) /
+        CAST(count(1) AS DOUBLE)) AS BIGINT)""").as("mu"))
+    val scored = quant.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy("vec_id", "label")
+      .agg(sum(expr("v * mu")).as("dot"), sum(expr("v * v")).as("vv"),
+        sum(expr("mu * mu")).as("mm"))
+      .selectExpr("vec_id", "label",
+        """CAST(round(1000000.0 * CAST(dot AS DOUBLE) /
+           (sqrt(CAST(greatest(vv, 1) AS DOUBLE)) *
+            sqrt(CAST(greatest(mm, 1) AS DOUBLE)))) AS BIGINT) AS cos_e6""")
+    val perLabel = scored.groupBy("label")
+      .agg(count(lit(1)).as("n_members"),
+        // round-through-double, not DIV: a negative cosine sum would
+        // hit the truncate-vs-floor divergence (Spark DIV vs DuckDB //)
+        expr("""CAST(round(CAST(sum(cos_e6) AS DOUBLE) /
+          CAST(count(1) AS DOUBLE)) AS BIGINT)""").as("mean_cos_e6"),
+        sum(when(col("cos_e6") < 500000L, 1L).otherwise(0L))
+          .as("n_outliers"),
+        min(col("cos_e6")).as("worst_cos_e6"))
+    perLabel
+      .join(scored.selectExpr("label", "cos_e6 AS worst_cos_e6",
+        "vec_id"), Seq("label", "worst_cos_e6"))
+      .groupBy("label", "n_members", "mean_cos_e6", "n_outliers",
+        "worst_cos_e6")
+      .agg(min(col("vec_id")).as("worst_vec_id"))
+      .orderBy("label")
+  }
+
   private def embeddingStats(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "embeddings")
       .selectExpr("posexplode(embedding) AS (dim, val)")
@@ -1434,6 +1483,7 @@ object LlmVector {
     "llm_ann_batch_queries" -> (annBatchQueries _),
     "llm_embedding_stats" -> (embeddingStats _),
     "llm_embedding_pca" -> (embeddingPca _),
+    "llm_cluster_outliers" -> (clusterOutliers _),
     "llm_ann_recall" -> (annRecall _),
     "llm_matryoshka_rerank" -> (matryoshkaRerank _),
     "llm_ann_ivf_persisted" -> (annIvfPersisted _),
@@ -1978,6 +2028,40 @@ object LlmVector {
     "llm_ann_ivf" -> AnnIvfOracle,
     "llm_ann_range" -> AnnRangeOracle,
     "llm_embedding_pca" -> PcaOracle,
+    "llm_cluster_outliers" ->
+      """WITH quant AS (
+           SELECT vec_id, label, d.d AS dim,
+                  CAST(round(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS v
+           FROM embeddings
+           CROSS JOIN (SELECT unnest(range(0, 64)) AS d) d),
+         cent AS (SELECT label, dim,
+                         CAST(round(CAST(sum(v) AS DOUBLE) /
+                           CAST(count(*) AS DOUBLE)) AS BIGINT) AS mu
+                  FROM quant GROUP BY 1, 2),
+         scored AS (
+           SELECT vec_id, q.label,
+                  CAST(round(1000000.0 * CAST(sum(v * mu) AS DOUBLE) /
+                    (sqrt(CAST(greatest(sum(v * v), 1) AS DOUBLE)) *
+                     sqrt(CAST(greatest(sum(mu * mu), 1) AS DOUBLE))))
+                    AS BIGINT) AS cos_e6
+           FROM quant q JOIN cent c USING (label, dim)
+           GROUP BY vec_id, q.label),
+         per AS (
+           SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+                  CAST(round(CAST(sum(cos_e6) AS DOUBLE) /
+                    CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_cos_e6,
+                  CAST(sum(CASE WHEN cos_e6 < 500000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+                  CAST(min(cos_e6) AS BIGINT) AS worst_cos_e6
+           FROM scored GROUP BY label)
+         SELECT p.label, n_members, mean_cos_e6, n_outliers,
+                worst_cos_e6, CAST(min(s.vec_id) AS BIGINT) AS worst_vec_id
+         FROM per p JOIN scored s
+           ON s.label = p.label AND s.cos_e6 = p.worst_cos_e6
+         GROUP BY p.label, n_members, mean_cos_e6, n_outliers,
+                  worst_cos_e6
+         ORDER BY p.label""",
     "llm_embedding_stats" ->
       """WITH v AS (
            SELECT d.d AS dim,

@@ -1001,6 +1001,59 @@ class PropertySpec extends AnyFunSuite {
     assert(auc > 500000L, s"AUC at or below chance: $auc")
   }
 
+  test("Poisson CDF constants equal scaled exp(-1)/k! partial sums") {
+    val e = math.exp(-1.0)
+    var cum = 0.0
+    val expected = (0 to 4).map { k =>
+      cum += e / (1 to k).product.max(1)
+      math.floor(cum * 16777216.0).toLong
+    }
+    assert(expected === Seq(6171992L, 12343985L, 15429982L, 16458647L,
+      16715813L))
+    // the bootstrap CI itself: replay one replica's weights and mean
+    val sfDir = "/root/testdata/sf0.001"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = Tables.t(spark, sfDir, "events")
+      .where(col("event_type") === "purchase")
+      .selectExpr("event_id", "cast(round(value * 100) as bigint) AS x")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def w(id: Long, b: Int): Long = {
+      val hex = md.digest(s"$id#boot#$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      val u = java.lang.Long.parseLong(hex, 16)
+      expected.count(_ <= u).toLong
+    }
+    val means = (0 until 40).map { b =>
+      val (sw, swx) = rows.foldLeft((0L, 0L)) { case ((a, s), (id, x)) =>
+        val wt = w(id, b); (a + wt, s + wt * x)
+      }
+      BigDecimal(100.0 * swx.toDouble / math.max(sw, 1L).toDouble)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.sorted
+    val got = SparkEntry.queries("agg_bootstrap_ci")(spark, sfDir).head()
+    assert(got.getLong(2) === means(1))   // 2nd smallest
+    assert(got.getLong(3) === means(38))  // 2nd largest
+    assert(got.getLong(2) <= got.getLong(3))
+    assert(got.getLong(4) === got.getLong(3) - got.getLong(2))
+  }
+
+  test("cluster outliers score members against their own centroid") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("llm_cluster_outliers")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val labels = Tables.t(spark, sfDir, "embeddings")
+      .selectExpr("label").distinct().count()
+    assert(rows.length.toLong === labels)
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2),
+        "worst cosine cannot exceed the mean")
+      assert(r.getLong(2) <= 1000000L && r.getLong(4) >= -1000000L)
+      assert(r.getLong(3) <= r.getLong(1),
+        "outliers are a subset of members")
+    }
+  }
+
   test("power-iteration PCA equals the sequential fixed-point replay") {
     val sfDir = "/root/testdata/sf0.001"
     val vecs = Tables.t(spark, sfDir, "embeddings")

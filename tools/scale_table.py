@@ -432,6 +432,8 @@ EVIDENCE = {
     "agg_ks_test": (B, "vocab-bound", "both CDFs live on the bounded cents histogram (one count shuffle); D is an integer max over histogram rows"),
     "llm_dedup_auc": (B, "pair-set-bounded", "shares the stratumAgreement audit pass (candidates from band equi-join); AUC itself folds a 13-row score histogram"),
     "stream_quantile_hist": (B, "vocab-bound", "state is the (type, cents) histogram forever — bounded by the value domain; each batch one histogram-keyed merge"),
+    "agg_bootstrap_ci": (B, "linear-scan", "Poisson bootstrap is THE distributed resample: one map pass amplifies each row into 40 weighted contributions that partial-agg into 40 (Σw, Σwx) pairs — shuffle is 40 groups"),
+    "llm_cluster_outliers": (B, "key-cardinality", "centroid table is (labels × 64 dims) and broadcasts; member scoring is one vec-keyed aggregation pass"),
     # ----- L
     "q_flagship": (M, "x8 1.7x (r5)", "the TPC-H-Q3-shaped flagship: broadcast dims, one fact shuffle, top-10 TakeOrdered"),
 }

@@ -423,10 +423,10 @@ EVIDENCE = {
     "agg_mann_whitney": (B, "vocab-bound", "U from the bounded cents histogram (one count shuffle); never ranks or sorts rows — the agg_gini device applied to a rank test"),
     "etl_checksum_audit": (B, "linear-scan", "per-row hash is map-side; one month-keyed count/xor/sum shuffle with map-side combine; output is partition-count rows"),
     "llm_graph_assortativity": (M, "x8 1.8x on 8x edges (r9)", "degree groupBy + two edge-keyed degree joins + a 4-integer global agg — O(edges), the modularity class"),
-    "llm_quality_calibration": (M, "x8 2.7x (r9)", "shares logreg's 3 corpus passes + one heuristic pass; all calibration arithmetic on the <=20-row bin table"),
+    "llm_quality_calibration": (M, "x8 2.7x / x64 9.3x (r9)", "shares logreg's 3 corpus passes + one heuristic pass; all calibration arithmetic on the <=20-row bin table"),
     "win_lttb_downsample": (B, "bounded-series", "one hourly aggregation is the data pass; all selection work on the <= span-hours series with 24-row broadcast bucket stats"),
     "win_holt_linear": (B, "bounded-series", "one (type, hour) aggregation; the level/trend fold runs on the <= span-hours per-type series"),
-    "llm_token_budget_trim": (M, "x8 2.3x (r9)", "quality histogram replaces the per-lang sort; only the single straddling quality level pays a doc-granular pass"),
+    "llm_token_budget_trim": (M, "x8 2.3x / x64 4.2x (r9)", "quality histogram replaces the per-lang sort; only the single straddling quality level pays a doc-granular pass"),
     "llm_embedding_pca": (M, "x8 1.5x (r9)", "3 iterations x (vec-keyed + 64-group dim-keyed) aggregations; weights a 64-row broadcast — the logreg GD communication pattern"),
     "stream_hll_distinct": (B, "state-bounded", "state is one lgK=14 HLL sketch per event type forever; each batch one sketch-agg + sketch-sized union"),
     "agg_ks_test": (B, "vocab-bound", "both CDFs live on the bounded cents histogram (one count shuffle); D is an integer max over histogram rows"),

@@ -1061,7 +1061,65 @@ object Aggregates {
         "CAST(40 AS INT) AS n_replicas")
   }
 
+  /** Pearson corr_e6 from exact integer moments — ONE double
+    * expression with fixed operand order, shared verbatim by the Spark
+    * plan and the DuckDB oracle (string-interpolated into both, so the
+    * two engines cannot drift). greatest(·, 1.0) guards the
+    * zero-variance constant column (div-by-zero is where engines
+    * diverge). The n·Σxy products would brush int64 at the ×8 corpus,
+    * so every moment casts to double FIRST — deterministic, since the
+    * int64 moments themselves are exact. */
+  private def corrE6(sx: String, sy: String, sxx: String, syy: String,
+                     sxy: String): String =
+    s"""CAST(round(1000000.0 *
+         (CAST(n AS DOUBLE) * CAST($sxy AS DOUBLE) -
+          CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE)) /
+         (sqrt(greatest(CAST(n AS DOUBLE) * CAST($sxx AS DOUBLE) -
+            CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE), 1.0)) *
+          sqrt(greatest(CAST(n AS DOUBLE) * CAST($syy AS DOUBLE) -
+            CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE), 1.0))))
+       AS BIGINT)"""
+
+  private val CorrPairs: Seq[(String, String, String)] = Seq(
+    ("quantity~price", "q", "p"), ("quantity~discount", "q", "d"),
+    ("quantity~tax", "q", "x"), ("price~discount", "p", "d"),
+    ("price~tax", "p", "x"), ("discount~tax", "d", "x"))
+
+  /** E. Pairwise correlation matrix over lineitem's numeric columns —
+    * the data-profiling staple every feature store publishes (which
+    * columns co-move; which are redundant before a model sees them).
+    * ALL six pairwise correlations come from ONE corpus pass: the 15
+    * moments (n, 4 sums, 4 sum-of-squares, 6 cross-sums) accumulate as
+    * exact int64 partials (columns quantized to dollars / whole units
+    * / percent so Σx² stays ≤ ~5e16 even at the ×8 corpus) and the
+    * matrix itself is arithmetic on the single moments row — never a
+    * per-pair pass, never a shuffle beyond the global partial agg.
+    * Each corr is the shared [[corrE6]] expression. */
+  private def aggCorrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = t(spark, sfDir, "lineitem")
+      .selectExpr("CAST(round(l_quantity) AS BIGINT) AS q",
+        "CAST(round(l_extendedprice) AS BIGINT) AS p",
+        "CAST(round(l_discount * 100) AS BIGINT) AS d",
+        "CAST(round(l_tax * 100) AS BIGINT) AS x")
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sq"), sum(col("p")).as("sp"),
+        sum(col("d")).as("sd"), sum(col("x")).as("sx"),
+        sum(expr("q * q")).as("sqq"), sum(expr("p * p")).as("spp"),
+        sum(expr("d * d")).as("sdd"), sum(expr("x * x")).as("sxx"),
+        sum(expr("q * p")).as("sqp"), sum(expr("q * d")).as("sqd"),
+        sum(expr("q * x")).as("sqx"), sum(expr("p * d")).as("spd"),
+        sum(expr("p * x")).as("spx"), sum(expr("d * x")).as("sdx"))
+    val rows = CorrPairs.map { case (name, a, b) =>
+      s"'$name', ${corrE6(s"s$a", s"s$b", s"s$a$a", s"s$b$b", s"s$a$b")}"
+    }
+    m.selectExpr("n",
+      s"stack(${CorrPairs.size}, ${rows.mkString(", ")}) AS (pair, corr_e6)")
+      .select("pair", "corr_e6", "n")
+      .orderBy("pair")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_corr_matrix" -> (aggCorrMatrix _),
     "agg_bootstrap_ci" -> (aggBootstrapCi _),
     "agg_ks_test" -> (aggKsTest _),
     "agg_chi_square" -> (aggChiSquare _),
@@ -1103,6 +1161,39 @@ object Aggregates {
     "agg_collect" -> (aggCollect _))
 
   val oracle: Map[String, String] = Map(
+    // Built from the SAME corrE6 expression string and pair list as the
+    // Spark plan — the engines share the arithmetic by construction.
+    "agg_corr_matrix" -> {
+      val selects = CorrPairs.map { case (name, a, b) =>
+        s"""SELECT '$name' AS pair,
+              ${corrE6(s"s$a", s"s$b", s"s$a$a", s"s$b$b", s"s$a$b")}
+              AS corr_e6, n FROM m"""
+      }.mkString(" UNION ALL ")
+      s"""WITH src AS (
+            SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+                   CAST(round(l_extendedprice) AS BIGINT) AS p,
+                   CAST(round(l_discount * 100) AS BIGINT) AS d,
+                   CAST(round(l_tax * 100) AS BIGINT) AS x
+            FROM lineitem),
+          m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(q) AS BIGINT) AS sq,
+                   CAST(sum(p) AS BIGINT) AS sp,
+                   CAST(sum(d) AS BIGINT) AS sd,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(q * q) AS BIGINT) AS sqq,
+                   CAST(sum(p * p) AS BIGINT) AS spp,
+                   CAST(sum(d * d) AS BIGINT) AS sdd,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(q * p) AS BIGINT) AS sqp,
+                   CAST(sum(q * d) AS BIGINT) AS sqd,
+                   CAST(sum(q * x) AS BIGINT) AS sqx,
+                   CAST(sum(p * d) AS BIGINT) AS spd,
+                   CAST(sum(p * x) AS BIGINT) AS spx,
+                   CAST(sum(d * x) AS BIGINT) AS sdx
+            FROM src)
+          SELECT pair, corr_e6, n FROM ($selects) ORDER BY pair"""
+    },
     "agg_bootstrap_ci" ->
       """WITH px AS (
            SELECT event_id, CAST(round(value * 100) AS BIGINT) AS x

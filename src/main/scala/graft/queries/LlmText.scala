@@ -2282,6 +2282,35 @@ object LlmText {
       .orderBy("source", "cap_rank")
 
   // ---------------------------------------------------------------------
+  // llm_feature_hashing — slot-load audit of the hashing-trick
+  // vectorizer (Weinberger et al.): before a pipeline commits to
+  // hashing tokens into a fixed 256-slot feature vector, it audits how
+  // the vocabulary actually lands — tokens per slot, DISTINCT tokens
+  // per slot (the collision load that silently merges features), and
+  // each slot's share. The hash is the md5-prefix device (4 hex chars →
+  // int mod 256), so both engines place every token identically. One
+  // token explode + one 256-group map-side-combined shuffle; the
+  // distinct-token count is vocab-bound per slot. Output is ≤256 rows
+  // at ANY corpus size — the audit never materializes a vector.
+  // ---------------------------------------------------------------------
+  private def featureHashing(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = t(spark, sfDir, "documents")
+      .selectExpr(s"explode(split($NormText, ' ')) AS tok")
+      .selectExpr("tok",
+        """CAST(CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT)
+           % 256 AS INT) AS bucket""")
+    val spec = toks.groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct_tokens"))
+    val tot = spec.agg(sum(col("n_tokens")).as("total"))
+    spec.crossJoin(broadcast(tot))
+      .selectExpr("bucket", "n_tokens", "n_distinct_tokens",
+        "n_distinct_tokens > 1 AS has_collision",
+        "CAST(n_tokens * 1000000 DIV total AS BIGINT) AS load_ppm")
+      .orderBy("bucket")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_token_budget_trim — quality-thresholded data selection under a
   // per-language TOKEN budget (the FineWeb/DCLM-style curation step:
   // "keep the best half of each language's tokens"): docs are taken in
@@ -3566,6 +3595,7 @@ object LlmText {
     "llm_char_entropy" -> (charEntropy _),
     "llm_domain_cap" -> (domainCap _),
     "llm_token_budget_trim" -> (tokenBudgetTrim _),
+    "llm_feature_hashing" -> (featureHashing _),
     "llm_paragraph_dedup" -> (paragraphDedup _),
     "llm_contamination_overlap" -> (contaminationOverlap _),
     "llm_gopher_rules" -> (gopherRules _),
@@ -4330,6 +4360,24 @@ object LlmText {
           FROM rkt WHERE rk <= 3 ORDER BY doc_id, rk""",
     "llm_quality_logreg" -> LogregOracle,
     "llm_quality_calibration" -> CalibrationOracle,
+    "llm_feature_hashing" ->
+      s"""WITH toks AS (
+           SELECT unnest(string_split($DNorm, ' ')) AS tok
+           FROM documents),
+         bucketed AS (
+           SELECT tok,
+                  CAST(CAST(('0x' || substring(md5(tok), 1, 4)) AS BIGINT)
+                    % 256 AS INTEGER) AS bucket
+           FROM toks),
+         spec AS (
+           SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+           FROM bucketed GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM spec)
+         SELECT bucket, n_tokens, n_distinct_tokens,
+                n_distinct_tokens > 1 AS has_collision,
+                CAST(n_tokens * 1000000 // total AS BIGINT) AS load_ppm
+         FROM spec CROSS JOIN tot ORDER BY bucket""",
     "llm_token_budget_trim" ->
       """WITH hq AS (
            SELECT doc_id, lang,

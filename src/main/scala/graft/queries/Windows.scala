@@ -907,7 +907,39 @@ object Windows {
       .orderBy("event_type")
   }
 
+  /** F. First-order Markov transition matrix of user journeys — the
+    * behavioral-model primitive every funnel/recommendation dashboard
+    * computes before any sequence model: P(next event type | current),
+    * estimated from each user's time-ordered event stream. One
+    * user-keyed shuffle carries the lead() window (per-user state only
+    * — the scalable sequence-op shape), transitions reduce to a
+    * (prev, next) count table bounded by types² at ANY corpus size,
+    * and probabilities are exact ppm integer divisions against a
+    * broadcast row-total. Ordering ties break on event_id so both
+    * engines see the identical sequence; the modal next step per state
+    * is a row_number over the bounded matrix. */
+  private def winMarkovTransitions(spark: SparkSession,
+                                   sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = t(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = trans.groupBy("prev_type").agg(sum(col("n")).as("row_tot"))
+    trans.join(broadcast(tot), Seq("prev_type"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("prev_type")
+          .orderBy(col("n").desc, col("next_type"))))
+      .selectExpr("prev_type", "next_type", "n",
+        "CAST(n * 1000000 DIV row_tot AS BIGINT) AS p_ppm",
+        "rk = 1 AS is_modal_next")
+      .orderBy("prev_type", "next_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_markov_transitions" -> (winMarkovTransitions _),
     "win_lttb_downsample" -> (winLttbDownsample _),
     "win_holt_linear" -> (winHoltLinear _),
     "win_theil_sen" -> (winTheilSen _),
@@ -1283,6 +1315,27 @@ object Windows {
                  ORDER BY streak_days DESC, streak_start) AS rk
                FROM streaks)
          WHERE rk = 1 ORDER BY user_id""",
+    "win_markov_transitions" ->
+      """WITH seq AS (
+           SELECT event_type,
+                  lead(event_type, 1) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS next_type
+           FROM events),
+         trans AS (
+           SELECT event_type AS prev_type, next_type,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_tot
+                 FROM trans GROUP BY 1),
+         rk AS (
+           SELECT t.prev_type, t.next_type, t.n, o.row_tot,
+                  row_number() OVER (PARTITION BY t.prev_type
+                    ORDER BY t.n DESC, t.next_type) AS rk
+           FROM trans t JOIN tot o USING (prev_type))
+         SELECT prev_type, next_type, n,
+                CAST(n * 1000000 // row_tot AS BIGINT) AS p_ppm,
+                rk = 1 AS is_modal_next
+         FROM rk ORDER BY prev_type, next_type""",
     "win_lttb_downsample" ->
       """WITH hourly AS (
            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,

@@ -1054,6 +1054,75 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Markov transitions: rows are probability distributions") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("win_markov_transitions")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      // floor-ppm shares sum to <= 1e6 and exactly one modal next
+      assert(rs.map(_.getLong(3)).sum <= 1000000L)
+      assert(rs.count(_.getBoolean(4)) === 1)
+      // the modal row carries the max count
+      val modal = rs.find(_.getBoolean(4)).get
+      assert(modal.getLong(2) === rs.map(_.getLong(2)).max)
+    }
+    // transition conservation: total transitions = total events - one
+    // terminal event per user
+    val ev = Tables.t(spark, sfDir, "events")
+    val expected = ev.count() -
+      ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === expected)
+  }
+
+  test("correlation matrix equals the sequential moments replay") {
+    val sfDir = "/root/testdata/sf0.001"
+    val cols = Tables.t(spark, sfDir, "lineitem")
+      .selectExpr("CAST(round(l_quantity) AS BIGINT) AS q",
+        "CAST(round(l_extendedprice) AS BIGINT) AS p",
+        "CAST(round(l_discount * 100) AS BIGINT) AS d",
+        "CAST(round(l_tax * 100) AS BIGINT) AS x")
+      .collect().map(r => Map("q" -> r.getLong(0), "p" -> r.getLong(1),
+        "d" -> r.getLong(2), "x" -> r.getLong(3)))
+    val n = cols.length.toDouble
+    def corr(a: String, b: String): Long = {
+      val sa = cols.map(_(a)).sum.toDouble
+      val sb = cols.map(_(b)).sum.toDouble
+      val saa = cols.map(m => m(a) * m(a)).sum.toDouble
+      val sbb = cols.map(m => m(b) * m(b)).sum.toDouble
+      val sab = cols.map(m => m(a) * m(b)).sum.toDouble
+      BigDecimal(1e6 * (n * sab - sa * sb) /
+        (math.sqrt(math.max(n * saa - sa * sa, 1.0)) *
+         math.sqrt(math.max(n * sbb - sb * sb, 1.0))))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val expected = Map(
+      "quantity~price" -> corr("q", "p"),
+      "quantity~discount" -> corr("q", "d"),
+      "quantity~tax" -> corr("q", "x"),
+      "price~discount" -> corr("p", "d"),
+      "price~tax" -> corr("p", "x"),
+      "discount~tax" -> corr("d", "x"))
+    val got = SparkEntry.queries("agg_corr_matrix")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    got.values.foreach(c => assert(math.abs(c) <= 1000000L))
+  }
+
+  test("feature hashing audit conserves the token mass") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("llm_feature_hashing")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 256)
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) < 256)
+      assert(r.getLong(2) <= r.getLong(1),
+        "distinct tokens cannot exceed token count")
+      assert(r.getBoolean(3) === (r.getLong(2) > 1L))
+    }
+    assert(rows.map(_.getLong(4)).sum <= 1000000L)
+  }
+
   test("power-iteration PCA equals the sequential fixed-point replay") {
     val sfDir = "/root/testdata/sf0.001"
     val vecs = Tables.t(spark, sfDir, "embeddings")

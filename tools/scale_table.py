@@ -434,6 +434,9 @@ EVIDENCE = {
     "stream_quantile_hist": (B, "vocab-bound", "state is the (type, cents) histogram forever — bounded by the value domain; each batch one histogram-keyed merge"),
     "agg_bootstrap_ci": (B, "linear-scan", "Poisson bootstrap is THE distributed resample: one map pass amplifies each row into 40 weighted contributions that partial-agg into 40 (Σw, Σwx) pairs — shuffle is 40 groups"),
     "llm_cluster_outliers": (B, "key-cardinality", "centroid table is (labels × 64 dims) and broadcasts; member scoring is one vec-keyed aggregation pass"),
+    "win_markov_transitions": (B, "key-cardinality", "the lead() window is user-keyed (per-user state only); the transition matrix is <= types² rows at any corpus size"),
+    "agg_corr_matrix": (B, "linear-scan", "all six correlations from ONE pass of 15 int64 moment partials; the matrix is arithmetic on a single row"),
+    "llm_feature_hashing": (B, "vocab-bound", "one token explode + one 256-group map-side-combined shuffle; per-slot distinct state is vocabulary-bounded"),
     # ----- L
     "q_flagship": (M, "x8 1.7x (r5)", "the TPC-H-Q3-shaped flagship: broadcast dims, one fact shuffle, top-10 TakeOrdered"),
 }

@@ -20,6 +20,16 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)
+    // Same treatment for the streaming micro-batch planner (VERDICT r9
+    // #4): every streaming key runs with AQE force-disabled by Spark
+    // itself (stateful workloads), and ResolveWriteToStream /
+    // MicroBatchExecution emit one "AQE not supported" warning per
+    // micro-batch — hundreds of identical lines burying the bench tail.
+    // Real failures still surface: level stays ERROR, and the queries
+    // themselves throw on error (reported via the -1 convention below).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.runtime",
+      org.apache.logging.log4j.Level.ERROR)
     // Warm up codegen/JIT/file-listing paths so the first measured query
     // isn't charged session startup; run keys in sorted order so timings
     // are attributable run-to-run.
@@ -84,17 +94,31 @@ object Bench {
       try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(p))).trim
       catch { case scala.util.control.NonFatal(_) => "" }
-    def ambient(): (String, String) = {
-      val load1 = procRead("/proc/loadavg")
-        .split("\\s+").headOption.filter(_.nonEmpty).getOrElse("-1")
-      val psi = procRead("/proc/pressure/cpu").linesIterator
+    def psi10(resource: String): String =
+      procRead(s"/proc/pressure/$resource").linesIterator
         .find(_.startsWith("some"))
         .flatMap(_.split("\\s+").collectFirst {
           case s if s.startsWith("avg10=") => s.stripPrefix("avg10=")
         })
         .getOrElse("-1")
-      (load1, psi)
-    }
+    // io + memory PSI joined cpu (VERDICT r9 #1): the r9 driver bench
+    // recorded 8-39 s episodes on two keys while load1/cpu-PSI read
+    // idle — CPU telemetry is blind to disk/page-cache contention (the
+    // oracle sweep finishing minutes earlier). io/mem avg10 make that
+    // episode class attributable from the artifact alone.
+    def ambient(): (String, String, String, String) =
+      (procRead("/proc/loadavg")
+        .split("\\s+").headOption.filter(_.nonEmpty).getOrElse("-1"),
+        psi10("cpu"), psi10("io"), psi10("memory"))
+    // Cumulative bytes this process actually read from the storage layer
+    // (/proc/self/io read_bytes — NOT rchar: page-cache hits don't
+    // count, so a per-run delta directly measures cold-file IO). Bracketed
+    // per run like gcMillis; an episode key whose slow run shows a
+    // read_bytes spike is page-cache eviction, case closed.
+    def diskReadBytes(): Long =
+      procRead("/proc/self/io").linesIterator
+        .find(_.startsWith("read_bytes:"))
+        .map(_.stripPrefix("read_bytes:").trim.toLong).getOrElse(-1L)
     // Mutating-fixture keys (VERDICT r8 #5): the op mutates its staged
     // copy (vacuum deletes versions, backfill repairs partitions), so
     // the combined builder re-stages per invocation and the bench
@@ -121,17 +145,21 @@ object Bench {
           case None => () => { fn(spark, sfDir).count(); () }
         }
         val g0 = gcMillis()
+        val r0 = diskReadBytes()
         val t0 = System.nanoTime()
         try {
           op()
           val dt = (System.nanoTime() - t0) / 1e9
-          val (l1, psi) = ambient()
-          (dt, gcMillis() - g0, l1, psi)
+          val rd = diskReadBytes() match {
+            case -1L => -1L; case r1 => math.max(0L, r1 - r0)
+          }
+          val (l1, cpu, io, mem) = ambient()
+          (dt, gcMillis() - g0, l1, cpu, io, mem, rd)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           // a broken query must be visible, not a fake fast time
-          val (l1, psi) = ambient()
-          (-1.0, 0L, l1, psi)
+          val (l1, cpu, io, mem) = ambient()
+          (-1.0, 0L, l1, cpu, io, mem, -1L)
         }
       }
       val times = samples.map(_._1)
@@ -164,7 +192,10 @@ object Bench {
       // emitted bare so the artifact stays numerically comparable
       val ls = ss.map(_._3).mkString("[", ",", "]")
       val ps = ss.map(_._4).mkString("[", ",", "]")
-      s"""\"$k\":{"times_sec":$ts,"gc_ms":$gs,"load1":$ls,"cpu_psi10":$ps}"""
+      val ios = ss.map(_._5).mkString("[", ",", "]")
+      val ms = ss.map(_._6).mkString("[", ",", "]")
+      val rds = ss.map(_._7).mkString("[", ",", "]")
+      s"""\"$k\":{"times_sec":$ts,"gc_ms":$gs,"load1":$ls,"cpu_psi10":$ps,"io_psi10":$ios,"mem_psi10":$ms,"disk_read_bytes":$rds}"""
     }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_key":$runs,"runs_detail":$det}"""

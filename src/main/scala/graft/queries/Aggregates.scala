@@ -920,8 +920,13 @@ object Aggregates {
     * Rank-biserial effect size r = 1 − 2U/(n1n2) rides the same exact
     * integers. */
   private def aggMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    // value IS NOT NULL: a NULL value would mint a v=NULL histogram
+    // bucket, and the cumulative window's ORDER BY v places NULLs
+    // FIRST in Spark but LAST in DuckDB, shifting every cum count —
+    // the stated-assumption-made-executable convention (win_attr).
     val hist = t(spark, sfDir, "events")
-      .where(col("event_type").isin("purchase", "click"))
+      .where(col("event_type").isin("purchase", "click") &&
+        col("value").isNotNull)
       .selectExpr("cast(round(value * 100) as bigint) AS v",
         "event_type = 'purchase' AS is_a")
       .groupBy("v")
@@ -973,8 +978,11 @@ object Aggregates {
     * double expression over exact integers, rounded once. One
     * data-sized count shuffle; everything else histogram-sized. */
   private def aggKsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    // value IS NOT NULL: same NULL-bucket window-order guard as
+    // [[aggMannWhitney]] — Spark orders NULLs first, DuckDB last.
     val hist = t(spark, sfDir, "events")
-      .where(col("event_type").isin("purchase", "click"))
+      .where(col("event_type").isin("purchase", "click") &&
+        col("value").isNotNull)
       .selectExpr("cast(round(value * 100) as bigint) AS v",
         "event_type = 'purchase' AS is_a")
       .groupBy("v")
@@ -1241,6 +1249,7 @@ object Aggregates {
                   CAST(sum(CASE WHEN event_type <> 'purchase'
                                 THEN 1 ELSE 0 END) AS BIGINT) AS b_c
            FROM events WHERE event_type IN ('purchase', 'click')
+             AND value IS NOT NULL
            GROUP BY 1),
          tot AS (SELECT CAST(sum(a_c) AS BIGINT) AS n1,
                         CAST(sum(b_c) AS BIGINT) AS n2 FROM hist),
@@ -1308,6 +1317,7 @@ object Aggregates {
                   CAST(sum(CASE WHEN event_type <> 'purchase'
                                 THEN 1 ELSE 0 END) AS BIGINT) AS b_c
            FROM events WHERE event_type IN ('purchase', 'click')
+             AND value IS NOT NULL
            GROUP BY 1),
          cum AS (
            SELECT a_c, b_c,

@@ -46,19 +46,29 @@ object EtlQueries {
   }
 
   /** A. Malformed-row handling: PERMISSIVE parse of a hand-written bad
-    * CSV, corrupt lines preserved in `_corrupt`. No oracle (not a
-    * corpus-derivable result); rows>0 + EtlSpec cover it. */
+    * CSV, corrupt lines preserved in `_corrupt`. Oracle-checked
+    * (VERDICT r9 #3 graduation): the fixture lives at a FIXED path
+    * ([[BadCsvPath]], sfDir-independent — the file is hand-written,
+    * not corpus-derived) so the DuckDB twin can read the SAME file and
+    * replay PERMISSIVE semantics with all_varchar + null_padding +
+    * TRY_CAST: a cast-failed or column-short row keeps its parseable
+    * fields and reconstructs the raw line into `_corrupt`. The
+    * reconstruction is concat_ws over the varchar fields — exact for
+    * any malformed line without quoted fields, which this fixture (and
+    * Spark's own quote-stripping of WELL-FORMED rows) guarantees. */
+  private[graft] val BadCsvDir = "/tmp/graft_fixture_badcsv"
   private def scanCsvPermissive(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Fixtures.stagedDir(sfDir, "badcsv") { d =>
-      Files.writeString(Paths.get(d, "bad.csv"),
-        """k,qty,note
-          |1,10.5,ok
-          |2,notanumber,bad-numeric
-          |3,5.0,"quoted,comma"
-          |4,7.25
-          |""".stripMargin)
-      ()
-    }
+    // written idempotently on every call (100 bytes — cheaper than a
+    // cache lookup is worth); the fixed path is what the oracle reads
+    Files.createDirectories(Paths.get(BadCsvDir))
+    Files.writeString(Paths.get(BadCsvDir, "bad.csv"),
+      """k,qty,note
+        |1,10.5,ok
+        |2,notanumber,bad-numeric
+        |3,5.0,"quoted,comma"
+        |4,7.25
+        |""".stripMargin)
+    val dir = BadCsvDir
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("qty", DoubleType),
@@ -1302,6 +1312,28 @@ object EtlQueries {
     "dedup_exact" -> (dedupExact _))
 
   val oracle: Map[String, String] = Map(
+    // VERDICT r9 #3: the last no-oracle key graduates. DuckDB reads the
+    // SAME fixed-path file and replays Spark's PERMISSIVE semantics
+    // independently: all_varchar + null_padding keeps every physical
+    // row; TRY_CAST nulls exactly the unparseable fields; a row is
+    // malformed iff a present field fails its cast OR the row is
+    // column-short (note IS NULL — no well-formed fixture row omits
+    // note), and its `_corrupt` raw line is rebuilt by concat_ws over
+    // the varchar fields (exact whenever the malformed line has no
+    // quoted field — Spark strips quotes only on well-formed rows).
+    "scan_csv_permissive" ->
+      s"""SELECT TRY_CAST(k AS BIGINT) AS k,
+                 TRY_CAST(qty AS DOUBLE) AS qty,
+                 note,
+                 CASE WHEN (k IS NOT NULL AND TRY_CAST(k AS BIGINT) IS NULL)
+                        OR (qty IS NOT NULL
+                            AND TRY_CAST(qty AS DOUBLE) IS NULL)
+                        OR note IS NULL
+                      THEN concat_ws(',', k, qty, note) END AS "_corrupt"
+          FROM read_csv('$BadCsvDir/bad.csv', header=true,
+                 auto_detect=false, null_padding=true,
+                 columns={'k':'VARCHAR','qty':'VARCHAR','note':'VARCHAR'})
+          ORDER BY k NULLS FIRST""",
     // The oracle IS the migration scenario: a second engine recomputes
     // the canonical-row checksum from scratch — count, bit_xor of the
     // identical md5-prefix hash, exact cents total.

@@ -27,7 +27,7 @@ import graft.Tables.t
 object LlmText {
 
   /** Whitespace-normalized, case-folded text. */
-  private val NormText = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+  private[graft] val NormText = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
 
   /** Per-document signature + LSH band hashes: 6 bands of 2 signature
     * rows each — P(candidate) = 1-(1-j²)⁶, ≈1 for j≥0.7 planted dups,
@@ -65,7 +65,7 @@ object LlmText {
     * corpus-wide cached table above and `llm_dedup_eval`'s sampled
     * stratum both derive from this one definition, so the two can
     * never drift. Caller decides persistence. */
-  private def signedOn(docs: DataFrame): DataFrame =
+  private[graft] def signedOn(docs: DataFrame): DataFrame =
     docs
       // Staged projections (tokens → shingles → signature → bands):
       // each step references the previous step's materialized column —
@@ -1969,6 +1969,17 @@ object LlmText {
   // positives. Cost: one shard-keyed count shuffle (64 groups,
   // map-side combined) + arithmetic on 64 rows — the audit is
   // count-shuffle-priced at any corpus size.
+  // Exactness bound: ssd_x4096 = Σ(64·cnt − n)² is int64-exact while
+  // it stays < 2^63. Worst case (one shard holding ALL docs) the sum
+  // is 4032·n², exact up to n ≈ 4.8e7; with every shard within 2× of
+  // the mean it is ≤ 64·n², exact up to n ≈ 3.8e8; a REALISTIC
+  // hash-sharded corpus (dev within a few % of mean) is exact past
+  // 1e10 docs. Beyond the bound the statistic must move to a CV²-e6
+  // per-row-rounded form — NOT a raw double sum, because summing
+  // doubles across 64 distributed rows is order-nondeterministic (the
+  // one float hazard two engines cannot replay identically). The
+  // integer form is the right trade at every tested and every
+  // plausible training-shard scale.
   // ---------------------------------------------------------------------
   private def shardBalance(spark: SparkSession, sfDir: String): DataFrame = {
     val spine = spark.range(0, 64)
@@ -2075,6 +2086,69 @@ object LlmText {
         (max(col("pos")) + lit(4)).as("span_end"),
         count(lit(1)).as("n_grams"))
       .select("doc_id", "span_start", "span_end", "n_grams")
+      .orderBy("doc_id", "span_start")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_span_attribution — the dedup DECISION llm_substring_dedup stops
+  // short of (VERDICT r9 #7: cross-doc substring dedup at span
+  // granularity): the Lee-et-al. ExactSubstr pass doesn't just FIND
+  // duplicated spans, it elects one canonical copy and cuts the rest.
+  // Each maximal duplicated span gets an identity — the md5 of its
+  // position-ordered gram-hash sequence, i.e. the span's exact text
+  // content — so byte-identical spans in different documents collapse
+  // to one group; the group elects the earliest doc_id as keeper and
+  // every other occurrence is marked 'cut' with keeper lineage.
+  // Spans whose extents differ (a doc that shares different parts with
+  // different partners) get distinct fingerprints and keep themselves —
+  // exact-extent matching is the deliberate semantics (cut decisions
+  // must be reciprocal: A cuts its copy only when the keeper holds the
+  // IDENTICAL span).
+  //
+  // Scale shape: everything up to the islands window is
+  // llm_substring_dedup's O(grams) pipeline; the span fingerprint is a
+  // per-(doc, island) ordered fold over DUPLICATED grams only (bounded
+  // by span length — collect_list here is island-sized, never
+  // doc-table-sized), and the keeper election is one span-fp-keyed
+  // aggregation over the span table (dup-span-set-sized, a vanishing
+  // fraction of the corpus). No new corpus pass, no pair join at all —
+  // attribution rides the span identity, which is the trick: grouping
+  // by content hash replaces the quadratic "which docs share this
+  // span" comparison.
+  // ---------------------------------------------------------------------
+  private def spanAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS t")
+      .where(size(col("t")) >= 5)
+      .selectExpr("doc_id",
+        """posexplode(transform(sequence(1, size(t) - 4),
+             i -> md5(concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+                  element_at(t, i + 2), element_at(t, i + 3),
+                  element_at(t, i + 4))))) AS (p0, h)""")
+      .selectExpr("doc_id", "p0 + 1 AS pos", "h")
+    val dupHashes = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select("h")
+    val spans = grams.join(dupHashes, Seq("h"), "left_semi")
+      .withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(4)).as("span_end"),
+        count(lit(1)).as("n_grams"),
+        // pos is unique within a doc, so the struct sort is a total
+        // order and the fingerprint fold is deterministic
+        expr("""md5(concat_ws('|',
+               transform(array_sort(collect_list(struct(pos, h))),
+                         x -> x.h)))""").as("span_fp"))
+    val groups = spans.groupBy("span_fp")
+      .agg(countDistinct(col("doc_id")).as("n_docs_sharing"),
+        min(col("doc_id")).as("keeper_doc"))
+    spans.join(groups, Seq("span_fp"))
+      .selectExpr("doc_id", "span_start", "span_end", "n_grams",
+        "span_fp", "n_docs_sharing", "keeper_doc",
+        "IF(doc_id = keeper_doc, 'keep', 'cut') AS action")
       .orderBy("doc_id", "span_start")
   }
 
@@ -3295,6 +3369,84 @@ object LlmText {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // llm_contamination_direction — per-source contamination DIRECTION on
+  // the BFS reach above (VERDICT r9 #7): a decontamination pipeline
+  // treats the two flows differently — train→eval (the crawl ingested
+  // benchmark text published EARLIER: cut the training doc) vs
+  // eval→train (the benchmark was built from web text that predates it:
+  // flag the benchmark item instead). Eval seeds are the doc_id % 100
+  // == 0 set (llm_contamination_reach's convention); each contaminated
+  // non-seed doc is attributed to its NEAREST seed — min over
+  // (depth, seed_id), packed as ONE int64 key c = depth·10¹² + seed so
+  // the BFS carries a single min-aggregable column and each expansion
+  // hop is literally c + 10¹² (exact while doc_id < 10¹² and
+  // depth ≤ 9·10⁶, true at any conceivable corpus) — and the direction
+  // is the doc_id order of the pair, the crawl-sequence proxy this
+  // corpus has (lower id = crawled earlier): seed < doc means the
+  // benchmark predates the crawl (train→eval ingestion), seed > doc the
+  // reverse. The report is one row per source: contaminated counts by
+  // direction plus the contamination rate of that source's train docs.
+  //
+  // Scale shape: identical to llm_contamination_reach — 3 unrolled BFS
+  // rounds, each ONE edge equi-join + a node-keyed min agg over a
+  // single packed int64 (the direction attribution adds ZERO columns to
+  // the frontier), then one broadcast-sized source join and a
+  // source-keyed agg. Nothing here is bigger than the edge list.
+  // ---------------------------------------------------------------------
+  private def contaminationDirection(spark: SparkSession,
+                                     sfDir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    val docs = t(spark, sfDir, "documents")
+    val T = 1000000000000L // depth stride: c = depth*T + seed
+    var reached = docs
+      .where(col("doc_id") % 100 === 0)
+      .selectExpr("doc_id AS node", "doc_id AS c")
+      .localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      val expanded = edges
+        .join(reached.select(col("node").as("src"), col("c")), Seq("src"))
+        .select(col("dst").as("node"), (col("c") + lit(T)).as("c"))
+      reached = reached.unionByName(expanded)
+        .groupBy("node").agg(min(col("c")).as("c"))
+        .localCheckpoint(true)
+    }
+    val contaminated = reached
+      .selectExpr("node", s"CAST(c DIV $T AS INT) AS depth",
+        s"c % $T AS seed")
+      .where(col("depth") > 0) // seeds keep their own (0, self) entry
+      .join(docs.select(col("doc_id").as("node"), col("source")),
+        Seq("node"))
+    val trainTotals = docs.where(col("doc_id") % 100 =!= 0)
+      .groupBy("source").agg(count(lit(1)).as("n_train_docs"))
+    contaminated
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_contaminated"),
+        sum(when(col("seed") < col("node"), 1L).otherwise(0L))
+          .as("n_train_to_eval"),
+        sum(when(col("seed") > col("node"), 1L).otherwise(0L))
+          .as("n_eval_to_train"),
+        min(col("depth")).cast("int").as("min_depth"),
+        max(col("depth")).cast("int").as("max_depth"))
+      .join(trainTotals, Seq("source"), "right_outer")
+      .selectExpr("source", "n_train_docs",
+        "coalesce(n_contaminated, 0) AS n_contaminated",
+        "coalesce(n_train_to_eval, 0) AS n_train_to_eval",
+        "coalesce(n_eval_to_train, 0) AS n_eval_to_train",
+        "coalesce(min_depth, 0) AS min_depth",
+        "coalesce(max_depth, 0) AS max_depth",
+        // greatest(.., 1): an all-eval source would have zero train
+        // docs — Spark DIV 0 yields NULL while DuckDB //0 raises (the
+        // win_seasonal_profile degenerate-data guard class)
+        """coalesce(n_contaminated, 0) * 1000000
+           DIV greatest(n_train_docs, 1) AS contamination_ppm""")
+      .orderBy("source")
+  }
+
   /** Confusion row (n_truth, n_pred, tp, precision_ppm, recall_ppm)
     * between a truth pair set and a predicted pair set — shared by the
     * two simhash audits so their reports cannot drift in shape. */
@@ -3618,6 +3770,7 @@ object LlmText {
     "llm_pagerank" -> (pageRank _),
     "llm_label_propagation" -> (labelPropagation _),
     "llm_contamination_reach" -> (contaminationReach _),
+    "llm_contamination_direction" -> (contaminationDirection _),
     "llm_knn_graph" -> (knnGraph _),
     "llm_graph_hits" -> (graphHits _),
     "llm_graph_linkpred" -> (graphLinkPred _),
@@ -3656,6 +3809,7 @@ object LlmText {
     "llm_fingerprint" -> (fingerprint _),
     "llm_winnow_fingerprint" -> (winnowFingerprint _),
     "llm_substring_dedup" -> (substringDedup _),
+    "llm_span_attribution" -> (spanAttribution _),
     "llm_quality_classifier" -> (qualityClassifier _),
     "llm_mix_resample" -> (mixResample _),
     "llm_decontaminate_bloom" -> (decontaminateBloom _),
@@ -3665,6 +3819,24 @@ object LlmText {
     * same md5 inputs, same fold orders, same integer arithmetic — so
     * signatures and scores match bit-for-bit. */
   private val DNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  /** The heuristic quality composite (0.4 length / 0.3 stopword /
+    * 0.3 distinct) in DuckDB, as ONE shared definition interpolated
+    * into the llm_quality_score, llm_quality_calibration and
+    * llm_token_budget_trim oracles — a weight tweak to [[qualityScore]]
+    * now desynchronizes at most one constant, not three inlined copies
+    * (the corrE6/LogregCtes single-source convention). */
+  private val DLenScore = "least(length(text) / 400.0, 1.0)"
+  private val DStopRatio =
+    """len(list_filter(string_split(text, ' '),
+             w -> w IN ('the', 'a', 'of', 'to', 'and')))
+             / len(string_split(text, ' '))"""
+  private val DDistinctRatio =
+    """len(list_distinct(string_split(text, ' ')))
+             / len(string_split(text, ' '))"""
+  private val DQualityComposite: String =
+    s"""(0.4 * $DLenScore +
+         0.3 * (1.0 - $DStopRatio) +
+         0.3 * ($DDistinctRatio))"""
   private val DShingles =
     """CASE WHEN len(string_split(text, ' ')) >= 3 THEN
          list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -3690,6 +3862,35 @@ object LlmText {
        FROM banded a JOIN banded b
          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
         AND a.doc_id < b.doc_id)"""
+
+  /** The incremental-dedup verdict replay — shared VERBATIM by the
+    * batch key (`llm_incremental_dedup`) and its streaming twin
+    * (`stream_incremental_dedup`): the stream maintains the fingerprint
+    * + band index across micro-batches (evens arrive first, odds probe
+    * that state), so its final verdict table must equal the one-shot
+    * batch computation — sharing the oracle string makes the twin
+    * relationship un-driftable. */
+  private[graft] lazy val IncrementalDedupOracle: String =
+    s"""WITH $DPairsEdges,
+          fpx AS (SELECT doc_id, md5($DNorm) AS fp FROM documents),
+          exfp AS (SELECT fp, min(doc_id) AS ex_doc FROM fpx
+                   WHERE doc_id % 2 = 0 GROUP BY 1),
+          incx AS (SELECT doc_id, fp FROM fpx WHERE doc_id % 2 = 1),
+          crossnear AS (
+            SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END
+                     AS inc_doc,
+                   min(CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END)
+                     AS near_of
+            FROM pairs WHERE doc_a % 2 <> doc_b % 2 GROUP BY 1)
+          SELECT i.doc_id,
+                 CASE WHEN e.ex_doc IS NOT NULL THEN 'exact_dup'
+                      WHEN c.near_of IS NOT NULL THEN 'near_dup'
+                      ELSE 'kept' END AS verdict,
+                 coalesce(e.ex_doc, c.near_of) AS dup_of
+          FROM incx i
+          LEFT JOIN exfp e ON i.fp = e.fp
+          LEFT JOIN crossnear c ON i.doc_id = c.inc_doc
+          ORDER BY i.doc_id"""
 
   /** Verified near-dup pairs + the undirected edge list — the oracle
     * twin of `dedupNgramJaccard`'s output, shared by the cluster,
@@ -4100,13 +4301,7 @@ object LlmText {
   private val CalibrationOracle: String =
     s"""$LogregCtes,
         hq AS (
-          SELECT doc_id,
-                 0.4 * least(length(text) / 400.0, 1.0) +
-                 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
-                          w -> w IN ('the', 'a', 'of', 'to', 'and')))
-                          / len(string_split(text, ' '))) +
-                 0.3 * (len(list_distinct(string_split(text, ' ')))
-                          / len(string_split(text, ' '))) AS quality
+          SELECT doc_id, $DQualityComposite AS quality
           FROM documents),
         binned AS (
           SELECT 'logreg' AS scorer,
@@ -4379,14 +4574,9 @@ object LlmText {
                 CAST(n_tokens * 1000000 // total AS BIGINT) AS load_ppm
          FROM spec CROSS JOIN tot ORDER BY bucket""",
     "llm_token_budget_trim" ->
-      """WITH hq AS (
+      s"""WITH hq AS (
            SELECT doc_id, lang,
-                  CAST(round((0.4 * least(length(text) / 400.0, 1.0) +
-                    0.3 * (1.0 - len(list_filter(string_split(text, ' '),
-                             w -> w IN ('the', 'a', 'of', 'to', 'and')))
-                             / len(string_split(text, ' '))) +
-                    0.3 * (len(list_distinct(string_split(text, ' ')))
-                             / len(string_split(text, ' '))))
+                  CAST(round($DQualityComposite
                     * 1000000.0) AS BIGINT) AS q_e6,
                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
            FROM documents),
@@ -4654,27 +4844,7 @@ object LlmText {
                                0), 0) AS BIGINT)
                    AS recall_ppm
           FROM m""",
-    "llm_incremental_dedup" ->
-      s"""WITH $DPairsEdges,
-          fpx AS (SELECT doc_id, md5($DNorm) AS fp FROM documents),
-          exfp AS (SELECT fp, min(doc_id) AS ex_doc FROM fpx
-                   WHERE doc_id % 2 = 0 GROUP BY 1),
-          incx AS (SELECT doc_id, fp FROM fpx WHERE doc_id % 2 = 1),
-          crossnear AS (
-            SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END
-                     AS inc_doc,
-                   min(CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END)
-                     AS near_of
-            FROM pairs WHERE doc_a % 2 <> doc_b % 2 GROUP BY 1)
-          SELECT i.doc_id,
-                 CASE WHEN e.ex_doc IS NOT NULL THEN 'exact_dup'
-                      WHEN c.near_of IS NOT NULL THEN 'near_dup'
-                      ELSE 'kept' END AS verdict,
-                 coalesce(e.ex_doc, c.near_of) AS dup_of
-          FROM incx i
-          LEFT JOIN exfp e ON i.fp = e.fp
-          LEFT JOIN crossnear c ON i.doc_id = c.inc_doc
-          ORDER BY i.doc_id""",
+    "llm_incremental_dedup" -> IncrementalDedupOracle,
     "llm_bm25_score" ->
       s"""$Bm25Cte
           SELECT doc_id, n_matched, score FROM bm ORDER BY doc_id""",
@@ -5420,6 +5590,54 @@ object LlmText {
             FROM sym)
           SELECT src, rk, nbr, jaccard FROM ranked
           WHERE rk <= 3 ORDER BY src, rk""",
+    "llm_contamination_direction" ->
+      s"""WITH $DPairsEdges,
+          r0 AS (SELECT doc_id AS node, CAST(doc_id AS BIGINT) AS c
+                 FROM documents WHERE doc_id % 100 = 0),
+          r1 AS (SELECT node, min(c) AS c FROM (
+                   SELECT node, c FROM r0
+                   UNION ALL
+                   SELECT e.dst, r.c + 1000000000000 FROM r0 r
+                   JOIN edges e ON r.node = e.src) GROUP BY node),
+          r2 AS (SELECT node, min(c) AS c FROM (
+                   SELECT node, c FROM r1
+                   UNION ALL
+                   SELECT e.dst, r.c + 1000000000000 FROM r1 r
+                   JOIN edges e ON r.node = e.src) GROUP BY node),
+          r3 AS (SELECT node, min(c) AS c FROM (
+                   SELECT node, c FROM r2
+                   UNION ALL
+                   SELECT e.dst, r.c + 1000000000000 FROM r2 r
+                   JOIN edges e ON r.node = e.src) GROUP BY node),
+          cont AS (SELECT r.node,
+                          CAST(c // 1000000000000 AS INTEGER) AS depth,
+                          c % 1000000000000 AS seed, d.source
+                   FROM r3 r JOIN documents d ON r.node = d.doc_id
+                   WHERE c // 1000000000000 > 0),
+          tt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_train_docs
+                 FROM documents WHERE doc_id % 100 <> 0 GROUP BY 1),
+          agg AS (SELECT source,
+                         CAST(count(*) AS BIGINT) AS n_contaminated,
+                         CAST(sum(CASE WHEN seed < node THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_train_to_eval,
+                         CAST(sum(CASE WHEN seed > node THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_eval_to_train,
+                         CAST(min(depth) AS INTEGER) AS min_depth,
+                         CAST(max(depth) AS INTEGER) AS max_depth
+                  FROM cont GROUP BY 1)
+          SELECT t.source, n_train_docs,
+                 coalesce(n_contaminated, CAST(0 AS BIGINT))
+                   AS n_contaminated,
+                 coalesce(n_train_to_eval, CAST(0 AS BIGINT))
+                   AS n_train_to_eval,
+                 coalesce(n_eval_to_train, CAST(0 AS BIGINT))
+                   AS n_eval_to_train,
+                 coalesce(min_depth, 0) AS min_depth,
+                 coalesce(max_depth, 0) AS max_depth,
+                 CAST(coalesce(n_contaminated, 0) * 1000000
+                      // greatest(n_train_docs, 1) AS BIGINT)
+                   AS contamination_ppm
+          FROM tt t LEFT JOIN agg USING (source) ORDER BY t.source""",
     "llm_contamination_reach" ->
       s"""WITH $DPairsEdges,
           r0 AS (SELECT doc_id AS node, 0 AS depth FROM documents
@@ -5674,22 +5892,15 @@ object LlmText {
                   AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
     "llm_quality_score" ->
-      """SELECT doc_id, lang, len_score, stop_ratio, distinct_ratio,
-                0.4 * len_score + 0.3 * (1.0 - stop_ratio)
-                  + 0.3 * distinct_ratio AS quality,
-                CASE WHEN 0.4 * len_score + 0.3 * (1.0 - stop_ratio)
-                          + 0.3 * distinct_ratio >= 0.75 THEN 'keep'
-                     WHEN 0.4 * len_score + 0.3 * (1.0 - stop_ratio)
-                          + 0.3 * distinct_ratio >= 0.55 THEN 'review'
+      s"""SELECT doc_id, lang,
+                $DLenScore AS len_score,
+                $DStopRatio AS stop_ratio,
+                $DDistinctRatio AS distinct_ratio,
+                $DQualityComposite AS quality,
+                CASE WHEN $DQualityComposite >= 0.75 THEN 'keep'
+                     WHEN $DQualityComposite >= 0.55 THEN 'review'
                      ELSE 'drop' END AS verdict
-         FROM (SELECT doc_id, lang,
-                      least(length(text) / 400.0, 1.0) AS len_score,
-                      len(list_filter(string_split(text, ' '),
-                            w -> w IN ('the', 'a', 'of', 'to', 'and')))
-                        / len(string_split(text, ' ')) AS stop_ratio,
-                      len(list_distinct(string_split(text, ' ')))
-                        / len(string_split(text, ' ')) AS distinct_ratio
-               FROM documents)
+         FROM documents
          ORDER BY doc_id""",
     "llm_lang_id" ->
       """WITH toks AS (
@@ -5731,6 +5942,41 @@ object LlmText {
                                         t[1:1]) AS BIGINT))),
                    (acc, v) -> (acc * 31 + v) % 1000000007) AS rolling_fp
           FROM documents ORDER BY doc_id""",
+    "llm_span_attribution" ->
+      """WITH g AS (
+           SELECT doc_id, s.pos AS pos, s.h AS h FROM (
+             SELECT doc_id,
+                    unnest([{'pos': i,
+                             'h': md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  || ' ' || t[i+3] || ' ' || t[i+4])}
+                            FOR i IN range(1, len(t) - 3)]) AS s
+             FROM (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents)
+             WHERE len(t) >= 5)),
+         d AS (SELECT * FROM g WHERE h IN (
+                 SELECT h FROM g GROUP BY h
+                 HAVING count(DISTINCT doc_id) >= 2)),
+         isl AS (SELECT doc_id, pos, h,
+                        pos - row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY pos) AS grp
+                 FROM d),
+         sp AS (SELECT doc_id, min(pos) AS span_start,
+                       max(pos) + 4 AS span_end,
+                       count(*) AS n_grams,
+                       md5(array_to_string(list(h ORDER BY pos), '|'))
+                         AS span_fp
+                FROM isl GROUP BY doc_id, grp),
+         grp AS (SELECT span_fp,
+                        CAST(count(DISTINCT doc_id) AS BIGINT)
+                          AS n_docs_sharing,
+                        min(doc_id) AS keeper_doc
+                 FROM sp GROUP BY 1)
+         SELECT doc_id, span_start, span_end, n_grams, span_fp,
+                n_docs_sharing, keeper_doc,
+                CASE WHEN doc_id = keeper_doc THEN 'keep' ELSE 'cut' END
+                  AS action
+         FROM sp JOIN grp USING (span_fp)
+         ORDER BY doc_id, span_start""",
     "llm_substring_dedup" ->
       """WITH g AS (
            SELECT doc_id, s.pos AS pos, s.h AS h FROM (

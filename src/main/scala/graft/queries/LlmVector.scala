@@ -325,8 +325,14 @@ object LlmVector {
   // cosine ≥ SemTau of it. Candidate pairs come from the cell
   // equi-join IDS-ONLY (embeddings re-attach by id afterward), so the
   // pairwise stage is O(Σ cell²) bounded by cell occupancy — never
-  // corpus² — and cell sizes are capped by the index design exactly as
-  // in the ANN path. The one-pass "exists a better-ranked near
+  // corpus² — WHICH HOLDS ONLY UNDER THE k ∝ N RULE: occupancy is
+  // E[cell] ≈ N/k, so a fixed k makes Σ cell² grow as N²/k; production
+  // SemDeDup scales the cluster count with the corpus (~100k clusters
+  // at web scale) to keep N/k — and thus the per-cell pairwise work —
+  // constant. The 16 compile-time centroids are the test-scale
+  // instance of that rule (CellOccupancySpec pins the near-uniform
+  // occupancy the bound relies on; SCALE.md rows name the rule).
+  // The one-pass "exists a better-ranked near
   // neighbor" rule is deterministic and order-free (no greedy
   // sequential sweep), which is what makes it oracle-replayable and
   // shuffle-order-independent at any parallelism.

@@ -260,7 +260,7 @@ object Windows {
       .crossJoin(broadcast(horizon))
       .selectExpr("user_id",
         "CAST(datediff(last_d, first_d) AS INT) AS dur_d",
-        "last_d > date_sub(hmax, 1) AS censored")
+        "last_d >= date_sub(hmax, 1) AS censored")
     val byDay = users.groupBy("dur_d")
       .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("n_deaths"),
         count(lit(1)).as("ending"))
@@ -730,8 +730,10 @@ object Windows {
     * per (type, hour-of-day). One data-sized aggregation keyed by
     * (type, hod) — 24 × |types| output rows at ANY corpus size — plus
     * a type-partitioned window to attach the share denominator
-    * without a second corpus pass. Ratios are exact integer
-    * arithmetic (e6 floor division), so rows are bit-deterministic;
+    * without a second corpus pass. Ratios round through ONE double
+    * multiply+divide (negative-safe: refund-heavy hours can drive
+    * rev_c below zero, where integer DIV truncates in one engine and
+    * floors in the other), so rows are bit-deterministic;
     * the peak flag is a rank-1 test over the exact integer ordering
     * (rev_c DESC, hod ASC), ties broken to the earliest hour the same
     * way in both engines. */
@@ -752,9 +754,13 @@ object Windows {
       // raises, the degenerate-data parity class win_forecast_naive /
       // win_autocorr already guard. Unreachable on current fixtures but
       // the guard keeps the two engines equivalent on ANY input.
+      // Ratios go round-through-double (the agg_gini negative-safe
+      // convention): a refund-heavy hour can make rev_c NEGATIVE, where
+      // integer DIV truncates in Spark but floors in DuckDB; one IEEE
+      // multiply + divide + half-away round is identical in both.
       .selectExpr("event_type", "hod", "n_events",
-        "CAST(rev_c * 1000000 DIV n_events AS BIGINT) AS mean_rev_e6",
-        "CAST(rev_c * 1000000 DIV greatest(type_rev, 1) AS BIGINT) AS share_ppm",
+        "CAST(round(rev_c * 1000000.0 / n_events) AS BIGINT) AS mean_rev_e6",
+        "CAST(round(rev_c * 1000000.0 / greatest(type_rev, 1)) AS BIGINT) AS share_ppm",
         "peak_rk = 1 AS is_peak_hour")
       .orderBy("event_type", "hod")
   }
@@ -1043,9 +1049,10 @@ object Windows {
                     ORDER BY rev_c DESC, hod ASC) AS peak_rk
            FROM byhod)
          SELECT event_type, hod, n_events,
-                CAST(rev_c * 1000000 // n_events AS BIGINT) AS mean_rev_e6,
-                CAST(rev_c * 1000000 // greatest(type_rev, 1) AS BIGINT)
-                  AS share_ppm,
+                CAST(round(rev_c * 1000000.0 / n_events) AS BIGINT)
+                  AS mean_rev_e6,
+                CAST(round(rev_c * 1000000.0 / greatest(type_rev, 1))
+                     AS BIGINT) AS share_ppm,
                 peak_rk = 1 AS is_peak_hour
          FROM w ORDER BY event_type, hod""",
     "win_trend_mann_kendall" ->
@@ -1419,7 +1426,7 @@ object Windows {
            SELECT user_id,
                   CAST(date_diff('day', min(d), max(d)) AS INTEGER)
                     AS dur_d,
-                  max(d) > (SELECT hmax FROM hz) - 1 AS censored
+                  max(d) >= (SELECT hmax FROM hz) - 1 AS censored
            FROM ev GROUP BY user_id),
          byday AS (
            SELECT dur_d,

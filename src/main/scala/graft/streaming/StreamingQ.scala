@@ -1224,7 +1224,108 @@ object StreamingQ {
       .orderBy("dup_id")
   }
 
+  // ---------------------------------------------------------------------
+  // stream_incremental_dedup — the steady-state INTAKE dedup loop as a
+  // stream (VERDICT r9 #7: the streaming twin of llm_incremental_dedup's
+  // batch boundary probe). Deliveries arrive as micro-batches; the
+  // maintained state is the dedup INDEX a production pipeline persists
+  // anyway — normalized-text fingerprints for the exact tier, minhash
+  // signatures + LSH band hashes + shingle sets for the near tier — and
+  // each batch (1) probes the PRE-batch index for its verdicts
+  // (exact > near precedence, min-id lineage, exactly the batch key's
+  // rules), then (2) merges its own rows in. Evens arrive as micro-batch
+  // 0 (the "existing corpus"), odds as micro-batch 1 (the "incoming
+  // crawl"), so the final verdict table over odd docs must EQUAL the
+  // one-shot llm_incremental_dedup — the two keys share ONE oracle
+  // string (LlmText.IncrementalDedupOracle), making "maintained state ==
+  // batch twin" the checked property, not prose. Index + verdict
+  // snapshots both use the batchId-keyed idempotent chain
+  // (_SUCCESS-guarded: a retried micro-batch reuses its committed
+  // snapshot instead of double-merging). Signatures come from
+  // LlmText.signedOn — the ONE definition the whole batch LSH family
+  // uses, so the twin cannot drift from it.
+  //
+  // Scale: per batch, the exact probe is a fingerprint equi-join
+  // (incoming × index-bucket), the near probe explodes 6 bands and
+  // equi-joins the index's bands (O(incoming × bucket occupancy) — the
+  // streaming equivalent of the batch band join), and the Jaccard
+  // verify re-attaches shingles BY ID after candidate generation, so
+  // no exchange ever carries shingle arrays for non-candidates. State
+  // is the index itself: it grows with the CORPUS (a dedup index is
+  // the product), not with stream length, and lives as parquet
+  // (RocksDB/Delta at scale), partition-parallel on its keys.
+  // ---------------------------------------------------------------------
+  private def streamIncrementalDedup(spark: SparkSession,
+                                     sfDir: String): DataFrame = {
+    val srcDir = stagedDocsHalves(spark, sfDir)
+    val snapRoot = freshDir("graft_stream_incded_t_")
+    val verdictRoot = freshDir("graft_stream_incded_v_")
+    var cur = s"$snapRoot/b_init"
+    spark.range(0).selectExpr("id AS doc_id", "'' AS fp",
+      "array('') AS sh", "array('') AS sig", "array('') AS bands")
+      .write.mode("overwrite").parquet(cur)
+    val src = spark.readStream.schema(Schemas.documents)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val next = s"$snapRoot/b$batchId"
+        val vdir = s"$verdictRoot/b$batchId"
+        if (!new java.io.File(next, "_SUCCESS").exists() ||
+            !new java.io.File(vdir, "_SUCCESS").exists()) {
+          val rows = graft.queries.LlmText.signedOn(batch)
+            .join(batch.selectExpr("doc_id",
+              s"md5(${graft.queries.LlmText.NormText}) AS fp"), Seq("doc_id"))
+            .select("doc_id", "fp", "sh", "sig", "bands")
+            .persist() // probed by both tiers, then merged — three reads
+          val index = spark.read.parquet(cur)
+          val exFp = index.groupBy("fp").agg(min(col("doc_id")).as("ex_doc"))
+          val incB = rows.selectExpr("doc_id AS inc_doc",
+            "posexplode(bands) AS (band_idx, band_hash)")
+          val exB = index.selectExpr("doc_id AS ex_doc",
+            "posexplode(bands) AS (band_idx, band_hash)")
+          val near = incB.join(exB, Seq("band_idx", "band_hash"))
+            .select("inc_doc", "ex_doc").distinct()
+            .join(rows.selectExpr("doc_id AS inc_doc", "sh AS sh_i",
+              "sig AS sig_i"), Seq("inc_doc"))
+            .join(index.selectExpr("doc_id AS ex_doc", "sh AS sh_e",
+              "sig AS sig_e"), Seq("ex_doc"))
+            // identical filter-then-verify as dedupNgramJaccard: 12-way
+            // signature agreement >= 3, then exact 3-gram Jaccard >= 0.5
+            .where(expr(
+              """aggregate(zip_with(sig_i, sig_e, (x, y) -> IF(x = y, 1, 0)),
+                           0, (acc, v) -> acc + v)""") >= 3)
+            .where(expr(
+              """size(array_intersect(sh_i, sh_e)) /
+                 (size(sh_i) + size(sh_e) - size(array_intersect(sh_i, sh_e)))
+                 """) >= 0.5)
+            .groupBy("inc_doc").agg(min(col("ex_doc")).as("near_of"))
+          rows.select("doc_id", "fp")
+            .join(exFp, Seq("fp"), "left_outer")
+            .join(near, col("doc_id") === col("inc_doc"), "left_outer")
+            .selectExpr("doc_id",
+              """CASE WHEN ex_doc IS NOT NULL THEN 'exact_dup'
+                      WHEN near_of IS NOT NULL THEN 'near_dup'
+                      ELSE 'kept' END AS verdict""",
+              "coalesce(ex_doc, near_of) AS dup_of")
+            .write.mode("overwrite").parquet(vdir)
+          index.unionByName(rows)
+            .write.mode("overwrite").parquet(next)
+          rows.unpersist()
+        }
+        cur = next
+      }
+      .option("checkpointLocation", freshDir("graft_stream_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$verdictRoot/b*")
+      .where(col("doc_id") % 2 === 1)
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_incremental_dedup" -> (streamIncrementalDedup _),
     "stream_dedup_minhash" -> (streamDedupMinhash _),
     "stream_static_join" -> (streamStaticJoin _),
     "stream_foreach_batch" -> (streamForeachBatch _),
@@ -1276,6 +1377,9 @@ object StreamingQ {
     * sessionization, which is exactly Spark's session_window semantics
     * (end = last event + gap). */
   val oracle: Map[String, String] = Map(
+    // shared VERBATIM with the batch key — see streamIncrementalDedup
+    "stream_incremental_dedup" ->
+      graft.queries.LlmText.IncrementalDedupOracle,
     "stream_dedup_minhash" ->
       s"""WITH ${graft.queries.LlmText.DSigned}
           SELECT doc_b AS dup_id, min(doc_a) AS dup_of FROM cand

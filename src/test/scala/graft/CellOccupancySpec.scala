@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** VERDICT r9 #2 — the k ∝ N rule for the fixed-k similarity tiers,
+  * made executable. The SemDeDup / IVF family's pairwise candidate
+  * stage is O(Σ cell²): that is ≪ N² only while cell occupancy stays
+  * near the uniform N/k — the bound is a property of the INDEX (how
+  * evenly the centroids carve the embedding space), not of Spark.
+  * Production scales k with the corpus (SemDeDup runs ~100k clusters
+  * at web scale) precisely to hold occupancy constant; the 16
+  * compile-time centroids here are the test-scale instance of that
+  * rule (SCALE.md rows for `llm_semdedup` / the `llm_ann_ivf` family /
+  * `llm_embed_cluster` name it). This spec pins the occupancy bound
+  * the O(Σ cell²) argument relies on, on the real test corpus: max
+  * cell ≤ 3× mean and Σ cell² ≤ 3·(N/k)·N. If a centroid-set change
+  * ever collapses the index (most vectors in one cell — quadratic
+  * blowup at scale), this fails loudly instead of surfacing as a
+  * driver-bench regression.
+  *
+  * sf0.01 (500 vectors), not the usual sf0.001: occupancy statistics
+  * on ~50 vectors are too noisy to assert a uniformity factor.
+  */
+class CellOccupancySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("IVF/SemDeDup 16-cell occupancy is near-uniform: the O(sum cell^2) bound holds") {
+    spark.sparkContext.setLogLevel("WARN")
+    // llm_semdedup's output carries the cell assignment of the SAME 16
+    // broadcast-literal centroids the ann_ivf family probes, so one
+    // measurement covers the shared index design.
+    val occ = SparkEntry.queries("llm_semdedup")(spark, "/root/testdata/sf0.01")
+      .groupBy("cell").count()
+      .collect().map(r => r.getLong(1))
+    val k = 16
+    val n = occ.sum
+    val mean = n.toDouble / k
+    assert(occ.length == k,
+      s"only ${occ.length} of $k cells occupied — index is not carving the space")
+    val maxOcc = occ.max
+    assert(maxOcc <= 3.0 * mean,
+      s"max cell occupancy $maxOcc > 3x mean $mean — a skewed index makes " +
+        "the within-cell candidate stage quadratic at scale (k must grow " +
+        "with N; see SCALE.md llm_semdedup row)")
+    val sumSq = occ.map(c => c * c).sum
+    assert(sumSq <= (3.0 * mean * n).toLong,
+      s"sum(cell^2) = $sumSq exceeds 3*(N/k)*N = ${(3.0 * mean * n).toLong} " +
+        "— candidate-pair count is no longer occupancy-bounded")
+  }
+}

@@ -1065,4 +1065,75 @@ class LlmSpec extends AnyFunSuite {
         assert(r.getInt(1) >= r.getInt(2), "NFC never lengthens")
       }
   }
+
+  test("span attribution: identical cross-doc spans share a fingerprint, earliest doc keeps") {
+    // Crafted corpus: docs 1 and 2 embed the IDENTICAL 6-word run
+    // "a b c d e f" in different surrounding contexts (so their maximal
+    // duplicated spans have different OFFSETS but the same content);
+    // doc 3 shares nothing. The decision semantics under test: both
+    // occurrences collapse to one span_fp group, the smaller doc_id is
+    // elected keeper, the other copy is 'cut' — and the cut span's
+    // actual words equal the keeper's span words (content identity, not
+    // just hash identity).
+    val dir = graft.etl.Fixtures.tempDir("graft_span_attr")
+    val rows = Seq(
+      (1L, "u1 u2 a b c d e f u3", "en", "s1"),
+      (2L, "v1 a b c d e f v2 v3", "en", "s2"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9", "en", "s3"))
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmText.defs("llm_span_attribution")(spark, dir).collect()
+    assert(out.length === 2, s"expected exactly the two twin spans, got ${out.length}")
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byDoc.keySet === Set(1L, 2L))
+    val (r1, r2) = (byDoc(1L), byDoc(2L))
+    assert(r1.getAs[String]("span_fp") === r2.getAs[String]("span_fp"))
+    assert(r1.getAs[Long]("n_docs_sharing") === 2L)
+    assert(r1.getAs[Long]("keeper_doc") === 1L && r2.getAs[Long]("keeper_doc") === 1L)
+    assert(r1.getAs[String]("action") === "keep" && r2.getAs[String]("action") === "cut")
+    // extents: doc1 words 3..8, doc2 words 2..7 — same 6 words
+    def words(text: String, from: Int, to: Int): Seq[String] =
+      text.split(" ").slice(from - 1, to)
+    val w1 = words(rows(0)._2, r1.getAs[Int]("span_start"), r1.getAs[Int]("span_end"))
+    val w2 = words(rows(1)._2, r2.getAs[Int]("span_start"), r2.getAs[Int]("span_end"))
+    assert(w1 === Seq("a", "b", "c", "d", "e", "f") && w2 === w1)
+  }
+
+  test("contamination direction: id order of (seed, doc) decides the flow label") {
+    // Crafted corpus: seed 100 (doc_id % 100 == 0) duplicated by the
+    // LATER train doc 150 (the crawl ingested the benchmark:
+    // train->eval), seed 200 duplicated by the EARLIER train doc 50
+    // (the benchmark was built from older web text: eval->train), plus
+    // unrelated fillers. Texts are exact copies so the near-dup tier
+    // finds both edges deterministically.
+    val dir = graft.etl.Fixtures.tempDir("graft_contam_dir")
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight nine"
+    val rows = Seq(
+      (100L, t1, "en", "srcSeed"),
+      (150L, t1, "en", "sA"),
+      (200L, t2, "en", "srcSeed"),
+      (50L, t2, "en", "sB"),
+      (7L, "red green blue cyan magenta yellow black", "en", "sA"),
+      (8L, "lion tiger bear wolf fox otter lynx", "en", "sB"))
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmText.defs("llm_contamination_direction")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("sA")
+    assert(a.getAs[Long]("n_contaminated") === 1L)
+    assert(a.getAs[Long]("n_train_to_eval") === 1L) // 150 > seed 100
+    assert(a.getAs[Long]("n_eval_to_train") === 0L)
+    assert(a.getAs[Int]("min_depth") === 1)
+    val b = out("sB")
+    assert(b.getAs[Long]("n_contaminated") === 1L)
+    assert(b.getAs[Long]("n_train_to_eval") === 0L)
+    assert(b.getAs[Long]("n_eval_to_train") === 1L) // 50 < seed 200
+    // contamination rate: each source has 2 train docs, 1 contaminated
+    assert(a.getAs[Long]("contamination_ppm") === 500000L)
+  }
 }

@@ -215,4 +215,16 @@ class StreamingSpec extends AnyFunSuite {
       assert(r.getBoolean(3), s"estimate out of bound for ${r.getString(0)}")
     }
   }
+
+  test("stream_incremental_dedup equals the one-shot batch key (maintained index == batch twin)") {
+    // The streaming key probes a micro-batch-maintained fp+LSH index
+    // (evens arrive first, odds probe that state); the batch key
+    // computes the same boundary verdicts in one shot. They share one
+    // DuckDB oracle string; this pins the equality inside sbt test too.
+    val streamed = StreamingQ.defs("stream_incremental_dedup")(spark, sfDir)
+    val batch = graft.queries.LlmText.defs("llm_incremental_dedup")(spark, sfDir)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streaming verdicts diverged from the batch twin")
+  }
 }

@@ -270,6 +270,7 @@ EVIDENCE = {
     "stream_foreach_batch": (B, "linear-scan", "per-batch idempotent write; work batch-sized"),
     "stream_merge_upsert": (B, "linear-scan", "per-batch MERGE: cost per batch is batch + affected-file-sized"),
     "stream_dedup_minhash": (M, "x8 3.6x (r7)", "band-hash state grows with distinct docs; per-batch probe work incoming-sized"),
+    "stream_incremental_dedup": (B, "state-bounded", "per-batch: fp equi-join + 6-band probe of the maintained index (incoming x bucket occupancy); index grows with corpus (the product), not stream length; batchId-keyed idempotent snapshots"),
     "stream_ann_index": (B, "state-bounded", "incremental IVF maintenance: state is the cell assignment table, batch work incoming-sized"),
     "stream_incremental_agg": (M, "x8 1.4x (r7)", "per-key running aggregate: key-cardinality-bound state, checkpoint fixed cost dominates"),
     "stream_topk": (B, "state-bounded", "heavy-hitter state k-bounded per group per update"),
@@ -356,9 +357,10 @@ EVIDENCE = {
     "llm_cluster_representative": (B, "key-cardinality", "quality argmax per cluster via cluster-keyed window"),
     "llm_paragraph_dedup": (M, "x8 2.7x (r6)", "paragraph-hash group + doc reconstruction"),
     "llm_substring_dedup": (M, "x8 6.2x / x64 12.0x (r6)", "winnowing-anchor spans; exact span set grows with replicated families"),
+    "llm_span_attribution": (B, "pair-set-bounded", "rides llm_substring_dedup O(grams) pipeline; span fingerprint is island-sized ordered fold over DUPLICATED grams only; keeper election one span-fp-keyed agg (dup-span-set-sized) - content-hash grouping replaces any pair join"),
     "llm_winnow_fingerprint": (M, "x8 6.9x / x64 21.1x (r6)", "fingerprint windows track the corpus, strongly sublinear"),
     "llm_incremental_dedup": (M, "x8 0.8x (r6)", "new batch probes boundary-crossing candidates only"),
-    "llm_semdedup": (M, "x8 3.1x (r5)", "embedding-cluster near-dups above the cosine cut; candidates within cells"),
+    "llm_semdedup": (M, "x8 3.1x (r5)", "embedding-cluster near-dups above the cosine cut; candidates within cells. k PROP N rule: occupancy N/k holds only because production scales cluster count with corpus (SemDeDup: ~100k cells at web scale) — the 16 compile-time centroids are the test-scale instance; CellOccupancySpec pins max cell <= 3x mean"),
     "llm_url_canonicalize": (B, "linear-scan", "per-URL normalization + hash dedup group"),
     "llm_shingle_stream": (B, "linear-scan", "shingle explode shared upstream of the sketch tiers; output shingle-sized"),
     "llm_embed_neardup": (B, "fixed-cut", "explicitly the bounded-corpus brute-force BASELINE; the scale path is llm_embed_neardup_lsh"),
@@ -366,23 +368,24 @@ EVIDENCE = {
     "llm_cosine_pair": (B, "fixed-cut", "fixed pair list broadcast; DotProduct codegen per pair"),
     "llm_topk_similarity": (B, "fixed-cut", "one query broadcast; linear scan + TakeOrdered top-k, zero shuffle"),
     "llm_ann_lsh": (B, "pair-set-bounded", "random-hyperplane buckets; candidates from bucket equi-join (driver headline key, flat across rounds)"),
-    "llm_ann_ivf": (B, "pair-set-bounded", "map-side argmax assignment; candidates only from 2 probed cells"),
-    "llm_ann_ivf_persisted": (B, "pair-set-bounded", "the index-reuse path: persisted assignment table, probe-cell candidates"),
-    "llm_ann_ivf_kmeans": (B, "pair-set-bounded", "centroids from a 4096-row bounded sample (TakeOrdered plan-pinned against driver-collect regression); probe unchanged"),
+    "llm_ann_ivf": (B, "pair-set-bounded", "map-side argmax assignment; candidates only from 2 probed cells. Probed-cell size = N/k only under the k PROP N rule (production grows the cell count with the corpus); CellOccupancySpec pins the shared index's near-uniform occupancy"),
+    "llm_ann_ivf_persisted": (B, "pair-set-bounded", "the index-reuse path: persisted assignment table, probe-cell candidates (same k PROP N occupancy rule as llm_ann_ivf)"),
+    "llm_ann_ivf_kmeans": (B, "pair-set-bounded", "centroids from a 4096-row bounded sample (TakeOrdered plan-pinned against driver-collect regression); probe unchanged (same k PROP N occupancy rule as llm_ann_ivf)"),
     "llm_ann_hamming": (M, "x8 1.2x (r6)", "2x32-bit sign codes; hamming coarse pass bucketed, rerank on survivors"),
     "llm_embedding_quantize": (B, "linear-scan", "per-vector int8 quantize + reconstruction error, map-side"),
     "llm_embedding_pq": (B, "vocab-bound", "codebook trained on a bounded sample; encoding map-side against broadcast codebooks"),
     "llm_ann_pq_adc": (B, "linear-scan", "ADC table broadcast; one map-side scan over codes, TakeOrdered cut"),
-    "llm_ann_ivfpq": (B, "pair-set-bounded", "cell prune then PQ ADC on probed cells only; zero pre-top-k exchange"),
+    "llm_ann_ivfpq": (B, "pair-set-bounded", "cell prune then PQ ADC on probed cells only; zero pre-top-k exchange (same k PROP N occupancy rule as llm_ann_ivf)"),
     "llm_ann_recall": (M, "x8 4.3x (r6)", "brute-force truth scan tracks corpus; audit join stays 10-row"),
     "llm_ann_range": (M, "x8 1.2x (r8)", "probed-cells scan + map-side threshold; emitted set radius-selectivity-sized"),
     "llm_ann_batch_queries": (M, "x8 3.6x (r8)", "whole 5-query batch pays ONE assignment scan; per-query cut on TopKPerGroup"),
     "llm_matryoshka_rerank": (M, "x8 ~1x (r6)", "both stages TakeOrdered cuts"),
     "llm_vector_mean": (B, "linear-scan", "declarative element-wise mean: 64-dim partials per group"),
-    "llm_embed_cluster": (M, "x8 2.8x (r6)", "fixed k-means rounds; assignment map-side vs broadcast centroids"),
+    "llm_embed_cluster": (M, "x8 2.8x (r6)", "fixed k-means rounds; assignment map-side vs broadcast centroids. Within-cluster near-dup pairing rides the same k PROP N occupancy rule as llm_semdedup (k grows with corpus in production)"),
     "llm_knn_graph": (M, "x8 2.5x (r6)", "per-node top-k over LSH candidates"),
     "llm_pagerank": (M, "x8 2.3x (r6)", "3 unrolled O(edges) rounds, localCheckpoint'd"),
     "llm_contamination_reach": (M, "x8 3.0x on 8x edges (r7)", "3 BFS rounds, each one edge equi-join + min-depth re-agg"),
+    "llm_contamination_direction": (B, "edge-rounds", "same 3 BFS rounds as llm_contamination_reach with seed attribution packed into ONE min-aggregable int64 (c = depth*1e12 + seed, hop = c + 1e12) - zero extra frontier columns; final source-keyed agg broadcast-sized"),
     "llm_label_propagation": (M, "x8 2.9x (r6)", "iterative min-label rounds, O(edges) each"),
     "llm_triangle_count": (B, "pair-set-bounded", "oriented wedge join on the near-dup edge set, degree-bounded"),
     "llm_graph_hits": (M, "x8 1.9x on 8x edges (r8)", "3 rounds of one edge equi-join + integer sum; localCheckpoint per round"),

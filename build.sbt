@@ -11,6 +11,25 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// PlanSnapshotSpec recomputes every physical-plan digest and compares
+// against plans_r10.json, which graft.PlanDigest generates in a FRESH
+// JVM. Digests are sensitive to Spark CacheManager state: once any
+// suite persists a shared stage (signature tables, staged pair
+// artifacts), later-built plans show InMemoryTableScan where the
+// committed digest recorded the raw subtree — so the comparison is
+// only deterministic when the spec sees the same cache-registration
+// order as the digest run (both iterate keys sorted). Isolating the
+// spec in its own forked JVM reproduces the digest run's conditions
+// exactly, independent of suite execution order.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / forkOptions).value
+  val (isolated, rest) =
+    tests.partition(_.name == "graft.PlanSnapshotSpec")
+  Seq(
+    Tests.Group("plan-snapshot", isolated, Tests.SubProcess(opts)),
+    Tests.Group("rest", rest, Tests.SubProcess(opts)))
+}
 // Forked `run` output must reach stdout RAW: sbt's default LoggedOutput
 // prefixes every line with "[info] ", which breaks any consumer that
 // json-parses the benchmark summary line from the process tail.

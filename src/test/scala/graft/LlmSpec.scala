@@ -1136,4 +1136,38 @@ class LlmSpec extends AnyFunSuite {
     // contamination rate: each source has 2 train docs, 1 contaminated
     assert(a.getAs[Long]("contamination_ppm") === 500000L)
   }
+
+  test("dedup source matrix: exact pairs point at the keeper, identical-text pairs never count as near") {
+    // Crafted corpus: doc 1 (s1) and doc 2 (s2) byte-identical (exact
+    // tier: one pair 1->2); doc 3 (s2) shares 6 of its 8 3-gram
+    // shingles with both (near tier: pairs 1->3 and 2->3, fp differs);
+    // doc 4 unrelated. The semantics under test: (a) orientation is
+    // id-order (doc_a = earlier = original side), (b) the (2,3) pair
+    // counts under (s2, s2) — near-dup flow within one source is
+    // visible, (c) identical texts never inflate the near tier.
+    val dir = graft.etl.Fixtures.tempDir("graft_src_matrix")
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val near = "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"
+    val rows = Seq(
+      (1L, base, "en", "s1"),
+      (2L, base, "en", "s2"),
+      (3L, near, "en", "s2"),
+      (4L, "q1 q2 q3 q4 q5 q6 q7 q8", "en", "s1"))
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmText.defs("llm_dedup_source_matrix")(spark, dir).collect()
+      .map(r => (r.getAs[String]("src_orig"), r.getAs[String]("src_dup")) -> r)
+      .toMap
+    val s12 = out(("s1", "s2"))
+    assert(s12.getAs[Long]("n_exact") === 1L) // 1 -> 2 byte-identical
+    assert(s12.getAs[Long]("n_near") === 1L)  // 1 -> 3
+    assert(s12.getAs[Long]("n_pairs") === 2L)
+    // s2 has 2 docs, 2 duplicate pairs land on it -> 1e6 ppm
+    assert(s12.getAs[Long]("dup_rate_ppm") === 1000000L)
+    val s22 = out(("s2", "s2"))
+    assert(s22.getAs[Long]("n_near") === 1L && s22.getAs[Long]("n_exact") === 0L)
+    assert(!out.contains(("s1", "s1")), "unrelated doc must not pair")
+  }
 }

@@ -357,6 +357,7 @@ EVIDENCE = {
     "llm_cluster_representative": (B, "key-cardinality", "quality argmax per cluster via cluster-keyed window"),
     "llm_paragraph_dedup": (M, "x8 2.7x (r6)", "paragraph-hash group + doc reconstruction"),
     "llm_substring_dedup": (M, "x8 6.2x / x64 12.0x (r6)", "winnowing-anchor spans; exact span set grows with replicated families"),
+    "llm_dedup_source_matrix": (B, "pair-set-bounded", "exact tier = fp groupBy rejoined to keeper; near tier rides the persisted LSH pipeline; matrix <= sources^2 rows; source lookups are 2-column joins"),
     "llm_span_attribution": (B, "pair-set-bounded", "rides llm_substring_dedup O(grams) pipeline; span fingerprint is island-sized ordered fold over DUPLICATED grams only; keeper election one span-fp-keyed agg (dup-span-set-sized) - content-hash grouping replaces any pair join"),
     "llm_winnow_fingerprint": (M, "x8 6.9x / x64 21.1x (r6)", "fingerprint windows track the corpus, strongly sublinear"),
     "llm_incremental_dedup": (M, "x8 0.8x (r6)", "new batch probes boundary-crossing candidates only"),
@@ -381,15 +382,15 @@ EVIDENCE = {
     "llm_ann_batch_queries": (M, "x8 3.6x (r8)", "whole 5-query batch pays ONE assignment scan; per-query cut on TopKPerGroup"),
     "llm_matryoshka_rerank": (M, "x8 ~1x (r6)", "both stages TakeOrdered cuts"),
     "llm_vector_mean": (B, "linear-scan", "declarative element-wise mean: 64-dim partials per group"),
-    "llm_embed_cluster": (M, "x8 2.8x (r6)", "fixed k-means rounds; assignment map-side vs broadcast centroids. Within-cluster near-dup pairing rides the same k PROP N occupancy rule as llm_semdedup (k grows with corpus in production)"),
+    "llm_embed_cluster": (M, "x8 2.8x (r6) / x64 2.0x (r10)", "connected components (shared labelFixpoint) over the embedding near-dup pairs; since r10 both the pair set (embedPairs) and the labels table are session-staged parquet artifacts, so repeats re-read instead of re-running LSH + fixpoint; the LSH cell design rides the same k PROP N occupancy rule as llm_semdedup"),
     "llm_knn_graph": (M, "x8 2.5x (r6)", "per-node top-k over LSH candidates"),
-    "llm_pagerank": (M, "x8 2.3x (r6)", "3 unrolled O(edges) rounds, localCheckpoint'd"),
-    "llm_contamination_reach": (M, "x8 3.0x on 8x edges (r7)", "3 BFS rounds, each one edge equi-join + min-depth re-agg"),
+    "llm_pagerank": (M, "x8 2.3x (r6) / x64 1.2x (r10)", "3 unrolled O(edges) rounds, localCheckpoint'd; since r10 edges read from the session-staged verifiedPairs parquet (the dedup-log artifact) instead of a per-invocation LSH re-run — x64 steady-state 0.84s"),
+    "llm_contamination_reach": (M, "x8 3.0x on 8x edges (r7)", "3 BFS rounds, each one edge equi-join + min-depth re-agg; edges from staged verifiedPairs since r10"),
     "llm_contamination_direction": (B, "edge-rounds", "same 3 BFS rounds as llm_contamination_reach with seed attribution packed into ONE min-aggregable int64 (c = depth*1e12 + seed, hop = c + 1e12) - zero extra frontier columns; final source-keyed agg broadcast-sized"),
-    "llm_label_propagation": (M, "x8 2.9x (r6)", "iterative min-label rounds, O(edges) each"),
+    "llm_label_propagation": (M, "x8 2.9x (r6)", "iterative min-label rounds, O(edges) each; edges from staged verifiedPairs since r10"),
     "llm_triangle_count": (B, "pair-set-bounded", "oriented wedge join on the near-dup edge set, degree-bounded"),
-    "llm_graph_hits": (M, "x8 1.9x on 8x edges (r8)", "3 rounds of one edge equi-join + integer sum; localCheckpoint per round"),
-    "llm_graph_kcore": (M, "x8 2.4x on 8x edges (r8)", "4 O(edges) peel rounds, the HITS/BFS class"),
+    "llm_graph_hits": (M, "x8 1.9x (r8) / x64 2.6x (r10)", "3 rounds of one edge equi-join + integer sum; localCheckpoint per round; edges from staged verifiedPairs since r10 (x64: 7.3s steady on a 64x edge set)"),
+    "llm_graph_kcore": (M, "x8 2.4x on 8x edges (r8)", "4 O(edges) peel rounds, the HITS/BFS class; edges from staged verifiedPairs since r10"),
     "llm_graph_linkpred": (M, "x8 2.1x / x64 3.9x (r8)", "wedge join O(sum deg^2) with kNN-bounded degrees"),
     "llm_inverted_index": (B, "output-sized", "token-keyed shuffle; serialized postings ARE the output"),
     "llm_tfidf": (B, "vocab-bound", "df table is vocab-sized; scoring joins on token"),
@@ -434,10 +435,10 @@ EVIDENCE = {
     "stream_hll_distinct": (B, "state-bounded", "state is one lgK=14 HLL sketch per event type forever; each batch one sketch-agg + sketch-sized union"),
     "agg_ks_test": (B, "vocab-bound", "both CDFs live on the bounded cents histogram (one count shuffle); D is an integer max over histogram rows"),
     "llm_dedup_auc": (B, "pair-set-bounded", "shares the stratumAgreement audit pass (candidates from band equi-join); AUC itself folds a 13-row score histogram"),
-    "stream_quantile_hist": (B, "vocab-bound", "state is the (type, cents) histogram forever — bounded by the value domain; each batch one histogram-keyed merge"),
+    "stream_quantile_hist": (M, "x64 2.5x (r10)", "state is the (type, cents) histogram forever — bounded by the value domain; each batch one histogram-keyed merge. Measured x64: 1.75 -> 4.3s on 64x events — the vocab bound holds when the 64x corpus widens the value domain"),
     "agg_bootstrap_ci": (B, "linear-scan", "Poisson bootstrap is THE distributed resample: one map pass amplifies each row into 40 weighted contributions that partial-agg into 40 (Σw, Σwx) pairs — shuffle is 40 groups"),
     "llm_cluster_outliers": (B, "key-cardinality", "centroid table is (labels × 64 dims) and broadcasts; member scoring is one vec-keyed aggregation pass"),
-    "win_markov_transitions": (B, "key-cardinality", "the lead() window is user-keyed (per-user state only); the transition matrix is <= types² rows at any corpus size"),
+    "win_markov_transitions": (M, "x64 3.9x (r10)", "the lead() window is user-keyed (per-user state only); the transition matrix is <= types² rows at any corpus size. Measured x64: 0.40 -> 1.5s on 64x events"),
     "agg_corr_matrix": (B, "linear-scan", "all six correlations from ONE pass of 15 int64 moment partials; the matrix is arithmetic on a single row"),
     "llm_feature_hashing": (B, "vocab-bound", "one token explode + one 256-group map-side-combined shuffle; per-slot distinct state is vocabulary-bounded"),
     # ----- L

@@ -1170,4 +1170,17 @@ class LlmSpec extends AnyFunSuite {
     assert(s22.getAs[Long]("n_near") === 1L && s22.getAs[Long]("n_exact") === 0L)
     assert(!out.contains(("s1", "s1")), "unrelated doc must not pair")
   }
+
+  test("span attribution extends llm_substring_dedup: identical span table, added decision columns") {
+    // The attribution key derives from the SAME gram/island pipeline as
+    // llm_substring_dedup — its (doc_id, span_start, span_end, n_grams)
+    // projection must equal that key's output EXACTLY, or the two
+    // views of "what is duplicated" have drifted apart.
+    val spans = LlmText.defs("llm_substring_dedup")(spark, sfDir)
+    val attr = LlmText.defs("llm_span_attribution")(spark, sfDir)
+      .select("doc_id", "span_start", "span_end", "n_grams")
+    assert(spans.count() > 0)
+    assert(attr.exceptAll(spans).isEmpty && spans.exceptAll(attr).isEmpty,
+      "span_attribution's span table drifted from llm_substring_dedup")
+  }
 }

@@ -357,8 +357,8 @@ EVIDENCE = {
     "llm_cluster_representative": (B, "key-cardinality", "quality argmax per cluster via cluster-keyed window"),
     "llm_paragraph_dedup": (M, "x8 2.7x (r6)", "paragraph-hash group + doc reconstruction"),
     "llm_substring_dedup": (M, "x8 6.2x / x64 12.0x (r6)", "winnowing-anchor spans; exact span set grows with replicated families"),
-    "llm_dedup_source_matrix": (M, "x8 5.0x (r10)", "exact tier = fp groupBy rejoined to keeper; near tier rides the persisted LSH pipeline; matrix <= sources^2 rows; source lookups are 2-column joins"),
-    "llm_span_attribution": (M, "x8 5.5x (r10)", "rides llm_substring_dedup O(grams) pipeline; span fingerprint is island-sized ordered fold over DUPLICATED grams only; keeper election one span-fp-keyed agg (dup-span-set-sized) - content-hash grouping replaces any pair join"),
+    "llm_dedup_source_matrix": (M, "x8 5.0x / x64 7.2x (r10)", "exact tier = fp groupBy rejoined to keeper; near tier rides the persisted LSH pipeline; matrix <= sources^2 rows; source lookups are 2-column joins"),
+    "llm_span_attribution": (M, "x8 5.5x / x64 12.7x (r10)", "rides llm_substring_dedup O(grams) pipeline; span fingerprint is island-sized ordered fold over DUPLICATED grams only; keeper election one span-fp-keyed agg (dup-span-set-sized) - content-hash grouping replaces any pair join"),
     "llm_winnow_fingerprint": (M, "x8 6.9x / x64 21.1x (r6)", "fingerprint windows track the corpus, strongly sublinear"),
     "llm_incremental_dedup": (M, "x8 0.8x (r6)", "new batch probes boundary-crossing candidates only"),
     "llm_semdedup": (M, "x8 3.1x (r5)", "embedding-cluster near-dups above the cosine cut; candidates within cells. k PROP N rule: occupancy N/k holds only because production scales cluster count with corpus (SemDeDup: ~100k cells at web scale) — the 16 compile-time centroids are the test-scale instance; CellOccupancySpec pins max cell <= 3x mean"),
@@ -386,7 +386,7 @@ EVIDENCE = {
     "llm_knn_graph": (M, "x8 2.5x (r6)", "per-node top-k over LSH candidates"),
     "llm_pagerank": (M, "x8 2.3x (r6) / x64 1.2x (r10)", "3 unrolled O(edges) rounds, localCheckpoint'd; since r10 edges read from the session-staged verifiedPairs parquet (the dedup-log artifact) instead of a per-invocation LSH re-run — x64 steady-state 0.84s"),
     "llm_contamination_reach": (M, "x8 3.0x on 8x edges (r7)", "3 BFS rounds, each one edge equi-join + min-depth re-agg; edges from staged verifiedPairs since r10"),
-    "llm_contamination_direction": (M, "x8 2.4x (r10)", "same 3 BFS rounds as llm_contamination_reach with seed attribution packed into ONE min-aggregable int64 (c = depth*1e12 + seed, hop = c + 1e12) - zero extra frontier columns; final source-keyed agg broadcast-sized"),
+    "llm_contamination_direction": (M, "x8 2.4x / x64 2.7x (r10)", "same 3 BFS rounds as llm_contamination_reach with seed attribution packed into ONE min-aggregable int64 (c = depth*1e12 + seed, hop = c + 1e12) - zero extra frontier columns; final source-keyed agg broadcast-sized"),
     "llm_label_propagation": (M, "x8 2.9x (r6)", "iterative min-label rounds, O(edges) each; edges from staged verifiedPairs since r10"),
     "llm_triangle_count": (B, "pair-set-bounded", "oriented wedge join on the near-dup edge set, degree-bounded"),
     "llm_graph_hits": (M, "x8 1.9x (r8) / x64 2.6x (r10)", "3 rounds of one edge equi-join + integer sum; localCheckpoint per round; edges from staged verifiedPairs since r10 (x64: 7.3s steady on a 64x edge set)"),

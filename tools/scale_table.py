@@ -270,7 +270,7 @@ EVIDENCE = {
     "stream_foreach_batch": (B, "linear-scan", "per-batch idempotent write; work batch-sized"),
     "stream_merge_upsert": (B, "linear-scan", "per-batch MERGE: cost per batch is batch + affected-file-sized"),
     "stream_dedup_minhash": (M, "x8 3.6x (r7)", "band-hash state grows with distinct docs; per-batch probe work incoming-sized"),
-    "stream_incremental_dedup": (M, "x8 3.6x (r10)", "per-batch: fp equi-join + 6-band probe of the maintained index (incoming x bucket occupancy); index grows with corpus (the product), not stream length; batchId-keyed idempotent snapshots"),
+    "stream_incremental_dedup": (M, "x8 3.6x / x64 22.5x (r10)", "per-batch: signature build over ARRIVING docs (inherently linear in arrivals — it IS the intake op; the two test batches together are the whole corpus, so x64 trends toward linear), then fp equi-join + 6-band probe of the maintained index (incoming x bucket occupancy). Index chain is APPEND-ONLY since r10 (per-batch writes batch-sized, never corpus-sized); batchId-keyed idempotent dirs"),
     "stream_ann_index": (B, "state-bounded", "incremental IVF maintenance: state is the cell assignment table, batch work incoming-sized"),
     "stream_incremental_agg": (M, "x8 1.4x (r7)", "per-key running aggregate: key-cardinality-bound state, checkpoint fixed cost dominates"),
     "stream_topk": (B, "state-bounded", "heavy-hitter state k-bounded per group per update"),

@@ -2162,6 +2162,12 @@ object LlmText {
         expr("""md5(concat_ws('|',
                transform(array_sort(collect_list(struct(pos, h))),
                          x -> x.h)))""").as("span_fp"))
+      // span-set-sized (a vanishing fraction of the corpus) and read
+      // TWICE — by the keeper election and by the final join. Without
+      // the barrier Catalyst re-derives the whole corpus-sized gram
+      // pipeline on BOTH sides of that join (observed in the r10 plan
+      // review); truncated, the second read is a checkpoint scan.
+      .localCheckpoint(true)
     val groups = spans.groupBy("span_fp")
       .agg(countDistinct(col("doc_id")).as("n_docs_sharing"),
         min(col("doc_id")).as("keeper_doc"))

@@ -358,7 +358,7 @@ EVIDENCE = {
     "llm_paragraph_dedup": (M, "x8 2.7x (r6)", "paragraph-hash group + doc reconstruction"),
     "llm_substring_dedup": (M, "x8 6.2x / x64 12.0x (r6)", "winnowing-anchor spans; exact span set grows with replicated families"),
     "llm_dedup_source_matrix": (M, "x8 5.0x / x64 7.2x (r10)", "exact tier = fp groupBy rejoined to keeper; near tier rides the persisted LSH pipeline; matrix <= sources^2 rows; source lookups are 2-column joins"),
-    "llm_span_attribution": (M, "x8 5.5x / x64 12.7x (r10)", "rides llm_substring_dedup O(grams) pipeline; span fingerprint is island-sized ordered fold over DUPLICATED grams only; keeper election one span-fp-keyed agg (dup-span-set-sized) - content-hash grouping replaces any pair join"),
+    "llm_span_attribution": (M, "x8 5.5x / x64 12.2x (r10)", "rides llm_substring_dedup O(grams) pipeline; span fingerprint is island-sized ordered fold over DUPLICATED grams only; keeper election one span-fp-keyed agg (dup-span-set-sized) - content-hash grouping replaces any pair join"),
     "llm_winnow_fingerprint": (M, "x8 6.9x / x64 21.1x (r6)", "fingerprint windows track the corpus, strongly sublinear"),
     "llm_incremental_dedup": (M, "x8 0.8x (r6)", "new batch probes boundary-crossing candidates only"),
     "llm_semdedup": (M, "x8 3.1x (r5)", "embedding-cluster near-dups above the cosine cut; candidates within cells. k PROP N rule: occupancy N/k holds only because production scales cluster count with corpus (SemDeDup: ~100k cells at web scale) — the 16 compile-time centroids are the test-scale instance; CellOccupancySpec pins max cell <= 3x mean"),

@@ -12,7 +12,7 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 // PlanSnapshotSpec recomputes every physical-plan digest and compares
-// against plans_r10.json, which graft.PlanDigest generates in a FRESH
+// against plans_r11.json, which graft.PlanDigest generates in a FRESH
 // JVM. Digests are sensitive to Spark CacheManager state: once any
 // suite persists a shared stage (signature tables, staged pair
 // artifacts), later-built plans show InMemoryTableScan where the

@@ -150,8 +150,12 @@ object Bench {
         try {
           op()
           val dt = (System.nanoTime() - t0) / 1e9
+          // either sample missing → no measurement (a valid post-read
+          // minus a -1 pre-read would emit garbage indistinguishable
+          // from a real delta)
           val rd = diskReadBytes() match {
-            case -1L => -1L; case r1 => math.max(0L, r1 - r0)
+            case r1 if r0 == -1L || r1 == -1L => -1L
+            case r1 => math.max(0L, r1 - r0)
           }
           val (l1, cpu, io, mem) = ambient()
           (dt, gcMillis() - g0, l1, cpu, io, mem, rd)

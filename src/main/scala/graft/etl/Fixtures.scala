@@ -40,12 +40,24 @@ object Fixtures {
     * charges the benchmark the fixture-write cost instead of the scan
     * cost. Sink keys must NOT use this — the write is what they
     * measure. `build` populates the directory exactly once. */
-  def stagedDir(sfDir: String, tag: String)(build: String => Unit): String =
-    stagedCache.computeIfAbsent(s"$sfDir/$tag", { _ =>
+  def stagedDir(sfDir: String, tag: String)(build: String => Unit): String = {
+    // check-then-build-then-publish instead of computeIfAbsent: a
+    // staged artifact whose builder stages ANOTHER artifact (e.g.
+    // embed_cluster_labels → embed_pairs) re-enters this method, and
+    // a nested computeIfAbsent on one ConcurrentHashMap throws
+    // "Recursive update". The non-atomic form is safe here: keys are
+    // built single-threaded per query, and a lost race merely orphans
+    // one duplicate temp staging — the published dir stays unique.
+    val key = s"$sfDir/$tag"
+    val cached = stagedCache.get(key)
+    if (cached != null) cached
+    else {
       val dir = Files.createTempDirectory(s"graft_$tag").toString
       build(dir)
-      dir
-    })
+      val prev = stagedCache.putIfAbsent(key, dir)
+      if (prev != null) prev else dir
+    }
+  }
 
   private val persistedCache =
     new java.util.WeakHashMap[SparkSession,

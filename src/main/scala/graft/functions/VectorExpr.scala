@@ -93,11 +93,128 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All-centroid cosine scores in ONE codegen loop over a plan-constant
+  * k×dim matrix — the IVF/SemDeDup cell-assignment kernel under the
+  * k ∝ N rule (VERDICT r10 #1). The previous formulation built an
+  * `array()` of k per-centroid [[DotProduct]] nodes, which is fine at
+  * k=16 but makes the expression TREE grow with the corpus once
+  * nlist = max(16, n/target_occupancy): at ×64 (k=1024) that is 64k
+  * literal doubles and a megabyte of generated code. Here the matrix
+  * is a single reference object (`ctx.addReferenceObj`), so the
+  * generated code is k-INDEPENDENT — k is runtime data, not expression
+  * shape — and the per-row cost is the honest O(k·dim) fused
+  * multiply-add every IVF assignment pays.
+  *
+  * Output: array<struct<c: double, nid: int>> with c = fold-dot / (nrm
+  * · cnorm(i)) and nid = −i, bit-identical to the per-centroid
+  * [[DotProduct]]/cosine form it replaces (same sequential left fold,
+  * same single division), so `array_max` keeps electing the same cell
+  * with ties toward the smallest centroid id and the DuckDB oracle
+  * replays it unchanged.
+  */
+case class CentroidScores(emb: Expression, nrm: Expression,
+    cents: Array[Array[Double]], cnorms: Array[Double])
+    extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  override def left: Expression = emb
+  override def right: Expression = nrm
+  override def prettyName: String = "graft_centroid_scores"
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("c", DoubleType, nullable = false),
+    StructField("nid", IntegerType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val embOk = emb.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (embOk && nrm.dataType == DoubleType &&
+        cents.length == cnorms.length && cents.nonEmpty)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, double) and a " +
+        s"non-empty centroid matrix with matching norms")
+  }
+
+  private def embFloat: Boolean =
+    emb.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, n: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val nv = n.asInstanceOf[Double]
+    val isF = embFloat
+    val out = new Array[Any](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val ce = cents(c)
+      val m = math.min(arr.numElements(), ce.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        val x = if (isF) arr.getFloat(i).toDouble else arr.getDouble(i)
+        acc += x * ce(i)
+        i += 1
+      }
+      out(c) = new GenericInternalRow(
+        Array[Any](acc / (nv * cnorms(c)), -c))
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, n) => {
+      val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+      val normsRef = ctx.addReferenceObj("cnorms", cnorms, "double[]")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      val ce = ctx.freshName("ce")
+      val getX =
+        if (embFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |Object[] $out = new Object[$centsRef.length];
+         |for (int $c = 0; $c < $centsRef.length; $c++) {
+         |  double[] $ce = $centsRef[$c];
+         |  int $m = java.lang.Math.min($a.numElements(), $ce.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $acc += $getX * $ce[$i];
+         |  }
+         |  $out[$c] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{java.lang.Double.valueOf($acc / ($n * $normsRef[$c])),
+         |                 java.lang.Integer.valueOf(-$c)});
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CentroidScores =
+    copy(emb = newLeft, nrm = newRight)
+}
+
 /** Column-level helpers around [[DotProduct]]. */
 object VectorOps {
   def dot(a: Column, b: Column): Column =
     GraftSqlBridge.toColumn(
       DotProduct(GraftSqlBridge.toExpression(a), GraftSqlBridge.toExpression(b)))
+
+  /** array<struct<c,nid>> of cosine scores against a plan-constant
+    * centroid matrix — see [[CentroidScores]]. */
+  def centroidScores(emb: Column, nrm: Column,
+      cents: Array[Array[Double]], cnorms: Array[Double]): Column =
+    GraftSqlBridge.toColumn(CentroidScores(
+      GraftSqlBridge.toExpression(emb), GraftSqlBridge.toExpression(nrm),
+      cents, cnorms))
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -47,27 +47,37 @@ object EtlQueries {
 
   /** A. Malformed-row handling: PERMISSIVE parse of a hand-written bad
     * CSV, corrupt lines preserved in `_corrupt`. Oracle-checked
-    * (VERDICT r9 #3 graduation): the fixture lives at a FIXED path
-    * ([[BadCsvPath]], sfDir-independent — the file is hand-written,
-    * not corpus-derived) so the DuckDB twin can read the SAME file and
-    * replay PERMISSIVE semantics with all_varchar + null_padding +
-    * TRY_CAST: a cast-failed or column-short row keeps its parseable
-    * fields and reconstructs the raw line into `_corrupt`. The
-    * reconstruction is concat_ws over the varchar fields — exact for
-    * any malformed line without quoted fields, which this fixture (and
-    * Spark's own quote-stripping of WELL-FORMED rows) guarantees. */
-  private[graft] val BadCsvDir = "/tmp/graft_fixture_badcsv"
-  private def scanCsvPermissive(spark: SparkSession, sfDir: String): DataFrame = {
-    // written idempotently on every call (100 bytes — cheaper than a
-    // cache lookup is worth); the fixed path is what the oracle reads
-    Files.createDirectories(Paths.get(BadCsvDir))
-    Files.writeString(Paths.get(BadCsvDir, "bad.csv"),
+    * (VERDICT r9 #3 graduation): the fixture lives at [[BadCsvDir]]
+    * (sfDir-independent — the file is hand-written, not corpus-derived)
+    * and the oracle SQL interpolates that path at dump time, so the
+    * DuckDB twin reads the SAME file and replays PERMISSIVE semantics
+    * with all_varchar + null_padding + TRY_CAST: a cast-failed or
+    * column-short row keeps its parseable fields and reconstructs the
+    * raw line into `_corrupt`. The reconstruction is concat_ws over the
+    * varchar fields — exact for any malformed line without quoted
+    * fields, which this fixture (and Spark's own quote-stripping of
+    * WELL-FORMED rows) guarantees. */
+  private[graft] lazy val BadCsvDir: String = {
+    // staged ONCE per JVM into a private fresh temp dir and published
+    // by atomic move (ADVICE r10: the previous fixed world-readable
+    // /tmp path was rewritten non-atomically per call — a concurrent
+    // reader could see a partial file, and the predictable path was
+    // pre-creatable by another local user). The oracle map is built in
+    // the same JVM, so the interpolated path always names this copy.
+    val d = Files.createTempDirectory("graft_badcsv")
+    val tmp = Files.createTempFile(d, "bad", ".tmp")
+    Files.writeString(tmp,
       """k,qty,note
         |1,10.5,ok
         |2,notanumber,bad-numeric
         |3,5.0,"quoted,comma"
         |4,7.25
         |""".stripMargin)
+    Files.move(tmp, d.resolve("bad.csv"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    d.toString
+  }
+  private def scanCsvPermissive(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = BadCsvDir
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

@@ -113,8 +113,27 @@ object LlmVector {
   private def planeSign(t: Int, p: Int, d: Int): Double =
     OracleFmt.mdParitySign(s"${t}_${p}_$d")
 
-  private def bucketCol(table: Int): Column = {
-    val bits = (0 until 8).map { p =>
+  // bits ∝ log₂ N (VERDICT r10 #1, the LSH face of the k ∝ N rule):
+  // random-hyperplane buckets halve in expected occupancy per added
+  // bit, so holding occupancy at ~8/table means
+  // bits = max(8, bitlength(n / 8)) — a PURE-INTEGER rule (length of
+  // the binary representation) both engines compute exactly, with no
+  // float log to disagree at power-of-two boundaries. The three test
+  // SFs floor at 8 bits (results identical to the fixed-bits era);
+  // ×8 derives 11 bits, ×64 14 bits, keeping the bucket join
+  // O(N · occupancy) instead of N²/2^bits. Production pins bits at
+  // index build from expected corpus size exactly this way (more
+  // tables, not more bits, is the recall dial).
+  private val LshBitsFloor = 8
+  private val LshTargetOcc = 8
+  private def lshBits(spark: SparkSession, sfDir: String): Int = {
+    val n = math.max(1L,
+      t(spark, sfDir, "embeddings").count() / LshTargetOcc)
+    math.max(LshBitsFloor, java.lang.Long.toBinaryString(n).length)
+  }
+
+  private def bucketCol(table: Int, nBits: Int): Column = {
+    val bits = (0 until nBits).map { p =>
       val plane = typedLit(Seq.tabulate(64)(d => planeSign(table, p, d)))
       when(dot(col("embedding"), plane) >= 0, "1").otherwise("0")
     }
@@ -129,10 +148,11 @@ object LlmVector {
     * dedup exchange is ids-only instead of O(candidates × embedding
     * bytes). */
   private def lshScoredCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val nBits = lshBits(spark, sfDir)
     val e = emb(spark, sfDir)
     val long = t(spark, sfDir, "embeddings")
       .select(col("vec_id"),
-        posexplode(array((0 until 4).map(bucketCol): _*))
+        posexplode(array((0 until 4).map(bucketCol(_, nBits)): _*))
           .as(Seq("tbl", "bucket")))
     val a = long.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
     val b = long.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket"))
@@ -370,7 +390,8 @@ object LlmVector {
   private def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
     val assigned = e
-      .withColumn("best", array_max(centScores(col("embedding"), col("nrm"))))
+      .withColumn("best",
+        array_max(centScores(col("embedding"), col("nrm"), ivfK(spark, sfDir))))
       .select(col("vec_id"), (-col("best.nid")).cast("int").as("cell"),
         col("best.c").as("centrality"))
     val a = assigned.select(col("vec_id").as("vec_a"), col("cell"),
@@ -407,7 +428,22 @@ object LlmVector {
   // NO window, NO Exchange anywhere before the final top-k. The only
   // cluster-wide operation in the whole query is TakeOrderedAndProject.
   // ---------------------------------------------------------------------
-  private val IvfK = 16
+  // k ∝ N (VERDICT r10 #1 — the SemDeDup/IVF production rule made
+  // live): nlist = max(16, n / 125). Fixed k makes the per-cell
+  // pairwise/probe work grow as N²/k; scaling k with the corpus keeps
+  // E[occupancy] ≈ 125 — and thus Σ cell² — linear in N. At the three
+  // test SFs (n ≤ 2000) the max floors k at 16 (results identical to
+  // the fixed-k era); the ×8 corpus derives k=128, ×64 k=1024. The
+  // DuckDB oracles compute the SAME rule data-derived
+  // (greatest(16, count(*) // 125) — [[IvfKSql]]), so k is semantics
+  // both engines share, not a Spark-side tuning knob. The count() is
+  // parquet-footer metadata (no data scan), memoized per corpus dir.
+  private val IvfKFloor = 16
+  private val IvfTargetOcc = 125
+  private val ivfKCache = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private[graft] def ivfK(spark: SparkSession, sfDir: String): Int =
+    ivfKCache.getOrElseUpdate(sfDir, math.max(IvfKFloor,
+      (t(spark, sfDir, "embeddings").count() / IvfTargetOcc).toInt))
 
   /** Deterministic ±1 centroid c, dimension d — md5-parity of
     * "c_<c>_<d>" (shared [[OracleFmt.mdParitySign]]; the oracle
@@ -416,16 +452,25 @@ object LlmVector {
   private def centSign(c: Int, d: Int): Double =
     OracleFmt.mdParitySign(s"c_${c}_$d")
 
-  private def centArr(c: Int): Column =
-    typedLit(Seq.tabulate(64)(d => centSign(c, d)))
+  /** Parity-centroid matrix for a given k — memoized so every plan
+    * using the same k shares ONE Array instance (CentroidScores
+    * compares reference-equal matrices for subexpression reuse). */
+  private val parityCentsCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Double]]]
+  private def parityCents(k: Int): Array[Array[Double]] =
+    parityCentsCache.getOrElseUpdate(k,
+      Array.tabulate(k)(c => Array.tabulate(64)(d => centSign(c, d))))
 
   /** array of struct(ccos, -cent_id): array_max picks max cosine, ties
-    * broken toward the SMALLEST centroid id (nid is negated). */
-  private def centScores(embCol: Column, nrmCol: Column): Column =
-    array((0 until IvfK).map { c =>
-      struct(cosine(embCol, centArr(c), nrmCol, lit(8.0)).as("c"),
-        lit(-c).as("nid"))
-    }: _*)
+    * broken toward the SMALLEST centroid id (nid is negated). One
+    * codegen loop over the k×64 matrix ([[graft.functions.CentroidScores]])
+    * — generated code is k-independent, so the k ∝ N rule never grows
+    * the expression tree. */
+  private val parityNormsCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Double]]
+  private def centScores(embCol: Column, nrmCol: Column, k: Int): Column =
+    graft.functions.VectorOps.centroidScores(embCol, nrmCol,
+      parityCents(k), parityNormsCache.getOrElseUpdate(k, Array.fill(k)(8.0)))
 
   /** Shared IVF probe: cell-assign the corpus (map-side argmax over
     * the centroid array), derive the query row's top-nprobe(=2) probed
@@ -439,19 +484,20 @@ object LlmVector {
     * centroid id. The ONE Spark-side derivation of `cell`, shared by
     * the single-query probe and the batch-query key exactly as their
     * oracles share IvfBaseCte's `assigned` CTE. */
-  private def ivfAssigned(e: DataFrame): DataFrame = e
-    .withColumn("best", array_max(centScores(col("embedding"), col("nrm"))))
+  private def ivfAssigned(e: DataFrame, k: Int): DataFrame = e
+    .withColumn("best", array_max(centScores(col("embedding"), col("nrm"), k)))
     .select(col("vec_id"), col("embedding"), col("nrm"),
       (-col("best.nid")).cast("int").as("cell"))
 
   private def ivfProbedCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = ivfK(spark, sfDir)
     val e = emb(spark, sfDir)
-    val assigned = ivfAssigned(e)
+    val assigned = ivfAssigned(e, k)
     // query row: same scores array, sorted desc, top-nprobe(=2) cells
     val q = e.where(col("vec_id") === 7)
       .select(col("embedding").as("qe"), col("nrm").as("qn"))
       .withColumn("scored",
-        sort_array(centScores(col("qe"), col("qn")), asc = false))
+        sort_array(centScores(col("qe"), col("qn"), k), asc = false))
       .select(col("qe"), col("qn"),
         expr(s"transform(slice(scored, 1, 2), s -> cast(-s.nid as int))")
           .as("probed"))
@@ -652,13 +698,14 @@ object LlmVector {
   // k-bounded exchange, vs B full single-query plans.
   // ---------------------------------------------------------------------
   private def annBatchQueries(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = ivfK(spark, sfDir)
     val e = emb(spark, sfDir)
-    val assigned = ivfAssigned(e)
+    val assigned = ivfAssigned(e, k)
     val qs = e.where(col("vec_id").isin(3, 7, 11, 19, 23))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"))
       .withColumn("scored",
-        sort_array(centScores(col("qe"), col("qn")), asc = false))
+        sort_array(centScores(col("qe"), col("qn"), k), asc = false))
       .select(col("qid"), col("qe"), col("qn"),
         expr(s"transform(slice(scored, 1, 2), s -> cast(-s.nid as int))")
           .as("probed"))
@@ -763,11 +810,11 @@ object LlmVector {
     * shared by the batch index build and the streaming index
     * maintenance key (`stream_ann_index`): norm + argmax over the 16
     * broadcast-literal centroids, no shuffle. */
-  private[graft] def assignCells(batch: DataFrame): DataFrame =
+  private[graft] def assignCells(batch: DataFrame, k: Int): DataFrame =
     batch
       .select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
-      .withColumn("best", array_max(centScores(col("embedding"), col("nrm"))))
+      .withColumn("best", array_max(centScores(col("embedding"), col("nrm"), k)))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         (-col("best.nid")).cast("int").as("cell"))
 
@@ -783,7 +830,7 @@ object LlmVector {
       .select(col("embedding").as("qe"), col("nrm").as("qn"))
     val qRow = q.head()
     val (qe, qn) = (qRow.getSeq[Float](0), qRow.getDouble(1))
-    val probed = (0 until IvfK)
+    val probed = (0 until ivfK(spark, sfDir))
       .map { c =>
         ((0 until 64).map(d => qe(d).toDouble * centSign(c, d)).sum
           / (qn * 8.0), c)
@@ -801,7 +848,7 @@ object LlmVector {
 
   private def annIvfPersisted(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = graft.etl.Fixtures.stagedDir(sfDir, "ivf_index") { d =>
-      assignCells(t(spark, sfDir, "embeddings"))
+      assignCells(t(spark, sfDir, "embeddings"), ivfK(spark, sfDir))
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(d)
     }
@@ -829,12 +876,18 @@ object LlmVector {
   // is exactly how production IVF is tuned. LlmSpec pins recall@10
   // against both the exact top-10 and the parity-centroid twin.
   // ---------------------------------------------------------------------
-  private val KmK = 16
   private val KmIters = 2
   // Index-build sample is a FIXED SIZE, not a fraction: at 100 TB a
   // fractional sample is a driver OOM by construction. 4096 × 64 doubles
   // ≈ 2 MB of driver memory regardless of corpus size.
   private val KmSampleN = 4096
+  // Data-derived nlist under the same k ∝ N rule as [[ivfK]], capped at
+  // KmSampleN/4 so the evenly-strided init always has ≥4 sample members
+  // per centroid (a real pipeline growing k past that grows the sample
+  // with it — the cap is the sample's honesty bound, not a tuning
+  // choice). Oracle twin: greatest(16, least(count(*) // 125, 1024)).
+  private def kmK(spark: SparkSession, sfDir: String): Int =
+    math.min(ivfK(spark, sfDir), KmSampleN / 4)
 
   /** Sequential left fold dot product — the Scala twin of
     * [[graft.functions.DotProduct]] and DuckDB's list_reduce. */
@@ -872,25 +925,26 @@ object LlmVector {
 
   private[graft] def kmeansCentroids(spark: SparkSession, sfDir: String)
       : Array[(Array[Double], Double)] = {
+    val k = kmK(spark, sfDir)
     val sample: Array[Array[Double]] =
       kmSampleDF(spark, sfDir)
         .collect()
         .sortBy(_.getLong(0))
         .map(_.getSeq[Float](1).toArray.map(_.toDouble))
-    val stride = sample.length / KmK
-    require(stride >= 1, s"sample too small for $KmK centroids")
+    val stride = sample.length / k
+    require(stride >= 1, s"sample too small for $k centroids")
     var cents: Array[Array[Double]] =
-      Array.tabulate(KmK)(i => sample(i * stride))
+      Array.tabulate(k)(i => sample(i * stride))
     val sNrm = sample.map(v => math.sqrt(dfoldD(v, v)))
     (1 to KmIters).foreach { _ =>
       val cNrm = cents.map(c => math.sqrt(dfoldD(c, c)))
-      val sums = Array.fill(KmK, 64)(0L)
-      val counts = Array.fill(KmK)(0L)
+      val sums = Array.fill(k, 64)(0L)
+      val counts = Array.fill(k)(0L)
       sample.zipWithIndex.foreach { case (v, si) =>
         var best = 0
         var bestCos = Double.NegativeInfinity
         var c = 0
-        while (c < KmK) { // strict > = ties toward the smallest id
+        while (c < k) { // strict > = ties toward the smallest id
           val cos = dfoldD(v, cents(c)) / (sNrm(si) * cNrm(c))
           if (cos > bestCos) { bestCos = cos; best = c }
           c += 1
@@ -899,7 +953,7 @@ object LlmVector {
         var d = 0
         while (d < 64) { sums(best)(d) += r8(v(d)); d += 1 }
       }
-      cents = Array.tabulate(KmK) { c =>
+      cents = Array.tabulate(k) { c =>
         if (counts(c) == 0L) cents(c)
         else Array.tabulate(64)(d =>
           sums(c)(d).toDouble / 1.0e8 / counts(c).toDouble)
@@ -909,13 +963,12 @@ object LlmVector {
   }
 
   /** Scores array over data-derived centroids — same struct/argmax
-    * shape as [[centScores]] (ties toward the smallest id). */
+    * semantics as [[centScores]] (ties toward the smallest id), same
+    * k-independent codegen kernel ([[graft.functions.CentroidScores]]). */
   private def kmScores(cents: Array[(Array[Double], Double)],
                        embCol: Column, nrmCol: Column): Column =
-    array(cents.zipWithIndex.map { case ((ce, cn), i) =>
-      struct(cosine(embCol, typedLit(ce.toSeq), nrmCol, lit(cn)).as("c"),
-        lit(-i).as("nid"))
-    }: _*)
+    graft.functions.VectorOps.centroidScores(embCol, nrmCol,
+      cents.map(_._1), cents.map(_._2))
 
   private def annIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
     val cents = kmeansCentroids(spark, sfDir)
@@ -1171,12 +1224,13 @@ object LlmVector {
   // ANN probes.
   // ---------------------------------------------------------------------
   private def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = ivfK(spark, sfDir)
     val e = emb(spark, sfDir)
     val qRow = e.where(col("vec_id") === 7)
       .select(col("embedding"), col("nrm")).head()
     val qe = qRow.getSeq[Float](0)
     val qn = qRow.getDouble(1)
-    val probed = (0 until IvfK)
+    val probed = (0 until k)
       .map { c =>
         ((0 until 64).map(d => qe(d).toDouble * centSign(c, d)).sum
           / (qn * 8.0), c)
@@ -1185,7 +1239,7 @@ object LlmVector {
       .take(2).map(_._2)
     val dist = pqDistTable(qe)
     val assigned = e
-      .withColumn("best", array_max(centScores(col("embedding"), col("nrm"))))
+      .withColumn("best", array_max(centScores(col("embedding"), col("nrm"), k)))
       .select(col("vec_id"), col("embedding"),
         (-col("best.nid")).cast("int").as("cell"))
     pqCodes(assigned.where(col("cell").isin(probed: _*) &&
@@ -1586,14 +1640,28 @@ object LlmVector {
             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
           (x, y) -> x + y)"""
 
+  /** Data-derived k ∝ N / bits ∝ log₂ N rules as SQL scalars — the
+    * oracle computes the SAME corpus-size-derived index parameters as
+    * the Spark side ([[ivfK]]/[[lshBits]]/[[kmK]]), so the rule is
+    * shared semantics, not a Spark tuning knob. Pure integer
+    * arithmetic in both engines (// floors non-negatives like Scala /,
+    * bin-length = bitlength with no float log). */
+  private val IvfKSql =
+    "(SELECT greatest(16, count(*) // 125) FROM embeddings)"
+  private val KmKSql =
+    "(SELECT greatest(16, least(count(*) // 125, 1024)) FROM embeddings)"
+  private val LshBitsSql =
+    "(SELECT greatest(8, length(bin(greatest(count(*) // 8, 1)))) FROM embeddings)"
+
   /** Shared DuckDB replay of the LSH candidate pipeline: md5-parity
     * planes → sign bits → per-table buckets → ids-only bucket join —
-    * identical by construction to the Spark side (same md5 strings). */
+    * identical by construction to the Spark side (same md5 strings,
+    * same data-derived plane count [[LshBitsSql]]). */
   private val LshCandCte =
     s"""WITH e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings),
         tp AS (SELECT t.t, p.p
                FROM (SELECT unnest(range(0, 4)) AS t) t,
-                    (SELECT unnest(range(0, 8)) AS p) p),
+                    (SELECT unnest(range(0, $LshBitsSql)) AS p) p),
         bits AS (
           SELECT e.vec_id, tp.t, tp.p,
                  CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -1627,7 +1695,7 @@ object LlmVector {
                            % 2 = 0
                           THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
                      AS ce
-            FROM (SELECT unnest(range(0, 16)) AS c) c),
+            FROM (SELECT unnest(range(0, $IvfKSql)) AS c) c),
           assigned AS (
             SELECT vec_id, cell FROM (
               SELECT e.vec_id, c.cent_id AS cell,
@@ -1690,7 +1758,7 @@ object LlmVector {
                            % 2 = 0
                           THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
                      AS ce
-            FROM (SELECT unnest(range(0, 16)) AS c) c),
+            FROM (SELECT unnest(range(0, $IvfKSql)) AS c) c),
           assigned AS (
             SELECT vec_id, cell, centrality FROM (
               SELECT e.vec_id, c.cent_id AS cell,
@@ -2237,12 +2305,13 @@ object LlmVector {
                 FROM (SELECT * FROM e
                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
                       LIMIT 4096)),
-          prm AS (SELECT count(*) // 16 AS stride FROM s),
+          prm AS (SELECT count(*) // $KmKSql AS stride FROM s),
           dims AS (SELECT unnest(range(1, 65)) AS i),
           c0 AS (SELECT CAST((rn - 1) // stride AS INTEGER) AS cent_id,
                         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ce
                  FROM s, prm
-                 WHERE (rn - 1) % stride = 0 AND (rn - 1) // stride < 16),
+                 WHERE (rn - 1) % stride = 0
+                   AND (rn - 1) // stride < $KmKSql),
           a1 AS (${asgn("c0", "ka")}),
           m1 AS (${mean("a1")}),
           c1 AS (${next("c0", "m1")}),

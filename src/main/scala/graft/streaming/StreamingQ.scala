@@ -685,7 +685,11 @@ object StreamingQ {
       .parquet(srcDir)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.queries.LlmVector.assignCells(batch)
+        // nlist is fixed at index-build time from the indexed corpus
+        // (the k ∝ N rule's corpus is what this stream delivers), so
+        // the maintained index keeps sharing llm_ann_ivf's oracle
+        graft.queries.LlmVector.assignCells(batch,
+            graft.queries.LlmVector.ivfK(spark, sfDir))
           .write.mode("append").partitionBy("cell").parquet(idx)
       }
       .option("checkpointLocation", freshDir("graft_stream_ckpt_"))
@@ -1277,6 +1281,7 @@ object StreamingQ {
       "array('') AS sh", "array('') AS sig", "array('') AS bands")
       .write.mode("overwrite").parquet(init)
     var indexDirs = Seq(init)
+    var verdictDirs = Seq.empty[String]
     val src = spark.readStream.schema(Schemas.documents)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
@@ -1327,12 +1332,17 @@ object StreamingQ {
           rows.unpersist()
         }
         indexDirs = indexDirs :+ next
+        verdictDirs = verdictDirs :+ vdir
       }
       .option("checkpointLocation", freshDir("graft_stream_ckpt_"))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$verdictRoot/b*")
+    // explicit dir list, not a `b*` glob: the foreachBatch loop knows
+    // every verdict dir it committed, and the glob path triggered the
+    // sink-metadata probe's WARN-with-stack in the bench tail
+    // (VERDICT r10 #2)
+    spark.read.parquet(verdictDirs: _*)
       .where(col("doc_id") % 2 === 1)
       .orderBy("doc_id")
   }

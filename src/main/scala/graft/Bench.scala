@@ -8,6 +8,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the bench corpora are small files (sf0.1 tables < 11 MB; the
+      // ×N scale dirs hold one ~0.5–17 MB file per copy): the 128 MB
+      // default packs a whole table into 1-2 scan tasks, serializing
+      // every CPU-heavy map stage. 8 MB sizes splits so scans spread
+      // across cores at these volumes — the knob the Spark guide says
+      // to size to the SF, doing exactly that.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

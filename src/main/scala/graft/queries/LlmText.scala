@@ -191,7 +191,7 @@ object LlmText {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, DataFrame]]()
 
-  private def simhashFp(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def simhashFp(spark: SparkSession, sfDir: String): DataFrame =
     simhashCache.synchronized {
       simhashCache.computeIfAbsent(spark,
           _ => scala.collection.mutable.Map.empty)
@@ -1159,6 +1159,119 @@ object LlmText {
     syms.unpersist()
     merges.toDF("merge_round", "merge_left", "merge_right", "pair_weight")
       .orderBy("merge_round")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_unigram_lm_train — unigram-LM tokenizer TRAINING (Kudo 2018,
+  // the SentencePiece default — the sibling of llm_bpe_train that
+  // production multilingual pipelines actually ship; VERDICT r10 #4a).
+  // Pipeline: (1) SEED — every substring of length 1..4 of the
+  // vocabulary, corpus-weighted (occurrences × word frequency); the
+  // top-192 multi-char pieces by weight plus ALL single characters
+  // (the coverage floor that keeps every word segmentable) form the
+  // seed vocabulary, each piece costed −ln(weight/total) in the
+  // suite's e6-integer convention (one double division, one ln, one
+  // round — then the DP is EXACT INTEGER arithmetic end to end).
+  // (2) E-STEP — Viterbi-segment every vocabulary word against the
+  // seed: the classic left-to-right DP (best[j] = min over piece
+  // lengths i of best[j−i] + cost(piece ending at j)), expressed as a
+  // sequential `aggregate` fold per word — the same fixed-order fold
+  // determinism as every dot product in this engine — with backtrack
+  // ties broken toward the LONGEST piece. This is the hard-EM
+  // instance of the trainer (production SentencePiece uses soft
+  // forward–backward counts; Viterbi counts are its deterministic,
+  // engine-replayable specialization — named here, not hidden).
+  // (3) M-STEP — re-estimate each piece's usage from the segmented
+  // vocabulary, corpus-weighted; pieces with zero usage are the ones
+  // a loss-pruning round would drop first (kept = usage > 0).
+  //
+  // Scale shape (the llm_bpe_train argument): training never touches
+  // the corpus after the ONE word-frequency aggregation — seed
+  // counting, the DP, and usage counts all run on the DISTINCT-WORD
+  // table, so cost is vocabulary-sized at any corpus size. The seed
+  // collect is bounded by construction (192 + alphabet ≤ ~250 rows —
+  // the kmeansCentroids class of metadata collect) and ships back as
+  // one map literal inside the plan.
+  // ---------------------------------------------------------------------
+  private val UniSeedMulti = 192
+  private val UniMaxPiece = 4
+
+  private def unigramLmTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = t(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .persist() // seed counting + DP + usage all read the vocab table
+    val subs = words.selectExpr("w", "freq",
+        s"""explode(flatten(transform(sequence(1, length(w)),
+             i -> filter(transform(sequence(1, $UniMaxPiece),
+                    l -> IF(i + l - 1 <= length(w), substring(w, i, l),
+                            CAST(NULL AS STRING))),
+                  x -> x IS NOT NULL)))) AS piece""")
+      .groupBy("piece").agg(sum(col("freq")).as("seed_weight"))
+    val seed = subs.where(length(col("piece")) === 1)
+      .unionByName(subs.where(length(col("piece")) >= 2)
+        .orderBy(col("seed_weight").desc, col("piece"))
+        .limit(UniSeedMulti))
+    // bounded collect (≤ 192 + alphabet); StrictMath.log is the exact
+    // function Spark's own ln() evaluates, so the driver-computed cost
+    // equals what an in-plan ln would produce — and the DuckDB twin's
+    // ln, equal across the suite's LM keys by the same convention
+    val seedRows = seed.collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val total = seedRows.map(_._2).sum
+    val costs: Map[String, Long] = seedRows.map { case (p, wt) =>
+      p -> BigDecimal.valueOf(
+          -StrictMath.log(wt.toDouble / total.toDouble) * 1e6)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    }.toMap
+    // backtrack in two stages: (1) ch[p] = the longest piece length
+    // ending the optimal path at EVERY position p (a plain transform —
+    // no lambda nested inside the fold; the nested-inside-reduce form
+    // miscomputed in the DuckDB twin, so both engines share this
+    // two-stage shape), then (2) the path walk is a fold of pure
+    // array lookups.
+    val seg = words
+      .withColumn("m", typedLit(costs))
+      .withColumn("best", expr(s"""
+        aggregate(sequence(1, length(w)), array(CAST(0 AS BIGINT)),
+          (acc, j) -> array_append(acc,
+            array_min(filter(transform(sequence(1, least(j, $UniMaxPiece)),
+              i -> try_element_at(m, substring(w, j - i + 1, i)) +
+                   element_at(acc, j - i + 1)),
+              x -> x IS NOT NULL))))"""))
+      .withColumn("ch", expr(s"""
+        transform(sequence(1, length(w)), p ->
+          array_max(filter(transform(sequence(1, least(p, $UniMaxPiece)),
+            i -> IF(try_element_at(m, substring(w, p - i + 1, i))
+                      IS NOT NULL
+                    AND element_at(best, p - i + 1) +
+                        try_element_at(m, substring(w, p - i + 1, i))
+                        = element_at(best, p + 1),
+                    i, CAST(NULL AS INT))),
+            x -> x IS NOT NULL)))"""))
+      .withColumn("pieces", expr("""
+        aggregate(sequence(1, length(w)),
+          named_struct('p', length(w), 'ps', CAST(array() AS array<string>)),
+          (st, z) -> IF(st.p <= 0, st,
+            named_struct(
+              'p', st.p - element_at(ch, st.p),
+              'ps', concat(array(substring(w,
+                             st.p - element_at(ch, st.p) + 1,
+                             element_at(ch, st.p))), st.ps))),
+          st -> st.ps)"""))
+    val usage = seg
+      .select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("usage_freq"))
+    seed.join(usage, Seq("piece"), "left_outer")
+      .withColumn("m", typedLit(costs))
+      .selectExpr("piece",
+        "length(piece) AS piece_len",
+        "seed_weight",
+        "element_at(m, piece) AS cost_e6",
+        "coalesce(usage_freq, 0) AS usage_freq",
+        "coalesce(usage_freq, 0) > 0 AS kept")
+      .orderBy("piece")
   }
 
   // ---------------------------------------------------------------------
@@ -2136,7 +2249,15 @@ object LlmText {
   // by content hash replaces the quadratic "which docs share this
   // span" comparison.
   // ---------------------------------------------------------------------
-  private def spanAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+  private def spanAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    attributedSpans(spark, sfDir)
+      .orderBy("doc_id", "span_start")
+
+  /** The attributed span table (no final sort) — shared by
+    * `llm_span_attribution` and the span-level gate
+    * `llm_span_quality_gate` riding it, exactly as their oracles share
+    * [[SpanGroupsCte]] verbatim. */
+  private def attributedSpans(spark: SparkSession, sfDir: String): DataFrame = {
     val grams = t(spark, sfDir, "documents")
       .selectExpr("doc_id", "split(text, ' ') AS t")
       .where(size(col("t")) >= 5)
@@ -2175,7 +2296,54 @@ object LlmText {
       .selectExpr("doc_id", "span_start", "span_end", "n_grams",
         "span_fp", "n_docs_sharing", "keeper_doc",
         "IF(doc_id = keeper_doc, 'keep', 'cut') AS action")
-      .orderBy("doc_id", "span_start")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_span_quality_gate — span-granularity document gating riding
+  // the attribution table (VERDICT r10 #4c): the C4/RefinedWeb
+  // line-level filter applied at duplicated-span level. A doc whose
+  // spans were attributed 'cut' (a keeper elsewhere holds the
+  // identical span) loses those token ranges; the gate then decides
+  // per document — 'keep' (nothing cut), 'trim' (cut but majority
+  // survives), 'drop' (majority of tokens were someone else's spans —
+  // the boilerplate/mirror page profile). Cut ranges within a doc can
+  // OVERLAP (adjacent islands closer than the gram width share
+  // tokens), so the cut total is the interval UNION via the classic
+  // running-max sweep — sort by span_start, new coverage = span_end −
+  // max(previous ends, span_start − 1), negatives clamp to 0 — NOT a
+  // naive sum that double-counts and could exceed the doc length.
+  //
+  // Scale shape: everything heavy is the span table the attribution
+  // key already builds (O(grams) + dup-span-sized election); the gate
+  // adds one doc-keyed window over CUT SPANS ONLY (dup-span-set-sized)
+  // and a left join back to per-doc token counts. Output is one row
+  // per document.
+  // ---------------------------------------------------------------------
+  private def spanQualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n_tokens")
+    val sweep = Window.partitionBy("doc_id").orderBy("span_start")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cuts = attributedSpans(spark, sfDir)
+      .where(col("action") === "cut")
+      .withColumn("prev_end",
+        coalesce(max(col("span_end")).over(sweep), lit(0L)))
+      .withColumn("covered",
+        greatest(col("span_end") - greatest(col("prev_end"),
+          col("span_start") - 1), lit(0L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans_cut"),
+        sum(col("covered")).as("tokens_cut"))
+    docs.join(cuts, Seq("doc_id"), "left_outer")
+      .selectExpr("doc_id", "n_tokens",
+        "coalesce(n_spans_cut, 0) AS n_spans_cut",
+        "coalesce(tokens_cut, 0) AS tokens_cut",
+        "n_tokens - coalesce(tokens_cut, 0) AS tokens_kept",
+        "coalesce(tokens_cut, 0) * 1000000 DIV n_tokens AS cut_ppm",
+        """CASE WHEN coalesce(tokens_cut, 0) * 2 > n_tokens THEN 'drop'
+                WHEN coalesce(tokens_cut, 0) > 0 THEN 'trim'
+                ELSE 'keep' END AS gate""")
+      .orderBy("doc_id")
   }
 
   // ---------------------------------------------------------------------
@@ -3871,6 +4039,7 @@ object LlmText {
     "llm_vocab_build" -> (vocabBuild _),
     "llm_tokenize_apply" -> (tokenizeApply _),
     "llm_bpe_train" -> (bpeTrain _),
+    "llm_unigram_lm_train" -> (unigramLmTrain _),
     "llm_bpe_apply" -> (bpeApply _),
     "llm_tokenizer_fertility" -> (tokenizerFertility _),
     "llm_dataset_card" -> (datasetCard _),
@@ -3895,6 +4064,7 @@ object LlmText {
     "llm_winnow_fingerprint" -> (winnowFingerprint _),
     "llm_substring_dedup" -> (substringDedup _),
     "llm_span_attribution" -> (spanAttribution _),
+    "llm_span_quality_gate" -> (spanQualityGate _),
     "llm_quality_classifier" -> (qualityClassifier _),
     "llm_mix_resample" -> (mixResample _),
     "llm_decontaminate_bloom" -> (decontaminateBloom _),
@@ -4011,7 +4181,7 @@ object LlmText {
   /** SimHash fingerprint CTE — shared by `llm_dedup_simhash` and
     * `llm_dedup_simhash_pairs` (mirrors the Spark lambda bit-for-bit:
     * same md5 nibble extraction, same vote fold, same sign rule). */
-  private val DSimhashFp =
+  private[graft] val DSimhashFp =
     """fp AS (
        SELECT doc_id,
               array_to_string(list_transform(range(0, 64), p ->
@@ -4523,6 +4693,146 @@ object LlmText {
         FROM a3 JOIN h3 USING (node)
         ORDER BY authority_e6 DESC, doc_id LIMIT 20"""
   }
+
+  /** DuckDB replay of the unigram-LM trainer: same seed construction,
+    * same e6-integer piece costs, same Viterbi fold (list_reduce over
+    * positions with a list accumulator — the list-of-lists device
+    * keeps the accumulator type legal), same longest-piece backtrack
+    * tie-break, same corpus-weighted usage M-step. */
+  private lazy val UnigramLmOracle: String = {
+    def look(k: String) = s"map_extract(mm.m, $k)[1]"
+    val p = "CAST(bt[1] AS INTEGER)"
+    val jj = "CAST(x[1] AS INTEGER)"
+    val pp = "CAST(p AS INTEGER)"
+    s"""WITH RECURSIVE wrd AS (
+           SELECT w, count(*) AS freq FROM (
+             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE length(w) > 0 GROUP BY w),
+         subs AS (
+           SELECT piece, CAST(sum(freq) AS BIGINT) AS seed_weight FROM (
+             SELECT freq,
+                    unnest(flatten(list_transform(range(1, length(w) + 1),
+                      i -> list_filter(list_transform(range(1, $UniMaxPiece + 1),
+                             l -> CASE WHEN i + l - 1 <= length(w)
+                                       THEN w[i : i + l - 1] END),
+                           x -> x IS NOT NULL)))) AS piece
+             FROM wrd) GROUP BY piece),
+         seed AS (
+           SELECT piece, seed_weight FROM subs WHERE length(piece) = 1
+           UNION ALL
+           SELECT piece, seed_weight FROM (
+             SELECT piece, seed_weight,
+                    row_number() OVER (ORDER BY seed_weight DESC, piece) AS rk
+             FROM subs WHERE length(piece) >= 2)
+           WHERE rk <= $UniSeedMulti),
+         tot AS (SELECT sum(seed_weight) AS tot FROM seed),
+         costs AS (
+           SELECT piece, seed_weight,
+                  CAST(round(-ln(CAST(seed_weight AS DOUBLE)
+                                 / CAST(tot AS DOUBLE)) * 1000000) AS BIGINT)
+                    AS cost_e6
+           FROM seed, tot),
+         mm AS (SELECT map(list(piece ORDER BY piece),
+                           list(cost_e6 ORDER BY piece)) AS m FROM costs),
+         dp AS (
+           SELECT w, freq,
+                  list_reduce(
+                    list_prepend([CAST(0 AS BIGINT)],
+                      list_transform(range(1, length(w) + 1),
+                                     j -> [CAST(j AS BIGINT)])),
+                    (acc, x) -> list_append(acc,
+                      list_min(list_filter(
+                        list_transform(range(1, least($jj, $UniMaxPiece) + 1),
+                          i -> acc[$jj - i + 1] +
+                               ${look(s"w[$jj - i + 1 : $jj]")}),
+                        v -> v IS NOT NULL)))) AS best
+           FROM wrd, mm),
+         chs AS (
+           SELECT w, freq,
+                  list_transform(range(1, length(w) + 1), p ->
+                    list_max(list_filter(
+                      list_transform(range(1, least($pp, $UniMaxPiece) + 1),
+                        i -> CASE WHEN ${look(s"w[$pp - i + 1 : $pp]")}
+                                    IS NOT NULL
+                                  AND best[$pp - i + 1] +
+                                      ${look(s"w[$pp - i + 1 : $pp]")}
+                                      = best[$pp + 1]
+                             THEN i END),
+                      v -> v IS NOT NULL))) AS ch
+           FROM dp, mm),
+         -- the walk: one recursive step per piece, end position e
+         -- strictly decreasing (e' = e − ch[e]) — a recursive CTE, not
+         -- a list_reduce fold: DuckDB 1.0.0 cross-pairs rows inside
+         -- list_reduce lambdas on larger vectors whenever the lambda
+         -- needs per-row context beyond (acc, element) — found (and
+         -- minimally reproduced) building this key; the suite's proven
+         -- folds are all context-free (acc, v) -> arithmetic.
+         walk AS (
+           SELECT w, freq, ch, CAST(length(w) AS BIGINT) AS e FROM chs
+           UNION ALL
+           SELECT w, freq, ch, e - ch[CAST(e AS INTEGER)] FROM walk
+           WHERE e - ch[CAST(e AS INTEGER)] > 0),
+         seg AS (
+           SELECT w, freq,
+                  w[CAST(e - ch[CAST(e AS INTEGER)] AS INTEGER) + 1
+                    : CAST(e AS INTEGER)] AS piece
+           FROM walk),
+         usage AS (
+           SELECT piece, CAST(sum(freq) AS BIGINT) AS usage_freq
+           FROM seg GROUP BY piece)
+         SELECT c.piece, length(c.piece) AS piece_len, c.seed_weight,
+                c.cost_e6,
+                coalesce(u.usage_freq, 0) AS usage_freq,
+                coalesce(u.usage_freq, 0) > 0 AS kept
+         FROM costs c LEFT JOIN usage u USING (piece)
+         ORDER BY c.piece"""
+  }
+
+  /** Shared duplicated-span islands (g → dup grams → islands) — the
+    * DuckDB replay of the ExactSubstr gram pipeline, used verbatim by
+    * `llm_substring_dedup`, `llm_span_attribution`, and
+    * `llm_span_quality_gate` so span extents cannot drift between the
+    * finder, the decision, and the gate. */
+  private val SpanIslandsCte =
+    """g AS (
+           SELECT doc_id, s.pos AS pos, s.h AS h FROM (
+             SELECT doc_id,
+                    unnest([{'pos': i,
+                             'h': md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  || ' ' || t[i+3] || ' ' || t[i+4])}
+                            FOR i IN range(1, len(t) - 3)]) AS s
+             FROM (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents)
+             WHERE len(t) >= 5)),
+         d AS (SELECT * FROM g WHERE h IN (
+                 SELECT h FROM g GROUP BY h
+                 HAVING count(DISTINCT doc_id) >= 2)),
+         isl AS (SELECT doc_id, pos, h,
+                        pos - row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY pos) AS grp
+                 FROM d)"""
+
+  /** Islands → fingerprinted spans → keeper election — shared verbatim
+    * by `llm_span_attribution` and `llm_span_quality_gate`. */
+  private val SpanGroupsCte =
+    s"""$SpanIslandsCte,
+         sp AS (SELECT doc_id, min(pos) AS span_start,
+                       max(pos) + 4 AS span_end,
+                       count(*) AS n_grams,
+                       md5(array_to_string(list(h ORDER BY pos), '|'))
+                         AS span_fp
+                FROM isl GROUP BY doc_id, grp),
+         grp AS (SELECT span_fp,
+                        CAST(count(DISTINCT doc_id) AS BIGINT)
+                          AS n_docs_sharing,
+                        min(doc_id) AS keeper_doc
+                 FROM sp GROUP BY 1),
+         attributed AS (
+           SELECT doc_id, span_start, span_end, n_grams, span_fp,
+                  n_docs_sharing, keeper_doc,
+                  CASE WHEN doc_id = keeper_doc THEN 'keep' ELSE 'cut' END
+                    AS action
+           FROM sp JOIN grp USING (span_fp))"""
 
   val oracle: Map[String, String] = Map(
     "llm_graph_hits" -> HitsOracle,
@@ -5579,6 +5889,7 @@ object LlmText {
                      AS BIGINT) AS coverage_ppm
          FROM cum ORDER BY token_id""",
     "llm_bpe_train" -> BpeOracle,
+    "llm_unigram_lm_train" -> UnigramLmOracle,
     "llm_bpe_apply" -> BpeApplyOracle,
     "llm_tokenizer_fertility" ->
       s"""$bpeCtePrefix,
@@ -6056,58 +6367,42 @@ object LlmText {
                    (acc, v) -> (acc * 31 + v) % 1000000007) AS rolling_fp
           FROM documents ORDER BY doc_id""",
     "llm_span_attribution" ->
-      """WITH g AS (
-           SELECT doc_id, s.pos AS pos, s.h AS h FROM (
-             SELECT doc_id,
-                    unnest([{'pos': i,
-                             'h': md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                  || ' ' || t[i+3] || ' ' || t[i+4])}
-                            FOR i IN range(1, len(t) - 3)]) AS s
-             FROM (SELECT doc_id, string_split(text, ' ') AS t
-                   FROM documents)
-             WHERE len(t) >= 5)),
-         d AS (SELECT * FROM g WHERE h IN (
-                 SELECT h FROM g GROUP BY h
-                 HAVING count(DISTINCT doc_id) >= 2)),
-         isl AS (SELECT doc_id, pos, h,
-                        pos - row_number() OVER (PARTITION BY doc_id
-                                                 ORDER BY pos) AS grp
-                 FROM d),
-         sp AS (SELECT doc_id, min(pos) AS span_start,
-                       max(pos) + 4 AS span_end,
-                       count(*) AS n_grams,
-                       md5(array_to_string(list(h ORDER BY pos), '|'))
-                         AS span_fp
-                FROM isl GROUP BY doc_id, grp),
-         grp AS (SELECT span_fp,
-                        CAST(count(DISTINCT doc_id) AS BIGINT)
-                          AS n_docs_sharing,
-                        min(doc_id) AS keeper_doc
-                 FROM sp GROUP BY 1)
+      s"""WITH $SpanGroupsCte
          SELECT doc_id, span_start, span_end, n_grams, span_fp,
-                n_docs_sharing, keeper_doc,
-                CASE WHEN doc_id = keeper_doc THEN 'keep' ELSE 'cut' END
-                  AS action
-         FROM sp JOIN grp USING (span_fp)
+                n_docs_sharing, keeper_doc, action
+         FROM attributed
          ORDER BY doc_id, span_start""",
+    "llm_span_quality_gate" ->
+      s"""WITH $SpanGroupsCte,
+         swept AS (
+           SELECT doc_id,
+                  greatest(span_end - greatest(
+                    coalesce(max(span_end) OVER (PARTITION BY doc_id
+                               ORDER BY span_start
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0),
+                    span_start - 1), 0) AS covered
+           FROM attributed WHERE action = 'cut'),
+         cuts AS (
+           SELECT doc_id, count(*) AS n_spans_cut,
+                  CAST(sum(covered) AS BIGINT) AS tokens_cut
+           FROM swept GROUP BY doc_id)
+         SELECT d.doc_id,
+                len(string_split(d.text, ' ')) AS n_tokens,
+                coalesce(c.n_spans_cut, 0) AS n_spans_cut,
+                coalesce(c.tokens_cut, 0) AS tokens_cut,
+                len(string_split(d.text, ' ')) - coalesce(c.tokens_cut, 0)
+                  AS tokens_kept,
+                coalesce(c.tokens_cut, 0) * 1000000
+                  // len(string_split(d.text, ' ')) AS cut_ppm,
+                CASE WHEN coalesce(c.tokens_cut, 0) * 2
+                          > len(string_split(d.text, ' ')) THEN 'drop'
+                     WHEN coalesce(c.tokens_cut, 0) > 0 THEN 'trim'
+                     ELSE 'keep' END AS gate
+         FROM documents d LEFT JOIN cuts c ON d.doc_id = c.doc_id
+         ORDER BY d.doc_id""",
     "llm_substring_dedup" ->
-      """WITH g AS (
-           SELECT doc_id, s.pos AS pos, s.h AS h FROM (
-             SELECT doc_id,
-                    unnest([{'pos': i,
-                             'h': md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                  || ' ' || t[i+3] || ' ' || t[i+4])}
-                            FOR i IN range(1, len(t) - 3)]) AS s
-             FROM (SELECT doc_id, string_split(text, ' ') AS t
-                   FROM documents)
-             WHERE len(t) >= 5)),
-         d AS (SELECT * FROM g WHERE h IN (
-                 SELECT h FROM g GROUP BY h
-                 HAVING count(DISTINCT doc_id) >= 2)),
-         isl AS (SELECT doc_id, pos,
-                        pos - row_number() OVER (PARTITION BY doc_id
-                                                 ORDER BY pos) AS grp
-                 FROM d)
+      s"""WITH $SpanIslandsCte
          SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
                 count(*) AS n_grams
          FROM isl GROUP BY doc_id, grp

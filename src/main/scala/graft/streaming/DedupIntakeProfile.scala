@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Steady-state profile of the streaming dedup intake loop
+  * (VERDICT r10 #3): the `stream_incremental_dedup` key runs exactly
+  * two micro-batches, so its ×64 bench row measures INTAKE (per-batch
+  * signature building over arrivals that happen to be the whole
+  * corpus), not the per-batch cost of a long-running loop. This main
+  * runs the SAME intake ([[StreamingQ.incrementalDedupIntake]]) over
+  * N micro-batches (default 16) of a corpus and prints one JSON line
+  * per batch — wall seconds, arrivals, index rows before the batch,
+  * live run-dir count, compaction merges — so the claim "per-batch
+  * cost tracks batch size + bucket occupancy, not total index size"
+  * is a measured table (BASELINE.md r11) instead of an argument.
+  *
+  * Usage: runMain graft.streaming.DedupIntakeProfile [sfDir] [parts]
+  */
+object DedupIntakeProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/scale8_r8")
+    val parts = if (args.length > 1) args(1).toInt else 16
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val srcDir = StreamingQ.stagedDocsParts(spark, sfDir, parts)
+    val stats =
+      scala.collection.mutable.ArrayBuffer.empty[StreamingQ.IntakeBatchStat]
+    // one untimed warm-up pass over the FIRST batch's machinery is not
+    // separable from the loop (the stream owns batch order), so batch 0
+    // carries plan/codegen warm-up; the steady-state signal is batches
+    // 1..N-1 and the summary reports both with and without batch 0.
+    val verdictDirs =
+      StreamingQ.incrementalDedupIntake(spark, srcDir, Some(stats))
+    val verdicts = spark.read.parquet(verdictDirs: _*).count()
+    def fmt(v: Double): String = f"$v%.3f"
+    stats.foreach { s =>
+      println(s"""GRAFT_INTAKE_BATCH:{"batch":${s.batchId},""" +
+        s""""arrivals":${s.arrivals},"index_rows_before":${s.indexRowsBefore},""" +
+        s""""runs_before":${s.runsBefore},"secs":${fmt(s.secs)},""" +
+        s""""merges":${s.merges}}""")
+    }
+    val steady = stats.drop(1)
+    val summary =
+      s"""{"sf":"$sfDir","parts":$parts,"verdict_rows":$verdicts,""" +
+        s""""total_secs":${fmt(stats.map(_.secs).sum)},""" +
+        s""""batch0_secs":${fmt(stats.head.secs)},""" +
+        s""""steady_mean_secs":${fmt(steady.map(_.secs).sum / steady.length)},""" +
+        s""""steady_min_secs":${fmt(steady.map(_.secs).min)},""" +
+        s""""steady_max_secs":${fmt(steady.map(_.secs).max)},""" +
+        s""""max_live_runs":${stats.map(_.runsBefore).max},""" +
+        s""""total_merges":${stats.map(_.merges).sum}}"""
+    spark.stop()
+    println(s"GRAFT_INTAKE_PROFILE:$summary")
+  }
+}

@@ -1165,6 +1165,33 @@ object StreamingQ {
       dir
     })
 
+  /** Stage documents as `parts` files with strictly increasing mtimes
+    * (doc_id % parts = part), so maxFilesPerTrigger=1 delivers exactly
+    * `parts` micro-batches oldest-first — the many-batch twin of
+    * [[stagedDocsHalves]], used by the steady-state intake profiler. */
+  private[graft] def stagedDocsParts(spark: SparkSession, sfDir: String,
+                                     parts: Int): String =
+    stageCache.computeIfAbsent(s"$sfDir/documents/parts$parts", { _ =>
+      val dir = freshDir("graft_stream_docs_")
+      val docs = t(spark, sfDir, "documents")
+      val seen = scala.collection.mutable.Set.empty[Path]
+      val base = 1000000000000L
+      for (i <- 0 until parts) {
+        docs.where(pmod(col("doc_id"), lit(parts)) === i).coalesce(1)
+          .write.mode(if (i == 0) "overwrite" else "append").parquet(dir)
+        val ts = FileTime.fromMillis(base + i * 60000L)
+        val listing = Files.list(Paths.get(dir))
+        try listing.forEach { p: Path =>
+          if (!seen.contains(p) && !p.getFileName.toString.startsWith("_")) {
+            Files.setLastModifiedTime(p, ts)
+            seen += p
+          }
+        }
+        finally listing.close()
+      }
+      dir
+    })
+
   private def streamDedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
     streamDedupMinhashStaged(spark, stagedDocsHalves(spark, sfDir))
 
@@ -1260,35 +1287,65 @@ object StreamingQ {
   // the product), not with stream length, and lives as parquet
   // (RocksDB/Delta at scale), partition-parallel on its keys.
   // ---------------------------------------------------------------------
-  private def streamIncrementalDedup(spark: SparkSession,
-                                     sfDir: String): DataFrame = {
-    val srcDir = stagedDocsHalves(spark, sfDir)
+  /** Per-micro-batch intake telemetry for [[incrementalDedupIntake]]
+    * — filled only when the caller asks (the steady-state profiler);
+    * the production key skips the extra counts. */
+  private[graft] case class IntakeBatchStat(batchId: Long, arrivals: Long,
+      indexRowsBefore: Long, runsBefore: Int, secs: Double, merges: Int)
+
+  /** The intake loop itself, shared by the `stream_incremental_dedup`
+    * key (2 micro-batches: corpus, then crawl) and the many-batch
+    * steady-state profiler [[DedupIntakeProfile]] (VERDICT r10 #3).
+    * Returns the committed verdict dirs in batch order.
+    *
+    * INDEX CHAIN = append + size-tiered compaction. Each batch commits
+    * a level-0 run holding only ITS rows (batch-sized write — the
+    * first cut's full-index rewrite per batch was the measured linear
+    * term: 23.6× at ×64); when [[CompactFanout]] runs share a level
+    * they merge into one run at level+1 (the LSM/Bentley–Saxe rule
+    * RocksDB-class stores apply to exactly this workload). Every row
+    * is therefore rewritten at most log₄(batches) times, and the chain
+    * holds ≤ 3·log₄(batches)+1 dirs — listing/open cost is
+    * logarithmic in stream length, not O(batches) (the r10 caveat this
+    * replaces). Old runs become garbage the moment the merged run
+    * commits; a production chain unlinks them after a read-grace TTL
+    * (here they are /tmp session dirs).
+    *
+    * Idempotency is per-dir and deterministic-name keyed
+    * (_SUCCESS-guarded): a retried micro-batch reuses its committed
+    * run/verdict/merge dirs instead of double-appending. Verdicts are
+    * derived from the PRE-batch chain only, so merge timing can never
+    * change results — "maintained state == batch twin" stays the
+    * oracle-checked property.
+    */
+  private val CompactFanout = 4
+
+  private[graft] def incrementalDedupIntake(spark: SparkSession,
+      srcDir: String,
+      stats: Option[scala.collection.mutable.ArrayBuffer[IntakeBatchStat]] =
+        None): Seq[String] = {
     val snapRoot = freshDir("graft_stream_incded_t_")
     val verdictRoot = freshDir("graft_stream_incded_v_")
-    // APPEND-ONLY index chain: each committed dir holds only ITS
-    // batch's rows and the index for batch k is the union of dirs
-    // 0..k−1 — per-batch write cost is batch-sized, never
-    // corpus-sized. (The first cut rewrote the full index per batch;
-    // the ×64 measurement showed that rewrite was the linear term:
-    // 23.6× on 64× data, dominated by re-serializing every shingle
-    // array per micro-batch. A production dedup index is append-only —
-    // RocksDB state puts, Delta appends — and so is this chain.)
-    // Idempotency is per-dir: a retried batch finds its committed
-    // (_SUCCESS) dir, skips the append, and re-derives verdicts from
-    // `indexDirs`, which by construction lists only PRE-batch dirs.
     val init = s"$snapRoot/b_init"
     spark.range(0).selectExpr("id AS doc_id", "'' AS fp",
       "array('') AS sh", "array('') AS sig", "array('') AS bands")
       .write.mode("overwrite").parquet(init)
-    var indexDirs = Seq(init)
+    // (level, dir) runs, oldest first; the live index = init + runs
+    var chain = Vector.empty[(Int, String)]
     var verdictDirs = Seq.empty[String]
     val src = spark.readStream.schema(Schemas.documents)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
         val next = s"$snapRoot/b$batchId"
         val vdir = s"$verdictRoot/b$batchId"
+        val indexDirs = init +: chain.map(_._2)
+        // profiler-only counts (parquet-footer metadata, no data scan)
+        val rowsBefore = stats.fold(-1L)(_ =>
+          spark.read.parquet(indexDirs: _*).count())
+        val arrivals = stats.fold(-1L)(_ => batch.count())
         if (!new java.io.File(next, "_SUCCESS").exists() ||
             !new java.io.File(vdir, "_SUCCESS").exists()) {
           val rows = graft.queries.LlmText.signedOn(batch)
@@ -1327,17 +1384,45 @@ object StreamingQ {
                       ELSE 'kept' END AS verdict""",
               "coalesce(ex_doc, near_of) AS dup_of")
             .write.mode("overwrite").parquet(vdir)
-          // append: this batch's rows ONLY — the chain of dirs IS the index
+          // append: this batch's rows ONLY — the chain of runs IS the index
           rows.write.mode("overwrite").parquet(next)
           rows.unpersist()
         }
-        indexDirs = indexDirs :+ next
+        chain = chain :+ ((0, next))
+        // size-tiered compaction: CompactFanout same-level runs → one
+        // run a level up. Deterministic merge-dir names keep retried
+        // batches idempotent (_SUCCESS-guarded like the runs).
+        var merges = 0
+        var merging = true
+        while (merging) {
+          val tail = chain.takeRight(CompactFanout)
+          if (tail.length == CompactFanout &&
+              tail.forall(_._1 == tail.head._1)) {
+            val lvl = tail.head._1
+            val merged = s"$snapRoot/m${batchId}_l${lvl + 1}_${chain.length}"
+            if (!new java.io.File(merged, "_SUCCESS").exists()) {
+              spark.read.parquet(tail.map(_._2): _*)
+                .write.mode("overwrite").parquet(merged)
+            }
+            chain = chain.dropRight(CompactFanout) :+ ((lvl + 1, merged))
+            merges += 1
+          } else merging = false
+        }
         verdictDirs = verdictDirs :+ vdir
+        stats.foreach(_ += IntakeBatchStat(batchId, arrivals, rowsBefore,
+          indexDirs.length, (System.nanoTime() - t0) / 1e9, merges))
       }
       .option("checkpointLocation", freshDir("graft_stream_ckpt_"))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    verdictDirs
+  }
+
+  private def streamIncrementalDedup(spark: SparkSession,
+                                     sfDir: String): DataFrame = {
+    val verdictDirs =
+      incrementalDedupIntake(spark, stagedDocsHalves(spark, sfDir))
     // explicit dir list, not a `b*` glob: the foreachBatch loop knows
     // every verdict dir it committed, and the glob path triggered the
     // sink-metadata probe's WARN-with-stack in the bench tail

@@ -270,7 +270,7 @@ EVIDENCE = {
     "stream_foreach_batch": (B, "linear-scan", "per-batch idempotent write; work batch-sized"),
     "stream_merge_upsert": (B, "linear-scan", "per-batch MERGE: cost per batch is batch + affected-file-sized"),
     "stream_dedup_minhash": (M, "x8 3.6x (r7)", "band-hash state grows with distinct docs; per-batch probe work incoming-sized"),
-    "stream_incremental_dedup": (M, "x8 3.6x / x64 22.5x (r10)", "per-batch: signature build over ARRIVING docs (inherently linear in arrivals — it IS the intake op; the two test batches together are the whole corpus, so x64 trends toward linear), then fp equi-join + 6-band probe of the maintained index (incoming x bucket occupancy). Index chain is APPEND-ONLY since r10 (per-batch writes batch-sized, never corpus-sized); batchId-keyed idempotent dirs"),
+    "stream_incremental_dedup": (M, "x8 3.1x / x64 17.6x (r11); STEADY STATE MEASURED: 16 batches on x8, per-batch wall FLAT at 1.65-2.65 s (mean 1.98) while the index grows 0 -> 37.5k rows (BASELINE.md r11 profile)", "per-batch: signature build over ARRIVING docs (linear in arrivals — the 2-batch key's x64 row measures intake of the whole corpus, which is why the steady-state profile exists), then fp equi-join + 6-band probe of the maintained index (incoming x bucket occupancy). Index chain: append one level-0 run per batch + SIZE-TIERED COMPACTION (4 same-level runs merge one level up) — every row rewritten <= log4(batches) times, live dirs <= 3*log4(batches)+1 (measured: <= 7 dirs, 5 merges over 16 batches); batchId-keyed _SUCCESS-guarded idempotent dirs"),
     "stream_ann_index": (B, "state-bounded", "incremental IVF maintenance: state is the cell assignment table, batch work incoming-sized"),
     "stream_incremental_agg": (M, "x8 1.4x (r7)", "per-key running aggregate: key-cardinality-bound state, checkpoint fixed cost dominates"),
     "stream_topk": (B, "state-bounded", "heavy-hitter state k-bounded per group per update"),
@@ -318,6 +318,7 @@ EVIDENCE = {
     "llm_vocab_build": (M, "corpus x8 -> +60% cost (r5)", "vocab-bound by construction, measured holding"),
     "llm_tokenize_apply": (M, "x8 7.8x (r5)", "~linear: per-doc greedy segmentation against the broadcast vocab"),
     "llm_bpe_train": (M, "x8 1.6x (r5)", "merge-rule iteration is vocab-bound, measured holding"),
+    "llm_unigram_lm_train": (M, "x8 1.3x / x64 1.7x (r11)", "training never touches the corpus after the ONE word-frequency aggregation: seed substring counting, the Viterbi hard-EM DP, and usage re-estimation all run on the distinct-word table; seed vocab collect bounded by construction (192 multi-char pieces + alphabet, the kmeansCentroids collect class) and ships as one map literal"),
     "llm_bpe_apply": (B, "linear-scan", "per-word segmentation against broadcast merge rules"),
     "llm_tokenizer_fertility": (B, "key-cardinality", "tokens-per-word rollup per language"),
     "llm_pack_sequences": (B, "key-cardinality", "running token budget per language shard window"),
@@ -358,31 +359,32 @@ EVIDENCE = {
     "llm_paragraph_dedup": (M, "x8 2.7x (r6)", "paragraph-hash group + doc reconstruction"),
     "llm_substring_dedup": (M, "x8 6.2x / x64 12.0x (r6)", "winnowing-anchor spans; exact span set grows with replicated families"),
     "llm_dedup_source_matrix": (M, "x8 5.0x / x64 7.2x (r10)", "exact tier = fp groupBy rejoined to keeper; near tier rides the persisted LSH pipeline; matrix <= sources^2 rows; source lookups are 2-column joins"),
+    "llm_span_quality_gate": (M, "x8 1.4x / x64 3.7x (r11)", "rides the attribution span table (O(grams) pipeline + dup-span-set-sized election); the gate adds one doc-keyed interval-union window over CUT spans only + a left join to per-doc token counts; one row per document"),
     "llm_span_attribution": (M, "x8 5.5x / x64 12.2x (r10)", "rides llm_substring_dedup O(grams) pipeline; span fingerprint is island-sized ordered fold over DUPLICATED grams only; keeper election one span-fp-keyed agg (dup-span-set-sized) - content-hash grouping replaces any pair join"),
     "llm_winnow_fingerprint": (M, "x8 6.9x / x64 21.1x (r6)", "fingerprint windows track the corpus, strongly sublinear"),
     "llm_incremental_dedup": (M, "x8 0.8x (r6)", "new batch probes boundary-crossing candidates only"),
-    "llm_semdedup": (M, "x8 3.1x (r5)", "embedding-cluster near-dups above the cosine cut; candidates within cells. k PROP N rule: occupancy N/k holds only because production scales cluster count with corpus (SemDeDup: ~100k cells at web scale) — the 16 compile-time centroids are the test-scale instance; CellOccupancySpec pins max cell <= 3x mean"),
+    "llm_semdedup": (M, "x8 2.0x / x64 1.2x (r11, k PROP N LIVE: k=128/1024 derived)", "embedding-cluster near-dups above the cosine cut; candidates within cells. The k PROP N rule is now DERIVED (nlist = max(16, n/125), same rule in the oracle) and measured: cell occupancy stays ~125 at any corpus so the within-cell pairwise stage is flat — 1.2x wall on 64x data. CellOccupancySpec demonstrates k=32/64 on 4x/8x scaled corpora with occupancy <= 3x mean"),
     "llm_url_canonicalize": (B, "linear-scan", "per-URL normalization + hash dedup group"),
     "llm_shingle_stream": (B, "linear-scan", "shingle explode shared upstream of the sketch tiers; output shingle-sized"),
     "llm_embed_neardup": (B, "fixed-cut", "explicitly the bounded-corpus brute-force BASELINE; the scale path is llm_embed_neardup_lsh"),
-    "llm_embed_neardup_lsh": (B, "pair-set-bounded", "hyperplane-LSH buckets; ids-only exchange, candidates from bucket equi-join"),
+    "llm_embed_neardup_lsh": (M, "x8 9.1x / x64 41.1x (r11, bits derived)", "hyperplane-LSH buckets; ids-only exchange, candidates from bucket equi-join; same measured pair-set growth (sign correlation) and same sublinear-in-pairs wall as llm_ann_lsh"),
     "llm_cosine_pair": (B, "fixed-cut", "fixed pair list broadcast; DotProduct codegen per pair"),
     "llm_topk_similarity": (B, "fixed-cut", "one query broadcast; linear scan + TakeOrdered top-k, zero shuffle"),
-    "llm_ann_lsh": (B, "pair-set-bounded", "random-hyperplane buckets; candidates from bucket equi-join (driver headline key, flat across rounds)"),
-    "llm_ann_ivf": (B, "pair-set-bounded", "map-side argmax assignment; candidates only from 2 probed cells. Probed-cell size = N/k only under the k PROP N rule (production grows the cell count with the corpus); CellOccupancySpec pins the shared index's near-uniform occupancy"),
-    "llm_ann_ivf_persisted": (B, "pair-set-bounded", "the index-reuse path: persisted assignment table, probe-cell candidates (same k PROP N occupancy rule as llm_ann_ivf)"),
-    "llm_ann_ivf_kmeans": (B, "pair-set-bounded", "centroids from a 4096-row bounded sample (TakeOrdered plan-pinned against driver-collect regression); probe unchanged (same k PROP N occupancy rule as llm_ann_ivf)"),
+    "llm_ann_lsh": (M, "x8 7.5x / x64 35.8x (r11, bits=11/14 derived)", "random-hyperplane buckets, candidates from the bucket equi-join; cost IS the pair set. bits = max(8, bitlength(n/8)) holds E[occupancy] ~ 8, but the +-1 planes' sign CORRELATION concentrates mass (measured at x64: 4575/16384 buckets occupied, max occ 199, Sum occ^2 = 5.8M/table -> ~190x the sf0.1 pair set) — wall grew 36x, SUBLINEAR in the measured pair set; fixed 8 bits would have been ~23x worse (occ ~500). More tables, not more bits, is the recall dial; decorrelation (random rotation) is the production fix"),
+    "llm_ann_ivf": (M, "x8 1.4x / x64 3.0x (r11, k=128/1024 derived)", "fused-argmax assignment (BestCentroid codegen, k-independent generated code) + 2 probed cells; probed-cell size = N/k held flat by the derived k PROP N rule. Assignment is the honest O(N*k*dim) flat-IVF cost — at web scale (k ~ 1e5) production swaps that one map stage for a coarse-quantizer tree/GEMM"),
+    "llm_ann_ivf_persisted": (M, "x8 1.6x / x64 5.4x (r11)", "the index-reuse path: cell-partitioned parquet index staged once, probe = partition pruning (nprobe/k of the corpus read); same derived k PROP N rule as llm_ann_ivf"),
+    "llm_ann_ivf_kmeans": (M, "x8 1.4x / x64 3.0x (r11, k derived, capped at sample/4)", "centroids from a 4096-row bounded sample (TakeOrdered plan-pinned against driver-collect regression); k = min(max(16, n/125), 1024) so the strided init keeps >= 4 members per centroid — the sample's honesty bound"),
     "llm_ann_hamming": (M, "x8 1.2x (r6)", "2x32-bit sign codes; hamming coarse pass bucketed, rerank on survivors"),
     "llm_embedding_quantize": (B, "linear-scan", "per-vector int8 quantize + reconstruction error, map-side"),
     "llm_embedding_pq": (B, "vocab-bound", "codebook trained on a bounded sample; encoding map-side against broadcast codebooks"),
     "llm_ann_pq_adc": (B, "linear-scan", "ADC table broadcast; one map-side scan over codes, TakeOrdered cut"),
-    "llm_ann_ivfpq": (B, "pair-set-bounded", "cell prune then PQ ADC on probed cells only; zero pre-top-k exchange (same k PROP N occupancy rule as llm_ann_ivf)"),
+    "llm_ann_ivfpq": (M, "x8 1.4x / x64 4.8x (r11)", "probes the STAGED cell-partitioned index (partition pruning, shared with llm_ann_ivf_persisted) then PQ ADC on probed rows only; the in-plan form re-paid the whole-corpus assignment per query (232 s at x64) — index-build cost now lives in the staging, where production pays it"),
     "llm_ann_recall": (M, "x8 4.3x (r6)", "brute-force truth scan tracks corpus; audit join stays 10-row"),
-    "llm_ann_range": (M, "x8 1.2x (r8)", "probed-cells scan + map-side threshold; emitted set radius-selectivity-sized"),
-    "llm_ann_batch_queries": (M, "x8 3.6x (r8)", "whole 5-query batch pays ONE assignment scan; per-query cut on TopKPerGroup"),
+    "llm_ann_range": (M, "x8 1.0x / x64 5.1x (r11)", "probed-cells scan + map-side threshold; emitted set radius-selectivity-sized; derived k holds the probed fraction at 2/k"),
+    "llm_ann_batch_queries": (M, "x8 1.0x / x64 1.9x (r11)", "whole 5-query batch pays ONE assignment scan; per-query cut on TopKPerGroup"),
     "llm_matryoshka_rerank": (M, "x8 ~1x (r6)", "both stages TakeOrdered cuts"),
     "llm_vector_mean": (B, "linear-scan", "declarative element-wise mean: 64-dim partials per group"),
-    "llm_embed_cluster": (M, "x8 2.8x (r6) / x64 2.0x (r10)", "connected components (shared labelFixpoint) over the embedding near-dup pairs; since r10 both the pair set (embedPairs) and the labels table are session-staged parquet artifacts, so repeats re-read instead of re-running LSH + fixpoint; the LSH cell design rides the same k PROP N occupancy rule as llm_semdedup"),
+    "llm_embed_cluster": (M, "x8 1.0x / x64 0.8x (r11, staged artifacts)", "connected components (shared labelFixpoint) over the embedding near-dup pairs; since r10 both the pair set (embedPairs) and the labels table are session-staged parquet artifacts, so repeats re-read instead of re-running LSH + fixpoint; the LSH cell design rides the same k PROP N occupancy rule as llm_semdedup"),
     "llm_knn_graph": (M, "x8 2.5x (r6)", "per-node top-k over LSH candidates"),
     "llm_pagerank": (M, "x8 2.3x (r6) / x64 1.2x (r10)", "3 unrolled O(edges) rounds, localCheckpoint'd; since r10 edges read from the session-staged verifiedPairs parquet (the dedup-log artifact) instead of a per-invocation LSH re-run — x64 steady-state 0.84s"),
     "llm_contamination_reach": (M, "x8 3.0x on 8x edges (r7)", "3 BFS rounds, each one edge equi-join + min-depth re-agg; edges from staged verifiedPairs since r10"),
@@ -412,6 +414,7 @@ EVIDENCE = {
     "llm_multimodal_framesample": (B, "linear-scan", "per-row frame-array sampling, byte-exact fingerprints"),
     "llm_multimodal_audio": (B, "linear-scan", "per-row RMS/zero-crossing features"),
     "llm_multimodal_phash": (M, "x8 1.1x (r8)", "per-row decode+dHash map work; dedup group distinct-hash-bounded"),
+    "llm_multimodal_consistency": (M, "x8 1.2x / x64 3.4x (r11)", "two per-row stand-in encoders (PPM decode -> dHash; token SimHash, both the sibling keys' exact pipelines) + ONE id-keyed join + codegen bit_count(xor) hamming + threshold; one row out per pair, no exchange wider than the id join"),
     # ----- round-9 additions
     "llm_unicode_normalize": (M, "x8 1.0x (r9)", "per-row NFC through the codegen expression; isNormalized fast path keeps already-NFC rows allocation-free"),
     "llm_char_entropy": (M, "x8 1.2x (r9)", "per-doc char histogram entirely in array lambdas — never leaves the row, zero shuffle; fixed-cost-dominated at this scale"),
@@ -422,7 +425,7 @@ EVIDENCE = {
     "win_kaplan_meier": (M, "x8 1.2x (r9)", "one user-keyed agg reduces each user to a row; survival fold runs on the <=span-days bounded series"),
     "etl_shallow_clone": (M, "x8 1.1x (r9)", "the clone IS a manifest write (metadata-sized); reads resolve a 2-row manifest into pruned multi-path scans"),
     "agg_theil_index": (M, "x8 1.0x (r9)", "the statistic runs on the (group, dollar) histogram like agg_gini; one grouped count + histogram-sized arithmetic"),
-    "llm_cluster_coherence": (M, "x8 3.7x on 8x edges (r9)", "labels join per edge endpoint + one cluster-keyed agg over the verified LSH edge set — the modularity class; cost is the LSH scoring + fixpoint it audits"),
+    "llm_cluster_coherence": (M, "x8 1.0x / x64 2.3x (r11)", "labels join per edge endpoint + one cluster-keyed agg over the verified LSH edge set — the modularity class; cost is the LSH scoring + fixpoint it audits"),
     "agg_chi_square": (B, "key-cardinality", "one (type,dow) count shuffle; every statistic computed on the <= types x 7 cell table"),
     "agg_mann_whitney": (B, "vocab-bound", "U from the bounded cents histogram (one count shuffle); never ranks or sorts rows — the agg_gini device applied to a rank test"),
     "etl_checksum_audit": (B, "linear-scan", "per-row hash is map-side; one month-keyed count/xor/sum shuffle with map-side combine; output is partition-count rows"),

@@ -36,14 +36,22 @@ def main():
         shift[k] = con.sql(f"SELECT max({k}) + 1 FROM {t}").fetchone()[0]
 
     def stage(table, select_per_copy):
-        sql = " UNION ALL ".join(
-            select_per_copy(c) for c in range(copies))
-        con.execute(f"COPY ({sql}) TO '{out}/{table}.parquet' "
-                    "(FORMAT PARQUET)")
+        # one FILE PER COPY inside a <table>.parquet DIRECTORY (Spark
+        # reads a dir of parquet transparently): the previous
+        # single-file layout put the whole xN table in 1-2 row groups,
+        # so every scan at x64 ran as one or two tasks — the r11 IVF
+        # assignment measured 20.7 s single-task vs <1 s wide purely
+        # from that artifact. A real corpus at any N arrives as many
+        # files; per-copy files make the scale corpus representative.
+        d = f"{out}/{table}.parquet"
+        os.makedirs(d, exist_ok=True)
+        for c in range(copies):
+            con.execute(f"COPY ({select_per_copy(c)}) "
+                        f"TO '{d}/copy{c:03d}.parquet' (FORMAT PARQUET)")
         n = con.sql(
-            f"SELECT count(*) FROM read_parquet('{out}/{table}.parquet')"
+            f"SELECT count(*) FROM read_parquet('{d}/*.parquet')"
         ).fetchone()[0]
-        print(f"{table}: {n} rows")
+        print(f"{table}: {n} rows in {copies} files")
 
     # fixed dimensions: single copy
     for t in ["region", "nation"]:

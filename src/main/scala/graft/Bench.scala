@@ -14,7 +14,15 @@ object Bench {
       // every CPU-heavy map stage. 8 MB sizes splits so scans spread
       // across cores at these volumes — the knob the Spark guide says
       // to size to the SF, doing exactly that.
-      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
+      // pair the smaller split budget with a proportionally smaller
+      // per-file open cost, or many-tiny-file sources (binaryFile: one
+      // object per doc) degrade to ~2 files per task — 0.19 s → 2.64 s
+      // measured on scan_binaryfile when 8m met the default 4m open
+      // cost. 256k keeps ~30 small files per task, the same packing
+      // the defaults gave.
+      .config("spark.sql.files.openCostInBytes", "256k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

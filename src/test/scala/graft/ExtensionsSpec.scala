@@ -296,6 +296,74 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(small.length === 4 && small.forall(v => v >= 0L && v < 65536L))
   }
 
+  test("CentroidScores/BestCentroid match the lambda formulation and each other") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // a deliberately tie-rich matrix: centroids 1 and 3 are IDENTICAL,
+    // so every row's best ties between them and must resolve to the
+    // SMALLER id (1) in both kernels
+    val cents = Array(
+      Array.tabulate(64)(d => if (d % 2 == 0) 1.0 else -1.0),
+      Array.tabulate(64)(d => if (d % 3 == 0) 1.0 else -1.0),
+      Array.tabulate(64)(d => if (d % 5 == 0) -1.0 else 1.0),
+      Array.tabulate(64)(d => if (d % 3 == 0) 1.0 else -1.0))
+    val norms = Array.fill(4)(8.0)
+    val e = graft.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .selectExpr("vec_id", "embedding",
+        "sqrt(aggregate(embedding, cast(0 as double)," +
+          " (a, v) -> a + cast(v as double) * cast(v as double))) AS nrm")
+    // lambda reference: sequential fold per centroid, same division,
+    // array_max over struct(c, nid) — the formulation the oracles replay
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val ref2 = e.withColumn("cl", centsLit)
+      .selectExpr("vec_id",
+        """transform(cl, (ce, i) -> struct(
+             aggregate(zip_with(embedding, ce,
+                 (x, y) -> cast(x as double) * y),
+               cast(0 as double), (a, v) -> a + v) / (nrm * 8D) AS c,
+             cast(-i as int) AS nid)) AS scores""")
+      .selectExpr("vec_id", "scores", "array_max(scores) AS best")
+    val nativeScores = e.select(col("vec_id"),
+      graft.functions.VectorOps.centroidScores(
+        col("embedding"), col("nrm"), cents, norms).as("scores"))
+    val nativeBest = e.select(col("vec_id"),
+      graft.functions.VectorOps.bestCentroid(
+        col("embedding"), col("nrm"), cents, norms).as("best"))
+    // CentroidScores == the lambda scores, bit for bit
+    assert(nativeScores.exceptAll(ref2.select("vec_id", "scores")).isEmpty &&
+      ref2.select("vec_id", "scores").exceptAll(nativeScores).isEmpty)
+    // BestCentroid == array_max(CentroidScores) == array_max(lambda)
+    val viaMax = nativeScores.selectExpr("vec_id", "array_max(scores) AS best")
+    assert(nativeBest.exceptAll(viaMax).isEmpty &&
+      viaMax.exceptAll(nativeBest).isEmpty)
+    assert(nativeBest.exceptAll(ref2.select("vec_id", "best")).isEmpty)
+    // the duplicate-centroid tie really happens and resolves to id 1,
+    // never 3 (nid = -1 wins over -3 in the lexicographic struct max)
+    val cells = nativeBest.selectExpr("best.nid AS nid")
+      .groupBy("nid").count().collect().map(r => r.getInt(0)).toSet
+    assert(!cells.contains(-3),
+      "a tie with an identical earlier centroid must never elect id 3")
+    // codegen and interpreted paths agree (the eval path is what a
+    // CodegenFallback-wrapping operator would run)
+    val interp = {
+      val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try nativeBest.collect().map(r => (r.getLong(0), r.getStruct(1).getInt(1)))
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", prev)
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    val gen = nativeBest.collect().map(r => (r.getLong(0), r.getStruct(1).getInt(1)))
+    assert(interp.sorted.toSeq === gen.sorted.toSeq)
+  }
+
   test("TopKPerGroup partial-overflow pass-through stays exact") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

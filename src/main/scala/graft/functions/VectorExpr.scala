@@ -209,9 +209,13 @@ case class CentroidScores(emb: Expression, nrm: Expression,
   * InternalRows per vector (measured this round: 131M allocations per
   * pass at ×64/k=1024 — the allocation wall, not the FLOPs, was the
   * 57× bench blowup). This loop keeps two scalars. Semantics are
-  * EXACTLY array_max(CentroidScores(...)): lexicographic (c, nid) max,
-  * iterating ascending with strict >, so ties still break toward the
-  * smallest centroid id. The remaining O(k·dim) per row is the honest
+  * EXACTLY array_max(CentroidScores(...)): lexicographic (c, nid) max
+  * under Spark's double ordering — comparisons go through
+  * java.lang.Double.compare (NaN greatest, 0.0 > -0.0), matching what
+  * array_max applies to the struct's first field, so even a NaN
+  * cosine (zero-norm embedding or zero cnorm) elects the same cell in
+  * both kernels; iterating ascending with strict >, so ties still
+  * break toward the smallest centroid id. The remaining O(k·dim) per row is the honest
   * flat-IVF assignment cost; at web scale (k ~ 10⁵) production swaps
   * this stage for a coarse-quantizer tree or blocked GEMM — a map-side
   * swap that changes nothing downstream.
@@ -265,7 +269,9 @@ case class BestCentroid(emb: Expression, nrm: Expression,
         i += 1
       }
       val cos = acc / (nv * cnorms(c))
-      if (cos > bestC) { bestC = cos; bestI = c }
+      // Double.compare, not >: mirrors Spark's double ordering (NaN
+      // greatest) so degenerate inputs match the array_max twin
+      if (java.lang.Double.compare(cos, bestC) > 0) { bestC = cos; bestI = c }
       c += 1
     }
     new GenericInternalRow(Array[Any](bestC, -bestI))
@@ -296,7 +302,7 @@ case class BestCentroid(emb: Expression, nrm: Expression,
          |    $acc += $getX * $ce[$i];
          |  }
          |  double $cos = $acc / ($n * $normsRef[$c]);
-         |  if ($cos > $bestC) { $bestC = $cos; $bestI = $c; }
+         |  if (java.lang.Double.compare($cos, $bestC) > 0) { $bestC = $cos; $bestI = $c; }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
          |  new Object[]{java.lang.Double.valueOf($bestC),

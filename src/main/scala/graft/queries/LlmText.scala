@@ -1197,11 +1197,18 @@ object LlmText {
   private val UniMaxPiece = 4
 
   private def unigramLmTrain(spark: SparkSession, sfDir: String): DataFrame = {
-    val words = t(spark, sfDir, "documents")
-      .select(explode(split(col("text"), " ")).as("w"))
-      .where(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      .persist() // seed counting + DP + usage all read the vocab table
+    // seed counting + DP + usage all read the vocab table — staged to
+    // parquet once per (JVM, sfDir) with a memoized persisted read
+    // (a bare .persist() here leaked one cached copy per invocation,
+    // ADVICE r11 — the same class the PMI tables fixed at r6)
+    val words = graft.etl.Fixtures.stagedPersisted(spark, sfDir,
+      "unigram_vocab") { d =>
+      t(spark, sfDir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .write.mode("overwrite").parquet(d)
+    }
     val subs = words.selectExpr("w", "freq",
         s"""explode(flatten(transform(sequence(1, length(w)),
              i -> filter(transform(sequence(1, $UniMaxPiece),

@@ -47,13 +47,17 @@ object DedupIntakeProfile {
         s""""merges":${s.merges}}""")
     }
     val steady = stats.drop(1)
+    // parts=1 leaves no steady-state batches — emit nulls instead of
+    // NaN/throwing on the empty tail (ADVICE r11)
+    def steadyStat(f: Seq[Double] => Double): String =
+      if (steady.isEmpty) "null" else fmt(f(steady.map(_.secs).toSeq))
     val summary =
       s"""{"sf":"$sfDir","parts":$parts,"verdict_rows":$verdicts,""" +
         s""""total_secs":${fmt(stats.map(_.secs).sum)},""" +
         s""""batch0_secs":${fmt(stats.head.secs)},""" +
-        s""""steady_mean_secs":${fmt(steady.map(_.secs).sum / steady.length)},""" +
-        s""""steady_min_secs":${fmt(steady.map(_.secs).min)},""" +
-        s""""steady_max_secs":${fmt(steady.map(_.secs).max)},""" +
+        s""""steady_mean_secs":${steadyStat(s => s.sum / s.length)},""" +
+        s""""steady_min_secs":${steadyStat(_.min)},""" +
+        s""""steady_max_secs":${steadyStat(_.max)},""" +
         s""""max_live_runs":${stats.map(_.runsBefore).max},""" +
         s""""total_merges":${stats.map(_.merges).sum}}"""
     spark.stop()

@@ -362,6 +362,40 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     val gen = nativeBest.collect().map(r => (r.getLong(0), r.getStruct(1).getInt(1)))
     assert(interp.sorted.toSeq === gen.sorted.toSeq)
+
+    // NaN parity (ADVICE r11): a zero centroid with zero cnorm makes
+    // that centroid's cosine 0/0 = NaN; Spark's double ordering treats
+    // NaN as greatest, so array_max elects the NaN cell — BestCentroid
+    // must agree (it compares via Double.compare, not raw >, for
+    // exactly this case), and with EVERY cosine NaN (NaN row norm)
+    // both kernels must elect centroid 0 (the nid tie-break).
+    val nanCents = cents.updated(1, Array.fill(64)(0.0))
+    val nanNorms = Array(8.0, 0.0, 8.0, 8.0)
+    val nanBest = e.select(col("vec_id"),
+      graft.functions.VectorOps.bestCentroid(
+        col("embedding"), col("nrm"), nanCents, nanNorms).as("best"))
+    val nanViaMax = e.select(col("vec_id"),
+      graft.functions.VectorOps.centroidScores(
+        col("embedding"), col("nrm"), nanCents, nanNorms).as("scores"))
+      .selectExpr("vec_id", "array_max(scores) AS best")
+    assert(nanBest.exceptAll(nanViaMax).isEmpty &&
+      nanViaMax.exceptAll(nanBest).isEmpty)
+    assert(nanBest.selectExpr("best.nid").distinct().collect()
+      .map(_.getInt(0)).toSet === Set(-1),
+      "the NaN cosine (centroid 1) must win in both kernels")
+    val nanNrm = e.withColumn("nrm", expr("cast('NaN' as double)"))
+    val allNanBest = nanNrm.select(
+      graft.functions.VectorOps.bestCentroid(
+        col("embedding"), col("nrm"), cents, norms).as("best"))
+    val allNanViaMax = nanNrm.select(
+      graft.functions.VectorOps.centroidScores(
+        col("embedding"), col("nrm"), cents, norms).as("scores"))
+      .selectExpr("array_max(scores) AS best")
+    assert(allNanBest.exceptAll(allNanViaMax).isEmpty &&
+      allNanViaMax.exceptAll(allNanBest).isEmpty)
+    assert(allNanBest.selectExpr("best.nid").distinct().collect()
+      .map(_.getInt(0)).toSet === Set(0),
+      "all-NaN scores must elect centroid 0 via the nid tie-break")
   }
 
   test("TopKPerGroup partial-overflow pass-through stays exact") {

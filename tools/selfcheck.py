@@ -57,7 +57,12 @@ def main():
               "lineitem", "events", "documents", "embeddings"]:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            # stage_scale.py writes <table>.parquet as a DIRECTORY of
+            # per-copy files (Spark reads it transparently); DuckDB
+            # needs an explicit glob for the directory case.
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):

@@ -1181,20 +1181,99 @@ object LlmText {
   // instance of the trainer (production SentencePiece uses soft
   // forward–backward counts; Viterbi counts are its deterministic,
   // engine-replayable specialization — named here, not hidden).
-  // (3) M-STEP — re-estimate each piece's usage from the segmented
-  // vocabulary, corpus-weighted; pieces with zero usage are the ones
-  // a loss-pruning round would drop first (kept = usage > 0).
+  // (3) M-STEP — re-estimate each piece's probability from its usage
+  // in the segmented vocabulary, corpus-weighted (cost2 = −ln(usage /
+  // Σusage), with a +1 floor on single-char usage so the coverage
+  // alphabet always carries a cost). (4) PRUNE (VERDICT r11 #4, the
+  // step production SentencePiece iterates): for every multi-char
+  // piece, the usage-weighted LOSS DELTA of removing it — the cost of
+  // its best ALTERNATIVE segmentation (over the remaining vocabulary;
+  // the all-single-chars path guarantees one exists) minus its own
+  // cost, times its usage — ranks how much the piece earns its slot;
+  // the bottom ⌈20%⌉ by that delta are dropped, along with every
+  // zero-usage piece. (5) E-STEP 2 — re-segment the vocabulary against
+  // the pruned piece set and re-count usage, so the emitted table is a
+  // POST-PRUNE vocabulary: one full EM iteration + prune + re-segment,
+  // the loop shape Kudo's trainer repeats to a target size.
   //
   // Scale shape (the llm_bpe_train argument): training never touches
   // the corpus after the ONE word-frequency aggregation — seed
-  // counting, the DP, and usage counts all run on the DISTINCT-WORD
-  // table, so cost is vocabulary-sized at any corpus size. The seed
-  // collect is bounded by construction (192 + alphabet ≤ ~250 rows —
-  // the kmeansCentroids class of metadata collect) and ships back as
-  // one map literal inside the plan.
+  // counting, both DP rounds, and usage counts all run on the
+  // DISTINCT-WORD table, so cost is vocabulary-sized at any corpus
+  // size. The seed and round-1-usage collects are bounded by
+  // construction (192 + alphabet ≤ ~250 rows — the kmeansCentroids
+  // class of metadata collect); the entire prune decision runs on the
+  // driver over that bounded set and ships back as map literals.
   // ---------------------------------------------------------------------
   private val UniSeedMulti = 192
   private val UniMaxPiece = 4
+  private val UniPruneDen = 5 // prune ⌈1/5⌉ of live multi-char pieces
+
+  /** Proper compositions of a piece of length n (2..4) as (start, len)
+    * segments — the alternative-segmentation enumeration for the prune
+    * loss delta, shared verbatim with the oracle's literal comps
+    * table. Excludes the whole-piece composition by construction. */
+  private val UniProperComps: Map[Int, Seq[Seq[(Int, Int)]]] = Map(
+    2 -> Seq(Seq((1, 1), (2, 1))),
+    3 -> Seq(Seq((1, 1), (2, 1), (3, 1)), Seq((1, 1), (2, 2)),
+      Seq((1, 2), (3, 1))),
+    4 -> Seq(Seq((1, 1), (2, 1), (3, 1), (4, 1)),
+      Seq((1, 1), (2, 1), (3, 2)), Seq((1, 1), (2, 2), (4, 1)),
+      Seq((1, 2), (3, 1), (4, 1)), Seq((1, 2), (3, 2)),
+      Seq((1, 1), (2, 3)), Seq((1, 3), (4, 1))))
+
+  /** −ln(num/den) in the suite's e6-integer convention (StrictMath.log
+    * is the function Spark's ln evaluates; DuckDB's ln agrees across
+    * the suite's LM keys by the same convention). */
+  private def lnCostE6(num: Long, den: Long): Long =
+    BigDecimal.valueOf(
+        -StrictMath.log(num.toDouble / den.toDouble) * 1e6)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** One E-step: Viterbi-segment every vocabulary word against
+    * `costsMap` (the bounded piece→cost_e6 literal) and return the
+    * corpus-weighted per-piece usage counts. Backtrack in two stages —
+    * see the comment inside (shape shared with the DuckDB twin). */
+  private def viterbiUsage(words: DataFrame,
+                           costsMap: Map[String, Long]): DataFrame = {
+    // backtrack in two stages: (1) ch[p] = the longest piece length
+    // ending the optimal path at EVERY position p (a plain transform —
+    // no lambda nested inside the fold; the nested-inside-reduce form
+    // miscomputed in the DuckDB twin, so both engines share this
+    // two-stage shape), then (2) the path walk is a fold of pure
+    // array lookups.
+    val seg = words
+      .withColumn("m", typedLit(costsMap))
+      .withColumn("best", expr(s"""
+        aggregate(sequence(1, length(w)), array(CAST(0 AS BIGINT)),
+          (acc, j) -> array_append(acc,
+            array_min(filter(transform(sequence(1, least(j, $UniMaxPiece)),
+              i -> try_element_at(m, substring(w, j - i + 1, i)) +
+                   element_at(acc, j - i + 1)),
+              x -> x IS NOT NULL))))"""))
+      .withColumn("ch", expr(s"""
+        transform(sequence(1, length(w)), p ->
+          array_max(filter(transform(sequence(1, least(p, $UniMaxPiece)),
+            i -> IF(try_element_at(m, substring(w, p - i + 1, i))
+                      IS NOT NULL
+                    AND element_at(best, p - i + 1) +
+                        try_element_at(m, substring(w, p - i + 1, i))
+                        = element_at(best, p + 1),
+                    i, CAST(NULL AS INT))),
+            x -> x IS NOT NULL)))"""))
+      .withColumn("pieces", expr("""
+        aggregate(sequence(1, length(w)),
+          named_struct('p', length(w), 'ps', CAST(array() AS array<string>)),
+          (st, z) -> IF(st.p <= 0, st,
+            named_struct(
+              'p', st.p - element_at(ch, st.p),
+              'ps', concat(array(substring(w,
+                             st.p - element_at(ch, st.p) + 1,
+                             element_at(ch, st.p))), st.ps))),
+          st -> st.ps)"""))
+    seg.select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("usage_freq"))
+  }
 
   private def unigramLmTrain(spark: SparkSession, sfDir: String): DataFrame = {
     // seed counting + DP + usage all read the vocab table — staged to
@@ -1227,57 +1306,63 @@ object LlmText {
     val seedRows = seed.collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val total = seedRows.map(_._2).sum
-    val costs: Map[String, Long] = seedRows.map { case (p, wt) =>
-      p -> BigDecimal.valueOf(
-          -StrictMath.log(wt.toDouble / total.toDouble) * 1e6)
-        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    val costs: Map[String, Long] =
+      seedRows.map { case (p, wt) => p -> lnCostE6(wt, total) }.toMap
+    // E-step 1 + bounded collect of the usage counts (the aggregation
+    // is seed-bounded: ≤ ~250 pieces — same metadata class as `seed`)
+    val usage1: Map[String, Long] = viterbiUsage(words, costs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // M-step: re-estimated costs from round-1 usage. The +1 floor on
+    // single-char usage keeps the coverage alphabet costed even when
+    // the optimal paths never used a char alone (ε-smoothing — the
+    // same reason production trainers never prune the char set).
+    val eff: Map[String, Long] = costs.keysIterator.flatMap { p =>
+      val u = usage1.getOrElse(p, 0L)
+      val e = if (p.length == 1) math.max(u, 1L) else u
+      if (e > 0) Some(p -> e) else None
     }.toMap
-    // backtrack in two stages: (1) ch[p] = the longest piece length
-    // ending the optimal path at EVERY position p (a plain transform —
-    // no lambda nested inside the fold; the nested-inside-reduce form
-    // miscomputed in the DuckDB twin, so both engines share this
-    // two-stage shape), then (2) the path walk is a fold of pure
-    // array lookups.
-    val seg = words
+    val tot2 = eff.values.sum
+    val costs2: Map[String, Long] =
+      eff.map { case (p, u) => p -> lnCostE6(u, tot2) }
+    // PRUNE: usage-weighted loss delta = (best alternative segmentation
+    // cost − own cost) × usage; the all-single-chars composition
+    // guarantees an alternative exists. Bottom ⌈1/UniPruneDen⌉ of live
+    // multi-char pieces dropped (ties toward the lexicographically
+    // smaller piece — deterministic in both engines).
+    val multi = costs2.keys.filter(_.length >= 2).toSeq
+    val lossDelta: Map[String, Long] = multi.map { p =>
+      val alt = UniProperComps(p.length).flatMap { comp =>
+        val cs = comp.map { case (s, l) =>
+          costs2.get(p.substring(s - 1, s - 1 + l)) }
+        if (cs.forall(_.isDefined)) Some(cs.flatten.sum) else None
+      }.min
+      p -> (alt - costs2(p)) * usage1(p)
+    }.toMap
+    val nPrune = (multi.size + UniPruneDen - 1) / UniPruneDen
+    val prunedMulti: Set[String] =
+      multi.sortBy(p => (lossDelta(p), p)).take(nPrune).toSet
+    val costs3 = costs2 -- prunedMulti
+    // pruned = everything the round removed from the seed: zero-usage
+    // pieces (never entered the live vocabulary) + the loss-ranked cut
+    val prunedAll: Set[String] = costs.keySet -- costs3.keySet
+    // E-step 2: re-segment against the post-prune vocabulary
+    val usage2 = viterbiUsage(words, costs3)
+      .withColumnRenamed("usage_freq", "usage2_freq")
+    seed.join(usage2, Seq("piece"), "left_outer")
       .withColumn("m", typedLit(costs))
-      .withColumn("best", expr(s"""
-        aggregate(sequence(1, length(w)), array(CAST(0 AS BIGINT)),
-          (acc, j) -> array_append(acc,
-            array_min(filter(transform(sequence(1, least(j, $UniMaxPiece)),
-              i -> try_element_at(m, substring(w, j - i + 1, i)) +
-                   element_at(acc, j - i + 1)),
-              x -> x IS NOT NULL))))"""))
-      .withColumn("ch", expr(s"""
-        transform(sequence(1, length(w)), p ->
-          array_max(filter(transform(sequence(1, least(p, $UniMaxPiece)),
-            i -> IF(try_element_at(m, substring(w, p - i + 1, i))
-                      IS NOT NULL
-                    AND element_at(best, p - i + 1) +
-                        try_element_at(m, substring(w, p - i + 1, i))
-                        = element_at(best, p + 1),
-                    i, CAST(NULL AS INT))),
-            x -> x IS NOT NULL)))"""))
-      .withColumn("pieces", expr("""
-        aggregate(sequence(1, length(w)),
-          named_struct('p', length(w), 'ps', CAST(array() AS array<string>)),
-          (st, z) -> IF(st.p <= 0, st,
-            named_struct(
-              'p', st.p - element_at(ch, st.p),
-              'ps', concat(array(substring(w,
-                             st.p - element_at(ch, st.p) + 1,
-                             element_at(ch, st.p))), st.ps))),
-          st -> st.ps)"""))
-    val usage = seg
-      .select(col("freq"), explode(col("pieces")).as("piece"))
-      .groupBy("piece").agg(sum(col("freq")).as("usage_freq"))
-    seed.join(usage, Seq("piece"), "left_outer")
-      .withColumn("m", typedLit(costs))
+      .withColumn("m1u", typedLit(usage1))
+      .withColumn("m2", typedLit(costs2))
+      .withColumn("prs", typedLit(prunedAll.toSeq.sorted))
       .selectExpr("piece",
         "length(piece) AS piece_len",
         "seed_weight",
         "element_at(m, piece) AS cost_e6",
-        "coalesce(usage_freq, 0) AS usage_freq",
-        "coalesce(usage_freq, 0) > 0 AS kept")
+        "coalesce(try_element_at(m1u, piece), CAST(0 AS BIGINT)) AS usage_freq",
+        "try_element_at(m2, piece) AS em_cost_e6",
+        "array_contains(prs, piece) AS pruned",
+        "coalesce(usage2_freq, CAST(0 AS BIGINT)) AS usage2_freq",
+        """NOT array_contains(prs, piece)
+           AND coalesce(usage2_freq, CAST(0 AS BIGINT)) > 0 AS kept""")
       .orderBy("piece")
   }
 
@@ -4707,10 +4792,60 @@ object LlmText {
     * keeps the accumulator type legal), same longest-piece backtrack
     * tie-break, same corpus-weighted usage M-step. */
   private lazy val UnigramLmOracle: String = {
-    def look(k: String) = s"map_extract(mm.m, $k)[1]"
-    val p = "CAST(bt[1] AS INTEGER)"
     val jj = "CAST(x[1] AS INTEGER)"
     val pp = "CAST(p AS INTEGER)"
+    /** One E-step against the piece→cost map CTE `mapCte`: dp/chs/walk
+      * /seg/usage CTEs suffixed with `sfx` — instantiated for both EM
+      * rounds so the two segmentation passes cannot drift apart. */
+    def viterbi(sfx: String, mapCte: String): String = {
+      def look(k: String) = s"map_extract($mapCte.m, $k)[1]"
+      s"""dp$sfx AS (
+           SELECT w, freq,
+                  list_reduce(
+                    list_prepend([CAST(0 AS BIGINT)],
+                      list_transform(range(1, length(w) + 1),
+                                     j -> [CAST(j AS BIGINT)])),
+                    (acc, x) -> list_append(acc,
+                      list_min(list_filter(
+                        list_transform(range(1, least($jj, $UniMaxPiece) + 1),
+                          i -> acc[$jj - i + 1] +
+                               ${look(s"w[$jj - i + 1 : $jj]")}),
+                        v -> v IS NOT NULL)))) AS best
+           FROM wrd, $mapCte),
+         chs$sfx AS (
+           SELECT w, freq,
+                  list_transform(range(1, length(w) + 1), p ->
+                    list_max(list_filter(
+                      list_transform(range(1, least($pp, $UniMaxPiece) + 1),
+                        i -> CASE WHEN ${look(s"w[$pp - i + 1 : $pp]")}
+                                    IS NOT NULL
+                                  AND best[$pp - i + 1] +
+                                      ${look(s"w[$pp - i + 1 : $pp]")}
+                                      = best[$pp + 1]
+                             THEN i END),
+                      v -> v IS NOT NULL))) AS ch
+           FROM dp$sfx, $mapCte),
+         -- the walk: one recursive step per piece, end position e
+         -- strictly decreasing (e' = e − ch[e]) — a recursive CTE, not
+         -- a list_reduce fold: DuckDB 1.0.0 cross-pairs rows inside
+         -- list_reduce lambdas on larger vectors whenever the lambda
+         -- needs per-row context beyond (acc, element) — found (and
+         -- minimally reproduced) building this key; the suite's proven
+         -- folds are all context-free (acc, v) -> arithmetic.
+         walk$sfx AS (
+           SELECT w, freq, ch, CAST(length(w) AS BIGINT) AS e FROM chs$sfx
+           UNION ALL
+           SELECT w, freq, ch, e - ch[CAST(e AS INTEGER)] FROM walk$sfx
+           WHERE e - ch[CAST(e AS INTEGER)] > 0),
+         seg$sfx AS (
+           SELECT w, freq,
+                  w[CAST(e - ch[CAST(e AS INTEGER)] AS INTEGER) + 1
+                    : CAST(e AS INTEGER)] AS piece
+           FROM walk$sfx),
+         usage$sfx AS (
+           SELECT piece, CAST(sum(freq) AS BIGINT) AS usage_freq
+           FROM seg$sfx GROUP BY piece)"""
+    }
     s"""WITH RECURSIVE wrd AS (
            SELECT w, count(*) AS freq FROM (
              SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -4741,57 +4876,74 @@ object LlmText {
            FROM seed, tot),
          mm AS (SELECT map(list(piece ORDER BY piece),
                            list(cost_e6 ORDER BY piece)) AS m FROM costs),
-         dp AS (
-           SELECT w, freq,
-                  list_reduce(
-                    list_prepend([CAST(0 AS BIGINT)],
-                      list_transform(range(1, length(w) + 1),
-                                     j -> [CAST(j AS BIGINT)])),
-                    (acc, x) -> list_append(acc,
-                      list_min(list_filter(
-                        list_transform(range(1, least($jj, $UniMaxPiece) + 1),
-                          i -> acc[$jj - i + 1] +
-                               ${look(s"w[$jj - i + 1 : $jj]")}),
-                        v -> v IS NOT NULL)))) AS best
-           FROM wrd, mm),
-         chs AS (
-           SELECT w, freq,
-                  list_transform(range(1, length(w) + 1), p ->
-                    list_max(list_filter(
-                      list_transform(range(1, least($pp, $UniMaxPiece) + 1),
-                        i -> CASE WHEN ${look(s"w[$pp - i + 1 : $pp]")}
-                                    IS NOT NULL
-                                  AND best[$pp - i + 1] +
-                                      ${look(s"w[$pp - i + 1 : $pp]")}
-                                      = best[$pp + 1]
-                             THEN i END),
-                      v -> v IS NOT NULL))) AS ch
-           FROM dp, mm),
-         -- the walk: one recursive step per piece, end position e
-         -- strictly decreasing (e' = e − ch[e]) — a recursive CTE, not
-         -- a list_reduce fold: DuckDB 1.0.0 cross-pairs rows inside
-         -- list_reduce lambdas on larger vectors whenever the lambda
-         -- needs per-row context beyond (acc, element) — found (and
-         -- minimally reproduced) building this key; the suite's proven
-         -- folds are all context-free (acc, v) -> arithmetic.
-         walk AS (
-           SELECT w, freq, ch, CAST(length(w) AS BIGINT) AS e FROM chs
-           UNION ALL
-           SELECT w, freq, ch, e - ch[CAST(e AS INTEGER)] FROM walk
-           WHERE e - ch[CAST(e AS INTEGER)] > 0),
-         seg AS (
-           SELECT w, freq,
-                  w[CAST(e - ch[CAST(e AS INTEGER)] AS INTEGER) + 1
-                    : CAST(e AS INTEGER)] AS piece
-           FROM walk),
-         usage AS (
-           SELECT piece, CAST(sum(freq) AS BIGINT) AS usage_freq
-           FROM seg GROUP BY piece)
+         ${viterbi("1", "mm")},
+         -- M-step: re-estimated costs from round-1 usage; single chars
+         -- get a +1 usage floor (the coverage alphabet stays costed)
+         live AS (
+           SELECT c.piece,
+                  CASE WHEN length(c.piece) = 1
+                       THEN greatest(coalesce(u.usage_freq, 0), 1)
+                       ELSE coalesce(u.usage_freq, 0) END AS eff
+           FROM costs c LEFT JOIN usage1 u USING (piece)),
+         live2 AS (SELECT piece, eff FROM live WHERE eff > 0),
+         tot2 AS (SELECT sum(eff) AS tot FROM live2),
+         costs2 AS (
+           SELECT piece, eff,
+                  CAST(round(-ln(CAST(eff AS DOUBLE) / CAST(tot AS DOUBLE))
+                             * 1000000) AS BIGINT) AS cost2_e6
+           FROM live2, tot2),
+         mm2 AS (SELECT map(list(piece ORDER BY piece),
+                            list(cost2_e6 ORDER BY piece)) AS m FROM costs2),
+         -- PRUNE: usage-weighted loss delta over the literal proper-
+         -- composition table (same (start, len) segments as the Spark
+         -- side's UniProperComps); bottom ceil(1/$UniPruneDen) of the
+         -- live multi-char pieces dropped, ties toward the smaller piece
+         comps AS (SELECT * FROM (VALUES
+           (2, [[1,1],[2,1]]),
+           (3, [[1,1],[2,1],[3,1]]), (3, [[1,1],[2,2]]), (3, [[1,2],[3,1]]),
+           (4, [[1,1],[2,1],[3,1],[4,1]]), (4, [[1,1],[2,1],[3,2]]),
+           (4, [[1,1],[2,2],[4,1]]), (4, [[1,2],[3,1],[4,1]]),
+           (4, [[1,2],[3,2]]), (4, [[1,1],[2,3]]), (4, [[1,3],[4,1]]))
+           AS v(n, comp)),
+         alt AS (
+           SELECT c2.piece,
+                  min(list_reduce(list_transform(comp, s ->
+                        map_extract(mm2.m,
+                          c2.piece[s[1] : s[1] + s[2] - 1])[1]),
+                      (x, y) -> x + y)) AS alt_cost
+           FROM costs2 c2, comps, mm2
+           WHERE comps.n = length(c2.piece) AND length(c2.piece) >= 2
+           GROUP BY c2.piece),
+         loss AS (
+           SELECT a.piece, (a.alt_cost - c2.cost2_e6) * u.usage_freq AS ld
+           FROM alt a JOIN costs2 c2 USING (piece)
+                JOIN usage1 u USING (piece)),
+         np AS (SELECT (count(*) + ${UniPruneDen - 1}) // $UniPruneDen
+                         AS np FROM loss),
+         prunedm AS (
+           SELECT piece FROM (
+             SELECT piece, row_number() OVER (ORDER BY ld, piece) AS rk
+             FROM loss), np
+           WHERE rk <= np.np),
+         costs3 AS (
+           SELECT piece, cost2_e6 FROM costs2
+           WHERE piece NOT IN (SELECT piece FROM prunedm)),
+         mm3 AS (SELECT map(list(piece ORDER BY piece),
+                            list(cost2_e6 ORDER BY piece)) AS m FROM costs3),
+         ${viterbi("2", "mm3")}
          SELECT c.piece, length(c.piece) AS piece_len, c.seed_weight,
                 c.cost_e6,
-                coalesce(u.usage_freq, 0) AS usage_freq,
-                coalesce(u.usage_freq, 0) > 0 AS kept
-         FROM costs c LEFT JOIN usage u USING (piece)
+                coalesce(u1.usage_freq, 0) AS usage_freq,
+                c2.cost2_e6 AS em_cost_e6,
+                (c2.piece IS NULL OR pm.piece IS NOT NULL) AS pruned,
+                coalesce(uu2.usage_freq, 0) AS usage2_freq,
+                (c2.piece IS NOT NULL AND pm.piece IS NULL
+                 AND coalesce(uu2.usage_freq, 0) > 0) AS kept
+         FROM costs c
+         LEFT JOIN usage1 u1 USING (piece)
+         LEFT JOIN costs2 c2 USING (piece)
+         LEFT JOIN prunedm pm USING (piece)
+         LEFT JOIN usage2 uu2 USING (piece)
          ORDER BY c.piece"""
   }
 

@@ -98,20 +98,53 @@ object LlmVector {
   }
 
   // ---------------------------------------------------------------------
-  // llm_ann_lsh — approximate NN via random-hyperplane LSH: 4 hash
-  // tables × 8 sign bits; plane weights are ±1 from md5 parity (fully
-  // deterministic, engine-portable). Candidates come from an equi-join
-  // on (table, bucket) — the O(n²) cross product never materializes —
-  // then get re-ranked by exact cosine; global top-50 returned.
+  // llm_ann_lsh — approximate NN via ROTATED-hyperplane LSH: 4 hash
+  // tables × `bits` sign bits. The hyperplanes of table t are rows of
+  // the structured rotation M_t = H·D2_t·H·D1_t (H = 64×64
+  // Walsh–Hadamard, D = md5-parity ±1 diagonals) — the classic
+  // HD-composition decorrelation (Ailon–Chazelle FJLT / FALCONN-style
+  // rotation LSH). M_t·M_tᵀ = 64²·I exactly, so within a table the
+  // sign bits are projections onto ORTHOGONAL directions; the previous
+  // independent md5-±1 planes carried mutual correlation that
+  // concentrated bucket mass at ×64 (SCALE.md r11: max occupancy 199
+  // vs design 8, max bit-pair correlation 0.225 — rotated planes
+  // measure 0.05 with max occupancy ~3× the mean). M_t's entries are
+  // even integers in [−64, 64] computed with EXACT integer arithmetic,
+  // so the oracle recomputes the identical matrix in SQL (md5-parity
+  // diagonals + the popcount identity H[p,k] = (−1)^popcount(p AND k))
+  // and buckets stay engine-portable. Candidates come from an
+  // equi-join on (table, bucket) — the O(n²) cross product never
+  // materializes — then get re-ranked by exact cosine; top-50 returned.
   // ---------------------------------------------------------------------
-  /** ±1 plane weight for (table, bit, dim): md5-parity of "t_p_d"
-    * (shared [[OracleFmt.mdParitySign]]) — computed once on the driver
-    * and shipped as array literals (the oracle recomputes the same
-    * parity with SQL md5; values are identical by construction). At
-    * cluster scale these literals travel inside the serialized plan —
-    * a few KB. */
-  private def planeSign(t: Int, p: Int, d: Int): Double =
-    OracleFmt.mdParitySign(s"${t}_${p}_$d")
+  /** ±1 md5-parity rotation diagonal for table `t`: layer "a" is
+    * applied at the input dimensions, layer "b" between the two
+    * Hadamard passes. Tags ("r<t>_a_<d>" / "r<t>_b_<k>") are shared
+    * verbatim with the oracle's SQL md5 replay. */
+  private def rotDiag(t: Int, layer: String): Array[Int] =
+    Array.tabulate(64)(d =>
+      OracleFmt.mdParitySign(s"r${t}_${layer}_$d").toInt)
+
+  /** (−1)^popcount(a AND b) — the 64×64 Walsh–Hadamard entry. */
+  private def hadSign(a: Int, b: Int): Int =
+    if (java.lang.Integer.bitCount(a & b) % 2 == 0) 1 else -1
+
+  /** Row `p` of M_t = H·D2_t·H·D1_t: exact integer entries, computed
+    * once on the driver (a 64×64 integer loop per row) and shipped as
+    * array literals inside the serialized plan — a few KB, exactly
+    * like the ±1 planes they replace. One Hadamard pass yields at most
+    * 64 orthogonal rows, so bits ≤ 64 per table; past that the dial is
+    * more TABLES (OR-amplification, measured by llm_ann_lsh_tune),
+    * never more bits — occupancy is at its design point long before. */
+  private[graft] def rotPlane(t: Int, p: Int): Seq[Double] = {
+    val d1 = rotDiag(t, "a")
+    val d2 = rotDiag(t, "b")
+    Seq.tabulate(64) { d =>
+      var s = 0
+      var k = 0
+      while (k < 64) { s += hadSign(p, k) * d2(k) * hadSign(k, d); k += 1 }
+      (s * d1(d)).toDouble
+    }
+  }
 
   // bits ∝ log₂ N (VERDICT r10 #1, the LSH face of the k ∝ N rule):
   // random-hyperplane buckets halve in expected occupancy per added
@@ -129,12 +162,15 @@ object LlmVector {
   private def lshBits(spark: SparkSession, sfDir: String): Int = {
     val n = math.max(1L,
       t(spark, sfDir, "embeddings").count() / LshTargetOcc)
-    math.max(LshBitsFloor, java.lang.Long.toBinaryString(n).length)
+    // cap at 64: one rotation yields 64 orthogonal rows; past that the
+    // recall/occupancy dial is more tables (llm_ann_lsh_tune), not bits
+    math.min(64, math.max(LshBitsFloor,
+      java.lang.Long.toBinaryString(n).length))
   }
 
   private def bucketCol(table: Int, nBits: Int): Column = {
     val bits = (0 until nBits).map { p =>
-      val plane = typedLit(Seq.tabulate(64)(d => planeSign(table, p, d)))
+      val plane = typedLit(rotPlane(table, p))
       when(dot(col("embedding"), plane) >= 0, "1").otherwise("0")
     }
     concat(bits: _*).as(s"bucket_$table")
@@ -147,13 +183,35 @@ object LlmVector {
     * afterward — same shape as LlmText.candidates; at 100 TB the
     * dedup exchange is ids-only instead of O(candidates × embedding
     * bytes). */
-  private def lshScoredCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The (vec_id, tbl, bucket) long table for `nTables` rotated-plane
+    * hash tables at the derived bit count — shared by the production
+    * candidate pipeline, the tune sweep, and CellOccupancySpec's
+    * bucket-occupancy pin.
+    *
+    * Shape note (r12, measured): one UNION branch per table — a plain
+    * Project per branch — NOT `posexplode(array(bucketCol*))`. The
+    * explode form routes the sign-bit expressions through
+    * GenerateExec's interpreted input-evaluation path, and the
+    * interpreted DotProduct over literal planes measured ~4 µs/dot vs
+    * ~0.4 µs inside whole-stage codegen: 33 s vs 0.6 s for the ×64
+    * bucket build (the dominant term of the r11 ann_lsh wall, hiding
+    * under the occupancy skew). A projection barrier does NOT help —
+    * CollapseProject folds it back into the Generate input — so the
+    * union IS the fix: each branch re-scans the (cheap, pruned)
+    * embedding column but every dot stays codegen'd. */
+  private[graft] def lshBucketLong(spark: SparkSession, sfDir: String,
+                                   nTables: Int = 4): DataFrame = {
     val nBits = lshBits(spark, sfDir)
+    (0 until nTables).map { tbl =>
+      t(spark, sfDir, "embeddings")
+        .select(col("vec_id"), lit(tbl).as("tbl"),
+          bucketCol(tbl, nBits).as("bucket"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def lshScoredCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
-    val long = t(spark, sfDir, "embeddings")
-      .select(col("vec_id"),
-        posexplode(array((0 until 4).map(bucketCol(_, nBits)): _*))
-          .as(Seq("tbl", "bucket")))
+    val long = lshBucketLong(spark, sfDir)
     val a = long.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
     val b = long.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket"))
     val cand = a.join(b, Seq("tbl", "bucket"))
@@ -173,6 +231,68 @@ object LlmVector {
     lshScoredCandidates(spark, sfDir)
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
       .limit(50)
+
+  // ---------------------------------------------------------------------
+  // llm_ann_lsh_tune — the multi-table OR-amplification operating
+  // curve (the recall dial, measured): recall@10 and candidate volume
+  // as a function of the number of hash tables L ∈ {1, 2, 4, 8}. A
+  // pair that collides in ANY of L tables is a candidate
+  // (P(candidate) = 1 − (1 − p^bits)^L), so more tables buy recall at
+  // linear candidate cost while more bits would buy precision — this
+  // key is the published curve a deployment picks its L from, the
+  // vector-side twin of llm_minhash_lsh_tune's (bands, rows) sweep.
+  // ONE bucket join serves every L: each (query, neighbor) collision
+  // keeps the MINIMUM table index where it first collides, and each
+  // L-row is a threshold on that column — sweeping L adds one
+  // candidate-set-sized aggregation, never a re-join. Truth is the
+  // exact top-10 per query over a fixed query sample (vec_id % 97):
+  // O(Q·N) map-side scoring + TopKPerGroup, the llm_ann_recall class —
+  // the corpus never shuffles. At 100 TB: per-table candidates stay
+  // occupancy-bounded (the rotation holds occupancy at the bits ∝
+  // log N design point), so the curve's cost axis grows linearly in L
+  // and the key itself is pair-set-bounded.
+  // ---------------------------------------------------------------------
+  private val LshTuneTableCounts = Seq(1, 2, 4, 8)
+
+  private def annLshTune(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val maxL = LshTuneTableCounts.max
+    val e = emb(spark, sfDir)
+    val isQuery = col("vec_id") % 97 === 0
+    val q = e.where(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val truth = graft.plans.GraftOps.topKPerGroup(
+      e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(col("embedding"), col("qe"), col("nrm"), col("qn"))
+            .as("cosine")),
+      Seq("q_id"), Seq(("cosine", false), ("vec_id", true)), k = 10)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    val long = lshBucketLong(spark, sfDir, maxL)
+    val qb = long.where(isQuery)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    val firstHit = qb.join(long, Seq("tbl", "bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(min(col("tbl")).as("min_tbl"))
+    val joined = firstHit.join(truth, Seq("q_id", "vec_id"), "left")
+    val spine = LshTuneTableCounts.toDF("n_tables")
+    val agg = joined.crossJoin(broadcast(spine))
+      .where(col("min_tbl") < col("n_tables"))
+      .groupBy("n_tables")
+      .agg(count(lit(1)).as("n_candidates"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+    val tn = truth.agg(count(lit(1)).as("n_truth"))
+    spine.join(agg, Seq("n_tables"), "left")
+      .crossJoin(broadcast(tn))
+      .selectExpr("CAST(n_tables AS BIGINT) AS n_tables",
+        "coalesce(n_candidates, CAST(0 AS BIGINT)) AS n_candidates",
+        "coalesce(n_hits, CAST(0 AS BIGINT)) AS n_hits", "n_truth",
+        "CAST(coalesce(n_hits, CAST(0 AS BIGINT)) * 10000 DIV n_truth AS BIGINT) AS recall_bp")
+      .orderBy("n_tables")
+  }
 
   // ---------------------------------------------------------------------
   // llm_hard_negatives — hard-negative mining for retrieval training:
@@ -1659,6 +1779,7 @@ object LlmVector {
     "llm_topk_similarity" -> (topkSimilarity _),
     "llm_embed_neardup" -> (embedNeardup _),
     "llm_ann_lsh" -> (annLsh _),
+    "llm_ann_lsh_tune" -> (annLshTune _),
     "llm_hard_negatives" -> (hardNegatives _),
     "llm_embed_neardup_lsh" -> (embedNeardupLsh _),
     "llm_bitext_margin" -> (bitextMargin _),
@@ -1750,32 +1871,50 @@ object LlmVector {
   private val KmKSql =
     "(SELECT greatest(16, least(count(*) // 125, 1024)) FROM embeddings)"
   private val LshBitsSql =
-    "(SELECT greatest(8, length(bin(greatest(count(*) // 8, 1)))) FROM embeddings)"
+    "(SELECT least(64, greatest(8, length(bin(greatest(count(*) // 8, 1))))) FROM embeddings)"
 
-  /** Shared DuckDB replay of the LSH candidate pipeline: md5-parity
-    * planes → sign bits → per-table buckets → ids-only bucket join —
-    * identical by construction to the Spark side (same md5 strings,
-    * same data-derived plane count [[LshBitsSql]]). */
-  private val LshCandCte =
-    s"""WITH e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings),
+  /** Shared DuckDB replay of the LSH bucket pipeline (parameterized by
+    * table count): rotated planes (rows of H·D2·H·D1 — md5-parity ±1
+    * diagonals, Hadamard entries via the popcount identity, summed
+    * with EXACT integer arithmetic so plane weights cannot drift
+    * between engines) → sign bits → per-table buckets — identical by
+    * construction to the Spark side (same md5 diagonal tags, same
+    * data-derived plane count [[LshBitsSql]]). */
+  private def lshBucketsCte(nTables: Int): String =
+    s"""e AS (SELECT vec_id, embedding, $DNorm AS nrm FROM embeddings),
         tp AS (SELECT t.t, p.p
-               FROM (SELECT unnest(range(0, 4)) AS t) t,
+               FROM (SELECT unnest(range(0, $nTables)) AS t) t,
                     (SELECT unnest(range(0, $LshBitsSql)) AS p) p),
+        planes AS (
+          SELECT tp.t, tp.p,
+                 list_transform(range(0, 64), d ->
+                   CAST((CASE WHEN (strpos('0123456789abcdef',
+                           substring(md5('r' || tp.t || '_a_' || d), 1, 1))
+                           - 1) % 2 = 0 THEN 1 ELSE -1 END) *
+                     list_reduce(list_transform(range(0, 64), k ->
+                       (CASE WHEN bit_count(tp.p & k) % 2 = 0
+                             THEN 1 ELSE -1 END) *
+                       (CASE WHEN (strpos('0123456789abcdef',
+                           substring(md5('r' || tp.t || '_b_' || k), 1, 1))
+                           - 1) % 2 = 0 THEN 1 ELSE -1 END) *
+                       (CASE WHEN bit_count(k & d) % 2 = 0
+                             THEN 1 ELSE -1 END)),
+                       (x, y) -> x + y) AS DOUBLE)) AS wl
+          FROM tp),
         bits AS (
-          SELECT e.vec_id, tp.t, tp.p,
+          SELECT e.vec_id, pl.t, pl.p,
                  CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                   list_transform(list_zip(e.embedding,
-                     list_transform(range(0, 64), d ->
-                       CASE WHEN (strpos('0123456789abcdef',
-                           substring(md5(tp.t || '_' || tp.p || '_' || d), 1, 1))
-                           - 1) % 2 = 0
-                            THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)),
+                   list_transform(list_zip(e.embedding, pl.wl),
                      z -> CAST(z[1] AS DOUBLE) * z[2])),
                    (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END AS bit
-          FROM e CROSS JOIN tp),
+          FROM e CROSS JOIN planes pl),
         buckets AS (
           SELECT vec_id, t, string_agg(bit, '' ORDER BY p) AS bucket
-          FROM bits GROUP BY vec_id, t),
+          FROM bits GROUP BY vec_id, t)"""
+
+  /** The production 4-table candidate CTE shared by every LSH oracle. */
+  private val LshCandCte =
+    s"""WITH ${lshBucketsCte(4)},
         cand AS (
           SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
           FROM buckets a JOIN buckets b
@@ -2104,6 +2243,48 @@ object LlmVector {
                     JOIN e eb ON cand.vb = eb.vec_id
           ORDER BY cosine DESC, vec_a, vec_b
           LIMIT 50""",
+    "llm_ann_lsh_tune" ->
+      s"""WITH ${lshBucketsCte(8)},
+          q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn
+                FROM e WHERE vec_id % 97 = 0),
+          truth AS (
+            SELECT q_id, vec_id FROM (
+              SELECT q.q_id, e.vec_id,
+                     row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY ${dDot("e.embedding", "q.qe")}
+                                  / (e.nrm * q.qn) DESC, e.vec_id) AS rk
+              FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+            WHERE rk <= 10),
+          firsthit AS (
+            SELECT qb.vec_id AS q_id, b.vec_id,
+                   CAST(min(b.t) AS INTEGER) AS min_tbl
+            FROM buckets qb JOIN buckets b
+              ON qb.t = b.t AND qb.bucket = b.bucket
+            WHERE qb.vec_id % 97 = 0 AND b.vec_id <> qb.vec_id
+            GROUP BY 1, 2),
+          joined AS (
+            SELECT f.min_tbl,
+                   CASE WHEN t.vec_id IS NOT NULL
+                        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                     AS hit
+            FROM firsthit f LEFT JOIN truth t
+              ON f.q_id = t.q_id AND f.vec_id = t.vec_id),
+          spine AS (SELECT unnest([1, 2, 4, 8]) AS n_tables),
+          agg AS (
+            SELECT s.n_tables,
+                   CAST(count(*) AS BIGINT) AS n_candidates,
+                   CAST(sum(hit) AS BIGINT) AS n_hits
+            FROM spine s JOIN joined j ON j.min_tbl < s.n_tables
+            GROUP BY 1),
+          tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+          SELECT CAST(s.n_tables AS BIGINT) AS n_tables,
+                 coalesce(a.n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+                 coalesce(a.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+                 tn.n_truth,
+                 CAST(coalesce(a.n_hits, CAST(0 AS BIGINT)) * 10000
+                      // tn.n_truth AS BIGINT) AS recall_bp
+          FROM spine s LEFT JOIN agg a USING (n_tables) CROSS JOIN tn
+          ORDER BY n_tables""",
     "llm_hard_negatives" ->
       s"""$LshCandCte,
           scored AS (

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Steady-state profile of the streaming IVF-index intake loop
+  * (VERDICT r11 #5): the `stream_ann_index` key runs exactly two
+  * micro-batches, so its bench row measures INTAKE over batches that
+  * happen to be corpus halves, not the per-batch cost of a
+  * long-running maintenance loop. This main runs the SAME intake
+  * ([[StreamingQ.annIndexIntake]]) over N micro-batches (default 16)
+  * and prints one JSON line per batch — wall seconds, arrivals, index
+  * rows and data-file count before the batch — plus a timed
+  * partition-pruned probe over the final index, so two claims become
+  * measured tables (BASELINE.md r12): (1) per-batch cost tracks batch
+  * size, not index size (append-only, no state read); (2) the probe
+  * over an N-batch index (O(batches) files per cell) costs the same
+  * as over a 2-batch one at these scales — file-count growth taxes
+  * listing, and the tiered-compaction machinery from the dedup chain
+  * is the named remedy the day listing shows up in the numbers.
+  *
+  * Usage: runMain graft.streaming.AnnIndexIntakeProfile [sfDir] [parts]
+  */
+object AnnIndexIntakeProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/scale8_r8")
+    val parts = if (args.length > 1) args(1).toInt else 16
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val srcDir = StreamingQ.stagedEmbParts(spark, sfDir, parts)
+    val stats =
+      scala.collection.mutable.ArrayBuffer.empty[StreamingQ.IntakeBatchStat]
+    // batch 0 carries plan/codegen warm-up (the stream owns batch
+    // order); the steady-state signal is batches 1..N-1 and the
+    // summary reports both with and without batch 0.
+    val idx = StreamingQ.annIndexIntake(spark, sfDir, srcDir, Some(stats))
+    // probe: min of 3 timed runs (first pays codegen), identical
+    // partition-pruned plan to llm_ann_ivf_persisted's read path
+    val probeSecs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      graft.queries.LlmVector.probeIvfIndex(spark, sfDir, idx).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    def fmt(v: Double): String = f"$v%.3f"
+    stats.foreach { s =>
+      println(s"""GRAFT_ANNIDX_BATCH:{"batch":${s.batchId},""" +
+        s""""arrivals":${s.arrivals},"index_rows_before":${s.indexRowsBefore},""" +
+        s""""index_files_before":${s.runsBefore},"secs":${fmt(s.secs)}}""")
+    }
+    val steady = stats.drop(1)
+    // parts=1 leaves no steady-state batches — nulls, not NaN/throw
+    def steadyStat(f: Seq[Double] => Double): String =
+      if (steady.isEmpty) "null" else fmt(f(steady.map(_.secs).toSeq))
+    val summary =
+      s"""{"sf":"$sfDir","parts":$parts,""" +
+        s""""total_secs":${fmt(stats.map(_.secs).sum)},""" +
+        s""""batch0_secs":${fmt(stats.head.secs)},""" +
+        s""""steady_mean_secs":${steadyStat(s => s.sum / s.length)},""" +
+        s""""steady_min_secs":${steadyStat(_.min)},""" +
+        s""""steady_max_secs":${steadyStat(_.max)},""" +
+        s""""final_index_files":${countFiles(idx)},""" +
+        s""""probe_secs":${fmt(probeSecs)}}"""
+    spark.stop()
+    println(s"GRAFT_ANNIDX_PROFILE:$summary")
+  }
+
+  private def countFiles(dir: String): Int = {
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try s.filter((p: java.nio.file.Path) =>
+      p.getFileName.toString.endsWith(".parquet")).count().toInt
+    finally s.close()
+  }
+}

@@ -39,15 +39,31 @@ class Round11Spec extends AnyFunSuite {
     val dir = docsDir(Seq(
       (1L, "abcd abcd abcd abcd xy"),
       (2L, "abcd abcd xy abcd")))
+    // schema: piece, piece_len, seed_weight, cost_e6, usage_freq,
+    //         em_cost_e6, pruned, usage2_freq, kept   (r12: EM + prune)
     val out = SparkEntry.queries("llm_unigram_lm_train")(spark, dir)
       .collect().map(r => r.getString(0) ->
-        (r.getLong(2), r.getLong(4), r.getBoolean(5))).toMap
-    // (piece -> (seed_weight, usage_freq, kept))
+        ((r.getLong(2), r.getLong(4), r.getBoolean(6), r.getLong(7),
+          r.getBoolean(8)))).toMap
+    // (piece -> (seed_weight, usage_freq, pruned, usage2_freq, kept))
     assert(out("abcd")._2 == 7, s"usage(abcd) = ${out("abcd")._2}, want 7")
     assert(out("xy")._2 == 2)
-    assert(out("a")._2 == 0 && !out("a")._3,
+    assert(out("a")._2 == 0 && !out("a")._5,
       "single char 'a' should be unused (abcd won) and kept=false")
-    assert(out("xy")._3 && out("abcd")._3)
+    // prune round, hand-computed: live vocab after round 1 =
+    // {abcd: 7, xy: 2} + singles floored to 1 (tot = 15). Loss deltas:
+    // abcd → singles (4·ln15 − ln(15/7))·7 ≈ 70.5e6;
+    // xy → x+y (2·ln15 − ln(15/2))·2 ≈ 6.8e6. One piece is cut
+    // (⌈2/5⌉ = 1) — the cheaper-to-lose 'xy' — and re-segments as x, y.
+    assert(out("xy")._3 && !out("xy")._5, "xy must be the pruned piece")
+    assert(!out("abcd")._3 && out("abcd")._5 && out("abcd")._4 == 7)
+    assert(out("x")._4 == 2 && out("y")._4 == 2 && out("x")._5,
+      "pruned xy must re-segment as single chars x, y")
+    // zero-usage multi-char pieces are dropped by the round too
+    assert(out("abc")._3 && !out("abc")._5)
+    // single chars are NEVER pruned (the coverage floor)
+    assert(SparkEntry.queries("llm_unigram_lm_train")(spark, dir)
+      .where(col("piece_len") === 1 && col("pruned")).count() == 0)
     // every piece's cost is positive (-ln of a proper fraction)
     val costs = SparkEntry.queries("llm_unigram_lm_train")(spark, dir)
       .select("cost_e6").collect().map(_.getLong(0))

@@ -271,7 +271,7 @@ EVIDENCE = {
     "stream_merge_upsert": (B, "linear-scan", "per-batch MERGE: cost per batch is batch + affected-file-sized"),
     "stream_dedup_minhash": (M, "x8 3.6x (r7)", "band-hash state grows with distinct docs; per-batch probe work incoming-sized"),
     "stream_incremental_dedup": (M, "x8 3.1x / x64 17.6x (r11); STEADY STATE MEASURED: 16 batches on x8, per-batch wall FLAT at 1.65-2.65 s (mean 1.98) while the index grows 0 -> 37.5k rows (BASELINE.md r11 profile)", "per-batch: signature build over ARRIVING docs (linear in arrivals — the 2-batch key's x64 row measures intake of the whole corpus, which is why the steady-state profile exists), then fp equi-join + 6-band probe of the maintained index (incoming x bucket occupancy). Index chain: append one level-0 run per batch + SIZE-TIERED COMPACTION (4 same-level runs merge one level up) — every row rewritten <= log4(batches) times, live dirs <= 3*log4(batches)+1 (measured: <= 7 dirs, 5 merges over 16 batches); batchId-keyed _SUCCESS-guarded idempotent dirs"),
-    "stream_ann_index": (B, "state-bounded", "incremental IVF maintenance: state is the cell assignment table, batch work incoming-sized"),
+    "stream_ann_index": (M, "STEADY STATE MEASURED (r12): 16 batches on x8, per-batch wall FLAT at 1.46-2.11 s (steady mean 1.64) while the index grows 0 -> 15k rows; probe over the 16-batch index (2047 files, 128 cells) = 0.57 s partition-pruned", "incremental IVF maintenance: each batch assigns cells map-side (fused BestCentroid argmax against broadcast centroids) and appends ONLY its rows into the cell-partitioned layout — per-batch work is O(arrivals * k), independent of index size (AnnIndexIntakeProfile, BASELINE.md r12). Growth axis is FILES PER CELL (one per batch per touched cell — taxes listing, not probing); the dedup chain's tiered compaction is the named remedy when listing shows up"),
     "stream_incremental_agg": (M, "x8 1.4x (r7)", "per-key running aggregate: key-cardinality-bound state, checkpoint fixed cost dominates"),
     "stream_topk": (B, "state-bounded", "heavy-hitter state k-bounded per group per update"),
     "stream_window_distinct": (M, "x8 1.6x (r5)", "chained stateful aggs; checkpoint fixed cost amortizing"),
@@ -363,28 +363,29 @@ EVIDENCE = {
     "llm_span_attribution": (M, "x8 5.5x / x64 12.2x (r10)", "rides llm_substring_dedup O(grams) pipeline; span fingerprint is island-sized ordered fold over DUPLICATED grams only; keeper election one span-fp-keyed agg (dup-span-set-sized) - content-hash grouping replaces any pair join"),
     "llm_winnow_fingerprint": (M, "x8 6.9x / x64 21.1x (r6)", "fingerprint windows track the corpus, strongly sublinear"),
     "llm_incremental_dedup": (M, "x8 0.8x (r6)", "new batch probes boundary-crossing candidates only"),
-    "llm_semdedup": (M, "x8 2.0x / x64 1.2x (r11, k PROP N LIVE: k=128/1024 derived)", "embedding-cluster near-dups above the cosine cut; candidates within cells. The k PROP N rule is now DERIVED (nlist = max(16, n/125), same rule in the oracle) and measured: cell occupancy stays ~125 at any corpus so the within-cell pairwise stage is flat — 1.2x wall on 64x data. CellOccupancySpec demonstrates k=32/64 on 4x/8x scaled corpora with occupancy <= 3x mean"),
+    "llm_semdedup": (M, "x8 2.5x / x64 2.1x (r12 on the fixed-mask corpus; r11: 2.0x/1.2x)", "embedding-cluster near-dups above the cosine cut; candidates within cells. The k PROP N rule is now DERIVED (nlist = max(16, n/125), same rule in the oracle) and measured: cell occupancy stays ~125 at any corpus so the within-cell pairwise stage is flat — 1.2x wall on 64x data. CellOccupancySpec demonstrates k=32/64 on 4x/8x scaled corpora with occupancy <= 3x mean"),
     "llm_url_canonicalize": (B, "linear-scan", "per-URL normalization + hash dedup group"),
     "llm_shingle_stream": (B, "linear-scan", "shingle explode shared upstream of the sketch tiers; output shingle-sized"),
     "llm_embed_neardup": (B, "fixed-cut", "explicitly the bounded-corpus brute-force BASELINE; the scale path is llm_embed_neardup_lsh"),
-    "llm_embed_neardup_lsh": (M, "x8 9.1x / x64 41.1x (r11, bits derived)", "hyperplane-LSH buckets; ids-only exchange, candidates from bucket equi-join; same measured pair-set growth (sign correlation) and same sublinear-in-pairs wall as llm_ann_lsh"),
+    "llm_embed_neardup_lsh": (M, "x8 1.7x / x64 4.5x (r12, rotated planes; was 41.1x at r11)", "rotated-hyperplane buckets; ids-only exchange, candidates from bucket equi-join; shares llm_ann_lsh's three r12 fixes (rotation, staging mask, codegen'd union bucket build) and its occupancy pin"),
     "llm_cosine_pair": (B, "fixed-cut", "fixed pair list broadcast; DotProduct codegen per pair"),
     "llm_topk_similarity": (B, "fixed-cut", "one query broadcast; linear scan + TakeOrdered top-k, zero shuffle"),
-    "llm_ann_lsh": (M, "x8 7.5x / x64 35.8x (r11, bits=11/14 derived)", "random-hyperplane buckets, candidates from the bucket equi-join; cost IS the pair set. bits = max(8, bitlength(n/8)) holds E[occupancy] ~ 8, but the +-1 planes' sign CORRELATION concentrates mass (measured at x64: 4575/16384 buckets occupied, max occ 199, Sum occ^2 = 5.8M/table -> ~190x the sf0.1 pair set) — wall grew 36x, SUBLINEAR in the measured pair set; fixed 8 bits would have been ~23x worse (occ ~500). More tables, not more bits, is the recall dial; decorrelation (random rotation) is the production fix"),
-    "llm_ann_ivf": (M, "x8 1.4x / x64 3.0x (r11, k=128/1024 derived)", "fused-argmax assignment (BestCentroid codegen, k-independent generated code) + 2 probed cells; probed-cell size = N/k held flat by the derived k PROP N rule. Assignment is the honest O(N*k*dim) flat-IVF cost — at web scale (k ~ 1e5) production swaps that one map stage for a coarse-quantizer tree/GEMM"),
-    "llm_ann_ivf_persisted": (M, "x8 1.6x / x64 5.4x (r11)", "the index-reuse path: cell-partitioned parquet index staged once, probe = partition pruning (nprobe/k of the corpus read); same derived k PROP N rule as llm_ann_ivf"),
-    "llm_ann_ivf_kmeans": (M, "x8 1.4x / x64 3.0x (r11, k derived, capped at sample/4)", "centroids from a 4096-row bounded sample (TakeOrdered plan-pinned against driver-collect regression); k = min(max(16, n/125), 1024) so the strided init keeps >= 4 members per centroid — the sample's honesty bound"),
+    "llm_ann_lsh": (M, "x8 1.4x / x64 3.6x (r12, rotated planes; was 35.8x at r11)", "ROTATED-hyperplane buckets (rows of H*D2*H*D1, exactly orthogonal integer planes — the HD-composition decorrelation the r11 verdict named), candidates from the bucket equi-join; cost IS the pair set. The r11 35.8x decomposed into THREE fixed defects: (1) the independent +-1 planes' bit correlation 0.225 -> 0.05 under rotation (x64 max occupancy 199 -> 21 vs mean 7.8, CellOccupancySpec-pinned at sf0.1); (2) the scale corpus's per-copy sign mask was degenerate (2 distinct masks over 64 copies — all copies ONE point cloud; stage_scale.py r12 uses md5-parity masks, pair set back to the 2.0M design point); (3) the DOMINANT wall term was posexplode(array(bucketCol*)) routing sign-bit dots through GenerateExec's interpreted path (~4 us/dot vs ~0.4 us codegen; 33 s -> 0.9 s at x64) — the long table is now a per-table UNION of codegen'd Projects. bits = max(8, bitlength(n/8)) capped at 64 (past that, tables are the dial — llm_ann_lsh_tune measures that curve)"),
+    "llm_ann_lsh_tune": (M, "x8 1.1x / x64 3.5x (r12)", "the multi-table OR-amplification operating curve (VERDICT r11 #2): recall@10 vs exact truth + candidate volume per table count L in {1,2,4,8} — measured at sf0.1: recall 1.9%->18.1%, candidates 144->1310 (linear in L). ONE bucket join serves every L (min-first-colliding-table per pair, sweep = threshold), truth is O(Q*N) map-side + TopKPerGroup over a fixed query sample — the llm_ann_recall class"),
+    "llm_ann_ivf": (M, "x8 1.0x / x64 2.7x (r12 on the fixed-mask corpus; r11: 1.4x/3.0x)", "fused-argmax assignment (BestCentroid codegen, k-independent generated code) + 2 probed cells; probed-cell size = N/k held flat by the derived k PROP N rule. Assignment is the honest O(N*k*dim) flat-IVF cost — at web scale (k ~ 1e5) production swaps that one map stage for a coarse-quantizer tree/GEMM"),
+    "llm_ann_ivf_persisted": (M, "x8 1.2x / x64 4.5x (r12; r11: 1.6x/5.4x)", "the index-reuse path: cell-partitioned parquet index staged once, probe = partition pruning (nprobe/k of the corpus read); same derived k PROP N rule as llm_ann_ivf"),
+    "llm_ann_ivf_kmeans": (M, "x8 1.4x / x64 3.3x (r12, k derived, capped at sample/4)", "centroids from a 4096-row bounded sample (TakeOrdered plan-pinned against driver-collect regression); k = min(max(16, n/125), 1024) so the strided init keeps >= 4 members per centroid — the sample's honesty bound"),
     "llm_ann_hamming": (M, "x8 1.2x (r6)", "2x32-bit sign codes; hamming coarse pass bucketed, rerank on survivors"),
     "llm_embedding_quantize": (B, "linear-scan", "per-vector int8 quantize + reconstruction error, map-side"),
     "llm_embedding_pq": (B, "vocab-bound", "codebook trained on a bounded sample; encoding map-side against broadcast codebooks"),
     "llm_ann_pq_adc": (B, "linear-scan", "ADC table broadcast; one map-side scan over codes, TakeOrdered cut"),
-    "llm_ann_ivfpq": (M, "x8 1.4x / x64 4.8x (r11)", "probes the STAGED cell-partitioned index (partition pruning, shared with llm_ann_ivf_persisted) then PQ ADC on probed rows only; the in-plan form re-paid the whole-corpus assignment per query (232 s at x64) — index-build cost now lives in the staging, where production pays it"),
-    "llm_ann_recall": (M, "x8 4.3x (r6)", "brute-force truth scan tracks corpus; audit join stays 10-row"),
-    "llm_ann_range": (M, "x8 1.0x / x64 5.1x (r11)", "probed-cells scan + map-side threshold; emitted set radius-selectivity-sized; derived k holds the probed fraction at 2/k"),
-    "llm_ann_batch_queries": (M, "x8 1.0x / x64 1.9x (r11)", "whole 5-query batch pays ONE assignment scan; per-query cut on TopKPerGroup"),
+    "llm_ann_ivfpq": (M, "x8 1.5x / x64 4.6x (r12; r11: 1.4x/4.8x)", "probes the STAGED cell-partitioned index (partition pruning, shared with llm_ann_ivf_persisted) then PQ ADC on probed rows only; the in-plan form re-paid the whole-corpus assignment per query (232 s at x64) — index-build cost now lives in the staging, where production pays it"),
+    "llm_ann_recall": (M, "x8 1.3x / x64 3.2x (r12; r6: 4.3x)", "brute-force truth scan tracks corpus; audit join stays 10-row"),
+    "llm_ann_range": (M, "x8 1.4x / x64 6.0x (r12; r11: 1.0x/5.1x)", "probed-cells scan + map-side threshold; emitted set radius-selectivity-sized; derived k holds the probed fraction at 2/k"),
+    "llm_ann_batch_queries": (M, "x8 1.2x / x64 2.2x (r12; r11: 1.0x/1.9x)", "whole 5-query batch pays ONE assignment scan; per-query cut on TopKPerGroup"),
     "llm_matryoshka_rerank": (M, "x8 ~1x (r6)", "both stages TakeOrdered cuts"),
     "llm_vector_mean": (B, "linear-scan", "declarative element-wise mean: 64-dim partials per group"),
-    "llm_embed_cluster": (M, "x8 1.0x / x64 0.8x (r11, staged artifacts)", "connected components (shared labelFixpoint) over the embedding near-dup pairs; since r10 both the pair set (embedPairs) and the labels table are session-staged parquet artifacts, so repeats re-read instead of re-running LSH + fixpoint; the LSH cell design rides the same k PROP N occupancy rule as llm_semdedup"),
+    "llm_embed_cluster": (M, "x8 0.7x / x64 0.9x (r12, staged artifacts)", "connected components (shared labelFixpoint) over the embedding near-dup pairs; since r10 both the pair set (embedPairs) and the labels table are session-staged parquet artifacts, so repeats re-read instead of re-running LSH + fixpoint; the LSH cell design rides the same k PROP N occupancy rule as llm_semdedup"),
     "llm_knn_graph": (M, "x8 2.5x (r6)", "per-node top-k over LSH candidates"),
     "llm_pagerank": (M, "x8 2.3x (r6) / x64 1.2x (r10)", "3 unrolled O(edges) rounds, localCheckpoint'd; since r10 edges read from the session-staged verifiedPairs parquet (the dedup-log artifact) instead of a per-invocation LSH re-run — x64 steady-state 0.84s"),
     "llm_contamination_reach": (M, "x8 3.0x on 8x edges (r7)", "3 BFS rounds, each one edge equi-join + min-depth re-agg; edges from staged verifiedPairs since r10"),
@@ -402,7 +403,7 @@ EVIDENCE = {
     "llm_retrieval_ndcg": (M, "x8 2.9x / x64 9.7x (r8)", "BM25 corpus pass dominates; both top-10 cuts TakeOrderedAndProject"),
     "llm_rag_context_pack": (M, "x8 3.2x (r8)", "corpus joins a 10-row broadcast cut; packing window <=10 rows"),
     "llm_hard_negatives": (B, "pair-set-bounded", "top-similar non-matches per anchor from banded candidates, k-bounded per anchor"),
-    "llm_bitext_margin": (M, "x8 2.6x (r5)", "margin vs mean of k-NN cosines; candidates banded"),
+    "llm_bitext_margin": (M, "x8 1.5x / x64 5.0x (r12; r5: x8 2.6x)", "margin vs mean of k-NN cosines; candidates from the rotated-LSH buckets — rides the same pipeline fix as llm_ann_lsh (its x64 wall was ~35 s pre-fix, 5.3 s after)"),
     "llm_kneser_ney_score": (M, "x8 4.8x / x64 12.2x (r8)", "corpus passes + (p,w)-keyed scoring join; KN stats reuse the staged bigram artifact"),
     "llm_quality_logreg": (M, "x8 2.8x / x64 8.9x (r8)", "3 GD iterations = 3 corpus passes into 3-integer partials; weights 1-row broadcast"),
     "llm_opt_threshold": (M, "x8 1.6x (r8)", "one dedup_eval-class audit pass; all 6 thresholds score off a <=14-row histogram"),
@@ -425,7 +426,7 @@ EVIDENCE = {
     "win_kaplan_meier": (M, "x8 1.2x (r9)", "one user-keyed agg reduces each user to a row; survival fold runs on the <=span-days bounded series"),
     "etl_shallow_clone": (M, "x8 1.1x (r9)", "the clone IS a manifest write (metadata-sized); reads resolve a 2-row manifest into pruned multi-path scans"),
     "agg_theil_index": (M, "x8 1.0x (r9)", "the statistic runs on the (group, dollar) histogram like agg_gini; one grouped count + histogram-sized arithmetic"),
-    "llm_cluster_coherence": (M, "x8 1.0x / x64 2.3x (r11)", "labels join per edge endpoint + one cluster-keyed agg over the verified LSH edge set — the modularity class; cost is the LSH scoring + fixpoint it audits"),
+    "llm_cluster_coherence": (M, "x8 0.8x / x64 1.3x (r12; r11: 1.0x/2.3x)", "labels join per edge endpoint + one cluster-keyed agg over the verified LSH edge set — the modularity class; cost is the LSH scoring + fixpoint it audits"),
     "agg_chi_square": (B, "key-cardinality", "one (type,dow) count shuffle; every statistic computed on the <= types x 7 cell table"),
     "agg_mann_whitney": (B, "vocab-bound", "U from the bounded cents histogram (one count shuffle); never ranks or sorts rows — the agg_gini device applied to a rank test"),
     "etl_checksum_audit": (B, "linear-scan", "per-row hash is map-side; one month-keyed count/xor/sum shuffle with map-side combine; output is partition-count rows"),

@@ -113,18 +113,31 @@ def main():
                                            w -> 'c{c}' || w), ' ') END)
                           AS BIGINT) AS n_chars
               FROM documents""")
-    # deterministic PER-DIMENSION sign mask keyed by (copy, dim): one
-    # shared mask per copy is an exact isometry (all within-copy dot
-    # products preserved), while cross-copy pairs disagree on ~half
-    # the dims, so neighborhoods replicate per copy instead of every
-    # copy landing on the same point cloud. copy 0 is the original.
+    # deterministic PER-DIMENSION sign mask keyed by (copy, dim) via md5
+    # parity: one shared mask per copy is an exact isometry (float * +-1
+    # is exact, so all within-copy dot products are preserved bit-for-
+    # bit), while cross-copy pairs disagree on ~half the dims, so
+    # neighborhoods replicate per copy instead of every copy landing on
+    # the same point cloud. copy 0 is the original.
+    #
+    # r12 fix: the previous arithmetic mask ((i*31 + c*2654435761)
+    # % 1000003 % 2) was DEGENERATE - 31 is odd and the modulus never
+    # wraps for i <= 64 at most offsets, so the mask collapsed to
+    # parity(i + c*K) = parity(i) or its complement: across 64 copies
+    # there were exactly 2 distinct masks up to global negation
+    # (measured), i.e. every copy was ONE point cloud and cross-copy
+    # bucket collisions were maximal. Roughly half of the r11 x64 LSH
+    # occupancy skew (max 199 vs design 8) was this staging artifact,
+    # the other half the correlated +-1 planes fixed in-engine the same
+    # round. md5 parity gives 64 genuinely distinct masks.
     stage("embeddings", lambda c:
           f"""SELECT vec_id + {c * shift['vec_id']} AS vec_id,
                      CASE WHEN {c} = 0 THEN embedding ELSE
                        list_transform(range(1, len(embedding) + 1),
                          i -> CAST(embedding[i] *
-                              (CASE WHEN (i * 31 + {c} * 2654435761)
-                                         % 1000003 % 2 = 0
+                              (CASE WHEN (strpos('0123456789abcdef',
+                                    substring(md5('m{c}_' || (i - 1)),
+                                              1, 1)) - 1) % 2 = 0
                                THEN 1.0 ELSE -1.0 END) AS FLOAT))
                      END AS embedding,
                      label FROM embeddings""")

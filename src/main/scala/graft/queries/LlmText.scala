@@ -952,14 +952,18 @@ object LlmText {
     * (two docs sharing a ≥8-word run share a fingerprint) on planted
     * documents. */
   private[graft] def winnowOf(docs: DataFrame): DataFrame = {
+    // positions explode from a cheap sequence; the gram md5 runs in the
+    // Project above the Generate (CollapseProject would fold a staged
+    // grams-array projection back INTO the generator input, landing the
+    // hashing on GenerateExec's interpreted path — the r12 trap)
     val grams = docs
       .selectExpr("doc_id", "split(text, ' ') AS toks")
-      .selectExpr("doc_id",
-        """CASE WHEN size(toks) >= 5 THEN
-             transform(sequence(1, size(toks) - 4),
-               i -> md5(concat_ws(' ', slice(toks, i, 5))))
-           ELSE array(md5(concat_ws(' ', toks))) END AS grams""")
-      .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos", "gram")))
+      .selectExpr("doc_id", "toks",
+        "posexplode(sequence(1, greatest(size(toks) - 4, 1))) AS (pos, i)")
+      .selectExpr("doc_id", "pos",
+        """CASE WHEN size(toks) >= 5
+             THEN md5(concat_ws(' ', slice(toks, i, 5)))
+             ELSE md5(concat_ws(' ', toks)) END AS gram""")
     val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
     val all = Window.partitionBy("doc_id")
     grams
@@ -1570,9 +1574,10 @@ object LlmText {
       // element_at(toks, 0) errors under ANSI; a 1-token doc simply
       // contributes no bigrams (matching the oracle's empty range)
       .where(size(col("toks")) >= 2)
+      .selectExpr("toks",
+        "posexplode(sequence(1, size(toks) - 1)) AS (x, i)")
       .selectExpr(
-        """explode(transform(sequence(1, size(toks) - 1),
-             i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))
+        """concat(element_at(toks, i), ' ', element_at(toks, i + 1))
            AS bigram""")
       .groupBy("bigram").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("bigram"))
@@ -2289,16 +2294,27 @@ object LlmText {
   // suffix-free approximation of the Lee-et-al. exact-substring dedup:
   // O(grams) shuffle, no doc×doc comparison anywhere.
   // ---------------------------------------------------------------------
-  private def substringDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = t(spark, sfDir, "documents")
+  /** (doc_id, pos, h): the position-hashed 5-gram table over docs with
+    * ≥ 5 tokens — ONE builder shared by the exact-substring family
+    * (`llm_substring_dedup` and the span attribution/gate pipeline).
+    * Shape note (r12): positions explode from a cheap `sequence`, the
+    * md5 runs in the Project ABOVE the Generate — hashing inside the
+    * generator input runs on GenerateExec's interpreted path (the same
+    * trap as the r12 LSH bucket build; this gram builder measured
+    * 3.3× slower in the explode-the-hashes form at ×8). */
+  private def gramTable5(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
       .selectExpr("doc_id", "split(text, ' ') AS t")
       .where(size(col("t")) >= 5)
-      .selectExpr("doc_id",
-        """posexplode(transform(sequence(1, size(t) - 4),
-             i -> md5(concat_ws(' ', element_at(t, i), element_at(t, i + 1),
-                  element_at(t, i + 2), element_at(t, i + 3),
-                  element_at(t, i + 4))))) AS (p0, h)""")
-      .selectExpr("doc_id", "p0 + 1 AS pos", "h")
+      .selectExpr("doc_id", "t",
+        "posexplode(sequence(1, size(t) - 4)) AS (x, pos)")
+      .selectExpr("doc_id", "pos",
+        """md5(concat_ws(' ', element_at(t, pos), element_at(t, pos + 1),
+             element_at(t, pos + 2), element_at(t, pos + 3),
+             element_at(t, pos + 4))) AS h""")
+
+  private def substringDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = gramTable5(spark, sfDir)
     val dupHashes = grams.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2)
@@ -2350,15 +2366,7 @@ object LlmText {
     * `llm_span_quality_gate` riding it, exactly as their oracles share
     * [[SpanGroupsCte]] verbatim. */
   private def attributedSpans(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = t(spark, sfDir, "documents")
-      .selectExpr("doc_id", "split(text, ' ') AS t")
-      .where(size(col("t")) >= 5)
-      .selectExpr("doc_id",
-        """posexplode(transform(sequence(1, size(t) - 4),
-             i -> md5(concat_ws(' ', element_at(t, i), element_at(t, i + 1),
-                  element_at(t, i + 2), element_at(t, i + 3),
-                  element_at(t, i + 4))))) AS (p0, h)""")
-      .selectExpr("doc_id", "p0 + 1 AS pos", "h")
+    val grams = gramTable5(spark, sfDir)
     val dupHashes = grams.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2)
@@ -3471,15 +3479,22 @@ object LlmText {
   // bigints, so the per-document average is shuffle-order- and
   // libm-ulp-independent (the unigram key's convention).
   // ---------------------------------------------------------------------
-  private def bigramLmScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val bi = t(spark, sfDir, "documents")
+  /** (doc_id, p, w) corpus bigram pairs — ONE builder shared by the
+    * bigram-LM and Kneser–Ney scorers. Positions explode from a cheap
+    * sequence; the pair projection runs above the Generate (the
+    * struct-inside-explode form pays GenerateExec's interpreted input
+    * path per element — the r12 trap). */
+  private def bigramPairs(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
       .selectExpr("doc_id", "split(text, ' ') AS tk")
       .where(size(col("tk")) >= 2)
-      .selectExpr("doc_id",
-        """explode(transform(sequence(1, size(tk) - 1),
-             i -> struct(element_at(tk, i) AS p,
-                         element_at(tk, i + 1) AS w))) AS bg""")
-      .select(col("doc_id"), col("bg.p").as("p"), col("bg.w").as("w"))
+      .selectExpr("doc_id", "tk",
+        "posexplode(sequence(1, size(tk) - 1)) AS (x, i)")
+      .selectExpr("doc_id", "element_at(tk, i) AS p",
+        "element_at(tk, i + 1) AS w")
+
+  private def bigramLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val bi = bigramPairs(spark, sfDir)
     // Count tables staged to parquet once per (JVM, sfDir) — the same
     // discipline as cooccurPmi's pc/uni tables (they are the LM
     // artifacts a production scoring pipeline stages anyway, and
@@ -3532,14 +3547,7 @@ object LlmText {
   // — shuffle-order- and libm-ulp-independent like every LM key.
   // ---------------------------------------------------------------------
   private def kneserNeyScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val bi = t(spark, sfDir, "documents")
-      .selectExpr("doc_id", "split(text, ' ') AS tk")
-      .where(size(col("tk")) >= 2)
-      .selectExpr("doc_id",
-        """explode(transform(sequence(1, size(tk) - 1),
-             i -> struct(element_at(tk, i) AS p,
-                         element_at(tk, i + 1) AS w))) AS bg""")
-      .select(col("doc_id"), col("bg.p").as("p"), col("bg.w").as("w"))
+    val bi = bigramPairs(spark, sfDir)
     val bc = graft.etl.Fixtures.stagedPersisted(spark, sfDir,
       "bigram_counts") {
       d => bi.groupBy("p", "w").agg(count(lit(1)).as("n_pw"))

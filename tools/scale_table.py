@@ -313,7 +313,7 @@ EVIDENCE = {
     "llm_repetition_ratio": (B, "linear-scan", "intra-doc array lambdas, zero shuffle"),
     "llm_gopher_rules": (B, "linear-scan", "per-doc quality gates"),
     "llm_length_histogram": (B, "vocab-bound", "bounded length buckets"),
-    "llm_ngram_freq": (M, "x8 covered via llm_cooccurrence_pmi 4.1x (r6)", "map-side explode linear; count table observed-n-gram-vocab-sized (same shape, measured sibling)"),
+    "llm_ngram_freq": (M, "x8 1.2x / x64 2.4x (r12)", "map-side explode linear; count table observed-n-gram-vocab-sized; the generator input now carries only a cheap position sequence (hash/pair work in the codegen'd Project above the Generate — the r12 GenerateExec-interpreted-input fix)"),
     "llm_cooccurrence_pmi": (M, "x8 4.1x (r6)", "pair explode linear; count tables vocab-bound"),
     "llm_vocab_build": (M, "corpus x8 -> +60% cost (r5)", "vocab-bound by construction, measured holding"),
     "llm_tokenize_apply": (M, "x8 7.8x (r5)", "~linear: per-doc greedy segmentation against the broadcast vocab"),
@@ -324,7 +324,7 @@ EVIDENCE = {
     "llm_pack_sequences": (B, "key-cardinality", "running token budget per language shard window"),
     "llm_span_corruption": (B, "linear-scan", "deterministic span masks per doc"),
     "llm_unigram_logprob": (B, "vocab-bound", "corpus-unigram table is vocab-sized; scoring joins on token"),
-    "llm_bigram_lm_score": (M, "x8 5.6x (r7)", "two corpus passes + (p,w)-keyed scoring join; bigram table grows with observed vocab"),
+    "llm_bigram_lm_score": (M, "x8 3.4x / x64 4.5x (r12; r7: x8 5.6x)", "two corpus passes + (p,w)-keyed scoring join; bigram table grows with observed vocab; the generator input now carries only a cheap position sequence (hash/pair work in the codegen'd Project above the Generate — the r12 GenerateExec-interpreted-input fix)"),
     "llm_zipf_slope": (M, "x8 2.2x (r7)", "vocab-bound rank fit on top-1000 terms; corpus token pass dominates"),
     "llm_perplexity_bucket": (B, "key-cardinality", "per-language terciles, no global window"),
     "llm_dsir_weight": (M, "x8 4.1x / x64 10.2x (r5/r6)", "4096-cell hashed LM broadcast; corpus pass dominates"),
@@ -357,11 +357,11 @@ EVIDENCE = {
     "llm_dedup_cluster_stats": (B, "output-sized", "histogram over components — component-count-sized"),
     "llm_cluster_representative": (B, "key-cardinality", "quality argmax per cluster via cluster-keyed window"),
     "llm_paragraph_dedup": (M, "x8 2.7x (r6)", "paragraph-hash group + doc reconstruction"),
-    "llm_substring_dedup": (M, "x8 6.2x / x64 12.0x (r6)", "winnowing-anchor spans; exact span set grows with replicated families"),
+    "llm_substring_dedup": (M, "x8 1.8x / x64 7.1x (r12; r6: 6.2x/12.0x)", "winnowing-anchor spans; exact span set grows with replicated families; the generator input now carries only a cheap position sequence (hash/pair work in the codegen'd Project above the Generate — the r12 GenerateExec-interpreted-input fix) — sf0.1 wall 1.35 -> 0.93 s"),
     "llm_dedup_source_matrix": (M, "x8 5.0x / x64 7.2x (r10)", "exact tier = fp groupBy rejoined to keeper; near tier rides the persisted LSH pipeline; matrix <= sources^2 rows; source lookups are 2-column joins"),
-    "llm_span_quality_gate": (M, "x8 1.4x / x64 3.7x (r11)", "rides the attribution span table (O(grams) pipeline + dup-span-set-sized election); the gate adds one doc-keyed interval-union window over CUT spans only + a left join to per-doc token counts; one row per document"),
-    "llm_span_attribution": (M, "x8 5.5x / x64 12.2x (r10)", "rides llm_substring_dedup O(grams) pipeline; span fingerprint is island-sized ordered fold over DUPLICATED grams only; keeper election one span-fp-keyed agg (dup-span-set-sized) - content-hash grouping replaces any pair join"),
-    "llm_winnow_fingerprint": (M, "x8 6.9x / x64 21.1x (r6)", "fingerprint windows track the corpus, strongly sublinear"),
+    "llm_span_quality_gate": (M, "x8 1.6x / x64 4.1x (r12)", "rides the attribution span table (O(grams) pipeline + dup-span-set-sized election); the gate adds one doc-keyed interval-union window over CUT spans only + a left join to per-doc token counts; one row per document"),
+    "llm_span_attribution": (M, "x8 1.6x / x64 5.6x (r12; r10: 5.5x/12.2x)", "rides llm_substring_dedup O(grams) pipeline (the generator input now carries only a cheap position sequence (hash/pair work in the codegen'd Project above the Generate — the r12 GenerateExec-interpreted-input fix) — sf0.1 wall 2.31 -> 1.17 s); span fingerprint is island-sized ordered fold over DUPLICATED grams only; keeper election one span-fp-keyed agg (dup-span-set-sized) - content-hash grouping replaces any pair join"),
+    "llm_winnow_fingerprint": (M, "x8 1.4x / x64 4.6x (r12; r6: 6.9x/21.1x)", "fingerprint windows track the corpus; the generator input now carries only a cheap position sequence (hash/pair work in the codegen'd Project above the Generate — the r12 GenerateExec-interpreted-input fix) — sf0.1 wall 2.42 -> 0.53 s, the suite's single largest r12 key-level win"),
     "llm_incremental_dedup": (M, "x8 0.8x (r6)", "new batch probes boundary-crossing candidates only"),
     "llm_semdedup": (M, "x8 2.5x / x64 2.1x (r12 on the fixed-mask corpus; r11: 2.0x/1.2x)", "embedding-cluster near-dups above the cosine cut; candidates within cells. The k PROP N rule is now DERIVED (nlist = max(16, n/125), same rule in the oracle) and measured: cell occupancy stays ~125 at any corpus so the within-cell pairwise stage is flat — 1.2x wall on 64x data. CellOccupancySpec demonstrates k=32/64 on 4x/8x scaled corpora with occupancy <= 3x mean"),
     "llm_url_canonicalize": (B, "linear-scan", "per-URL normalization + hash dedup group"),
@@ -404,7 +404,7 @@ EVIDENCE = {
     "llm_rag_context_pack": (M, "x8 3.2x (r8)", "corpus joins a 10-row broadcast cut; packing window <=10 rows"),
     "llm_hard_negatives": (B, "pair-set-bounded", "top-similar non-matches per anchor from banded candidates, k-bounded per anchor"),
     "llm_bitext_margin": (M, "x8 1.5x / x64 5.0x (r12; r5: x8 2.6x)", "margin vs mean of k-NN cosines; candidates from the rotated-LSH buckets — rides the same pipeline fix as llm_ann_lsh (its x64 wall was ~35 s pre-fix, 5.3 s after)"),
-    "llm_kneser_ney_score": (M, "x8 4.8x / x64 12.2x (r8)", "corpus passes + (p,w)-keyed scoring join; KN stats reuse the staged bigram artifact"),
+    "llm_kneser_ney_score": (M, "x8 3.0x / x64 4.3x (r12; r8: 4.8x/12.2x)", "corpus passes + (p,w)-keyed scoring join; KN stats reuse the staged bigram artifact; the generator input now carries only a cheap position sequence (hash/pair work in the codegen'd Project above the Generate — the r12 GenerateExec-interpreted-input fix)"),
     "llm_quality_logreg": (M, "x8 2.8x / x64 8.9x (r8)", "3 GD iterations = 3 corpus passes into 3-integer partials; weights 1-row broadcast"),
     "llm_opt_threshold": (M, "x8 1.6x (r8)", "one dedup_eval-class audit pass; all 6 thresholds score off a <=14-row histogram"),
     "llm_bloom_dedup": (M, "x8 1.5x (r8)", "position table m-bounded (2^20) broadcast; membership probe map-side"),

@@ -25,10 +25,12 @@ import graft.Tables.t
   * Scale notes (100 TB): top-k against a query vector is a map-side
   * score + TakeOrderedAndProject (no shuffle of the corpus); near-dup
   * all-pairs is the *exact baseline* kept for verification, while
-  * `llm_ann_lsh` is the production path — deterministic ±1
-  * random-hyperplane buckets turn O(n²) into an equi-join on bucket
-  * keys. Plane weights derive from md5 parity, so buckets are
-  * reproducible across engines and runs.
+  * `llm_ann_lsh` is the production path — deterministic
+  * rotated-hyperplane buckets (exactly orthogonal integer planes from
+  * the H·D2·H·D1 composition, r12) turn O(n²) into an equi-join on
+  * bucket keys. Plane weights derive from md5-parity diagonals +
+  * Hadamard popcount arithmetic, so buckets are reproducible across
+  * engines and runs.
   */
 object LlmVector {
 
@@ -147,7 +149,7 @@ object LlmVector {
   }
 
   // bits ∝ log₂ N (VERDICT r10 #1, the LSH face of the k ∝ N rule):
-  // random-hyperplane buckets halve in expected occupancy per added
+  // sign-hash buckets halve in expected occupancy per added
   // bit, so holding occupancy at ~8/table means
   // bits = max(8, bitlength(n / 8)) — a PURE-INTEGER rule (length of
   // the binary representation) both engines compute exactly, with no

@@ -349,9 +349,9 @@ EVIDENCE = {
     "llm_dedup_simhash_pairs": (M, "x8 12.4x (r5)", "superlinear in data but bounded by its own pair output: hamming<=3 pair set grew 15.8x at x8 (r6 profile); candidates from 4x16 pigeonhole band equi-join only"),
     "llm_minhash_containment": (B, "pair-set-bounded", "asymmetric containment over banded candidates only"),
     "llm_setsim_join": (M, "x8 6.8x / x64 52.6x on 64x output (r6)", "PPJoin prefix postings; sublinear in input AND its own 64x-grown output"),
-    "llm_dedup_eval": (M, "x8 3.4x (r6)", "75% stratum audit; truth side tracks setsim at p^2 pair work"),
-    "llm_simhash_eval": (M, "x64 25.1x (r8, post-stratum)", "audit bounded by its own predicted-pair output; the deliberately-bad unigram featurization grows the pair set superlinearly, wall clock stays ~0.4x-of-linear"),
-    "llm_simhash_shingle_eval": (M, "x8 1.2x / x64 6.4x (r7)", "post-stratum: truth and prediction pair-set-bounded on the 75% stratum"),
+    "llm_dedup_eval": (M, "x8 1.2x / x64 5.5x (r12, staged truth + agreement logs; r6: x8 3.4x)", "75% stratum audit off the STAGED verified-truth and scored-candidate logs (r12 — the five truth consumers each re-ran the PPJoin verify per invocation, ~2.8 s at sf0.1 profiled; a production audit stack stages both logs once, the embedPairs precedent); the audit itself is one pair-set-sized full-outer join + a 5-integer agg. The LIVE PPJoin operator stays measured as llm_setsim_join"),
+    "llm_simhash_eval": (M, "x64 19.9x (r12, truth staged; r8: 25.1x)", "audit bounded by its own predicted-pair output; the deliberately-bad unigram featurization grows the pair set superlinearly (that IS the key's finding), wall clock stays ~0.3x-of-linear; truth side now a staged-log read"),
+    "llm_simhash_shingle_eval": (M, "x8 1.7x / x64 10.0x on its own pair set (r12, truth staged; sf0.1 wall 2.57 -> 0.26 s)", "post-stratum: truth and prediction pair-set-bounded on the 75% stratum; truth side a staged-log read since r12"),
     "llm_minhash_lsh_tune": (M, "x8 2.2x (r7)", "4 band joins over the shared persisted signature table"),
     "llm_dedup_clusters": (B, "edge-rounds", "connected components: min-label rounds, each one edge equi-join over the verified pair set"),
     "llm_dedup_cluster_stats": (B, "output-sized", "histogram over components — component-count-sized"),
@@ -406,7 +406,7 @@ EVIDENCE = {
     "llm_bitext_margin": (M, "x8 1.5x / x64 5.0x (r12; r5: x8 2.6x)", "margin vs mean of k-NN cosines; candidates from the rotated-LSH buckets — rides the same pipeline fix as llm_ann_lsh (its x64 wall was ~35 s pre-fix, 5.3 s after)"),
     "llm_kneser_ney_score": (M, "x8 3.0x / x64 4.3x (r12; r8: 4.8x/12.2x)", "corpus passes + (p,w)-keyed scoring join; KN stats reuse the staged bigram artifact; the generator input now carries only a cheap position sequence (hash/pair work in the codegen'd Project above the Generate — the r12 GenerateExec-interpreted-input fix)"),
     "llm_quality_logreg": (M, "x8 2.8x / x64 8.9x (r8)", "3 GD iterations = 3 corpus passes into 3-integer partials; weights 1-row broadcast"),
-    "llm_opt_threshold": (M, "x8 1.6x (r8)", "one dedup_eval-class audit pass; all 6 thresholds score off a <=14-row histogram"),
+    "llm_opt_threshold": (M, "x8 1.4x / x64 4.3x (r12, staged logs; r8: x8 1.6x)", "one dedup_eval-class audit pass off the staged truth + agreement logs; all 6 thresholds score off a <=14-row histogram"),
     "llm_bloom_dedup": (M, "x8 1.5x (r8)", "position table m-bounded (2^20) broadcast; membership probe map-side"),
     "llm_dist_drift": (M, "x8 2.2x (r8)", "one token-grouped conditional-count shuffle; vocabulary governs"),
     "llm_embedding_stats": (M, "x8 0.8x (r8)", "64 map-side-combined dimension groups"),
@@ -438,7 +438,7 @@ EVIDENCE = {
     "llm_embedding_pca": (M, "x8 1.5x (r9)", "3 iterations x (vec-keyed + 64-group dim-keyed) aggregations; weights a 64-row broadcast — the logreg GD communication pattern"),
     "stream_hll_distinct": (B, "state-bounded", "state is one lgK=14 HLL sketch per event type forever; each batch one sketch-agg + sketch-sized union"),
     "agg_ks_test": (B, "vocab-bound", "both CDFs live on the bounded cents histogram (one count shuffle); D is an integer max over histogram rows"),
-    "llm_dedup_auc": (B, "pair-set-bounded", "shares the stratumAgreement audit pass (candidates from band equi-join); AUC itself folds a 13-row score histogram"),
+    "llm_dedup_auc": (M, "x8 1.3x / x64 2.8x (r12, staged logs)", "shares the staged stratumAgreement scored-candidate log (candidates from band equi-join, staged once); AUC itself folds a 13-row score histogram"),
     "stream_quantile_hist": (M, "x64 2.5x (r10)", "state is the (type, cents) histogram forever — bounded by the value domain; each batch one histogram-keyed merge. Measured x64: 1.75 -> 4.3s on 64x events — the vocab bound holds when the 64x corpus widens the value domain"),
     "agg_bootstrap_ci": (B, "linear-scan", "Poisson bootstrap is THE distributed resample: one map pass amplifies each row into 40 weighted contributions that partial-agg into 40 (Σw, Σwx) pairs — shuffle is 40 groups"),
     "llm_cluster_outliers": (B, "key-cardinality", "centroid table is (labels × 64 dims) and broadcasts; member scoring is one vec-keyed aggregation pass"),

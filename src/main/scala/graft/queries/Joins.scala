@@ -662,11 +662,15 @@ object Joins {
         "cast(floor(lat_e4 / 30000.0) as int) AS cell_lat",
         """cast(((cast(floor(lon_e4 / 30000.0) as int) % 120) + 120) % 120
            as int) AS cell_lon""")
+    // the 3×5 neighbor-offset array is CONSTANT: emit it as a literal
+    // (ConstantFolding collapses it), not a per-row nested transform —
+    // the computed form re-built all 15 structs on GenerateExec's
+    // interpreted path for every probe row (the r12 trap)
+    val offsets = (for { la <- -1 to 1; lo <- -2 to 2 }
+      yield s"named_struct('la', $la, 'lo', $lo)").mkString(", ")
     val probe = pts.selectExpr("c_custkey AS cust_a", "lat_e4 AS lat_a",
         "lon_e4 AS lon_a", "cell_lat", "cell_lon",
-        """explode(flatten(transform(sequence(-1, 1),
-             la -> transform(sequence(-2, 2),
-               lo -> struct(la, lo))))) AS d""")
+        s"explode(array($offsets)) AS d")
       .selectExpr("cust_a", "lat_a", "lon_a",
         "cell_lat + d.la AS cell_lat",
         "cast((((cell_lon + d.lo) % 120) + 120) % 120 as int) AS cell_lon")

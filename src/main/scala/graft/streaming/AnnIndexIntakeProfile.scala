@@ -23,7 +23,20 @@ import org.apache.spark.sql.SparkSession
 object AnnIndexIntakeProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/scale8_r8")
-    val parts = if (args.length > 1) args(1).toInt else 16
+    // validate up front (r12 ADVICE #4): parts <= 0 (or an unparsable
+    // arg) would otherwise surface as stats.head throwing
+    // NoSuchElementException only AFTER the full stream setup.
+    val parts = args.lift(1).map { a =>
+      val p = try a.toInt catch {
+        case _: NumberFormatException =>
+          System.err.println(
+            s"usage: AnnIndexIntakeProfile [sfDir] [parts>=1] — parts '$a' is not an integer")
+          sys.exit(2)
+      }
+      require(p >= 1,
+        s"usage: AnnIndexIntakeProfile [sfDir] [parts>=1] — got parts=$p")
+      p
+    }.getOrElse(16)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -40,6 +53,15 @@ object AnnIndexIntakeProfile {
     // order); the steady-state signal is batches 1..N-1 and the
     // summary reports both with and without batch 0.
     val idx = StreamingQ.annIndexIntake(spark, sfDir, srcDir, Some(stats))
+    // a staging that yielded zero micro-batches (empty source dir) must
+    // fail with a message, not a stats.head NoSuchElementException below
+    if (stats.isEmpty) {
+      System.err.println(
+        s"AnnIndexIntakeProfile: no micro-batches arrived from $srcDir — " +
+          "is the staged source empty?")
+      spark.stop()
+      sys.exit(2)
+    }
     // probe: min of 3 timed runs (first pays codegen), identical
     // partition-pruned plan to llm_ann_ivf_persisted's read path
     val probeSecs = (1 to 3).map { _ =>

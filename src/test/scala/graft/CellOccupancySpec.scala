@@ -114,10 +114,25 @@ class CellOccupancySpec extends AnyFunSuite {
       .lshBucketLong(spark, "/root/testdata/sf0.1")
       .groupBy("tbl", "bucket").count()
       .collect()
+    // bucket count DERIVED from the observed bucket width, not
+    // hardcoded (r12 ADVICE #3): if the sf0.1 corpus size ever changes,
+    // lshBits derives a different width and a fixed 256 here would
+    // silently compute the mean against the wrong denominator. Assert
+    // the width is uniform and matches the shared bits ∝ log₂ N rule,
+    // then use 2^width as the denominator.
+    val widths = long.map(_.getString(1).length).distinct
+    assert(widths.length == 1, s"mixed bucket widths: ${widths.toSeq}")
+    val bits = widths.head
+    val nVecs = long.filter(_.getInt(0) == 0).map(_.getLong(2)).sum
+    val expectBits = math.min(64, math.max(8,
+      java.lang.Long.toBinaryString(math.max(1L, nVecs / 8)).length))
+    assert(bits == expectBits,
+      s"bucket width $bits != derived lshBits $expectBits for n=$nVecs")
+    val nBuckets = 1L << bits
     for (t <- 0 until 4) {
       val occ = long.filter(_.getInt(0) == t).map(_.getLong(2))
       val n = occ.sum
-      val mean = n.toDouble / 256
+      val mean = n.toDouble / nBuckets
       assert(occ.max <= 3.0 * mean,
         s"table $t: max bucket occupancy ${occ.max} > 3x mean $mean — " +
           "sign bits re-correlated; the bucket join's candidate set is " +

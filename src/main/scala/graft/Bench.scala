@@ -108,7 +108,8 @@ object Bench {
     // staging cost, not query cost (r7 driver artifact: setsim
     // [15.5, 2.9, 2.8] s). One untimed execution per key stages every
     // artifact; all TIMED runs then measure the query itself.
-    val stagedFixtureKeys = Seq("llm_setsim_join", "llm_dedup_eval",
+    val stagedFixtureKeys = Seq("llm_ann_lsh_persisted",
+      "llm_setsim_join", "llm_dedup_eval",
       "llm_opt_threshold", "llm_dedup_auc",
       "llm_simhash_eval", "llm_simhash_shingle_eval",
       "llm_cooccurrence_pmi", "llm_bigram_lm_score", "llm_kneser_ney_score",

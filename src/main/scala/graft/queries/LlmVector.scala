@@ -211,9 +211,16 @@ object LlmVector {
     }.reduce(_ unionByName _)
   }
 
-  private def lshScoredCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+  private def lshScoredCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    lshScoredCandidatesOf(spark, sfDir, lshBucketLong(spark, sfDir))
+
+  /** Candidate generation + exact re-rank over ANY (vec_id, tbl,
+    * bucket) long table — the in-plan key derives it per query, the
+    * persisted key reads it from the staged index; one body so the two
+    * cannot drift. */
+  private def lshScoredCandidatesOf(spark: SparkSession, sfDir: String,
+      long: DataFrame): DataFrame = {
     val e = emb(spark, sfDir)
-    val long = lshBucketLong(spark, sfDir)
     val a = long.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
     val b = long.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket"))
     val cand = a.join(b, Seq("tbl", "bucket"))
@@ -231,6 +238,37 @@ object LlmVector {
 
   private def annLsh(spark: SparkSession, sfDir: String): DataFrame =
     lshScoredCandidates(spark, sfDir)
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(50)
+
+  // ---------------------------------------------------------------------
+  // llm_ann_lsh_persisted — the LSH bucket index AS A LAKE TABLE
+  // (VERDICT r12 #2): lshBucketLong's (vec_id, tbl, bucket) rows are
+  // WRITTEN once and probed forever — the build-once/probe-many
+  // production path, the hyperplane twin of llm_ann_ivf_persisted. The
+  // in-plan key re-derives all 4 tables of buckets per derivation (4
+  // union branches = 4 pruned embeddings scans + 4·bits dot products
+  // per vector — the cost that showed up as the r12 sf0.1 LSH
+  // regression); at 100 TB nobody re-hashes the corpus per query: the
+  // index builds once (the staged write, exactly where a production
+  // pipeline pays it) and every probe's candidate join reads the
+  // ids-only index — two longs + a short string per row, embeddings
+  // re-attach by id only for candidates that need scoring. Shares
+  // llm_ann_lsh's oracle verbatim: identical bucket semantics,
+  // identical top-50 — staging cannot drift the results.
+  // ---------------------------------------------------------------------
+  private def lshIndexDF(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Fixtures.stagedPersisted(spark, sfDir, "lsh_index") { d =>
+      // cluster by hash table and lay rows out bucket-contiguous: the
+      // probe's (tbl, bucket) self-join reads runs, not scattered rows
+      lshBucketLong(spark, sfDir)
+        .repartition(col("tbl"))
+        .sortWithinPartitions("tbl", "bucket")
+        .write.mode("overwrite").parquet(d)
+    }
+
+  private def annLshPersisted(spark: SparkSession, sfDir: String): DataFrame =
+    lshScoredCandidatesOf(spark, sfDir, lshIndexDF(spark, sfDir))
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
       .limit(50)
 
@@ -1781,6 +1819,7 @@ object LlmVector {
     "llm_topk_similarity" -> (topkSimilarity _),
     "llm_embed_neardup" -> (embedNeardup _),
     "llm_ann_lsh" -> (annLsh _),
+    "llm_ann_lsh_persisted" -> (annLshPersisted _),
     "llm_ann_lsh_tune" -> (annLshTune _),
     "llm_hard_negatives" -> (hardNegatives _),
     "llm_embed_neardup_lsh" -> (embedNeardupLsh _),
@@ -1921,6 +1960,19 @@ object LlmVector {
           SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
           FROM buckets a JOIN buckets b
             ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)"""
+
+  /** Top-50 LSH re-rank oracle — shared verbatim by `llm_ann_lsh`
+    * (in-plan bucket derivation) and `llm_ann_lsh_persisted` (staged
+    * on-disk index): identical bucket, candidate, and re-rank semantics
+    * by construction. */
+  private[graft] val AnnLshOracle =
+    s"""$LshCandCte
+        SELECT cand.va AS vec_a, cand.vb AS vec_b,
+               ${dDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cosine
+        FROM cand JOIN e ea ON cand.va = ea.vec_id
+                  JOIN e eb ON cand.vb = eb.vec_id
+        ORDER BY cosine DESC, vec_a, vec_b
+        LIMIT 50"""
 
   /** Shared IVF index CTE block (centroids + per-vector cell
     * assignment) — the query-independent half of the index, shared by
@@ -2237,14 +2289,10 @@ object LlmVector {
           FROM e a JOIN e b ON a.vec_id < b.vec_id
           WHERE ${dDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
           ORDER BY vec_a, vec_b""",
-    "llm_ann_lsh" ->
-      s"""$LshCandCte
-          SELECT cand.va AS vec_a, cand.vb AS vec_b,
-                 ${dDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cosine
-          FROM cand JOIN e ea ON cand.va = ea.vec_id
-                    JOIN e eb ON cand.vb = eb.vec_id
-          ORDER BY cosine DESC, vec_a, vec_b
-          LIMIT 50""",
+    "llm_ann_lsh" -> AnnLshOracle,
+    // the persisted index is a staged copy of the same bucket table:
+    // one oracle string, the llm_ann_ivf_persisted sharing precedent
+    "llm_ann_lsh_persisted" -> AnnLshOracle,
     "llm_ann_lsh_tune" ->
       s"""WITH ${lshBucketsCte(8)},
           q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn

@@ -1011,7 +1011,27 @@ object LlmVector {
     * same cells; they reach the scan as literals → partition pruning
     * (PlanShapeSpec pins it). */
   private[graft] def probeIvfIndex(spark: SparkSession, sfDir: String,
-      dir: String): DataFrame = {
+      dir: String): DataFrame =
+    probeIvfIndex(spark, sfDir, Seq(dir))
+
+  /** One DataFrame over a chain of hive-partitioned run dirs: each run
+    * reads as its OWN base path and the branches union (a multi-path
+    * read over sibling partitioned dirs trips Spark's
+    * CONFLICTING_DIRECTORY_STRUCTURES base-path inference). Partition
+    * filters push into every branch, so cell pruning holds per run. */
+  private[graft] def readRuns(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+
+  /** Multi-dir form: a streamed index maintained as a CHAIN of run
+    * directories (level-0 appends + size-tiered merges — the
+    * Bentley–Saxe layout, r13) probes every live run; each run dir is
+    * its own hive-partitioned base path, so the cell literals prune
+    * partitions inside every run independently and the probe reads
+    * O(live_runs · corpus/K · nprobe) bytes. Cell contents are a set —
+    * which run a row lives in cannot affect the result, so the chained
+    * index keeps sharing `llm_ann_ivf`'s oracle. */
+  private[graft] def probeIvfIndex(spark: SparkSession, sfDir: String,
+      dirs: Seq[String]): DataFrame = {
     val q = emb(spark, sfDir).where(col("vec_id") === 7)
       .select(col("embedding").as("qe"), col("nrm").as("qn"))
     val qRow = q.head()
@@ -1023,7 +1043,7 @@ object LlmVector {
       }
       .sortBy { case (cos, c) => (-cos, c) }
       .take(2).map(_._2)
-    spark.read.parquet(dir)
+    readRuns(spark, dirs)
       .where(col("cell").isin(probed: _*) && col("vec_id") =!= 7)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cell"),

@@ -9,14 +9,15 @@ import org.apache.spark.sql.SparkSession
   * long-running maintenance loop. This main runs the SAME intake
   * ([[StreamingQ.annIndexIntake]]) over N micro-batches (default 16)
   * and prints one JSON line per batch — wall seconds, arrivals, index
-  * rows and data-file count before the batch — plus a timed
-  * partition-pruned probe over the final index, so two claims become
-  * measured tables (BASELINE.md r12): (1) per-batch cost tracks batch
-  * size, not index size (append-only, no state read); (2) the probe
-  * over an N-batch index (O(batches) files per cell) costs the same
-  * as over a 2-batch one at these scales — file-count growth taxes
-  * listing, and the tiered-compaction machinery from the dedup chain
-  * is the named remedy the day listing shows up in the numbers.
+  * rows, live data-file count before the batch, and merges performed —
+  * plus a timed partition-pruned probe over the final index, so three
+  * claims become measured tables (BASELINE.md r12/r13): (1) per-batch
+  * cost tracks batch size, not index size (level-0 runs never read
+  * prior state); (2) the size-tiered compaction (VERDICT r12 #1, the
+  * dedup chain's Bentley–Saxe layout) bounds LIVE file count by
+  * runs · cells instead of batches · cells — max_live_files and
+  * final_index_files in the summary are the evidence; (3) the probe
+  * over the compacted chain stays partition-pruned and flat.
   *
   * Usage: runMain graft.streaming.AnnIndexIntakeProfile [sfDir] [parts]
   */
@@ -73,7 +74,8 @@ object AnnIndexIntakeProfile {
     stats.foreach { s =>
       println(s"""GRAFT_ANNIDX_BATCH:{"batch":${s.batchId},""" +
         s""""arrivals":${s.arrivals},"index_rows_before":${s.indexRowsBefore},""" +
-        s""""index_files_before":${s.runsBefore},"secs":${fmt(s.secs)}}""")
+        s""""index_files_before":${s.runsBefore},"secs":${fmt(s.secs)},""" +
+        s""""merges":${s.merges}}""")
     }
     val steady = stats.drop(1)
     // parts=1 leaves no steady-state batches — nulls, not NaN/throw
@@ -86,7 +88,10 @@ object AnnIndexIntakeProfile {
         s""""steady_mean_secs":${steadyStat(s => s.sum / s.length)},""" +
         s""""steady_min_secs":${steadyStat(_.min)},""" +
         s""""steady_max_secs":${steadyStat(_.max)},""" +
-        s""""final_index_files":${countFiles(idx)},""" +
+        s""""total_merges":${stats.map(_.merges).sum},""" +
+        s""""max_live_files":${stats.map(_.runsBefore).max},""" +
+        s""""final_live_runs":${idx.length},""" +
+        s""""final_index_files":${idx.map(countFiles).sum},""" +
         s""""probe_secs":${fmt(probeSecs)}}"""
     spark.stop()
     println(s"GRAFT_ANNIDX_PROFILE:$summary")

@@ -690,21 +690,36 @@ object StreamingQ {
     * broadcast parity centroids (the fused BestCentroid argmax; nlist
     * is fixed at index-build time from the indexed corpus — the k ∝ N
     * rule — so the maintained index keeps sharing llm_ann_ivf's
-    * oracle) and APPENDS only its own rows into the cell-partitioned
-    * layout: per-batch work is O(arrivals · k) assignment + a
-    * batch-sized write, independent of how big the index already is —
-    * no rebuild, no read of prior state. The structural growth axis is
-    * FILES PER CELL (each batch adds one file per cell it touches),
-    * which taxes listing, not probing — the profiler measures both;
-    * a production deployment compacts cell partitions on the dedup
-    * chain's tiered schedule when listing cost shows up. Returns the
-    * index dir. */
+    * oracle) and commits a LEVEL-0 RUN holding only ITS rows
+    * (cell-partitioned, one file per touched cell): per-batch intake
+    * work is O(arrivals · k) assignment + a batch-sized write,
+    * independent of how big the index already is — no rebuild, no read
+    * of prior state.
+    *
+    * INDEX CHAIN = append + size-tiered compaction (VERDICT r12 #1 —
+    * the [[incrementalDedupIntake]] Bentley–Saxe layout applied to the
+    * vector index). The r12 append-only form grew one file per batch
+    * per touched cell — 1,919 live data files after 16 batches; the
+    * listing/open cost of every probe is O(batches) by construction.
+    * Here, when [[CompactFanout]] same-level runs accumulate they merge
+    * into ONE run a level up, repartitioned by cell so a merged run
+    * holds exactly one file per cell: every row is rewritten at most
+    * log₄(batches) times, the chain holds ≤ 3·log₄(batches)+1 live
+    * runs, and live file count is bounded by runs · cells instead of
+    * batches · cells. Which run a row lives in cannot affect cell
+    * contents, so merge timing never changes probe results — the key
+    * keeps sharing llm_ann_ivf's oracle and the 4-batch==batch-twin
+    * spec pin. Runs and merges are deterministic-name + _SUCCESS
+    * guarded (a retried micro-batch reuses its committed dirs instead
+    * of double-appending), same as the dedup chain. Returns the live
+    * run dirs, oldest first. */
   private[graft] def annIndexIntake(spark: SparkSession, sfDir: String,
       srcDir: String,
       stats: Option[scala.collection.mutable.ArrayBuffer[IntakeBatchStat]] =
-        None): String = {
-    val idx = freshDir("graft_stream_ann_idx_")
+        None): Seq[String] = {
+    val root = freshDir("graft_stream_ann_idx_")
     val k = graft.queries.LlmVector.ivfK(spark, sfDir)
+    var chain = Vector.empty[(Int, String)]
     val src = spark.readStream
       .schema(t(spark, sfDir, "embeddings").schema)
       .option("maxFilesPerTrigger", 1)
@@ -712,24 +727,52 @@ object StreamingQ {
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // profiler-only pre-batch counts, taken OUTSIDE the timed
-        // window (runsBefore carries the index data-file count — the
-        // per-cell file-growth axis this profile exists to watch)
+        // window (runsBefore carries the LIVE data-file count across
+        // the chain — the growth axis this profile exists to watch)
         val (rowsBefore, filesBefore) = stats.fold((-1L, -1)) { _ =>
-          val files = countParquetFiles(idx)
-          (if (files == 0) 0L else spark.read.parquet(idx).count(), files)
+          val files = chain.map(r => countParquetFiles(r._2)).sum
+          (if (files == 0) 0L
+           else graft.queries.LlmVector.readRuns(spark, chain.map(_._2))
+             .count(), files)
         }
         val arrivals = stats.fold(-1L)(_ => batch.count())
         val t0 = System.nanoTime()
-        graft.queries.LlmVector.assignCells(batch, k)
-          .write.mode("append").partitionBy("cell").parquet(idx)
+        val run = s"$root/b$batchId"
+        if (!new java.io.File(run, "_SUCCESS").exists()) {
+          // coalesce(1): the batch is micro-batch-sized by construction,
+          // and a single writing task emits exactly one file per
+          // touched cell (the level-0 file bound the merge math uses)
+          graft.queries.LlmVector.assignCells(batch.coalesce(1), k)
+            .write.mode("overwrite").partitionBy("cell").parquet(run)
+        }
+        chain = chain :+ ((0, run))
+        var merges = 0
+        var merging = true
+        while (merging) {
+          val tail = chain.takeRight(CompactFanout)
+          if (tail.length == CompactFanout &&
+              tail.forall(_._1 == tail.head._1)) {
+            val lvl = tail.head._1
+            val merged = s"$root/m${batchId}_l${lvl + 1}_${chain.length}"
+            if (!new java.io.File(merged, "_SUCCESS").exists()) {
+              // repartition by cell → each cell lands in one task → a
+              // merged run is exactly one file per cell
+              graft.queries.LlmVector.readRuns(spark, tail.map(_._2))
+                .repartition(col("cell"))
+                .write.mode("overwrite").partitionBy("cell").parquet(merged)
+            }
+            chain = chain.dropRight(CompactFanout) :+ ((lvl + 1, merged))
+            merges += 1
+          } else merging = false
+        }
         stats.foreach(_ += IntakeBatchStat(batchId, arrivals, rowsBefore,
-          filesBefore, (System.nanoTime() - t0) / 1e9, 0))
+          filesBefore, (System.nanoTime() - t0) / 1e9, merges))
       }
       .option("checkpointLocation", freshDir("graft_stream_ckpt_"))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    idx
+    chain.map(_._2)
   }
 
   /** Data files under a (possibly hive-partitioned) parquet dir. */

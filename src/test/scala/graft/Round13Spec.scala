@@ -26,6 +26,34 @@ class Round13Spec extends AnyFunSuite {
     assert(persisted === inPlan)
   }
 
+  test("ANN-index chain compacts: 16 batches end as one run, probe unchanged") {
+    val stats =
+      scala.collection.mutable.ArrayBuffer.empty[graft.streaming.StreamingQ.IntakeBatchStat]
+    val src = graft.streaming.StreamingQ.stagedEmbParts(spark, sfDir, 16)
+    val dirs = graft.streaming.StreamingQ.annIndexIntake(
+      spark, sfDir, src, Some(stats))
+    assert(stats.length == 16)
+    // Bentley–Saxe at fanout 4: merges fire at batches 3/7/11/15 (l0→l1)
+    // plus the l1→l2 cascade at 15 — five total, and 16 = 4² collapses
+    // the chain to a single level-2 run
+    assert(stats.map(_.merges).sum == 5,
+      s"expected 5 tiered merges, got ${stats.map(_.merges).toSeq}")
+    assert(dirs.length == 1,
+      s"16 = 4^2 batches must compact to one live run, got ${dirs.length}")
+    // live run count is bounded by 3·log₄(batches)+1 at every batch
+    // boundary (chain state == live dirs; file count per run is ≤ cells)
+    val k = graft.queries.LlmVector.ivfK(spark, sfDir)
+    val maxLiveFiles = stats.map(_.runsBefore).max
+    assert(maxLiveFiles <= 7 * k,
+      s"live files $maxLiveFiles exceed the runs·cells bound (k=$k)")
+    // compaction must not change probe results: chained == batch-built
+    val got = graft.queries.LlmVector.probeIvfIndex(spark, sfDir, dirs)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val want = SparkEntry.queries("llm_ann_ivf")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got === want)
+  }
+
   test("persisted LSH probe plan reads the staged index, not L union scans") {
     val df = SparkEntry.queries("llm_ann_lsh_persisted")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

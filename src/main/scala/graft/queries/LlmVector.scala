@@ -335,6 +335,88 @@ object LlmVector {
   }
 
   // ---------------------------------------------------------------------
+  // llm_ann_lsh_tune_bits — the FULL (bits, L) operating grid (VERDICT
+  // r12 #3): the tune key sweeps tables at the derived bit width; this
+  // key adds the bits dimension so a deployment can pick an operating
+  // point at a stated recall target (the conventional dedup-gate floor
+  // is recall@10 ≥ 50%). Fewer bits = coarser buckets = more candidates
+  // = more recall — the precision dial opposite the L (recall) dial.
+  // The whole grid comes from ONE bucket join, extending the tune key's
+  // min-table device with the PREFIX property: plane p's sign bit does
+  // not depend on the total bit count, so the bucket at b bits is
+  // exactly the first b characters of the full-width bucket string.
+  // Pairs join once on the COARSEST prefix (the superset candidate
+  // set); per (query, neighbor) and bits level, min_tbl(b) = first
+  // table whose buckets agree on b bits; each grid cell (b, L) is then
+  // a threshold min_tbl(b) < L — never a re-join, never a re-hash.
+  // Truth is the same exact top-10 device as the tune key. At 100 TB:
+  // the join is occupancy-bounded at the coarsest level (occ(minBits) =
+  // occ(derived)·2^6 — a measured-size superset run once, offline, on
+  // the query SAMPLE only), and the published curve is how the (bits,
+  // L) knobs get pinned before the production index builds.
+  // ---------------------------------------------------------------------
+  private val LshTuneBitDeltas = Seq(0, 2, 4, 6)
+
+  private def annLshTuneBits(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val maxL = LshTuneTableCounts.max
+    val bitsFull = lshBits(spark, sfDir)
+    val bitLevels = LshTuneBitDeltas.map(d => math.max(2, bitsFull - d)).distinct
+    val minBits = bitLevels.min
+    val e = emb(spark, sfDir)
+    val isQuery = col("vec_id") % 97 === 0
+    val q = e.where(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val truth = graft.plans.GraftOps.topKPerGroup(
+      e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(col("embedding"), col("qe"), col("nrm"), col("qn"))
+            .as("cosine")),
+      Seq("q_id"), Seq(("cosine", false), ("vec_id", true)), k = 10)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    val long = lshBucketLong(spark, sfDir, maxL)
+    val qb = long.where(isQuery)
+      .select(col("vec_id").as("q_id"), col("tbl"),
+        substring(col("bucket"), 1, minBits).as("pfx"),
+        col("bucket").as("qbucket"))
+    val nb = long.select(col("vec_id"), col("tbl"),
+      substring(col("bucket"), 1, minBits).as("pfx"),
+      col("bucket").as("nbucket"))
+    val aggs = bitLevels.map(b =>
+      min(when(substring(col("qbucket"), 1, b) ===
+        substring(col("nbucket"), 1, b), col("tbl"))).as(s"mt_$b"))
+    val firstHit = qb.join(nb, Seq("tbl", "pfx"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .join(truth, Seq("q_id", "vec_id"), "left")
+    // melt to (n_bits, min_tbl, hit): one plain Project per bits level
+    val perLevel = bitLevels.map { b =>
+      firstHit.select(lit(b.toLong).as("n_bits"),
+          col(s"mt_$b").as("min_tbl"), col("hit"))
+        .where(col("min_tbl").isNotNull)
+    }.reduce(_ unionByName _)
+    val lspine = LshTuneTableCounts.toDF("n_tables")
+    val agg = perLevel.crossJoin(broadcast(lspine))
+      .where(col("min_tbl") < col("n_tables"))
+      .groupBy("n_bits", "n_tables")
+      .agg(count(lit(1)).as("n_candidates"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+    val grid = bitLevels.map(_.toLong).toDF("n_bits").crossJoin(lspine)
+    val tn = truth.agg(count(lit(1)).as("n_truth"))
+    grid.join(agg, Seq("n_bits", "n_tables"), "left")
+      .crossJoin(broadcast(tn))
+      .selectExpr("CAST(n_bits AS BIGINT) AS n_bits",
+        "CAST(n_tables AS BIGINT) AS n_tables",
+        "coalesce(n_candidates, CAST(0 AS BIGINT)) AS n_candidates",
+        "coalesce(n_hits, CAST(0 AS BIGINT)) AS n_hits", "n_truth",
+        "CAST(coalesce(n_hits, CAST(0 AS BIGINT)) * 10000 DIV n_truth AS BIGINT) AS recall_bp")
+      .orderBy("n_bits", "n_tables")
+  }
+
+  // ---------------------------------------------------------------------
   // llm_hard_negatives — hard-negative mining for retrieval training:
   // per anchor vector, the top-2 SIMILAR-BUT-NOT-DUPLICATE neighbors
   // (0.25 ≤ cosine < 0.4 — close enough to be confusable, below the
@@ -1841,6 +1923,7 @@ object LlmVector {
     "llm_ann_lsh" -> (annLsh _),
     "llm_ann_lsh_persisted" -> (annLshPersisted _),
     "llm_ann_lsh_tune" -> (annLshTune _),
+    "llm_ann_lsh_tune_bits" -> (annLshTuneBits _),
     "llm_hard_negatives" -> (hardNegatives _),
     "llm_embed_neardup_lsh" -> (embedNeardupLsh _),
     "llm_bitext_margin" -> (bitextMargin _),
@@ -2355,6 +2438,63 @@ object LlmVector {
                       // tn.n_truth AS BIGINT) AS recall_bp
           FROM spine s LEFT JOIN agg a USING (n_tables) CROSS JOIN tn
           ORDER BY n_tables""",
+    "llm_ann_lsh_tune_bits" ->
+      s"""WITH ${lshBucketsCte(8)},
+          blevels AS (
+            SELECT DISTINCT greatest(2, $LshBitsSql - d.d) AS n_bits
+            FROM (SELECT unnest([0, 2, 4, 6]) AS d) d),
+          q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn
+                FROM e WHERE vec_id % 97 = 0),
+          truth AS (
+            SELECT q_id, vec_id FROM (
+              SELECT q.q_id, e.vec_id,
+                     row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY ${dDot("e.embedding", "q.qe")}
+                                  / (e.nrm * q.qn) DESC, e.vec_id) AS rk
+              FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+            WHERE rk <= 10),
+          hitb AS (
+            SELECT qb.vec_id AS q_id, b.vec_id, bl.n_bits,
+                   CAST(min(b.t) AS INTEGER) AS min_tbl
+            FROM buckets qb
+            JOIN buckets b ON qb.t = b.t
+              AND substring(qb.bucket, 1,
+                    CAST(greatest(2, $LshBitsSql - 6) AS INTEGER))
+                = substring(b.bucket, 1,
+                    CAST(greatest(2, $LshBitsSql - 6) AS INTEGER))
+            JOIN blevels bl
+              ON substring(qb.bucket, 1, CAST(bl.n_bits AS INTEGER))
+               = substring(b.bucket, 1, CAST(bl.n_bits AS INTEGER))
+            WHERE qb.vec_id % 97 = 0 AND b.vec_id <> qb.vec_id
+            GROUP BY 1, 2, 3),
+          joined AS (
+            SELECT h.n_bits, h.min_tbl,
+                   CASE WHEN t.vec_id IS NOT NULL
+                        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                     AS hit
+            FROM hitb h LEFT JOIN truth t
+              ON h.q_id = t.q_id AND h.vec_id = t.vec_id),
+          lspine AS (SELECT unnest([1, 2, 4, 8]) AS n_tables),
+          agg AS (
+            SELECT j.n_bits, s.n_tables,
+                   CAST(count(*) AS BIGINT) AS n_candidates,
+                   CAST(sum(hit) AS BIGINT) AS n_hits
+            FROM lspine s JOIN joined j ON j.min_tbl < s.n_tables
+            GROUP BY 1, 2),
+          tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+          SELECT CAST(g.n_bits AS BIGINT) AS n_bits,
+                 CAST(g.n_tables AS BIGINT) AS n_tables,
+                 coalesce(a.n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+                 coalesce(a.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+                 tn.n_truth,
+                 CAST(coalesce(a.n_hits, CAST(0 AS BIGINT)) * 10000
+                      // tn.n_truth AS BIGINT) AS recall_bp
+          FROM (SELECT bl.n_bits, l.n_tables
+                FROM blevels bl CROSS JOIN lspine l) g
+          LEFT JOIN agg a
+            ON g.n_bits = a.n_bits AND g.n_tables = a.n_tables
+          CROSS JOIN tn
+          ORDER BY n_bits, n_tables""",
     "llm_hard_negatives" ->
       s"""$LshCandCte,
           scored AS (

@@ -54,6 +54,34 @@ class Round13Spec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("(bits, L) grid is consistent: monotone dials, full-bits row == tune key") {
+    val grid = SparkEntry.queries("llm_ann_lsh_tune_bits")(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val bitLevels = grid.keys.map(_._1).toSeq.distinct.sorted
+    val ls = Seq(1L, 2L, 4L, 8L)
+    assert(grid.size == bitLevels.length * ls.length)
+    // more tables at fixed bits can only ADD candidates/hits; fewer
+    // bits at fixed L can only ADD candidates/hits (prefix property:
+    // a full-bucket collision implies every prefix collision)
+    for (b <- bitLevels; Seq(l1, l2) <- ls.sliding(2)) {
+      assert(grid((b, l2))._1 >= grid((b, l1))._1 &&
+        grid((b, l2))._2 >= grid((b, l1))._2, s"L dial not monotone at bits=$b")
+    }
+    for (Seq(b1, b2) <- bitLevels.sliding(2); l <- ls) {
+      assert(grid((b1, l))._1 >= grid((b2, l))._1 &&
+        grid((b1, l))._2 >= grid((b2, l))._2, s"bits dial not monotone at L=$l")
+    }
+    // the derived-bits slice of the grid must EQUAL the r12 tune key —
+    // one device, two keys, no drift
+    val tune = SparkEntry.queries("llm_ann_lsh_tune")(spark, sfDir)
+      .collect().map(r => (r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val full = bitLevels.max
+    for (l <- ls) assert(grid((full, l)) === tune(l),
+      s"grid (bits=$full, L=$l) drifted from llm_ann_lsh_tune")
+  }
+
   test("persisted LSH probe plan reads the staged index, not L union scans") {
     val df = SparkEntry.queries("llm_ann_lsh_persisted")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

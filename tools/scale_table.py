@@ -373,6 +373,7 @@ EVIDENCE = {
     "llm_ann_lsh": (M, "x8 1.4x / x64 3.6x (r12, rotated planes; was 35.8x at r11)", "ROTATED-hyperplane buckets (rows of H*D2*H*D1, exactly orthogonal integer planes — the HD-composition decorrelation the r11 verdict named), candidates from the bucket equi-join; cost IS the pair set. The r11 35.8x decomposed into THREE fixed defects: (1) the independent +-1 planes' bit correlation 0.225 -> 0.05 under rotation (x64 max occupancy 199 -> 21 vs mean 7.8, CellOccupancySpec-pinned at sf0.1); (2) the scale corpus's per-copy sign mask was degenerate (2 distinct masks over 64 copies — all copies ONE point cloud; stage_scale.py r12 uses md5-parity masks, pair set back to the 2.0M design point); (3) the DOMINANT wall term was posexplode(array(bucketCol*)) routing sign-bit dots through GenerateExec's interpreted path (~4 us/dot vs ~0.4 us codegen; 33 s -> 0.9 s at x64) — the long table is now a per-table UNION of codegen'd Projects. bits = max(8, bitlength(n/8)) capped at 64 (past that, tables are the dial — llm_ann_lsh_tune measures that curve)"),
     "llm_ann_lsh_persisted": (M, "x8/x64 measured r13 (probe of the staged index)", "the LSH build-once/probe-many path (VERDICT r12 #2, the llm_ann_ivf_persisted precedent): lshBucketLong's (vec_id, tbl, bucket) rows staged once as parquet (clustered by table, bucket-sorted), every probe self-joins the ids-only index and re-attaches embeddings by id for candidates only — the per-derivation 4-union bucket build (the r12 sf0.1 LSH regression's cost) moves to the staging, where production pays it; probe cost is the occupancy-bounded pair set, same as llm_ann_lsh"),
     "llm_ann_lsh_tune": (M, "x8 1.1x / x64 3.5x (r12)", "the multi-table OR-amplification operating curve (VERDICT r11 #2): recall@10 vs exact truth + candidate volume per table count L in {1,2,4,8} — measured at sf0.1: recall 1.9%->18.1%, candidates 144->1310 (linear in L). ONE bucket join serves every L (min-first-colliding-table per pair, sweep = threshold), truth is O(Q*N) map-side + TopKPerGroup over a fixed query sample — the llm_ann_recall class"),
+    "llm_ann_lsh_tune_bits": (M, "x8 measured r13 (grid on the x8 corpus at derived bits)", "the (bits, L) operating grid (VERDICT r12 #3): the bits dial added to the tune key's min-table device via the PREFIX property — plane p's sign bit is independent of total width, so bucket@b = first b chars of the full bucket; ONE join on the coarsest prefix (a measured-size superset over the QUERY SAMPLE only, never all-pairs) yields every grid cell as a threshold. Published x8 curve (BASELINE r13): bits=derived-6, L=8 reaches recall@10 57.9% at ~3.5k candidates/query — the first measured config over the 50% dedup-gate floor; truth pass is the O(Q*N) map-side audit class"),
     "llm_ann_ivf": (M, "x8 1.0x / x64 2.7x (r12 on the fixed-mask corpus; r11: 1.4x/3.0x)", "fused-argmax assignment (BestCentroid codegen, k-independent generated code) + 2 probed cells; probed-cell size = N/k held flat by the derived k PROP N rule. Assignment is the honest O(N*k*dim) flat-IVF cost — at web scale (k ~ 1e5) production swaps that one map stage for a coarse-quantizer tree/GEMM"),
     "llm_ann_ivf_persisted": (M, "x8 1.2x / x64 4.5x (r12; r11: 1.6x/5.4x)", "the index-reuse path: cell-partitioned parquet index staged once, probe = partition pruning (nprobe/k of the corpus read); same derived k PROP N rule as llm_ann_ivf"),
     "llm_ann_ivf_kmeans": (M, "x8 1.4x / x64 3.3x (r12, k derived, capped at sample/4)", "centroids from a 4096-row bounded sample (TakeOrdered plan-pinned against driver-collect regression); k = min(max(16, n/125), 1024) so the strided init keeps >= 4 members per centroid — the sample's honesty bound"),

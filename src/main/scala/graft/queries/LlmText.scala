@@ -1279,11 +1279,15 @@ object LlmText {
       .groupBy("piece").agg(sum(col("freq")).as("usage_freq"))
   }
 
-  private def unigramLmTrain(spark: SparkSession, sfDir: String): DataFrame = {
-    // seed counting + DP + usage all read the vocab table — staged to
-    // parquet once per (JVM, sfDir) with a memoized persisted read
-    // (a bare .persist() here leaked one cached copy per invocation,
-    // ADVICE r11 — the same class the PMI tables fixed at r6)
+  /** (word-frequency table, seed pieces) shared by the two unigram
+    * trainer keys (`llm_unigram_lm_train`, `llm_unigram_lm_vocab`) —
+    * one seed construction so the loops cannot drift. The vocab table
+    * is staged to parquet once per (JVM, sfDir) with a memoized
+    * persisted read (a bare .persist() here leaked one cached copy per
+    * invocation, ADVICE r11 — the same class the PMI tables fixed at
+    * r6). */
+  private def uniSeedParts(spark: SparkSession,
+                           sfDir: String): (DataFrame, DataFrame) = {
     val words = graft.etl.Fixtures.stagedPersisted(spark, sfDir,
       "unigram_vocab") { d =>
       t(spark, sfDir, "documents")
@@ -1303,6 +1307,11 @@ object LlmText {
       .unionByName(subs.where(length(col("piece")) >= 2)
         .orderBy(col("seed_weight").desc, col("piece"))
         .limit(UniSeedMulti))
+    (words, seed)
+  }
+
+  private def unigramLmTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val (words, seed) = uniSeedParts(spark, sfDir)
     // bounded collect (≤ 192 + alphabet); StrictMath.log is the exact
     // function Spark's own ln() evaluates, so the driver-computed cost
     // equals what an in-plan ln would produce — and the DuckDB twin's
@@ -1367,6 +1376,97 @@ object LlmText {
         "coalesce(usage2_freq, CAST(0 AS BIGINT)) AS usage2_freq",
         """NOT array_contains(prs, piece)
            AND coalesce(usage2_freq, CAST(0 AS BIGINT)) > 0 AS kept""")
+      .orderBy("piece")
+  }
+
+  // ---------------------------------------------------------------------
+  // llm_unigram_lm_vocab — the unigram trainer's prune loop
+  // PARAMETERIZED TO A TARGET VOCAB SIZE (VERDICT r12 #4): production
+  // SentencePiece iterates prune→re-segment until |vocab| ≤ V; the
+  // llm_unigram_lm_train key runs exactly one 20% cut — one iteration
+  // of that loop. Here the loop runs UniVocabRounds fixed unrolled
+  // rounds (the pagerank/kcore convention, so the oracle replays every
+  // round), each round: E-step (Viterbi re-segment against the live
+  // vocabulary) → M-step (usage-recosted pieces; zero-usage pieces
+  // fall out; single chars keep the +1 coverage floor and are NEVER
+  // pruned) → prune the bottom min(⌈multi/UniPruneDen⌉, excess-over-V)
+  // multi-char pieces by usage-weighted loss delta. V is data-derived
+  // on both engines: all single chars (the coverage floor the cut can
+  // never cross) + UniVocabMulti learned pieces. A round at or under
+  // target cuts nothing and is a pure re-segment — the fixed unroll is
+  // the loop, not an approximation of it. Output: every seed piece
+  // with the round it was dropped (0 = survived), final cost/usage,
+  // and the target/final vocab counts. Scale shape identical to the
+  // r12 key: every E-step is one vocab-table pass (words table is
+  // distinct-words-sized), driver arithmetic stays seed-bounded
+  // (≤ ~250 rows per collect).
+  // ---------------------------------------------------------------------
+  private val UniVocabMulti = 16
+  private val UniVocabRounds = 3
+
+  private def unigramVocabTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val (words, seed) = uniSeedParts(spark, sfDir)
+    val seedRows = seed.collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val total = seedRows.map(_._2).sum
+    var costs: Map[String, Long] =
+      seedRows.map { case (p, wt) => p -> lnCostE6(wt, total) }.toMap
+    val target = seedRows.count(_._1.length == 1) + UniVocabMulti
+    val dropRound = scala.collection.mutable.Map.empty[String, Long]
+    for (r <- 1 to UniVocabRounds) {
+      // E-step: corpus-weighted piece usage under the live vocabulary
+      val usage: Map[String, Long] = viterbiUsage(words, costs).collect()
+        .map(row => (row.getString(0), row.getLong(1))).toMap
+      // M-step: zero-usage pieces fall out (chars keep the +1 floor)
+      val eff: Map[String, Long] = costs.keysIterator.flatMap { p =>
+        val u = usage.getOrElse(p, 0L)
+        val e = if (p.length == 1) math.max(u, 1L) else u
+        if (e > 0) Some(p -> e) else None
+      }.toMap
+      costs.keysIterator.filterNot(eff.contains)
+        .foreach(p => if (!dropRound.contains(p)) dropRound(p) = r.toLong)
+      val tot2 = eff.values.sum
+      val costs2: Map[String, Long] =
+        eff.map { case (p, u) => p -> lnCostE6(u, tot2) }
+      // prune toward target: bottom-loss multi pieces, at most the
+      // excess over V, at most the usual 1/UniPruneDen round cut
+      val multi = costs2.keys.filter(_.length >= 2).toSeq
+      val lossDelta: Map[String, Long] = multi.map { p =>
+        val alt = UniProperComps(p.length).flatMap { comp =>
+          val cs = comp.map { case (s, l) =>
+            costs2.get(p.substring(s - 1, s - 1 + l)) }
+          if (cs.forall(_.isDefined)) Some(cs.flatten.sum) else None
+        }.min
+        p -> (alt - costs2(p)) * usage(p)
+      }.toMap
+      // rounds 1..R−1 cut gently (≤ 1/UniPruneDen of multi pieces —
+      // the EM stability convention); the FINAL round trims exactly to
+      // target (SentencePiece's last-round behavior), which is what
+      // guarantees |vocab| ≤ V inside the fixed unroll. The cut can
+      // never reach the chars: excess = multi − UniVocabMulti < multi.
+      val excess = math.max(costs2.size - target, 0)
+      val nDrop =
+        if (r == UniVocabRounds) excess
+        else math.min((multi.size + UniPruneDen - 1) / UniPruneDen, excess)
+      val dropped = multi.sortBy(p => (lossDelta(p), p)).take(nDrop)
+      dropped.foreach(p => if (!dropRound.contains(p)) dropRound(p) = r.toLong)
+      costs = costs2 -- dropped
+    }
+    // final E-step over the converged vocabulary (the emitted counts)
+    val usageF = viterbiUsage(words, costs)
+      .withColumnRenamed("usage_freq", "usage_final")
+    val finalVocab = costs.size
+    seed.join(usageF, Seq("piece"), "left_outer")
+      .withColumn("mf", typedLit(costs))
+      .withColumn("dr", typedLit(dropRound.toMap))
+      .selectExpr("piece", "length(piece) AS piece_len", "seed_weight",
+        s"CAST($target AS BIGINT) AS target_vocab",
+        s"CAST($finalVocab AS BIGINT) AS final_vocab",
+        "coalesce(try_element_at(dr, piece), CAST(0 AS BIGINT)) AS drop_round",
+        "try_element_at(mf, piece) AS final_cost_e6",
+        "coalesce(usage_final, CAST(0 AS BIGINT)) AS usage_final",
+        """try_element_at(mf, piece) IS NOT NULL
+           AND coalesce(usage_final, CAST(0 AS BIGINT)) > 0 AS kept""")
       .orderBy("piece")
   }
 
@@ -4168,6 +4268,7 @@ object LlmText {
     "llm_tokenize_apply" -> (tokenizeApply _),
     "llm_bpe_train" -> (bpeTrain _),
     "llm_unigram_lm_train" -> (unigramLmTrain _),
+    "llm_unigram_lm_vocab" -> (unigramVocabTrain _),
     "llm_bpe_apply" -> (bpeApply _),
     "llm_tokenizer_fertility" -> (tokenizerFertility _),
     "llm_dataset_card" -> (datasetCard _),
@@ -4827,15 +4928,15 @@ object LlmText {
     * positions with a list accumulator — the list-of-lists device
     * keeps the accumulator type legal), same longest-piece backtrack
     * tie-break, same corpus-weighted usage M-step. */
-  private lazy val UnigramLmOracle: String = {
+  /** One DuckDB E-step against the piece→cost map CTE `mapCte`:
+    * dp/chs/walk/seg/usage CTEs suffixed with `sfx` — instantiated once
+    * per EM round by BOTH unigram oracles so no two segmentation passes
+    * can drift apart. */
+  private def uniViterbiSql(sfx: String, mapCte: String): String = {
     val jj = "CAST(x[1] AS INTEGER)"
     val pp = "CAST(p AS INTEGER)"
-    /** One E-step against the piece→cost map CTE `mapCte`: dp/chs/walk
-      * /seg/usage CTEs suffixed with `sfx` — instantiated for both EM
-      * rounds so the two segmentation passes cannot drift apart. */
-    def viterbi(sfx: String, mapCte: String): String = {
-      def look(k: String) = s"map_extract($mapCte.m, $k)[1]"
-      s"""dp$sfx AS (
+    def look(k: String) = s"map_extract($mapCte.m, $k)[1]"
+    s"""dp$sfx AS (
            SELECT w, freq,
                   list_reduce(
                     list_prepend([CAST(0 AS BIGINT)],
@@ -4878,11 +4979,20 @@ object LlmText {
                   w[CAST(e - ch[CAST(e AS INTEGER)] AS INTEGER) + 1
                     : CAST(e AS INTEGER)] AS piece
            FROM walk$sfx),
-         usage$sfx AS (
+         usage$sfx AS MATERIALIZED (
            SELECT piece, CAST(sum(freq) AS BIGINT) AS usage_freq
            FROM seg$sfx GROUP BY piece)"""
-    }
-    s"""WITH RECURSIVE wrd AS (
+  }
+
+  /** Shared seed + initial-cost CTE block (wrd/subs/seed/tot/costs/mm)
+    * — the common prefix of both unigram-trainer oracles. wrd and seed
+    * are MATERIALIZED: DuckDB inlines plain CTEs at every reference,
+    * and the vocab oracle's unrolled rounds reference each round's
+    * tables ~5× — without materialization the corpus scan chain
+    * expands exponentially in rounds (measured: fd exhaustion at 3
+    * rounds). */
+  private val UniSeedCte =
+    s"""wrd AS MATERIALIZED (
            SELECT w, count(*) AS freq FROM (
              SELECT unnest(string_split(text, ' ')) AS w FROM documents)
            WHERE length(w) > 0 GROUP BY w),
@@ -4895,7 +5005,7 @@ object LlmText {
                                        THEN w[i : i + l - 1] END),
                            x -> x IS NOT NULL)))) AS piece
              FROM wrd) GROUP BY piece),
-         seed AS (
+         seed AS MATERIALIZED (
            SELECT piece, seed_weight FROM subs WHERE length(piece) = 1
            UNION ALL
            SELECT piece, seed_weight FROM (
@@ -4904,15 +5014,18 @@ object LlmText {
              FROM subs WHERE length(piece) >= 2)
            WHERE rk <= $UniSeedMulti),
          tot AS (SELECT sum(seed_weight) AS tot FROM seed),
-         costs AS (
+         costs AS MATERIALIZED (
            SELECT piece, seed_weight,
                   CAST(round(-ln(CAST(seed_weight AS DOUBLE)
                                  / CAST(tot AS DOUBLE)) * 1000000) AS BIGINT)
                     AS cost_e6
            FROM seed, tot),
          mm AS (SELECT map(list(piece ORDER BY piece),
-                           list(cost_e6 ORDER BY piece)) AS m FROM costs),
-         ${viterbi("1", "mm")},
+                           list(cost_e6 ORDER BY piece)) AS m FROM costs)"""
+
+  private lazy val UnigramLmOracle: String =
+    s"""WITH RECURSIVE $UniSeedCte,
+         ${uniViterbiSql("1", "mm")},
          -- M-step: re-estimated costs from round-1 usage; single chars
          -- get a +1 usage floor (the coverage alphabet stays costed)
          live AS (
@@ -4966,7 +5079,7 @@ object LlmText {
            WHERE piece NOT IN (SELECT piece FROM prunedm)),
          mm3 AS (SELECT map(list(piece ORDER BY piece),
                             list(cost2_e6 ORDER BY piece)) AS m FROM costs3),
-         ${viterbi("2", "mm3")}
+         ${uniViterbiSql("2", "mm3")}
          SELECT c.piece, length(c.piece) AS piece_len, c.seed_weight,
                 c.cost_e6,
                 coalesce(u1.usage_freq, 0) AS usage_freq,
@@ -4981,6 +5094,100 @@ object LlmText {
          LEFT JOIN prunedm pm USING (piece)
          LEFT JOIN usage2 uu2 USING (piece)
          ORDER BY c.piece"""
+
+  /** DuckDB replay of the target-vocab trainer (`llm_unigram_lm_vocab`):
+    * the SAME seed/viterbi/M-step/loss-delta devices as
+    * [[UnigramLmOracle]], unrolled [[UniVocabRounds]] times with the
+    * per-round cut capped at the excess over the data-derived target
+    * V = |chars| + UniVocabMulti (computed identically by the Spark
+    * side's driver arithmetic). c1..c4 are the vocab after each round;
+    * drop_round = the first round a piece left the live set. */
+  private lazy val UnigramVocabOracle: String = {
+    // one EM + prune round: live vocab c$r (piece, cost_e6) + map mm$r
+    // in, c${r+1} + mm${r+1} out; usagev$r is the round's E-step
+    def round(r: Int): String =
+      s"""${uniViterbiSql(s"v$r", s"mm$r")},
+         lv$r AS (
+           SELECT c.piece,
+                  CASE WHEN length(c.piece) = 1
+                       THEN greatest(coalesce(u.usage_freq, 0), 1)
+                       ELSE coalesce(u.usage_freq, 0) END AS eff,
+                  coalesce(u.usage_freq, 0) AS uf
+           FROM c$r c LEFT JOIN usagev$r u USING (piece)),
+         lv2$r AS (SELECT piece, eff, uf FROM lv$r WHERE eff > 0),
+         tt$r AS (SELECT sum(eff) AS tot FROM lv2$r),
+         cc$r AS MATERIALIZED (
+           SELECT piece, uf,
+                  CAST(round(-ln(CAST(eff AS DOUBLE) / CAST(tot AS DOUBLE))
+                             * 1000000) AS BIGINT) AS cost_e6
+           FROM lv2$r, tt$r),
+         mmx$r AS (SELECT map(list(piece ORDER BY piece),
+                              list(cost_e6 ORDER BY piece)) AS m FROM cc$r),
+         aa$r AS (
+           SELECT c2.piece,
+                  min(list_reduce(list_transform(comp, s ->
+                        map_extract(mmx$r.m,
+                          c2.piece[s[1] : s[1] + s[2] - 1])[1]),
+                      (x, y) -> x + y)) AS alt_cost
+           FROM cc$r c2, comps, mmx$r
+           WHERE comps.n = length(c2.piece) AND length(c2.piece) >= 2
+           GROUP BY c2.piece),
+         ll$r AS (
+           SELECT a.piece, (a.alt_cost - c2.cost_e6) * c2.uf AS ld
+           FROM aa$r a JOIN cc$r c2 USING (piece)),
+         -- rounds 1..R−1: gentle cut (≤ 1/UniPruneDen of multi pieces);
+         -- round R: trim exactly to target — the convergence guarantee
+         nn$r AS (SELECT ${if (r == UniVocabRounds)
+             s"""greatest((SELECT count(*) FROM cc$r)
+                                     - (SELECT tv FROM tv), 0)"""
+           else
+             s"""least((count(*) + ${UniPruneDen - 1}) // $UniPruneDen,
+                          greatest((SELECT count(*) FROM cc$r)
+                                     - (SELECT tv FROM tv), 0))"""} AS np
+                  FROM ll$r),
+         pp$r AS (
+           SELECT piece FROM (
+             SELECT piece, row_number() OVER (ORDER BY ld, piece) AS rk
+             FROM ll$r), nn$r
+           WHERE rk <= nn$r.np),
+         c${r + 1} AS MATERIALIZED (SELECT piece, cost_e6 FROM cc$r
+                       WHERE piece NOT IN (SELECT piece FROM pp$r)),
+         mm${r + 1} AS (SELECT map(list(piece ORDER BY piece),
+                            list(cost_e6 ORDER BY piece)) AS m FROM c${r + 1})"""
+    val rounds = (1 to UniVocabRounds).map(round).mkString(",\n")
+    val dropCase = (1 to UniVocabRounds)
+      .map(r => s"WHEN c${r + 1}.piece IS NULL THEN $r")
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val joins = (1 to UniVocabRounds)
+      .map(r => s"LEFT JOIN c${r + 1} ON s.piece = c${r + 1}.piece")
+      .mkString("\n         ")
+    val fin = UniVocabRounds + 1
+    s"""WITH RECURSIVE $UniSeedCte,
+         tv AS (SELECT CAST(count(*) + $UniVocabMulti AS BIGINT) AS tv
+                FROM seed WHERE length(piece) = 1),
+         comps AS (SELECT * FROM (VALUES
+           (2, [[1,1],[2,1]]),
+           (3, [[1,1],[2,1],[3,1]]), (3, [[1,1],[2,2]]), (3, [[1,2],[3,1]]),
+           (4, [[1,1],[2,1],[3,1],[4,1]]), (4, [[1,1],[2,1],[3,2]]),
+           (4, [[1,1],[2,2],[4,1]]), (4, [[1,2],[3,1],[4,1]]),
+           (4, [[1,2],[3,2]]), (4, [[1,1],[2,3]]), (4, [[1,3],[4,1]]))
+           AS v(n, comp)),
+         c1 AS (SELECT piece, cost_e6 FROM costs),
+         mm1 AS (SELECT m FROM mm),
+         $rounds,
+         ${uniViterbiSql("vf", s"mm$fin")}
+         SELECT s.piece, length(s.piece) AS piece_len, s.seed_weight,
+                (SELECT tv FROM tv) AS target_vocab,
+                (SELECT CAST(count(*) AS BIGINT) FROM c$fin) AS final_vocab,
+                CAST($dropCase AS BIGINT) AS drop_round,
+                c$fin.cost_e6 AS final_cost_e6,
+                coalesce(uf.usage_freq, CAST(0 AS BIGINT)) AS usage_final,
+                (c$fin.piece IS NOT NULL
+                 AND coalesce(uf.usage_freq, CAST(0 AS BIGINT)) > 0) AS kept
+         FROM seed s
+         $joins
+         LEFT JOIN usagevf uf ON s.piece = uf.piece
+         ORDER BY s.piece"""
   }
 
   /** Shared duplicated-span islands (g → dup grams → islands) — the
@@ -6085,6 +6292,7 @@ object LlmText {
          FROM cum ORDER BY token_id""",
     "llm_bpe_train" -> BpeOracle,
     "llm_unigram_lm_train" -> UnigramLmOracle,
+    "llm_unigram_lm_vocab" -> UnigramVocabOracle,
     "llm_bpe_apply" -> BpeApplyOracle,
     "llm_tokenizer_fertility" ->
       s"""$bpeCtePrefix,

@@ -82,6 +82,37 @@ class Round13Spec extends AnyFunSuite {
       s"grid (bits=$full, L=$l) drifted from llm_ann_lsh_tune")
   }
 
+  test("target-vocab trainer: chars never pruned, coverage exact, counts consistent") {
+    import graft.Tables.t
+    val rows = SparkEntry.queries("llm_unigram_lm_vocab")(spark, sfDir)
+      .collect()
+    val byName = rows.head.schema.fieldNames.zipWithIndex.toMap
+    def l(r: org.apache.spark.sql.Row, c: String) =
+      r.get(byName(c)).asInstanceOf[Number].longValue
+    // single chars are the coverage floor: never dropped from the
+    // vocabulary (a char may still end with zero FINAL usage when every
+    // occurrence segments through multi-char pieces — `kept` is usage)
+    rows.filter(r => l(r, "piece_len") == 1).foreach { r =>
+      assert(l(r, "drop_round") == 0, s"char piece dropped: $r")
+    }
+    // the reported final_vocab IS the surviving set
+    val finalVocab = l(rows.head, "final_vocab")
+    assert(rows.count(r => l(r, "drop_round") == 0) == finalVocab)
+    assert(rows.forall(r => l(r, "drop_round") >= 0 && l(r, "drop_round") <= 3))
+    // the loop converged to (or under) the target within the unroll
+    assert(finalVocab <= l(rows.head, "target_vocab"),
+      s"final vocab $finalVocab above target after 3 rounds")
+    // character-exact coverage after the FULL loop: every corpus word
+    // still segments — Σ usage_final·piece_len == Σ freq·len(word)
+    val corpusChars = t(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .agg(sum(length(col("w")))).head.getLong(0)
+    val segChars = rows.map(r => l(r, "usage_final") * l(r, "piece_len")).sum
+    assert(corpusChars === segChars,
+      s"post-loop segmentation covers $segChars of $corpusChars chars")
+  }
+
   test("persisted LSH probe plan reads the staged index, not L union scans") {
     val df = SparkEntry.queries("llm_ann_lsh_persisted")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

@@ -318,6 +318,7 @@ EVIDENCE = {
     "llm_vocab_build": (M, "corpus x8 -> +60% cost (r5)", "vocab-bound by construction, measured holding"),
     "llm_tokenize_apply": (M, "x8 7.8x (r5)", "~linear: per-doc greedy segmentation against the broadcast vocab"),
     "llm_bpe_train": (M, "x8 1.6x (r5)", "merge-rule iteration is vocab-bound, measured holding"),
+    "llm_unigram_lm_vocab": (M, "x8/x64 measured r13 (4 vocab-table E-steps)", "the prune loop PARAMETERIZED to a target vocab size (VERDICT r12 #4): 3 fixed unrolled EM+prune rounds (the pagerank/kcore convention — the oracle replays every round; round-boundary CTEs MATERIALIZED so DuckDB's inlining cannot expand the round tree exponentially), each cutting min(20% of multi pieces, excess over V) where V = |chars| + 16 is computed identically by both engines; chars are never pruned (the coverage floor), a round at/under target is a pure re-segment. Same scale shape as llm_unigram_lm_train: every E-step is one distinct-words-table pass, driver arithmetic seed-bounded (<= ~250-row collects)"),
     "llm_unigram_lm_train": (M, "x8 1.3x / x64 1.7x (r11)", "training never touches the corpus after the ONE word-frequency aggregation: seed substring counting, the Viterbi hard-EM DP, and usage re-estimation all run on the distinct-word table; seed vocab collect bounded by construction (192 multi-char pieces + alphabet, the kmeansCentroids collect class) and ships as one map literal"),
     "llm_bpe_apply": (B, "linear-scan", "per-word segmentation against broadcast merge rules"),
     "llm_tokenizer_fertility": (B, "key-cardinality", "tokens-per-word rollup per language"),

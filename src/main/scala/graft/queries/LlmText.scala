@@ -1238,7 +1238,7 @@ object LlmText {
     * `costsMap` (the bounded piece→cost_e6 literal) and return the
     * corpus-weighted per-piece usage counts. Backtrack in two stages —
     * see the comment inside (shape shared with the DuckDB twin). */
-  private def viterbiUsage(words: DataFrame,
+  private[graft] def viterbiUsage(words: DataFrame,
                            costsMap: Map[String, Long]): DataFrame = {
     // backtrack in two stages: (1) ch[p] = the longest piece length
     // ending the optimal path at EVERY position p (a plain transform —
@@ -1275,7 +1275,23 @@ object LlmText {
                              st.p - element_at(ch, st.p) + 1,
                              element_at(ch, st.p))), st.ps))),
           st -> st.ps)"""))
-    seg.select(col("freq"), explode(col("pieces")).as("piece"))
+    // BARRIER before the explode (r13, measured): explode(pieces)
+    // routes the generator input through GenerateExec's INTERPRETED
+    // path, and CollapseProject folds the ENTIRE best/ch/pieces DP
+    // tree into that input — ~10 ms/word interpreted vs ~0.2 ms
+    // codegen'd, 20 s vs 0.55 s per E-step on the ×64 corpus (whose
+    // md5-mask staging grows the distinct vocabulary ∝ corpus; the
+    // r11 shared-text staging kept it constant and hid this). A plain
+    // projection does NOT survive (CollapseProject folds it back) and
+    // neither does a repartition (measured: the optimizer moves the
+    // projection across the exchange and the 20 s returns) — the
+    // lineage-truncating localCheckpoint is the barrier that holds,
+    // and it is vocab-sized here (one short string array per distinct
+    // word; the attributedSpans precedent). Usage totals are
+    // exact-integer sums, so the barrier cannot change results.
+    seg.select(col("freq"), col("pieces"))
+      .localCheckpoint(true)
+      .select(col("freq"), explode(col("pieces")).as("piece"))
       .groupBy("piece").agg(sum(col("freq")).as("usage_freq"))
   }
 
@@ -1286,7 +1302,7 @@ object LlmText {
     * persisted read (a bare .persist() here leaked one cached copy per
     * invocation, ADVICE r11 — the same class the PMI tables fixed at
     * r6). */
-  private def uniSeedParts(spark: SparkSession,
+  private[graft] def uniSeedParts(spark: SparkSession,
                            sfDir: String): (DataFrame, DataFrame) = {
     val words = graft.etl.Fixtures.stagedPersisted(spark, sfDir,
       "unigram_vocab") { d =>

@@ -318,8 +318,8 @@ EVIDENCE = {
     "llm_vocab_build": (M, "corpus x8 -> +60% cost (r5)", "vocab-bound by construction, measured holding"),
     "llm_tokenize_apply": (M, "x8 7.8x (r5)", "~linear: per-doc greedy segmentation against the broadcast vocab"),
     "llm_bpe_train": (M, "x8 1.6x (r5)", "merge-rule iteration is vocab-bound, measured holding"),
-    "llm_unigram_lm_vocab": (M, "x8/x64 measured r13 (4 vocab-table E-steps)", "the prune loop PARAMETERIZED to a target vocab size (VERDICT r12 #4): 3 fixed unrolled EM+prune rounds (the pagerank/kcore convention — the oracle replays every round; round-boundary CTEs MATERIALIZED so DuckDB's inlining cannot expand the round tree exponentially), each cutting min(20% of multi pieces, excess over V) where V = |chars| + 16 is computed identically by both engines; chars are never pruned (the coverage floor), a round at/under target is a pure re-segment. Same scale shape as llm_unigram_lm_train: every E-step is one distinct-words-table pass, driver arithmetic seed-bounded (<= ~250-row collects)"),
-    "llm_unigram_lm_train": (M, "x8 1.3x / x64 1.7x (r11)", "training never touches the corpus after the ONE word-frequency aggregation: seed substring counting, the Viterbi hard-EM DP, and usage re-estimation all run on the distinct-word table; seed vocab collect bounded by construction (192 multi-char pieces + alphabet, the kmeansCentroids collect class) and ships as one map literal"),
+    "llm_unigram_lm_vocab": (M, "x8 1.1x / x64 1.3x (r13: 1.12/1.21/1.47 s)", "the prune loop PARAMETERIZED to a target vocab size (VERDICT r12 #4): 3 fixed unrolled EM+prune rounds (the pagerank/kcore convention — the oracle replays every round; round-boundary CTEs MATERIALIZED so DuckDB's inlining cannot expand the round tree exponentially), each cutting min(20% of multi pieces, excess over V) where V = |chars| + 16 is computed identically by both engines; chars are never pruned (the coverage floor), a round at/under target is a pure re-segment. Same scale shape as llm_unigram_lm_train: every E-step is one distinct-words-table pass, driver arithmetic seed-bounded (<= ~250-row collects)"),
+    "llm_unigram_lm_train": (M, "x8 1.0x / x64 1.0x FLAT (r13: 1.10/1.06/1.13 s; r11 numbers predate the md5-mask corpus restaging)", "training never touches the corpus after the ONE word-frequency aggregation: seed substring counting, the Viterbi hard-EM DP, and usage re-estimation all run on the distinct-word table; seed vocab collect bounded by construction (192 multi-char pieces + alphabet, the kmeansCentroids collect class) and ships as one map literal"),
     "llm_bpe_apply": (B, "linear-scan", "per-word segmentation against broadcast merge rules"),
     "llm_tokenizer_fertility": (B, "key-cardinality", "tokens-per-word rollup per language"),
     "llm_pack_sequences": (B, "key-cardinality", "running token budget per language shard window"),
@@ -358,7 +358,7 @@ EVIDENCE = {
     "llm_dedup_cluster_stats": (B, "output-sized", "histogram over components — component-count-sized"),
     "llm_cluster_representative": (B, "key-cardinality", "quality argmax per cluster via cluster-keyed window"),
     "llm_paragraph_dedup": (M, "x8 2.7x (r6)", "paragraph-hash group + doc reconstruction"),
-    "llm_substring_dedup": (M, "x8 1.8x / x64 7.1x (r12; r6: 6.2x/12.0x)", "winnowing-anchor spans; exact span set grows with replicated families; the generator input now carries only a cheap position sequence (hash/pair work in the codegen'd Project above the Generate — the r12 GenerateExec-interpreted-input fix) — sf0.1 wall 1.35 -> 0.93 s"),
+    "llm_substring_dedup": (M, "x8 1.5x / x64 4.3x (r13 re-measured; r12 close read 7.1x with ambient scatter in both endpoints; r6: 6.2x/12.0x)", "winnowing-anchor spans; exact span set grows with replicated families; the generator input carries only a cheap position sequence (hash/pair work in the codegen'd Project above the Generate — the r12 GenerateExec-interpreted-input fix). r13 chase (VERDICT r12 #5): min-of-3 idle re-measurement puts x64 at 4.7-5.5 s vs sf0.1 1.30 s = 3.6-4.3x — already below the family ~5x line; the residual super-linearity is the DATA's (the replicated x64 corpus makes ~every gram duplicated, so the post-semi-join window shuffle is corpus-sized at x64 vs a small fraction at sf0.1 — the simhash_eval output-growth class)"),
     "llm_dedup_source_matrix": (M, "x8 5.0x / x64 7.2x (r10)", "exact tier = fp groupBy rejoined to keeper; near tier rides the persisted LSH pipeline; matrix <= sources^2 rows; source lookups are 2-column joins"),
     "llm_span_quality_gate": (M, "x8 1.6x / x64 4.1x (r12)", "rides the attribution span table (O(grams) pipeline + dup-span-set-sized election); the gate adds one doc-keyed interval-union window over CUT spans only + a left join to per-doc token counts; one row per document"),
     "llm_span_attribution": (M, "x8 1.6x / x64 5.6x (r12; r10: 5.5x/12.2x)", "rides llm_substring_dedup O(grams) pipeline (the generator input now carries only a cheap position sequence (hash/pair work in the codegen'd Project above the Generate — the r12 GenerateExec-interpreted-input fix) — sf0.1 wall 2.31 -> 1.17 s); span fingerprint is island-sized ordered fold over DUPLICATED grams only; keeper election one span-fp-keyed agg (dup-span-set-sized) - content-hash grouping replaces any pair join"),
@@ -372,9 +372,9 @@ EVIDENCE = {
     "llm_cosine_pair": (B, "fixed-cut", "fixed pair list broadcast; DotProduct codegen per pair"),
     "llm_topk_similarity": (B, "fixed-cut", "one query broadcast; linear scan + TakeOrdered top-k, zero shuffle"),
     "llm_ann_lsh": (M, "x8 1.4x / x64 3.6x (r12, rotated planes; was 35.8x at r11)", "ROTATED-hyperplane buckets (rows of H*D2*H*D1, exactly orthogonal integer planes — the HD-composition decorrelation the r11 verdict named), candidates from the bucket equi-join; cost IS the pair set. The r11 35.8x decomposed into THREE fixed defects: (1) the independent +-1 planes' bit correlation 0.225 -> 0.05 under rotation (x64 max occupancy 199 -> 21 vs mean 7.8, CellOccupancySpec-pinned at sf0.1); (2) the scale corpus's per-copy sign mask was degenerate (2 distinct masks over 64 copies — all copies ONE point cloud; stage_scale.py r12 uses md5-parity masks, pair set back to the 2.0M design point); (3) the DOMINANT wall term was posexplode(array(bucketCol*)) routing sign-bit dots through GenerateExec's interpreted path (~4 us/dot vs ~0.4 us codegen; 33 s -> 0.9 s at x64) — the long table is now a per-table UNION of codegen'd Projects. bits = max(8, bitlength(n/8)) capped at 64 (past that, tables are the dial — llm_ann_lsh_tune measures that curve)"),
-    "llm_ann_lsh_persisted": (M, "x8/x64 measured r13 (probe of the staged index)", "the LSH build-once/probe-many path (VERDICT r12 #2, the llm_ann_ivf_persisted precedent): lshBucketLong's (vec_id, tbl, bucket) rows staged once as parquet (clustered by table, bucket-sorted), every probe self-joins the ids-only index and re-attaches embeddings by id for candidates only — the per-derivation 4-union bucket build (the r12 sf0.1 LSH regression's cost) moves to the staging, where production pays it; probe cost is the occupancy-bounded pair set, same as llm_ann_lsh"),
+    "llm_ann_lsh_persisted": (M, "x8 1.9x / x64 5.5x probe-only (r13: 0.30/0.57/1.66 s; the in-plan key measures 0.99/1.66/3.49 s — the probe is 2.1-3.3x cheaper at every scale)", "the LSH build-once/probe-many path (VERDICT r12 #2, the llm_ann_ivf_persisted precedent): lshBucketLong's (vec_id, tbl, bucket) rows staged once as parquet (clustered by table, bucket-sorted), every probe self-joins the ids-only index and re-attaches embeddings by id for candidates only — the per-derivation 4-union bucket build (the r12 sf0.1 LSH regression's cost) moves to the staging, where production pays it; probe cost is the occupancy-bounded pair set, same as llm_ann_lsh"),
     "llm_ann_lsh_tune": (M, "x8 1.1x / x64 3.5x (r12)", "the multi-table OR-amplification operating curve (VERDICT r11 #2): recall@10 vs exact truth + candidate volume per table count L in {1,2,4,8} — measured at sf0.1: recall 1.9%->18.1%, candidates 144->1310 (linear in L). ONE bucket join serves every L (min-first-colliding-table per pair, sweep = threshold), truth is O(Q*N) map-side + TopKPerGroup over a fixed query sample — the llm_ann_recall class"),
-    "llm_ann_lsh_tune_bits": (M, "x8 measured r13 (grid on the x8 corpus at derived bits)", "the (bits, L) operating grid (VERDICT r12 #3): the bits dial added to the tune key's min-table device via the PREFIX property — plane p's sign bit is independent of total width, so bucket@b = first b chars of the full bucket; ONE join on the coarsest prefix (a measured-size superset over the QUERY SAMPLE only, never all-pairs) yields every grid cell as a threshold. Published x8 curve (BASELINE r13): bits=derived-6, L=8 reaches recall@10 57.9% at ~3.5k candidates/query — the first measured config over the 50% dedup-gate floor; truth pass is the O(Q*N) map-side audit class"),
+    "llm_ann_lsh_tune_bits": (M, "x8 1.4x / x64 3.5x (r13: 1.32/1.84/4.55 s)", "the (bits, L) operating grid (VERDICT r12 #3): the bits dial added to the tune key's min-table device via the PREFIX property — plane p's sign bit is independent of total width, so bucket@b = first b chars of the full bucket; ONE join on the coarsest prefix (a measured-size superset over the QUERY SAMPLE only, never all-pairs) yields every grid cell as a threshold. Published x8 curve (BASELINE r13): bits=derived-6, L=8 reaches recall@10 57.9% at ~3.5k candidates/query — the first measured config over the 50% dedup-gate floor; truth pass is the O(Q*N) map-side audit class"),
     "llm_ann_ivf": (M, "x8 1.0x / x64 2.7x (r12 on the fixed-mask corpus; r11: 1.4x/3.0x)", "fused-argmax assignment (BestCentroid codegen, k-independent generated code) + 2 probed cells; probed-cell size = N/k held flat by the derived k PROP N rule. Assignment is the honest O(N*k*dim) flat-IVF cost — at web scale (k ~ 1e5) production swaps that one map stage for a coarse-quantizer tree/GEMM"),
     "llm_ann_ivf_persisted": (M, "x8 1.2x / x64 4.5x (r12; r11: 1.6x/5.4x)", "the index-reuse path: cell-partitioned parquet index staged once, probe = partition pruning (nprobe/k of the corpus read); same derived k PROP N rule as llm_ann_ivf"),
     "llm_ann_ivf_kmeans": (M, "x8 1.4x / x64 3.3x (r12, k derived, capped at sample/4)", "centroids from a 4096-row bounded sample (TakeOrdered plan-pinned against driver-collect regression); k = min(max(16, n/125), 1024) so the strided init keeps >= 4 members per centroid — the sample's honesty bound"),

@@ -4,9 +4,9 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Guards the committed plan-fingerprint snapshot (plans_r12.json,
+/** Guards the committed plan-fingerprint snapshot (plans_r13.json,
   * written by `runMain graft.PlanDigest /root/testdata/sf0.001
-  * plans_r12.json`): recomputes the canonical operator-tree shape for
+  * plans_r13.json`): recomputes the canonical operator-tree shape for
   * every side-effect-free key and fails when a physical plan changed
   * without the snapshot being regenerated. This is the wide net under
   * PlanShapeSpec's hand-pinned assertions — a planner regression (an
@@ -26,7 +26,7 @@ class PlanSnapshotSpec extends AnyFunSuite {
     .getOrCreate()
 
   private val sfDir = "/root/testdata/sf0.001"
-  private val snapshotPath = "plans_r12.json"
+  private val snapshotPath = "plans_r13.json"
 
   private lazy val committed: Map[String, String] = {
     val txt = Files.readString(Paths.get(snapshotPath))

@@ -161,7 +161,7 @@ object LlmVector {
   // tables, not more bits, is the recall dial).
   private val LshBitsFloor = 8
   private val LshTargetOcc = 8
-  private def lshBits(spark: SparkSession, sfDir: String): Int = {
+  private[graft] def lshBits(spark: SparkSession, sfDir: String): Int = {
     val n = math.max(1L,
       t(spark, sfDir, "embeddings").count() / LshTargetOcc)
     // cap at 64: one rotation yields 64 orthogonal rows; past that the
@@ -202,14 +202,32 @@ object LlmVector {
     * union IS the fix: each branch re-scans the (cheap, pruned)
     * embedding column but every dot stays codegen'd. */
   private[graft] def lshBucketLong(spark: SparkSession, sfDir: String,
-                                   nTables: Int = 4): DataFrame = {
-    val nBits = lshBits(spark, sfDir)
+                                   nTables: Int = 4): DataFrame =
+    lshBucketRows(t(spark, sfDir, "embeddings"),
+      lshBits(spark, sfDir), nTables)
+
+  /** Bucket rows for an ARBITRARY embeddings frame at a pinned bit
+    * width — the per-branch-union builder shared by the batch long
+    * table above and the streaming intake (`stream_lsh_index`, which
+    * hashes each arriving micro-batch map-side at the bits the index
+    * was built with). */
+  private[graft] def lshBucketRows(batch: DataFrame, nBits: Int,
+                                   nTables: Int = 4): DataFrame =
     (0 until nTables).map { tbl =>
-      t(spark, sfDir, "embeddings")
-        .select(col("vec_id"), lit(tbl).as("tbl"),
-          bucketCol(tbl, nBits).as("bucket"))
+      batch.select(col("vec_id"), lit(tbl).as("tbl"),
+        bucketCol(tbl, nBits).as("bucket"))
     }.reduce(_ unionByName _)
-  }
+
+  /** Top-50 LSH derivation over a CHAINED on-disk bucket index (the
+    * streamed index's probe): identical candidate/re-rank semantics to
+    * `llm_ann_lsh` by construction — run layout cannot change bucket
+    * contents. */
+  private[graft] def annLshFromIndex(spark: SparkSession, sfDir: String,
+      dirs: Seq[String]): DataFrame =
+    lshScoredCandidatesOf(spark, sfDir,
+      readRuns(spark, dirs).select("vec_id", "tbl", "bucket"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(50)
 
   private def lshScoredCandidates(spark: SparkSession, sfDir: String): DataFrame =
     lshScoredCandidatesOf(spark, sfDir, lshBucketLong(spark, sfDir))

@@ -53,7 +53,8 @@ object AnnIndexIntakeProfile {
     // batch 0 carries plan/codegen warm-up (the stream owns batch
     // order); the steady-state signal is batches 1..N-1 and the
     // summary reports both with and without batch 0.
-    val idx = StreamingQ.annIndexIntake(spark, sfDir, srcDir, Some(stats))
+    val res = StreamingQ.annIndexIntake(spark, sfDir, srcDir, Some(stats))
+    val idx = res.liveDirs
     // a staging that yielded zero micro-batches (empty source dir) must
     // fail with a message, not a stats.head NoSuchElementException below
     if (stats.isEmpty) {
@@ -90,6 +91,8 @@ object AnnIndexIntakeProfile {
         s""""steady_max_secs":${steadyStat(_.max)},""" +
         s""""total_merges":${stats.map(_.merges).sum},""" +
         s""""max_live_files":${stats.map(_.runsBefore).max},""" +
+        s""""reclaimed_run_dirs":${res.reclaimedDirs},""" +
+        s""""reclaimed_files":${res.reclaimedFiles},""" +
         s""""final_live_runs":${idx.length},""" +
         s""""final_index_files":${idx.map(countFiles).sum},""" +
         s""""probe_secs":${fmt(probeSecs)}}"""

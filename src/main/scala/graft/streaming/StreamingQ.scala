@@ -664,8 +664,8 @@ object StreamingQ {
   // This is how a vector index stays fresh at 100 TB: per-batch work
   // is O(new vectors), the probe cost never changes.
   // ---------------------------------------------------------------------
-  private def streamAnnIndex(spark: SparkSession, sfDir: String): DataFrame = {
-    val srcDir = stageCache.computeIfAbsent(s"$sfDir/emb_halves", { _ =>
+  private def embHalvesDir(spark: SparkSession, sfDir: String): String =
+    stageCache.computeIfAbsent(s"$sfDir/emb_halves", { _ =>
       val dir = freshDir("graft_stream_emb_")
       val e = t(spark, sfDir, "embeddings")
       e.where(col("vec_id") % 2 === 0).coalesce(1)
@@ -678,8 +678,33 @@ object StreamingQ {
         .write.mode("append").parquet(dir)
       dir
     })
+
+  private def streamAnnIndex(spark: SparkSession, sfDir: String): DataFrame =
     graft.queries.LlmVector.probeIvfIndex(spark, sfDir,
-      annIndexIntake(spark, sfDir, srcDir))
+      annIndexIntake(spark, sfDir, embHalvesDir(spark, sfDir)).liveDirs)
+
+  // ---------------------------------------------------------------------
+  // stream_lsh_index — the LSH bucket index MAINTAINED BY A STREAM: the
+  // hyperplane twin of stream_ann_index, riding the same tiered run
+  // chain. Arriving embedding batches hash their bucket rows map-side
+  // (the rotated planes are plan literals; bits is pinned at
+  // index-build time from the indexed corpus size, the same convention
+  // as ivfK in the IVF twin) and commit level-0 runs partitioned by
+  // hash table; the post-ingest derivation probes the chained index
+  // ids-only and must return EXACTLY llm_ann_lsh's top-50 (bucket
+  // contents are a set — batch boundaries and merge timing cannot
+  // change them), so this key shares AnnLshOracle verbatim:
+  // "maintained state == batch twin" is the checked property. At
+  // 100 TB: per-batch work is O(arrivals · L · bits) dot products +
+  // a batch-sized write; the index on disk stays live-chain-sized
+  // (merged-away runs are vacuumed); probes never re-hash the corpus.
+  // ---------------------------------------------------------------------
+  private def streamLshIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val nBits = graft.queries.LlmVector.lshBits(spark, sfDir)
+    val res = tieredIntake(spark, sfDir, embHalvesDir(spark, sfDir),
+      "graft_stream_lsh_idx_", "tbl",
+      b => graft.queries.LlmVector.lshBucketRows(b, nBits))
+    graft.queries.LlmVector.annLshFromIndex(spark, sfDir, res.liveDirs)
   }
 
   /** The ANN-index intake loop itself, shared by the `stream_ann_index`
@@ -716,10 +741,50 @@ object StreamingQ {
   private[graft] def annIndexIntake(spark: SparkSession, sfDir: String,
       srcDir: String,
       stats: Option[scala.collection.mutable.ArrayBuffer[IntakeBatchStat]] =
-        None): Seq[String] = {
-    val root = freshDir("graft_stream_ann_idx_")
+        None): IntakeResult = {
     val k = graft.queries.LlmVector.ivfK(spark, sfDir)
+    tieredIntake(spark, sfDir, srcDir, "graft_stream_ann_idx_", "cell",
+      b => graft.queries.LlmVector.assignCells(b, k), stats)
+  }
+
+  /** Live chain + reclamation accounting returned by [[tieredIntake]]:
+    * `liveDirs` is the post-stream run chain (oldest first);
+    * `reclaimedDirs`/`reclaimedFiles` count the merged-away runs the
+    * end-of-stream vacuum unlinked. */
+  private[graft] case class IntakeResult(liveDirs: Seq[String],
+      reclaimedDirs: Int, reclaimedFiles: Int)
+
+  /** The generic size-tiered run-chain intake shared by the streamed
+    * IVF index ([[annIndexIntake]]) and the streamed LSH index
+    * ([[streamLshIndex]]): per micro-batch, `rowsOf(batch)` commits a
+    * level-0 run (hive-partitioned on `partCol`, coalesced so one task
+    * emits one file per touched partition), and [[CompactFanout]]
+    * same-level runs merge into one run a level up, repartitioned on
+    * `partCol` so a merged run holds exactly one file per partition
+    * value — the [[incrementalDedupIntake]] Bentley–Saxe layout. Every
+    * row is rewritten ≤ log₄(batches) times and the chain holds
+    * ≤ 3·log₄(batches)+1 live runs. Runs and merges are
+    * deterministic-name + _SUCCESS guarded (a retried micro-batch
+    * reuses its committed dirs).
+    *
+    * GARBAGE RECLAMATION (r13): a run merged away is dead the moment
+    * the merged run's _SUCCESS commits; a production chain unlinks it
+    * after a read-grace TTL so in-flight readers of the old chain
+    * drain first. End-of-stream is past any grace here (every probe
+    * runs against the RETURNED live chain), so the vacuum happens
+    * before returning — disk held by the index is live-chain-sized,
+    * not stream-length-sized, and the reclaimed counts are reported
+    * for the profiler. Deletion timing cannot affect results: merges
+    * are unions, so the live chain's contents are identical with or
+    * without the dead runs on disk. */
+  private[graft] def tieredIntake(spark: SparkSession, sfDir: String,
+      srcDir: String, rootPrefix: String, partCol: String,
+      rowsOf: DataFrame => DataFrame,
+      stats: Option[scala.collection.mutable.ArrayBuffer[IntakeBatchStat]] =
+        None): IntakeResult = {
+    val root = freshDir(rootPrefix)
     var chain = Vector.empty[(Int, String)]
+    var retired = Vector.empty[String]
     val src = spark.readStream
       .schema(t(spark, sfDir, "embeddings").schema)
       .option("maxFilesPerTrigger", 1)
@@ -739,11 +804,23 @@ object StreamingQ {
         val t0 = System.nanoTime()
         val run = s"$root/b$batchId"
         if (!new java.io.File(run, "_SUCCESS").exists()) {
-          // coalesce(1): the batch is micro-batch-sized by construction,
-          // and a single writing task emits exactly one file per
-          // touched cell (the level-0 file bound the merge math uses)
-          graft.queries.LlmVector.assignCells(batch.coalesce(1), k)
-            .write.mode("overwrite").partitionBy("cell").parquet(run)
+          // Two batch-sized exchanges bracket the transform so the
+          // CPU-heavy rowsOf (the O(arrivals·k) IVF assignment / the
+          // O(arrivals·L·bits) bucket hash) computes at FULL
+          // parallelism: the batch arrives as one staged file (a
+          // handful of scan splits — a coalesce(1) variant measured
+          // 47 s and the bare scan 22-25 s for the 2-half ×64 intake,
+          // vs ~11 s with the input spread; batch.inputFiles is empty
+          // on a micro-batch frame, so a bytes-conditional spread
+          // cannot engage — measured). The partCol exchange then lands
+          // each partition value in exactly one task → one file per
+          // touched partition, the level-0 file bound the merge math
+          // uses. Cost at steady state: ~+0.7 s/batch over the r12
+          // single-writer form (two extra stages on a KB-sized batch)
+          // — the price of intake that keeps up when a batch is big.
+          rowsOf(batch.repartition(col("vec_id")))
+            .repartition(col(partCol))
+            .write.mode("overwrite").partitionBy(partCol).parquet(run)
         }
         chain = chain :+ ((0, run))
         var merges = 0
@@ -755,13 +832,14 @@ object StreamingQ {
             val lvl = tail.head._1
             val merged = s"$root/m${batchId}_l${lvl + 1}_${chain.length}"
             if (!new java.io.File(merged, "_SUCCESS").exists()) {
-              // repartition by cell → each cell lands in one task → a
-              // merged run is exactly one file per cell
+              // repartition on partCol → each value lands in one task →
+              // a merged run is exactly one file per partition value
               graft.queries.LlmVector.readRuns(spark, tail.map(_._2))
-                .repartition(col("cell"))
-                .write.mode("overwrite").partitionBy("cell").parquet(merged)
+                .repartition(col(partCol))
+                .write.mode("overwrite").partitionBy(partCol).parquet(merged)
             }
             chain = chain.dropRight(CompactFanout) :+ ((lvl + 1, merged))
+            retired = retired ++ tail.map(_._2)
             merges += 1
           } else merging = false
         }
@@ -772,7 +850,25 @@ object StreamingQ {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    chain.map(_._2)
+    val reclaimedFiles = retired.map(countParquetFiles).sum
+    retired.foreach(deleteRecursively)
+    IntakeResult(chain.map(_._2), retired.length, reclaimedFiles)
+  }
+
+  /** Best-effort recursive unlink for a retired run dir (the vacuum
+    * step — a failure leaves harmless garbage, never a broken chain). */
+  private def deleteRecursively(dir: String): Unit = {
+    val root = Paths.get(dir)
+    if (Files.exists(root)) {
+      val s = Files.walk(root)
+      try {
+        s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach { p: Path =>
+            try Files.deleteIfExists(p)
+            catch { case _: java.io.IOException => () }
+          }
+      } finally s.close()
+    }
   }
 
   /** Data files under a (possibly hive-partitioned) parquet dir. */
@@ -1559,6 +1655,7 @@ object StreamingQ {
     "stream_quantile_hist" -> (streamQuantileHist _),
     "stream_topk" -> (streamTopK _),
     "stream_ann_index" -> (streamAnnIndex _),
+    "stream_lsh_index" -> (streamLshIndex _),
     "stream_stateful_session" -> (streamStatefulSession _),
     "stream_transform_with_state" -> (streamTransformWithState _),
     "stream_join" -> (streamJoin _),
@@ -1712,6 +1809,8 @@ object StreamingQ {
          FROM events ORDER BY event_id""",
     // identical probe semantics to the batch-built IVF index
     "stream_ann_index" -> graft.queries.LlmVector.AnnIvfOracle,
+    // maintained LSH state == the batch key, one oracle string
+    "stream_lsh_index" -> graft.queries.LlmVector.AnnLshOracle,
     "stream_merge_upsert" ->
       """WITH target AS (
            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

@@ -77,7 +77,7 @@ class Round12Spec extends AnyFunSuite {
       scala.collection.mutable.ArrayBuffer.empty[graft.streaming.StreamingQ.IntakeBatchStat]
     val src = graft.streaming.StreamingQ.stagedEmbParts(spark, sfDir, 4)
     val idx = graft.streaming.StreamingQ.annIndexIntake(
-      spark, sfDir, src, Some(stats))
+      spark, sfDir, src, Some(stats)).liveDirs
     // per-batch telemetry recorded, arrivals partition the corpus
     assert(stats.length == 4)
     val n = graft.Tables.t(spark, sfDir, "embeddings").count()

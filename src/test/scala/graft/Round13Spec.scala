@@ -30,9 +30,17 @@ class Round13Spec extends AnyFunSuite {
     val stats =
       scala.collection.mutable.ArrayBuffer.empty[graft.streaming.StreamingQ.IntakeBatchStat]
     val src = graft.streaming.StreamingQ.stagedEmbParts(spark, sfDir, 16)
-    val dirs = graft.streaming.StreamingQ.annIndexIntake(
+    val res = graft.streaming.StreamingQ.annIndexIntake(
       spark, sfDir, src, Some(stats))
+    val dirs = res.liveDirs
     assert(stats.length == 16)
+    // end-of-stream vacuum: the 5 merges retired 4 runs each, every
+    // retired dir is unlinked, and the live run survives on disk
+    assert(res.reclaimedDirs == 20 && res.reclaimedFiles > 0)
+    assert(dirs.forall(d => new java.io.File(d, "_SUCCESS").exists()))
+    val chainRoot = new java.io.File(dirs.head).getParentFile
+    assert(chainRoot.listFiles().count(_.isDirectory) == dirs.length,
+      s"retired run dirs survive under $chainRoot")
     // Bentley–Saxe at fanout 4: merges fire at batches 3/7/11/15 (l0→l1)
     // plus the l1→l2 cascade at 15 — five total, and 16 = 4² collapses
     // the chain to a single level-2 run
@@ -51,6 +59,14 @@ class Round13Spec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     val want = SparkEntry.queries("llm_ann_ivf")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got === want)
+  }
+
+  test("streamed LSH index derives identically to the batch key") {
+    val got = SparkEntry.queries("stream_lsh_index")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = SparkEntry.queries("llm_ann_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got === want)
   }
 

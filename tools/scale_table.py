@@ -271,7 +271,8 @@ EVIDENCE = {
     "stream_merge_upsert": (B, "linear-scan", "per-batch MERGE: cost per batch is batch + affected-file-sized"),
     "stream_dedup_minhash": (M, "x8 3.6x (r7)", "band-hash state grows with distinct docs; per-batch probe work incoming-sized"),
     "stream_incremental_dedup": (M, "x8 3.1x / x64 17.6x (r11); STEADY STATE MEASURED: 16 batches on x8, per-batch wall FLAT at 1.65-2.65 s (mean 1.98) while the index grows 0 -> 37.5k rows (BASELINE.md r11 profile)", "per-batch: signature build over ARRIVING docs (linear in arrivals — the 2-batch key's x64 row measures intake of the whole corpus, which is why the steady-state profile exists), then fp equi-join + 6-band probe of the maintained index (incoming x bucket occupancy). Index chain: append one level-0 run per batch + SIZE-TIERED COMPACTION (4 same-level runs merge one level up) — every row rewritten <= log4(batches) times, live dirs <= 3*log4(batches)+1 (measured: <= 7 dirs, 5 merges over 16 batches); batchId-keyed _SUCCESS-guarded idempotent dirs"),
-    "stream_ann_index": (M, "STEADY STATE MEASURED (r12): 16 batches on x8, per-batch wall FLAT at 1.46-2.11 s (steady mean 1.64) while the index grows 0 -> 15k rows; probe over the 16-batch index (2047 files, 128 cells) = 0.57 s partition-pruned", "incremental IVF maintenance: each batch assigns cells map-side (fused BestCentroid argmax against broadcast centroids) and appends ONLY its rows into the cell-partitioned layout — per-batch work is O(arrivals * k), independent of index size (AnnIndexIntakeProfile, BASELINE.md r12). Growth axis is FILES PER CELL (one per batch per touched cell — taxes listing, not probing); the dedup chain's tiered compaction is the named remedy when listing shows up"),
+    "stream_lsh_index": (M, "x8 1.5x / x64 3.2x (r13: 2.0/3.0/6.4 s)", "incremental LSH bucket-index maintenance — the hyperplane twin of stream_ann_index on the same tiered run chain: arriving batches hash bucket rows map-side at the bits pinned at index build (plan-literal rotated planes, O(arrivals * L * bits) dots per batch), commit level-0 runs partitioned by hash table, merge 4-at-a-level, vacuum retired runs. The post-ingest derivation probes the chained index ids-only and equals llm_ann_lsh's top-50 exactly (shared AnnLshOracle; bucket contents are a set, so batch boundaries and merge timing cannot change them)"),
+    "stream_ann_index": (M, "STEADY STATE MEASURED (r13): 16 batches on x8, steady batch wall 1.67-2.8 s (merge batches to 6.5 s, 5 amortized merges) while the index grows 0 -> 15k rows; TIERED CHAIN bounds live files at 768 max / 128 final (was 1,919 append-only at r12), end-of-stream vacuum reclaims 20 run dirs / 2,559 files, probe 0.60 s partition-pruned per run. Key wall 2.3/4.2/13.2 s at sf0.1/x8/x64 — the 2-half x64 intake assigns 64k-vector batches 32-way (the input spread; single-writer form measured 47 s)", "incremental IVF maintenance on the Bentley-Saxe run chain (VERDICT r12 #1 delivered): each batch assigns cells map-side (fused BestCentroid argmax against broadcast centroids) and commits a level-0 run of ONLY its rows; 4 same-level runs merge into one run a level up repartitioned to one file per cell — every row rewritten <= log4(batches) times, live files bounded by runs*cells, merge timing cannot change cell contents (batch-twin spec pins it). End-of-stream vacuum unlinks retired runs (disk is live-chain-sized)"),
     "stream_incremental_agg": (M, "x8 1.4x (r7)", "per-key running aggregate: key-cardinality-bound state, checkpoint fixed cost dominates"),
     "stream_topk": (B, "state-bounded", "heavy-hitter state k-bounded per group per update"),
     "stream_window_distinct": (M, "x8 1.6x (r5)", "chained stateful aggs; checkpoint fixed cost amortizing"),

@@ -5152,15 +5152,18 @@ object LlmText {
            SELECT a.piece, (a.alt_cost - c2.cost_e6) * c2.uf AS ld
            FROM aa$r a JOIN cc$r c2 USING (piece)),
          -- rounds 1..R−1: gentle cut (≤ 1/UniPruneDen of multi pieces);
-         -- round R: trim exactly to target — the convergence guarantee
-         nn$r AS (SELECT ${if (r == UniVocabRounds)
-             s"""greatest((SELECT count(*) FROM cc$r)
-                                     - (SELECT tv FROM tv), 0)"""
+         -- round R: trim exactly to target — the convergence guarantee.
+         -- Both branches yield exactly ONE row (r13 ADVICE #2): the
+         -- final round is a scalar-subquery-only SELECT with no FROM,
+         -- the others aggregate over ll$r
+         nn$r AS (${if (r == UniVocabRounds)
+             s"""SELECT greatest((SELECT count(*) FROM cc$r)
+                                     - (SELECT tv FROM tv), 0) AS np"""
            else
-             s"""least((count(*) + ${UniPruneDen - 1}) // $UniPruneDen,
+             s"""SELECT least((count(*) + ${UniPruneDen - 1}) // $UniPruneDen,
                           greatest((SELECT count(*) FROM cc$r)
-                                     - (SELECT tv FROM tv), 0))"""} AS np
-                  FROM ll$r),
+                                     - (SELECT tv FROM tv), 0)) AS np
+                  FROM ll$r"""}),
          pp$r AS (
            SELECT piece FROM (
              SELECT piece, row_number() OVER (ORDER BY ld, piece) AS rk

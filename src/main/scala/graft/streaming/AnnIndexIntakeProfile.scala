@@ -34,8 +34,13 @@ object AnnIndexIntakeProfile {
             s"usage: AnnIndexIntakeProfile [sfDir] [parts>=1] — parts '$a' is not an integer")
           sys.exit(2)
       }
-      require(p >= 1,
-        s"usage: AnnIndexIntakeProfile [sfDir] [parts>=1] — got parts=$p")
+      // same clean usage/exit path as the unparsable case (r13 ADVICE
+      // #3) — a raw require stack trace is not a usage message
+      if (p < 1) {
+        System.err.println(
+          s"usage: AnnIndexIntakeProfile [sfDir] [parts>=1] — got parts=$p")
+        sys.exit(2)
+      }
       p
     }.getOrElse(16)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -75,8 +80,11 @@ object AnnIndexIntakeProfile {
     stats.foreach { s =>
       println(s"""GRAFT_ANNIDX_BATCH:{"batch":${s.batchId},""" +
         s""""arrivals":${s.arrivals},"index_rows_before":${s.indexRowsBefore},""" +
-        s""""index_files_before":${s.runsBefore},"secs":${fmt(s.secs)},""" +
-        s""""merges":${s.merges}}""")
+        s""""index_files_before":${s.runsBefore},""" +
+        s""""disk_files_before":${s.runsBefore + s.deadFilesBefore},""" +
+        s""""secs":${fmt(s.secs)},"merges":${s.merges},""" +
+        s""""reclaimed_dirs":${s.reclaimedDirs},""" +
+        s""""reclaimed_files":${s.reclaimedFiles}}""")
     }
     val steady = stats.drop(1)
     // parts=1 leaves no steady-state batches — nulls, not NaN/throw
@@ -91,7 +99,9 @@ object AnnIndexIntakeProfile {
         s""""steady_max_secs":${steadyStat(_.max)},""" +
         s""""total_merges":${stats.map(_.merges).sum},""" +
         s""""max_live_files":${stats.map(_.runsBefore).max},""" +
+        s""""max_disk_files":${stats.map(s => s.runsBefore + s.deadFilesBefore).max},""" +
         s""""reclaimed_run_dirs":${res.reclaimedDirs},""" +
+        s""""reclaimed_in_stream_dirs":${res.reclaimedInStreamDirs},""" +
         s""""reclaimed_files":${res.reclaimedFiles},""" +
         s""""final_live_runs":${idx.length},""" +
         s""""final_index_files":${idx.map(countFiles).sum},""" +

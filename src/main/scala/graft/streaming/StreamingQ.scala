@@ -749,10 +749,13 @@ object StreamingQ {
 
   /** Live chain + reclamation accounting returned by [[tieredIntake]]:
     * `liveDirs` is the post-stream run chain (oldest first);
-    * `reclaimedDirs`/`reclaimedFiles` count the merged-away runs the
-    * end-of-stream vacuum unlinked. */
+    * `reclaimedDirs`/`reclaimedFiles` count every merged-away run
+    * unlinked over the stream's life (in-stream grace-TTL vacuums plus
+    * the end-of-stream sweep), and `reclaimedInStreamDirs` the subset
+    * the foreachBatch loop itself unlinked before the stream closed. */
   private[graft] case class IntakeResult(liveDirs: Seq[String],
-      reclaimedDirs: Int, reclaimedFiles: Int)
+      reclaimedDirs: Int, reclaimedFiles: Int,
+      reclaimedInStreamDirs: Int = 0)
 
   /** The generic size-tiered run-chain intake shared by the streamed
     * IVF index ([[annIndexIntake]]) and the streamed LSH index
@@ -767,24 +770,31 @@ object StreamingQ {
     * deterministic-name + _SUCCESS guarded (a retried micro-batch
     * reuses its committed dirs).
     *
-    * GARBAGE RECLAMATION (r13): a run merged away is dead the moment
-    * the merged run's _SUCCESS commits; a production chain unlinks it
-    * after a read-grace TTL so in-flight readers of the old chain
-    * drain first. End-of-stream is past any grace here (every probe
-    * runs against the RETURNED live chain), so the vacuum happens
-    * before returning — disk held by the index is live-chain-sized,
-    * not stream-length-sized, and the reclaimed counts are reported
-    * for the profiler. Deletion timing cannot affect results: merges
-    * are unions, so the live chain's contents are identical with or
-    * without the dead runs on disk. */
+    * GARBAGE RECLAMATION (r13; in-stream since r14 — VERDICT r13 #2):
+    * a run merged away is dead the moment the merged run's _SUCCESS
+    * commits, but readers of the PRE-merge chain may still be
+    * draining, so the loop unlinks a retired run only after
+    * `graceBatches` further batches have committed (retire at batch N,
+    * unlink at batch N+g) — the read-grace TTL. The disk high-water is
+    * therefore a measured property of the RUNNING stream (live chain +
+    * ≤ grace batches of not-yet-reclaimed runs), not of its shutdown;
+    * per-batch reclaim counts land in [[IntakeBatchStat]] for the
+    * profilers. End-of-stream is past any grace (every probe runs
+    * against the RETURNED live chain), so a final sweep unlinks
+    * whatever the TTL had not yet released. Deletion timing cannot
+    * affect results: merges are unions, so the live chain's contents
+    * are identical with or without the dead runs on disk. */
   private[graft] def tieredIntake(spark: SparkSession, sfDir: String,
       srcDir: String, rootPrefix: String, partCol: String,
       rowsOf: DataFrame => DataFrame,
       stats: Option[scala.collection.mutable.ArrayBuffer[IntakeBatchStat]] =
-        None): IntakeResult = {
+        None, graceBatches: Int = 2): IntakeResult = {
     val root = freshDir(rootPrefix)
     var chain = Vector.empty[(Int, String)]
-    var retired = Vector.empty[String]
+    // (retireBatchId, dir) of merged-away runs awaiting their TTL
+    var retired = Vector.empty[(Long, String)]
+    var reclaimedInStream = 0
+    var reclaimedFilesTotal = 0
     val src = spark.readStream
       .schema(t(spark, sfDir, "embeddings").schema)
       .option("maxFilesPerTrigger", 1)
@@ -793,13 +803,17 @@ object StreamingQ {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // profiler-only pre-batch counts, taken OUTSIDE the timed
         // window (runsBefore carries the LIVE data-file count across
-        // the chain — the growth axis this profile exists to watch)
+        // the chain — the growth axis this profile exists to watch;
+        // deadFilesBefore the retired-awaiting-TTL files, so live+dead
+        // is the disk high-water of the running stream)
         val (rowsBefore, filesBefore) = stats.fold((-1L, -1)) { _ =>
           val files = chain.map(r => countParquetFiles(r._2)).sum
           (if (files == 0) 0L
            else graft.queries.LlmVector.readRuns(spark, chain.map(_._2))
              .count(), files)
         }
+        val deadFilesBefore = stats.fold(-1)(_ =>
+          retired.map(r => countParquetFiles(r._2)).sum)
         val arrivals = stats.fold(-1L)(_ => batch.count())
         val t0 = System.nanoTime()
         val run = s"$root/b$batchId"
@@ -822,7 +836,13 @@ object StreamingQ {
             .repartition(col(partCol))
             .write.mode("overwrite").partitionBy(partCol).parquet(run)
         }
-        chain = chain :+ ((0, run))
+        // the in-memory chain needs the same idempotency as the disk
+        // write (r13 ADVICE #1): a foreachBatch replay within a run
+        // re-enters with the run already appended (and possibly merged
+        // away) — appending again would duplicate its rows in every
+        // later merge and probe
+        if (!chain.exists(_._2 == run) && !retired.exists(_._2 == run))
+          chain = chain :+ ((0, run))
         var merges = 0
         var merging = true
         while (merging) {
@@ -839,20 +859,35 @@ object StreamingQ {
                 .write.mode("overwrite").partitionBy(partCol).parquet(merged)
             }
             chain = chain.dropRight(CompactFanout) :+ ((lvl + 1, merged))
-            retired = retired ++ tail.map(_._2)
+            retired = retired ++ tail.map(t => (batchId, t._2))
             merges += 1
           } else merging = false
         }
+        // read-grace TTL vacuum: runs retired at batch N are unlinked
+        // once batch N+graceBatches commits — any reader that started
+        // against the pre-merge chain has had `graceBatches` batches to
+        // drain. Idempotent under replay: a second unlink of a gone dir
+        // is a no-op and the retired list already dropped it.
+        val (due, waiting) = retired.partition(_._1 + graceBatches <= batchId)
+        val dueFiles = due.map(r => countParquetFiles(r._2)).sum
+        due.foreach(r => deleteRecursively(r._2))
+        retired = waiting
+        reclaimedInStream += due.length
+        reclaimedFilesTotal += dueFiles
         stats.foreach(_ += IntakeBatchStat(batchId, arrivals, rowsBefore,
-          filesBefore, (System.nanoTime() - t0) / 1e9, merges))
+          filesBefore, (System.nanoTime() - t0) / 1e9, merges,
+          due.length, dueFiles, deadFilesBefore))
       }
       .option("checkpointLocation", freshDir("graft_stream_ckpt_"))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val reclaimedFiles = retired.map(countParquetFiles).sum
-    retired.foreach(deleteRecursively)
-    IntakeResult(chain.map(_._2), retired.length, reclaimedFiles)
+    // end-of-stream sweep: past any grace (probes run against the
+    // returned live chain), so release what the TTL had not yet
+    val closeFiles = retired.map(r => countParquetFiles(r._2)).sum
+    retired.foreach(r => deleteRecursively(r._2))
+    IntakeResult(chain.map(_._2), reclaimedInStream + retired.length,
+      reclaimedFilesTotal + closeFiles, reclaimedInStream)
   }
 
   /** Best-effort recursive unlink for a retired run dir (the vacuum
@@ -1501,8 +1536,16 @@ object StreamingQ {
   /** Per-micro-batch intake telemetry for [[incrementalDedupIntake]]
     * — filled only when the caller asks (the steady-state profiler);
     * the production key skips the extra counts. */
+  /** Per-batch intake profile row. `runsBefore` is the LIVE data-file
+    * count before the batch; `deadFilesBefore` the retired-awaiting-TTL
+    * files (so runsBefore + deadFilesBefore is the batch's disk
+    * high-water); `reclaimedDirs`/`reclaimedFiles` what this batch's
+    * grace-TTL vacuum unlinked. The dedup chain (no TTL loop yet)
+    * leaves the reclaim fields at their zero defaults. */
   private[graft] case class IntakeBatchStat(batchId: Long, arrivals: Long,
-      indexRowsBefore: Long, runsBefore: Int, secs: Double, merges: Int)
+      indexRowsBefore: Long, runsBefore: Int, secs: Double, merges: Int,
+      reclaimedDirs: Int = 0, reclaimedFiles: Int = 0,
+      deadFilesBefore: Int = 0)
 
   /** The intake loop itself, shared by the `stream_incremental_dedup`
     * key (2 micro-batches: corpus, then crawl) and the many-batch
@@ -1599,7 +1642,12 @@ object StreamingQ {
           rows.write.mode("overwrite").parquet(next)
           rows.unpersist()
         }
-        chain = chain :+ ((0, next))
+        // same replay idempotency as the disk _SUCCESS guard (r13
+        // ADVICE #1, the tieredIntake twin): a replayed batch must not
+        // re-append a run the chain already absorbed (possibly into a
+        // merge)
+        if (!chain.exists(_._2 == next) && !verdictDirs.contains(vdir))
+          chain = chain :+ ((0, next))
         // size-tiered compaction: CompactFanout same-level runs → one
         // run a level up. Deterministic merge-dir names keep retried
         // batches idempotent (_SUCCESS-guarded like the runs).
@@ -1619,7 +1667,7 @@ object StreamingQ {
             merges += 1
           } else merging = false
         }
-        verdictDirs = verdictDirs :+ vdir
+        if (!verdictDirs.contains(vdir)) verdictDirs = verdictDirs :+ vdir
         stats.foreach(_ += IntakeBatchStat(batchId, arrivals, rowsBefore,
           indexDirs.length, (System.nanoTime() - t0) / 1e9, merges))
       }

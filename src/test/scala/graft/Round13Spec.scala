@@ -130,14 +130,24 @@ class Round13Spec extends AnyFunSuite {
   }
 
   test("persisted LSH probe plan reads the staged index, not L union scans") {
-    val df = SparkEntry.queries("llm_ann_lsh_persisted")(spark, sfDir)
-    val plan = df.queryExecution.executedPlan.toString
-    // the in-plan key derives buckets as a 4-branch union of embedding
-    // scans; the persisted probe must NOT — its candidate side is the
-    // staged (vec_id, tbl, bucket) table (an InMemoryTableScan over the
-    // parquet index via Fixtures.stagedPersisted)
-    assert(!plan.contains("Union"),
-      "persisted probe re-derives bucket branches instead of reading the index")
+    // the property pinned: bucket derivation = one embeddings scan per
+    // hash table, so the in-plan key's candidate subtree carries 4
+    // bucket-branch scans ON TOP OF the re-attach scans; the persisted
+    // probe replaces all of them with the staged (vec_id, tbl, bucket)
+    // table and keeps only the re-attach/query scans. Counting
+    // embeddings FileScan locations anchors the assertion to that
+    // subtree instead of whole-plan substrings (r13 ADVICE #4).
+    def embScans(df: org.apache.spark.sql.DataFrame): Int =
+      "embeddings\\.parquet".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    val persistedDf = SparkEntry.queries("llm_ann_lsh_persisted")(spark, sfDir)
+    val inPlanDf = SparkEntry.queries("llm_ann_lsh")(spark, sfDir)
+    val (p, i) = (embScans(persistedDf), embScans(inPlanDf))
+    assert(p < i,
+      s"persisted probe re-derives buckets: $p embeddings scans vs in-plan $i")
+    assert(p <= 3,
+      s"persisted probe scans embeddings $p times — more than re-attach needs")
+    val plan = persistedDf.queryExecution.executedPlan.toString
     assert(plan.contains("InMemoryTableScan") || plan.contains("graft_lsh_index"),
       s"persisted probe does not read the staged index:\n$plan")
   }

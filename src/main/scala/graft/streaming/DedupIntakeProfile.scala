@@ -44,7 +44,8 @@ object DedupIntakeProfile {
       println(s"""GRAFT_INTAKE_BATCH:{"batch":${s.batchId},""" +
         s""""arrivals":${s.arrivals},"index_rows_before":${s.indexRowsBefore},""" +
         s""""runs_before":${s.runsBefore},"secs":${fmt(s.secs)},""" +
-        s""""merges":${s.merges}}""")
+        s""""merges":${s.merges},"reclaimed_dirs":${s.reclaimedDirs},""" +
+        s""""dead_files_before":${s.deadFilesBefore}}""")
     }
     val steady = stats.drop(1)
     // parts=1 leaves no steady-state batches — emit nulls instead of
@@ -59,7 +60,8 @@ object DedupIntakeProfile {
         s""""steady_min_secs":${steadyStat(_.min)},""" +
         s""""steady_max_secs":${steadyStat(_.max)},""" +
         s""""max_live_runs":${stats.map(_.runsBefore).max},""" +
-        s""""total_merges":${stats.map(_.merges).sum}}"""
+        s""""total_merges":${stats.map(_.merges).sum},""" +
+        s""""reclaimed_in_stream_dirs":${stats.map(_.reclaimedDirs).sum}}"""
     spark.stop()
     println(s"GRAFT_INTAKE_PROFILE:$summary")
   }

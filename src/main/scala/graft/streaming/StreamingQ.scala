@@ -707,6 +707,36 @@ object StreamingQ {
     graft.queries.LlmVector.annLshFromIndex(spark, sfDir, res.liveDirs)
   }
 
+  // ---------------------------------------------------------------------
+  // stream_semdedup — streaming SEMANTIC dedup over the chained LSH
+  // index (VERDICT r13 #8): the `stream_incremental_dedup` shape on
+  // vectors, completing the batch/stream symmetry of the dedup tiers.
+  // Arriving embedding batches first get their near-dup verdict
+  // against the PRE-batch chain (bucket-rows hashed map-side →
+  // ids-only (tbl, bucket) equi-join against the indexed runs → exact
+  // cosine ≥ 0.4 re-rank on candidates only → dup_of = smallest
+  // earlier id), then append their own bucket rows as a level-0 run —
+  // so each vector is judged exactly once, against everything indexed
+  // before it, and merge/vacuum timing can never change a verdict
+  // (pre-batch chain contents are a set). The oracle replays the
+  // even/odd half-split staging: batch-0 (even ids) all kept, an odd
+  // id dropped iff some even bucket-mate scores ≥ 0.4. At 100 TB:
+  // per-batch verdict work is the occupancy-bounded candidate set of
+  // the ARRIVALS only — the corpus never rescans, the index never
+  // rebuilds, disk stays live-chain-sized under the grace-TTL vacuum.
+  // ---------------------------------------------------------------------
+  private def streamSemDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val nBits = graft.queries.LlmVector.lshBits(spark, sfDir)
+    val res = tieredIntake(spark, sfDir, embHalvesDir(spark, sfDir),
+      "graft_stream_semded_", "tbl",
+      b => graft.queries.LlmVector.lshBucketRows(b, nBits),
+      verdictOf = Some((batch, preDirs, vdir) =>
+        graft.queries.LlmVector
+          .semDedupVerdicts(spark, sfDir, batch, preDirs, nBits)
+          .write.mode("overwrite").parquet(vdir)))
+    spark.read.parquet(res.verdictDirs: _*).orderBy("vec_id")
+  }
+
   /** The ANN-index intake loop itself, shared by the `stream_ann_index`
     * key (2 micro-batches: corpus halves) and the many-batch
     * steady-state profiler [[AnnIndexIntakeProfile]] (VERDICT r11 #5 —
@@ -755,7 +785,7 @@ object StreamingQ {
     * the foreachBatch loop itself unlinked before the stream closed. */
   private[graft] case class IntakeResult(liveDirs: Seq[String],
       reclaimedDirs: Int, reclaimedFiles: Int,
-      reclaimedInStreamDirs: Int = 0)
+      reclaimedInStreamDirs: Int = 0, verdictDirs: Seq[String] = Nil)
 
   /** The generic size-tiered run-chain intake shared by the streamed
     * IVF index ([[annIndexIntake]]) and the streamed LSH index
@@ -788,11 +818,14 @@ object StreamingQ {
       srcDir: String, rootPrefix: String, partCol: String,
       rowsOf: DataFrame => DataFrame,
       stats: Option[scala.collection.mutable.ArrayBuffer[IntakeBatchStat]] =
-        None, graceBatches: Int = 2): IntakeResult = {
+        None, graceBatches: Int = 2,
+      verdictOf: Option[(DataFrame, Seq[String], String) => Unit] = None)
+      : IntakeResult = {
     val root = freshDir(rootPrefix)
     var chain = Vector.empty[(Int, String)]
     // (retireBatchId, dir) of merged-away runs awaiting their TTL
     var retired = Vector.empty[(Long, String)]
+    var verdictDirs = Vector.empty[String]
     var reclaimedInStream = 0
     var reclaimedFilesTotal = 0
     val src = spark.readStream
@@ -817,6 +850,16 @@ object StreamingQ {
         val arrivals = stats.fold(-1L)(_ => batch.count())
         val t0 = System.nanoTime()
         val run = s"$root/b$batchId"
+        // optional per-batch verdict hook (the incrementalDedupIntake
+        // convention lifted onto this chain): verdicts derive from the
+        // PRE-batch chain only, so merge timing can never change them;
+        // the dir is deterministic-name + _SUCCESS guarded like runs
+        verdictOf.foreach { v =>
+          val vdir = s"$root/v$batchId"
+          if (!new java.io.File(vdir, "_SUCCESS").exists())
+            v(batch, chain.map(_._2), vdir)
+          if (!verdictDirs.contains(vdir)) verdictDirs = verdictDirs :+ vdir
+        }
         if (!new java.io.File(run, "_SUCCESS").exists()) {
           // Two batch-sized exchanges bracket the transform so the
           // CPU-heavy rowsOf (the O(arrivals·k) IVF assignment / the
@@ -887,7 +930,7 @@ object StreamingQ {
     val closeFiles = retired.map(r => countParquetFiles(r._2)).sum
     retired.foreach(r => deleteRecursively(r._2))
     IntakeResult(chain.map(_._2), reclaimedInStream + retired.length,
-      reclaimedFilesTotal + closeFiles, reclaimedInStream)
+      reclaimedFilesTotal + closeFiles, reclaimedInStream, verdictDirs)
   }
 
   /** Best-effort recursive unlink for a retired run dir (the vacuum
@@ -1562,8 +1605,11 @@ object StreamingQ {
     * holds ≤ 3·log₄(batches)+1 dirs — listing/open cost is
     * logarithmic in stream length, not O(batches) (the r10 caveat this
     * replaces). Old runs become garbage the moment the merged run
-    * commits; a production chain unlinks them after a read-grace TTL
-    * (here they are /tmp session dirs).
+    * commits and are unlinked by the same in-stream read-grace TTL as
+    * the [[tieredIntake]] chain (retire at batch N, unlink at N+g;
+    * final sweep at end of stream), so dedup-index disk is
+    * live-chain-sized while the stream runs, r14 — the verdict dirs
+    * (the key's OUTPUT) are never reclaimed.
     *
     * Idempotency is per-dir and deterministic-name keyed
     * (_SUCCESS-guarded): a retried micro-batch reuses its committed
@@ -1577,9 +1623,11 @@ object StreamingQ {
   private[graft] def incrementalDedupIntake(spark: SparkSession,
       srcDir: String,
       stats: Option[scala.collection.mutable.ArrayBuffer[IntakeBatchStat]] =
-        None): Seq[String] = {
+        None, graceBatches: Int = 2): Seq[String] = {
     val snapRoot = freshDir("graft_stream_incded_t_")
     val verdictRoot = freshDir("graft_stream_incded_v_")
+    // (retireBatchId, dir) of merged-away runs awaiting their TTL
+    var retired = Vector.empty[(Long, String)]
     val init = s"$snapRoot/b_init"
     spark.range(0).selectExpr("id AS doc_id", "'' AS fp",
       "array('') AS sh", "array('') AS sig", "array('') AS bands")
@@ -1600,6 +1648,8 @@ object StreamingQ {
         val rowsBefore = stats.fold(-1L)(_ =>
           spark.read.parquet(indexDirs: _*).count())
         val arrivals = stats.fold(-1L)(_ => batch.count())
+        val deadFilesBefore = stats.fold(-1)(_ =>
+          retired.map(r => countParquetFiles(r._2)).sum)
         if (!new java.io.File(next, "_SUCCESS").exists() ||
             !new java.io.File(vdir, "_SUCCESS").exists()) {
           val rows = graft.queries.LlmText.signedOn(batch)
@@ -1664,17 +1714,28 @@ object StreamingQ {
                 .write.mode("overwrite").parquet(merged)
             }
             chain = chain.dropRight(CompactFanout) :+ ((lvl + 1, merged))
+            retired = retired ++ tail.map(t => (batchId, t._2))
             merges += 1
           } else merging = false
         }
+        // the same read-grace TTL vacuum as the tieredIntake chain
+        // (r14): merged-away runs unlink g batches after retirement
+        val (due, waiting) = retired.partition(_._1 + graceBatches <= batchId)
+        val dueFiles = due.map(r => countParquetFiles(r._2)).sum
+        due.foreach(r => deleteRecursively(r._2))
+        retired = waiting
         if (!verdictDirs.contains(vdir)) verdictDirs = verdictDirs :+ vdir
         stats.foreach(_ += IntakeBatchStat(batchId, arrivals, rowsBefore,
-          indexDirs.length, (System.nanoTime() - t0) / 1e9, merges))
+          indexDirs.length, (System.nanoTime() - t0) / 1e9, merges,
+          due.length, dueFiles, deadFilesBefore))
       }
       .option("checkpointLocation", freshDir("graft_stream_ckpt_"))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // end-of-stream sweep: release retired runs the TTL had not yet
+    // (verdict dirs — the key's output — are never reclaimed)
+    retired.foreach(r => deleteRecursively(r._2))
     verdictDirs
   }
 
@@ -1704,6 +1765,7 @@ object StreamingQ {
     "stream_topk" -> (streamTopK _),
     "stream_ann_index" -> (streamAnnIndex _),
     "stream_lsh_index" -> (streamLshIndex _),
+    "stream_semdedup" -> (streamSemDedup _),
     "stream_stateful_session" -> (streamStatefulSession _),
     "stream_transform_with_state" -> (streamTransformWithState _),
     "stream_join" -> (streamJoin _),
@@ -1748,6 +1810,8 @@ object StreamingQ {
     // shared VERBATIM with the batch key — see streamIncrementalDedup
     "stream_incremental_dedup" ->
       graft.queries.LlmText.IncrementalDedupOracle,
+    // the even→odd half-split batch twin of the streamed verdicts
+    "stream_semdedup" -> graft.queries.LlmVector.SemDedupStreamOracle,
     "stream_dedup_minhash" ->
       s"""WITH ${graft.queries.LlmText.DSigned}
           SELECT doc_b AS dup_id, min(doc_a) AS dup_of FROM cand

@@ -271,6 +271,7 @@ EVIDENCE = {
     "stream_merge_upsert": (B, "linear-scan", "per-batch MERGE: cost per batch is batch + affected-file-sized"),
     "stream_dedup_minhash": (M, "x8 3.6x (r7)", "band-hash state grows with distinct docs; per-batch probe work incoming-sized"),
     "stream_incremental_dedup": (M, "x8 3.1x / x64 17.6x (r11); STEADY STATE MEASURED: 16 batches on x8, per-batch wall FLAT at 1.65-2.65 s (mean 1.98) while the index grows 0 -> 37.5k rows (BASELINE.md r11 profile)", "per-batch: signature build over ARRIVING docs (linear in arrivals — the 2-batch key's x64 row measures intake of the whole corpus, which is why the steady-state profile exists), then fp equi-join + 6-band probe of the maintained index (incoming x bucket occupancy). Index chain: append one level-0 run per batch + SIZE-TIERED COMPACTION (4 same-level runs merge one level up) — every row rewritten <= log4(batches) times, live dirs <= 3*log4(batches)+1 (measured: <= 7 dirs, 5 merges over 16 batches); batchId-keyed _SUCCESS-guarded idempotent dirs"),
+    "stream_semdedup": (M, "x8 1.7x / x64 3.7x (r14: 2.55/4.44/9.48 s)", "streaming semantic dedup over the chained LSH index (the stream_incremental_dedup shape on vectors, completing the batch/stream dedup symmetry): each arriving batch gets its cosine>=0.4 verdict against the PRE-batch chain only — bucket rows hashed map-side, ids-only (tbl,bucket) equi-join for candidates, embeddings re-attached by id for scoring, dup_of = smallest earlier id — then appends its own bucket rows as a level-0 run. Per-batch verdict work is the occupancy-bounded candidate set of the arrivals; the corpus never rescans and merge/vacuum timing cannot change a verdict (pre-batch chain contents are a set). Verdicts equal the batch near-dup pair set exactly (Round14Spec pins vs llm_embed_neardup_lsh; the oracle replays the even/odd half-split)"),
     "stream_lsh_index": (M, "x8 1.5x / x64 3.2x (r13: 2.0/3.0/6.4 s)", "incremental LSH bucket-index maintenance — the hyperplane twin of stream_ann_index on the same tiered run chain: arriving batches hash bucket rows map-side at the bits pinned at index build (plan-literal rotated planes, O(arrivals * L * bits) dots per batch), commit level-0 runs partitioned by hash table, merge 4-at-a-level, vacuum retired runs. The post-ingest derivation probes the chained index ids-only and equals llm_ann_lsh's top-50 exactly (shared AnnLshOracle; bucket contents are a set, so batch boundaries and merge timing cannot change them)"),
     "stream_ann_index": (M, "STEADY STATE MEASURED (r13): 16 batches on x8, steady batch wall 1.67-2.8 s (merge batches to 6.5 s, 5 amortized merges) while the index grows 0 -> 15k rows; TIERED CHAIN bounds live files at 768 max / 128 final (was 1,919 append-only at r12), end-of-stream vacuum reclaims 20 run dirs / 2,559 files, probe 0.60 s partition-pruned per run. Key wall 2.3/4.2/13.2 s at sf0.1/x8/x64 — the 2-half x64 intake assigns 64k-vector batches 32-way (the input spread; single-writer form measured 47 s)", "incremental IVF maintenance on the Bentley-Saxe run chain (VERDICT r12 #1 delivered): each batch assigns cells map-side (fused BestCentroid argmax against broadcast centroids) and commits a level-0 run of ONLY its rows; 4 same-level runs merge into one run a level up repartitioned to one file per cell — every row rewritten <= log4(batches) times, live files bounded by runs*cells, merge timing cannot change cell contents (batch-twin spec pins it). End-of-stream vacuum unlinks retired runs (disk is live-chain-sized)"),
     "stream_incremental_agg": (M, "x8 1.4x (r7)", "per-key running aggregate: key-cardinality-bound state, checkpoint fixed cost dominates"),
@@ -376,6 +377,7 @@ EVIDENCE = {
     "llm_ann_lsh_persisted": (M, "x8 1.9x / x64 5.5x probe-only (r13: 0.30/0.57/1.66 s; the in-plan key measures 0.99/1.66/3.49 s — the probe is 2.1-3.3x cheaper at every scale)", "the LSH build-once/probe-many path (VERDICT r12 #2, the llm_ann_ivf_persisted precedent): lshBucketLong's (vec_id, tbl, bucket) rows staged once as parquet (clustered by table, bucket-sorted), every probe self-joins the ids-only index and re-attaches embeddings by id for candidates only — the per-derivation 4-union bucket build (the r12 sf0.1 LSH regression's cost) moves to the staging, where production pays it; probe cost is the occupancy-bounded pair set, same as llm_ann_lsh"),
     "llm_ann_lsh_tune": (M, "x8 1.1x / x64 3.5x (r12)", "the multi-table OR-amplification operating curve (VERDICT r11 #2): recall@10 vs exact truth + candidate volume per table count L in {1,2,4,8} — measured at sf0.1: recall 1.9%->18.1%, candidates 144->1310 (linear in L). ONE bucket join serves every L (min-first-colliding-table per pair, sweep = threshold), truth is O(Q*N) map-side + TopKPerGroup over a fixed query sample — the llm_ann_recall class"),
     "llm_ann_lsh_tune_bits": (M, "x8 1.4x / x64 3.5x (r13: 1.32/1.84/4.55 s)", "the (bits, L) operating grid (VERDICT r12 #3): the bits dial added to the tune key's min-table device via the PREFIX property — plane p's sign bit is independent of total width, so bucket@b = first b chars of the full bucket; ONE join on the coarsest prefix (a measured-size superset over the QUERY SAMPLE only, never all-pairs) yields every grid cell as a threshold. Published x8 curve (BASELINE r13): bits=derived-6, L=8 reaches recall@10 57.9% at ~3.5k candidates/query — the first measured config over the 50% dedup-gate floor; truth pass is the O(Q*N) map-side audit class"),
+    "llm_ann_lsh_tune_wide": (M, "x8 0.95x / x64 2.1x (r14: 2.84/2.69/6.05 s)", "the candidate-EFFICIENT grid arm (VERDICT r13 #1): L in {8,16,32,64} at derived and derived-2 bits, same one-coarsest-prefix-join device as the bits grid (L=8 rows spec-pinned identical). The 100 TB fact it measures: with bits PROP log N pinning occupancy, candidates/query = L*occupancy is an ABSOLUTE number independent of corpus size (measured: ~250/500/1k/2k per query at BOTH x8 and x64 for the same (delta,L) cells) — and at matched candidate budgets the high-bits/wide-L arm beats the coarse-bits arm 2.5-4.2x on recall (x64: 500 cand/q = 13.9% vs bits-6's 3.3%; 2k = 30.3% vs 12.1%). Named x8 operating point: derived-2, L=64 -> 61.8%@10 at 1,820 cand/query, beating r13's 57.9% point at ~half its 3.5k budget"),
     "llm_ann_ivf": (M, "x8 1.0x / x64 2.7x (r12 on the fixed-mask corpus; r11: 1.4x/3.0x)", "fused-argmax assignment (BestCentroid codegen, k-independent generated code) + 2 probed cells; probed-cell size = N/k held flat by the derived k PROP N rule. Assignment is the honest O(N*k*dim) flat-IVF cost — at web scale (k ~ 1e5) production swaps that one map stage for a coarse-quantizer tree/GEMM"),
     "llm_ann_ivf_persisted": (M, "x8 1.2x / x64 4.5x (r12; r11: 1.6x/5.4x)", "the index-reuse path: cell-partitioned parquet index staged once, probe = partition pruning (nprobe/k of the corpus read); same derived k PROP N rule as llm_ann_ivf"),
     "llm_ann_ivf_kmeans": (M, "x8 1.4x / x64 3.3x (r12, k derived, capped at sample/4)", "centroids from a 4096-row bounded sample (TakeOrdered plan-pinned against driver-collect regression); k = min(max(16, n/125), 1024) so the strided init keeps >= 4 members per centroid — the sample's honesty bound"),

@@ -19,7 +19,22 @@ import org.apache.spark.sql.SparkSession
 object DedupIntakeProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/scale8_r8")
-    val parts = if (args.length > 1) args(1).toInt else 16
+    // same up-front validation as the IntakeProfileRunner twins: a bad
+    // parts arg fails with a usage line before any stream setup
+    val parts = args.lift(1).map { a =>
+      val p = try a.toInt catch {
+        case _: NumberFormatException =>
+          System.err.println(
+            s"usage: DedupIntakeProfile [sfDir] [parts>=1] — parts '$a' is not an integer")
+          sys.exit(2)
+      }
+      if (p < 1) {
+        System.err.println(
+          s"usage: DedupIntakeProfile [sfDir] [parts>=1] — got parts=$p")
+        sys.exit(2)
+      }
+      p
+    }.getOrElse(16)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()

@@ -910,7 +910,11 @@ object StreamingQ {
         // once batch N+graceBatches commits — any reader that started
         // against the pre-merge chain has had `graceBatches` batches to
         // drain. Idempotent under replay: a second unlink of a gone dir
-        // is a no-op and the retired list already dropped it.
+        // is a no-op and the retired list already dropped it; an
+        // UNLINKED run can never be re-seen by a replay either, because
+        // foreachBatch only ever replays the latest batch and a run
+        // stays in `retired` (visible to the append guard above) for
+        // graceBatches further commits before it goes.
         val (due, waiting) = retired.partition(_._1 + graceBatches <= batchId)
         val dueFiles = due.map(r => countParquetFiles(r._2)).sum
         due.foreach(r => deleteRecursively(r._2))

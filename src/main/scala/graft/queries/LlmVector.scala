@@ -435,7 +435,9 @@ object LlmVector {
   // multiplies occupancy by 2^Δ. Measured ×8 (BASELINE r14): at
   // derived−2, L=64 the per-candidate enrichment is ~6× the r13
   // derived−6 point's, reaching the ≥50%@10 floor at roughly half its
-  // candidate budget.
+  // candidate budget; at ×64 the floor is crossed at derived−2, L=128
+  // for 3.0% of the corpus per query (LshGridProbe, off-suite) — the
+  // same ~3.9k budget where the coarse arm reads 23.6%.
   // ---------------------------------------------------------------------
   private val LshWideTableCounts = Seq(8, 16, 32, 64)
   private val LshWideBitDeltas = Seq(0, 2)
@@ -447,8 +449,10 @@ object LlmVector {
     * prefix (the superset candidate set — the prefix property makes
     * bucket@b the first b chars of the full bucket), min_tbl per bits
     * level per (query, neighbor), every grid cell a threshold. Both
-    * grid keys call this with their own (tableCounts, bitDeltas). */
-  private def annLshGrid(spark: SparkSession, sfDir: String,
+    * grid keys call this with their own (tableCounts, bitDeltas);
+    * [[graft.streaming.LshGridProbe]] drives it at arbitrary
+    * configurations for off-suite measurements. */
+  private[graft] def annLshGrid(spark: SparkSession, sfDir: String,
       tableCounts: Seq[Int], bitDeltas: Seq[Int]): DataFrame = {
     import spark.implicits._
     val maxL = tableCounts.max

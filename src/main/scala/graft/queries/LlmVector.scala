@@ -239,6 +239,11 @@ object LlmVector {
       val prior = readRuns(spark, priorDirs)
         .select(col("vec_id").as("ex_id"), col("tbl"), col("bucket"))
       val cand = rows.join(prior, Seq("tbl", "bucket"))
+        // a re-delivered id that already exists in the prior chain
+        // must not self-match at cosine 1.0 (r14 ADVICE: the even/odd
+        // and profiler stagings keep batches disjoint, but the
+        // invariant belongs here, not in the staging)
+        .where(col("vec_id") =!= col("ex_id"))
         .select(col("vec_id"), col("ex_id")).distinct()
       val e = emb(spark, sfDir)
       val scored = cand
@@ -339,23 +344,53 @@ object LlmVector {
   // keeps the MINIMUM table index where it first collides, and each
   // L-row is a threshold on that column — sweeping L adds one
   // candidate-set-sized aggregation, never a re-join. Truth is the
-  // exact top-10 per query over a fixed query sample (vec_id % 97):
-  // O(Q·N) map-side scoring + TopKPerGroup, the llm_ann_recall class —
-  // the corpus never shuffles. At 100 TB: per-table candidates stay
+  // exact top-10 per query over the fixed-SIZE hash query sample
+  // ([[querySampleIds]], Q = 128 at every corpus size — r15, VERDICT
+  // r14 #4): O(Q·N) map-side scoring + TopKPerGroup, the
+  // llm_ann_recall class — the corpus never shuffles and the audit is
+  // linear in N. At 100 TB: per-table candidates stay
   // occupancy-bounded (the rotation holds occupancy at the bits ∝
   // log N design point), so the curve's cost axis grows linearly in L
   // and the key itself is pair-set-bounded.
   // ---------------------------------------------------------------------
   private val LshTuneTableCounts = Seq(1, 2, 4, 8)
 
+  // The recall keys' truth audit scores Q·N exact cosines. Through r14
+  // the query sample was a modulus (vec_id % 97), so Q grew ∝ N and
+  // the audit was O(N²/97) — the measured 164.5 s ×64 off-suite grid
+  // wall. The sample is now a FIXED COUNT (VERDICT r14 #4): the
+  // LshQuerySample ids with the smallest md5("q_" || vec_id), ties by
+  // id — a deterministic, engine-portable pick (both engines md5 the
+  // same tag; DuckDB replays it with one row_number window) that
+  // Spark executes as TakeOrderedAndProject (distributed top-k, no
+  // global sort) and broadcasts. The audit is linear in N at every
+  // corpus size; candidates/query and recall@10 are unchanged in
+  // meaning (a different but equally-random query set).
+  private[graft] val LshQuerySample = 128
+
+  /** The fixed-size audit query sample: ids only, broadcast by every
+    * caller into the truth scan and the bucket-rows filter. */
+  private def querySampleIds(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        md5(concat(lit("q_"), col("vec_id").cast("string"))).as("qh"))
+      .orderBy("qh", "vec_id")
+      .limit(LshQuerySample)
+      .select("vec_id")
+
   private def annLshTune(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val maxL = LshTuneTableCounts.max
     val e = emb(spark, sfDir)
-    val isQuery = col("vec_id") % 97 === 0
-    val q = e.where(isQuery)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-        col("nrm").as("qn"))
+    // one scan+join materializes the Q sampled rows (vec_id, embedding,
+    // nrm) — localCheckpoint is the barrier that keeps every downstream
+    // branch (truth broadcast, per-table query hashing) reading a
+    // Q-row cached block instead of re-running the sample subtree per
+    // union branch (measured: the un-checkpointed form re-ran the
+    // TakeOrdered+md5 corpus scan once PER TABLE)
+    val qe = e.join(broadcast(querySampleIds(e)), Seq("vec_id"))
+      .localCheckpoint(true)
+    val q = qe.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+      col("nrm").as("qn"))
     val truth = graft.plans.GraftOps.topKPerGroup(
       e.crossJoin(broadcast(q))
         .where(col("vec_id") =!= col("q_id"))
@@ -365,7 +400,10 @@ object LlmVector {
       Seq("q_id"), Seq(("cosine", false), ("vec_id", true)), k = 10)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
     val long = lshBucketLong(spark, sfDir, maxL)
-    val qb = long.where(isQuery)
+    // broadcast id-filter on the corpus union — the annLshGrid note:
+    // re-hashing only the Q rows through their own per-table union
+    // measured slower than filtering the codegen'd corpus build
+    val qb = long.join(broadcast(qe.select("vec_id")), Seq("vec_id"))
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
     val firstHit = qb.join(long, Seq("tbl", "bucket"))
       .where(col("vec_id") =!= col("q_id"))
@@ -435,15 +473,41 @@ object LlmVector {
   // multiplies occupancy by 2^Δ. Measured ×8 (BASELINE r14): at
   // derived−2, L=64 the per-candidate enrichment is ~6× the r13
   // derived−6 point's, reaching the ≥50%@10 floor at roughly half its
-  // candidate budget; at ×64 the floor is crossed at derived−2, L=128
-  // for 3.0% of the corpus per query (LshGridProbe, off-suite) — the
-  // same ~3.9k budget where the coarse arm reads 23.6%.
+  // candidate budget; the ×64 floor crossing itself (derived−2,
+  // L=128) is oracle-gated by `llm_ann_lsh_tune_xl` since r15 —
+  // measured off-suite first (r14 LshGridProbe: 51.6%@10 at 3.0% of
+  // the corpus, the same ~3.9k budget where the coarse arm read
+  // 23.6%), now a suite grid row re-verified every round.
   // ---------------------------------------------------------------------
   private val LshWideTableCounts = Seq(8, 16, 32, 64)
   private val LshWideBitDeltas = Seq(0, 2)
 
   private def annLshTuneWide(spark: SparkSession, sfDir: String): DataFrame =
     annLshGrid(spark, sfDir, LshWideTableCounts, LshWideBitDeltas)
+
+  // ---------------------------------------------------------------------
+  // llm_ann_lsh_tune_xl — the ≥50%@10 CROSSING arm of the wide-L grid
+  // (VERDICT r14 #1): r14 measured the ×64 recall floor being crossed
+  // at derived−2 bits, L=128 — but only in an off-suite dev probe
+  // (LshGridProbe), so the named production operating point was never
+  // re-verified by the driver's gates. This key graduates it: the same
+  // one-coarsest-prefix-join min-table device as the other two grids,
+  // at L ∈ {64, 96, 128} × {derived, derived−2} bits, oracle-replayed
+  // at all 3 SFs every round. Its L=64 column overlaps
+  // `llm_ann_lsh_tune_wide` cell-for-cell (Round15Spec pins it — one
+  // device, three keys, no drift). Wall is disclosed honestly in the
+  // bench: the bucket build is 128 union branches (each a codegen'd
+  // Project over the pruned embedding column) and the truth audit is
+  // the fixed-128-query sample — both linear in N, so the key stays
+  // benchable at every SF while measuring the exact config a 100 TB
+  // deployment would pin (bits ∝ log N for occupancy, L for the
+  // recall floor, candidates/query = L·occupancy an absolute budget).
+  // ---------------------------------------------------------------------
+  private val LshXlTableCounts = Seq(64, 96, 128)
+  private val LshXlBitDeltas = Seq(0, 2)
+
+  private def annLshTuneXl(spark: SparkSession, sfDir: String): DataFrame =
+    annLshGrid(spark, sfDir, LshXlTableCounts, LshXlBitDeltas)
 
   /** The shared (bits, L) grid device: ONE bucket join on the coarsest
     * prefix (the superset candidate set — the prefix property makes
@@ -460,10 +524,13 @@ object LlmVector {
     val bitLevels = bitDeltas.map(d => math.max(2, bitsFull - d)).distinct
     val minBits = bitLevels.min
     val e = emb(spark, sfDir)
-    val isQuery = col("vec_id") % 97 === 0
-    val q = e.where(isQuery)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-        col("nrm").as("qn"))
+    // the annLshTune convention: materialize the Q sampled rows once
+    // (localCheckpoint barrier) so no downstream branch re-runs the
+    // sample subtree
+    val qe = e.join(broadcast(querySampleIds(e)), Seq("vec_id"))
+      .localCheckpoint(true)
+    val q = qe.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+      col("nrm").as("qn"))
     val truth = graft.plans.GraftOps.topKPerGroup(
       e.crossJoin(broadcast(q))
         .where(col("vec_id") =!= col("q_id"))
@@ -473,7 +540,14 @@ object LlmVector {
       Seq("q_id"), Seq(("cosine", false), ("vec_id", true)), k = 10)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
     val long = lshBucketLong(spark, sfDir, maxL)
-    val qb = long.where(isQuery)
+    // query-side bucket rows come from a broadcast id-filter on the
+    // SAME union the corpus side builds. The alternative — hashing
+    // only the Q sampled rows via their own per-table union — measured
+    // 1.8× SLOWER at ×64 (10.1 vs 5.6 s on the xl key, matched load):
+    // 128 one-branch projections over a 128-row input each pay a
+    // stage, while the corpus union is codegen'd and output-bounded,
+    // so the filter probe costs one broadcast lookup per bucket row
+    val qb = long.join(broadcast(qe.select("vec_id")), Seq("vec_id"))
       .select(col("vec_id").as("q_id"), col("tbl"),
         substring(col("bucket"), 1, minBits).as("pfx"),
         col("bucket").as("qbucket"))
@@ -2021,6 +2095,7 @@ object LlmVector {
     "llm_ann_lsh_tune" -> (annLshTune _),
     "llm_ann_lsh_tune_bits" -> (annLshTuneBits _),
     "llm_ann_lsh_tune_wide" -> (annLshTuneWide _),
+    "llm_ann_lsh_tune_xl" -> (annLshTuneXl _),
     "llm_hard_negatives" -> (hardNegatives _),
     "llm_embed_neardup_lsh" -> (embedNeardupLsh _),
     "llm_bitext_margin" -> (bitextMargin _),
@@ -2113,6 +2188,17 @@ object LlmVector {
     "(SELECT greatest(16, least(count(*) // 125, 1024)) FROM embeddings)"
   private val LshBitsSql =
     "(SELECT least(64, greatest(8, length(bin(greatest(count(*) // 8, 1))))) FROM embeddings)"
+
+  /** DuckDB replay of the fixed-size audit query sample
+    * ([[querySampleIds]]): the [[LshQuerySample]] ids with the
+    * smallest md5("q_" || vec_id), ties by id — a constant-count pick
+    * so the truth audit is O(Q·N), linear in corpus size (VERDICT
+    * r14 #4). Assumes an `e` CTE is already in scope. */
+  private def qSampleCte: String =
+    s"""qids AS (SELECT vec_id FROM (
+            SELECT vec_id, row_number() OVER (
+              ORDER BY md5('q_' || vec_id), vec_id) AS qrk FROM e)
+          WHERE qrk <= $LshQuerySample)"""
 
   /** Shared DuckDB replay of the LSH bucket pipeline (parameterized by
     * table count): rotated planes (rows of H·D2·H·D1 — md5-parity ±1
@@ -2211,8 +2297,9 @@ object LlmVector {
           blevels AS (
             SELECT DISTINCT greatest(2, $LshBitsSql - d.d) AS n_bits
             FROM (SELECT unnest([${bitDeltas.mkString(", ")}]) AS d) d),
+          $qSampleCte,
           q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn
-                FROM e WHERE vec_id % 97 = 0),
+                FROM e JOIN qids USING (vec_id)),
           truth AS (
             SELECT q_id, vec_id FROM (
               SELECT q.q_id, e.vec_id,
@@ -2225,6 +2312,7 @@ object LlmVector {
             SELECT qb.vec_id AS q_id, b.vec_id, bl.n_bits,
                    CAST(min(b.t) AS INTEGER) AS min_tbl
             FROM buckets qb
+            JOIN qids qi ON qb.vec_id = qi.vec_id
             JOIN buckets b ON qb.t = b.t
               AND substring(qb.bucket, 1,
                     CAST(greatest(2, $LshBitsSql - $maxDelta) AS INTEGER))
@@ -2233,7 +2321,7 @@ object LlmVector {
             JOIN blevels bl
               ON substring(qb.bucket, 1, CAST(bl.n_bits AS INTEGER))
                = substring(b.bucket, 1, CAST(bl.n_bits AS INTEGER))
-            WHERE qb.vec_id % 97 = 0 AND b.vec_id <> qb.vec_id
+            WHERE b.vec_id <> qb.vec_id
             GROUP BY 1, 2, 3),
           joined AS (
             SELECT h.n_bits, h.min_tbl,
@@ -2586,8 +2674,9 @@ object LlmVector {
     "llm_ann_lsh_persisted" -> AnnLshOracle,
     "llm_ann_lsh_tune" ->
       s"""WITH ${lshBucketsCte(8)},
+          $qSampleCte,
           q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn
-                FROM e WHERE vec_id % 97 = 0),
+                FROM e JOIN qids USING (vec_id)),
           truth AS (
             SELECT q_id, vec_id FROM (
               SELECT q.q_id, e.vec_id,
@@ -2599,9 +2688,10 @@ object LlmVector {
           firsthit AS (
             SELECT qb.vec_id AS q_id, b.vec_id,
                    CAST(min(b.t) AS INTEGER) AS min_tbl
-            FROM buckets qb JOIN buckets b
+            FROM buckets qb JOIN qids qi ON qb.vec_id = qi.vec_id
+            JOIN buckets b
               ON qb.t = b.t AND qb.bucket = b.bucket
-            WHERE qb.vec_id % 97 = 0 AND b.vec_id <> qb.vec_id
+            WHERE b.vec_id <> qb.vec_id
             GROUP BY 1, 2),
           joined AS (
             SELECT f.min_tbl,
@@ -2632,6 +2722,8 @@ object LlmVector {
       lshGridOracle(LshTuneTableCounts, LshTuneBitDeltas),
     "llm_ann_lsh_tune_wide" ->
       lshGridOracle(LshWideTableCounts, LshWideBitDeltas),
+    "llm_ann_lsh_tune_xl" ->
+      lshGridOracle(LshXlTableCounts, LshXlBitDeltas),
     "llm_hard_negatives" ->
       s"""$LshCandCte,
           scored AS (

@@ -813,19 +813,42 @@ object StreamingQ {
     * against the RETURNED live chain), so a final sweep unlinks
     * whatever the TTL had not yet released. Deletion timing cannot
     * affect results: merges are unions, so the live chain's contents
-    * are identical with or without the dead runs on disk. */
+    * are identical with or without the dead runs on disk.
+    *
+    * RESTART RECOVERY (r15 — VERDICT r14 #2): the index is the
+    * expensive artifact, so a restarted stream must not rebuild it. A
+    * caller that supplies `resumeRoot` (+ `checkpointDir`, so the
+    * source offsets resume too) gets its chain state rebuilt from the
+    * committed (_SUCCESS-guarded) dirs under that root via
+    * [[recoverChain]] — live runs, retired-awaiting-TTL runs (with
+    * their original retire batch ids, so TTL accounting resumes where
+    * it left off), and committed verdict dirs — and intake continues
+    * from the first un-checkpointed batch. The deterministic run/merge
+    * names plus the _SUCCESS and chain-append guards make the boundary
+    * batch idempotent whether the crash hit before the run write,
+    * after it, or after a merge. `crashAtBatch` is the test hook that
+    * injects the crash (at batch entry, or after the run write when
+    * `crashAfterRun`); production callers leave it None. */
   private[graft] def tieredIntake(spark: SparkSession, sfDir: String,
       srcDir: String, rootPrefix: String, partCol: String,
       rowsOf: DataFrame => DataFrame,
       stats: Option[scala.collection.mutable.ArrayBuffer[IntakeBatchStat]] =
         None, graceBatches: Int = 2,
-      verdictOf: Option[(DataFrame, Seq[String], String) => Unit] = None)
+      verdictOf: Option[(DataFrame, Seq[String], String) => Unit] = None,
+      resumeRoot: Option[String] = None,
+      checkpointDir: Option[String] = None,
+      crashAtBatch: Option[Long] = None,
+      crashAfterRun: Boolean = false)
       : IntakeResult = {
-    val root = freshDir(rootPrefix)
+    val root = resumeRoot.getOrElse(freshDir(rootPrefix))
     var chain = Vector.empty[(Int, String)]
     // (retireBatchId, dir) of merged-away runs awaiting their TTL
     var retired = Vector.empty[(Long, String)]
     var verdictDirs = Vector.empty[String]
+    resumeRoot.foreach { r =>
+      val (c, t, v) = recoverChain(r)
+      chain = c; retired = t; verdictDirs = v
+    }
     var reclaimedInStream = 0
     var reclaimedFilesTotal = 0
     val src = spark.readStream
@@ -834,6 +857,9 @@ object StreamingQ {
       .parquet(srcDir)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (crashAtBatch.contains(batchId) && !crashAfterRun)
+          throw new IllegalStateException(
+            s"injected crash at entry of batch $batchId")
         // profiler-only pre-batch counts, taken OUTSIDE the timed
         // window (runsBefore carries the LIVE data-file count across
         // the chain — the growth axis this profile exists to watch;
@@ -879,6 +905,9 @@ object StreamingQ {
             .repartition(col(partCol))
             .write.mode("overwrite").partitionBy(partCol).parquet(run)
         }
+        if (crashAtBatch.contains(batchId) && crashAfterRun)
+          throw new IllegalStateException(
+            s"injected crash after run write of batch $batchId")
         // the in-memory chain needs the same idempotency as the disk
         // write (r13 ADVICE #1): a foreachBatch replay within a run
         // re-enters with the run already appended (and possibly merged
@@ -925,7 +954,8 @@ object StreamingQ {
           filesBefore, (System.nanoTime() - t0) / 1e9, merges,
           due.length, dueFiles, deadFilesBefore))
       }
-      .option("checkpointLocation", freshDir("graft_stream_ckpt_"))
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(freshDir("graft_stream_ckpt_")))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -935,6 +965,58 @@ object StreamingQ {
     retired.foreach(r => deleteRecursively(r._2))
     IntakeResult(chain.map(_._2), reclaimedInStream + retired.length,
       reclaimedFilesTotal + closeFiles, reclaimedInStream, verdictDirs)
+  }
+
+  /** Rebuild a tiered run chain's in-memory state from its committed
+    * on-disk dirs (r15 — VERDICT r14 #2, the restart-recovery path).
+    * Lists the _SUCCESS-committed dirs under `root` and replays the
+    * deterministic merge algebra over them in creation order (by
+    * batch id; within a batch the level-0 run precedes its merges,
+    * merges cascade by increasing level — the names `b<id>` /
+    * `m<id>_l<lvl>_<len>` encode exactly this). A merge dir consumed
+    * the trailing [[CompactFanout]] level-(lvl−1) runs of the chain at
+    * its commit time; because chain levels are non-increasing head→
+    * tail and a 4th same-level run merges the moment it appears, the
+    * still-on-disk survivors of that consumed set are exactly the
+    * trailing level-(lvl−1) entries of the replayed chain (already-
+    * reclaimed members simply never enter the replay) — so the replay
+    * needs no history of unlinked runs. Survivors move to the retired
+    * list with the merge's ORIGINAL batch id, so the resumed loop's
+    * read-grace TTL unlinks them on the same schedule as an
+    * uninterrupted stream. Returns (live chain oldest-first, retired
+    * awaiting TTL, committed verdict dirs in batch order). */
+  private[graft] def recoverChain(root: String)
+      : (Vector[(Int, String)], Vector[(Long, String)], Vector[String]) = {
+    val runPat = "b(\\d+)".r
+    val mergePat = "m(\\d+)_l(\\d+)_(\\d+)".r
+    val verdictPat = "v(\\d+)".r
+    val committed = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(d => new java.io.File(d, "_SUCCESS").exists())
+      .map(_.getName)
+    // (batchId, kindOrder, level, name): level-0 runs sort before the
+    // merges of their batch, cascading merges by ascending level
+    val events = committed.flatMap {
+      case n @ runPat(b) => Some((b.toLong, 0, 0, n))
+      case n @ mergePat(b, l, _) => Some((b.toLong, 1, l.toInt, n))
+      case _ => None
+    }.sortBy(e => (e._1, e._2, e._3))
+    var chain = Vector.empty[(Int, String)]
+    var retired = Vector.empty[(Long, String)]
+    events.foreach { case (batchId, kind, level, name) =>
+      val dir = s"$root/$name"
+      if (kind == 0) chain = chain :+ ((0, dir))
+      else {
+        val consumed = chain.reverse.takeWhile(_._1 == level - 1)
+          .take(CompactFanout)
+        chain = chain.dropRight(consumed.length) :+ ((level, dir))
+        retired = retired ++ consumed.reverse.map(c => (batchId, c._2))
+      }
+    }
+    val verdicts = committed.collect { case n @ verdictPat(_) => n }
+      .sortBy { case verdictPat(b) => b.toLong }
+      .map(n => s"$root/$n").toVector
+    (chain, retired, verdicts)
   }
 
   /** Best-effort recursive unlink for a retired run dir (the vacuum
@@ -1580,15 +1662,14 @@ object StreamingQ {
   // the product), not with stream length, and lives as parquet
   // (RocksDB/Delta at scale), partition-parallel on its keys.
   // ---------------------------------------------------------------------
-  /** Per-micro-batch intake telemetry for [[incrementalDedupIntake]]
-    * — filled only when the caller asks (the steady-state profiler);
-    * the production key skips the extra counts. */
-  /** Per-batch intake profile row. `runsBefore` is the LIVE data-file
-    * count before the batch; `deadFilesBefore` the retired-awaiting-TTL
-    * files (so runsBefore + deadFilesBefore is the batch's disk
-    * high-water); `reclaimedDirs`/`reclaimedFiles` what this batch's
-    * grace-TTL vacuum unlinked. The dedup chain (no TTL loop yet)
-    * leaves the reclaim fields at their zero defaults. */
+  /** Per-batch intake profile row — filled only when the caller asks
+    * (the steady-state profilers); the production keys skip the extra
+    * counts. `runsBefore` is the LIVE data-file count before the
+    * batch; `deadFilesBefore` the retired-awaiting-TTL files (so
+    * runsBefore + deadFilesBefore is the batch's disk high-water);
+    * `reclaimedDirs`/`reclaimedFiles` what this batch's grace-TTL
+    * vacuum unlinked (both the tiered and the dedup chain run the
+    * TTL loop since r14 and fill these). */
   private[graft] case class IntakeBatchStat(batchId: Long, arrivals: Long,
       indexRowsBefore: Long, runsBefore: Int, secs: Double, merges: Int,
       reclaimedDirs: Int = 0, reclaimedFiles: Int = 0,
@@ -1698,9 +1779,12 @@ object StreamingQ {
         }
         // same replay idempotency as the disk _SUCCESS guard (r13
         // ADVICE #1, the tieredIntake twin): a replayed batch must not
-        // re-append a run the chain already absorbed (possibly into a
-        // merge)
-        if (!chain.exists(_._2 == next) && !verdictDirs.contains(vdir))
+        // re-append a run the chain already absorbed — including one
+        // merged away but still inside its TTL grace window (r14
+        // ADVICE: the retired check, mirrored from tieredIntake, is
+        // the authoritative "already absorbed" signal; the verdictDirs
+        // proxy missed the merged-but-not-yet-recorded window)
+        if (!chain.exists(_._2 == next) && !retired.exists(_._2 == next))
           chain = chain :+ ((0, next))
         // size-tiered compaction: CompactFanout same-level runs → one
         // run a level up. Deterministic merge-dir names keep retried

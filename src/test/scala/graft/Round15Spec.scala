@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 operator specs: the crossing-arm XL LSH grid (shared
+  * device with the wide grid — overlap rows must be identical) and
+  * restart recovery of the tiered run chain (crash mid-stream,
+  * recover the chain from committed dirs, resume; final state and
+  * probe must equal the uninterrupted run, TTL schedule included).
+  */
+class Round15Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("xl grid: monotone L dial, L=64 slice == wide-grid rows") {
+    def gridOf(key: String) =
+      SparkEntry.queries(key)(spark, sfDir)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val xl = gridOf("llm_ann_lsh_tune_xl")
+    val bitLevels = xl.keys.map(_._1).toSeq.distinct.sorted
+    val ls = Seq(64L, 96L, 128L)
+    assert(xl.size == bitLevels.length * ls.length)
+    for (b <- bitLevels; Seq(l1, l2) <- ls.sliding(2)) {
+      assert(xl((b, l2))._1 >= xl((b, l1))._1 &&
+        xl((b, l2))._2 >= xl((b, l1))._2, s"L dial not monotone at bits=$b")
+    }
+    // the crossing arm's L=64 column must equal the wide grid's L=64
+    // column EXACTLY — one min-table/prefix device, three keys, no
+    // drift (the wide grid's own L=8 slice is pinned to the bits grid
+    // by Round14Spec, so the three curves are mutually consistent)
+    val wide = gridOf("llm_ann_lsh_tune_wide")
+    assert(bitLevels.toSet == wide.keys.map(_._1).toSet)
+    for (b <- bitLevels) assert(xl((b, 64L)) === wide((b, 64L)),
+      s"xl grid (bits=$b, L=64) drifted from llm_ann_lsh_tune_wide")
+  }
+
+  test("tiered chain restart: crash, recover from disk, resume == uninterrupted") {
+    import graft.streaming.StreamingQ
+    val nBits = graft.queries.LlmVector.lshBits(spark, sfDir)
+    val src = StreamingQ.stagedEmbParts(spark, sfDir, 16)
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    type Stats =
+      scala.collection.mutable.ArrayBuffer[StreamingQ.IntakeBatchStat]
+    def intake(root: String, ckpt: String, stats: Stats,
+               crashAt: Option[Long], afterRun: Boolean) =
+      StreamingQ.tieredIntake(spark, sfDir, src, "graft_r15_unused_", "tbl",
+        b => graft.queries.LlmVector.lshBucketRows(b, nBits),
+        stats = Some(stats), resumeRoot = Some(root),
+        checkpointDir = Some(ckpt), crashAtBatch = crashAt,
+        crashAfterRun = afterRun)
+    def basenames(dirs: Seq[String]) =
+      dirs.map(d => new java.io.File(d).getName)
+    // the uninterrupted reference (resumeRoot on an empty dir = fresh)
+    val refStats = new Stats
+    val ref = intake(tmp("graft_r15_ref_"), tmp("graft_r15_refck_"),
+      refStats, None, afterRun = false)
+    val refProbe = graft.queries.LlmVector
+      .annLshFromIndex(spark, sfDir, ref.liveDirs).collect().toSeq
+    val refFires =
+      refStats.filter(_.reclaimedDirs > 0).map(_.batchId).sorted.toSeq
+    // two crash points: (a) at entry of batch 7 — the stream dies
+    // after batch 6 fully committed; (b) after the run write of batch
+    // 11, BEFORE its merge/TTL — the resume must replay batch 11
+    // against its own committed run (the foreachBatch-replay exercise:
+    // re-entering the batch function after partial effects), complete
+    // the interrupted merge, and keep the vacuum schedule
+    for ((crashBatch, afterRun) <- Seq((7L, false), (11L, true))) {
+      val root = tmp("graft_r15_crash_")
+      val ckpt = tmp("graft_r15_crashck_")
+      val s1 = new Stats
+      val ex = intercept[Exception] {
+        intake(root, ckpt, s1, Some(crashBatch), afterRun)
+      }
+      assert(ex.getMessage != null && ex.getMessage.contains("injected crash"),
+        s"expected the injected crash, got: $ex")
+      val s2 = new Stats
+      val res = intake(root, ckpt, s2, None, afterRun = false)
+      assert(basenames(res.liveDirs) == basenames(ref.liveDirs),
+        s"recovered chain drifted at crash=$crashBatch/afterRun=$afterRun")
+      val probe = graft.queries.LlmVector
+        .annLshFromIndex(spark, sfDir, res.liveDirs).collect().toSeq
+      assert(probe == refProbe,
+        s"probe result drifted at crash=$crashBatch/afterRun=$afterRun")
+      // TTL accounting across the two segments == the uninterrupted
+      // run's totals, firing on the same batch schedule (recovered
+      // retirees keep their ORIGINAL retire batch ids)
+      val seg1 = s1.map(_.reclaimedDirs).sum
+      assert(seg1 + res.reclaimedDirs == ref.reclaimedDirs,
+        s"reclaim totals drifted at crash=$crashBatch: $seg1 + ${res.reclaimedDirs} != ${ref.reclaimedDirs}")
+      val fires = (s1 ++ s2).filter(_.reclaimedDirs > 0)
+        .map(_.batchId).sorted.toSeq
+      assert(fires == refFires,
+        s"TTL fired at $fires, uninterrupted fired at $refFires")
+    }
+  }
+}

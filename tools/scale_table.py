@@ -375,9 +375,10 @@ EVIDENCE = {
     "llm_topk_similarity": (B, "fixed-cut", "one query broadcast; linear scan + TakeOrdered top-k, zero shuffle"),
     "llm_ann_lsh": (M, "x8 1.4x / x64 3.6x (r12, rotated planes; was 35.8x at r11)", "ROTATED-hyperplane buckets (rows of H*D2*H*D1, exactly orthogonal integer planes — the HD-composition decorrelation the r11 verdict named), candidates from the bucket equi-join; cost IS the pair set. The r11 35.8x decomposed into THREE fixed defects: (1) the independent +-1 planes' bit correlation 0.225 -> 0.05 under rotation (x64 max occupancy 199 -> 21 vs mean 7.8, CellOccupancySpec-pinned at sf0.1); (2) the scale corpus's per-copy sign mask was degenerate (2 distinct masks over 64 copies — all copies ONE point cloud; stage_scale.py r12 uses md5-parity masks, pair set back to the 2.0M design point); (3) the DOMINANT wall term was posexplode(array(bucketCol*)) routing sign-bit dots through GenerateExec's interpreted path (~4 us/dot vs ~0.4 us codegen; 33 s -> 0.9 s at x64) — the long table is now a per-table UNION of codegen'd Projects. bits = max(8, bitlength(n/8)) capped at 64 (past that, tables are the dial — llm_ann_lsh_tune measures that curve)"),
     "llm_ann_lsh_persisted": (M, "x8 1.9x / x64 5.5x probe-only (r13: 0.30/0.57/1.66 s; the in-plan key measures 0.99/1.66/3.49 s — the probe is 2.1-3.3x cheaper at every scale)", "the LSH build-once/probe-many path (VERDICT r12 #2, the llm_ann_ivf_persisted precedent): lshBucketLong's (vec_id, tbl, bucket) rows staged once as parquet (clustered by table, bucket-sorted), every probe self-joins the ids-only index and re-attaches embeddings by id for candidates only — the per-derivation 4-union bucket build (the r12 sf0.1 LSH regression's cost) moves to the staging, where production pays it; probe cost is the occupancy-bounded pair set, same as llm_ann_lsh"),
-    "llm_ann_lsh_tune": (M, "x8 1.1x / x64 3.5x (r12)", "the multi-table OR-amplification operating curve (VERDICT r11 #2): recall@10 vs exact truth + candidate volume per table count L in {1,2,4,8} — measured at sf0.1: recall 1.9%->18.1%, candidates 144->1310 (linear in L). ONE bucket join serves every L (min-first-colliding-table per pair, sweep = threshold), truth is O(Q*N) map-side + TopKPerGroup over a fixed query sample — the llm_ann_recall class"),
-    "llm_ann_lsh_tune_bits": (M, "x8 1.4x / x64 3.5x (r13: 1.32/1.84/4.55 s)", "the (bits, L) operating grid (VERDICT r12 #3): the bits dial added to the tune key's min-table device via the PREFIX property — plane p's sign bit is independent of total width, so bucket@b = first b chars of the full bucket; ONE join on the coarsest prefix (a measured-size superset over the QUERY SAMPLE only, never all-pairs) yields every grid cell as a threshold. Published x8 curve (BASELINE r13): bits=derived-6, L=8 reaches recall@10 57.9% at ~3.5k candidates/query — the first measured config over the 50% dedup-gate floor; truth pass is the O(Q*N) map-side audit class"),
-    "llm_ann_lsh_tune_wide": (M, "x8 0.95x / x64 2.1x (r14: 2.84/2.69/6.05 s)", "the candidate-EFFICIENT grid arm (VERDICT r13 #1): L in {8,16,32,64} at derived and derived-2 bits, same one-coarsest-prefix-join device as the bits grid (L=8 rows spec-pinned identical). The 100 TB fact it measures: with bits PROP log N pinning occupancy, candidates/query = L*occupancy is an ABSOLUTE number independent of corpus size (measured: ~250/500/1k/2k per query at BOTH x8 and x64 for the same (delta,L) cells) — and at matched candidate budgets the high-bits/wide-L arm beats the coarse-bits arm 2.5-4.2x on recall (x64: 500 cand/q = 13.9% vs bits-6's 3.3%; 2k = 30.3% vs 12.1%). Named x8 operating point: derived-2, L=64 -> 61.8%@10 at 1,820 cand/query, beating r13's 57.9% point at ~half its 3.5k budget. x64 crossing (LshGridProbe dev run, off-suite): derived-2, L=128 -> 51.6%@10 at ~3,860 cand/query = 3.0% of the corpus — the same ~3.9k budget where the coarse arm reads only 23.6%"),
+    "llm_ann_lsh_tune": (M, "x8 1.06x / x64 1.28x (r15: 1.10/1.16/1.42 s; was 3.5x at r12)", "the multi-table OR-amplification operating curve (VERDICT r11 #2): recall@10 vs exact truth + candidate volume per table count L in {1,2,4,8}. ONE bucket join serves every L (min-first-colliding-table per pair, sweep = threshold). r15 (VERDICT r14 #4): the truth audit now scores a FIXED 128-query hash sample (smallest md5('q_'||vec_id), TakeOrderedAndProject + broadcast, oracle-replayed) instead of vec_id%97 whose Q grew PROP N — the audit is O(Q*N), linear in N, and the x64 ratio fell 3.5x -> 1.28x"),
+    "llm_ann_lsh_tune_bits": (M, "x8 1.05x / x64 1.80x (r15: 1.19/1.24/2.14 s; was 3.5x at r13)", "the (bits, L) operating grid (VERDICT r12 #3): the bits dial added to the tune key's min-table device via the PREFIX property — plane p's sign bit is independent of total width, so bucket@b = first b chars of the full bucket; ONE join on the coarsest prefix (a measured-size superset over the QUERY SAMPLE only, never all-pairs) yields every grid cell as a threshold. Published x8 curve (BASELINE r13, N/97 sample): bits=derived-6, L=8 reached recall@10 57.9% at ~3.5k candidates/query; r15 re-based on the fixed-128-query sample (VERDICT r14 #4 — audit now linear in N, hence the ratio drop)"),
+    "llm_ann_lsh_tune_wide": (M, "x8 1.10x / x64 1.36x (r15: 2.33/2.56/3.17 s; was 2.1x at r14)", "the candidate-EFFICIENT grid arm (VERDICT r13 #1): L in {8,16,32,64} at derived and derived-2 bits, same one-coarsest-prefix-join device as the bits grid (L=8 rows spec-pinned identical to the bits grid, L=64 rows to the xl grid). The 100 TB fact it measures: with bits PROP log N pinning occupancy, candidates/query = L*occupancy is an ABSOLUTE number independent of corpus size (~250/500/1k/2k per query at BOTH x8 and x64 for the same (delta,L) cells) — and at matched candidate budgets the high-bits/wide-L arm beats the coarse-bits arm 2.5-4.2x on recall. Named x8 operating point (r15 fixed-128-query sample): derived-2, L=64 -> 63.3%@10 at 1,817 cand/query (r14 N/97 sample read 61.8% at 1,820 — same curve, different sample). The >=50%@10 crossing configs are gated by llm_ann_lsh_tune_xl since r15"),
+    "llm_ann_lsh_tune_xl": (M, "x8 1.26x / x64 1.45x (r15: 4.00/5.03/5.81 s)", "the CROSSING arm of the wide grid (VERDICT r14 #1): L in {64,96,128} at derived and derived-2 bits, same one-coarsest-prefix-join device, L=64 column spec-pinned cell-for-cell to llm_ann_lsh_tune_wide (Round15Spec). Gates the named >=50%@10 operating point through the driver's oracle every round: x64 derived-2/L=128 reads 48.6%@10 at 3,870 cand/query = 3.0% of the corpus on the r15 fixed-128-query sample (the r14 N/97 sample read 51.6% at 3,863 — same config within sampling noise, sitting AT the floor); x8 crosses at derived/L=128 with NO bits discount (53.5% at 941 cand/q) and reads 84.8% at derived-2/L=128. Wall is the L=128 bucket-union build (codegen'd, linear in N) + the fixed-128-query truth audit (linear in N) — the heaviest grid key by design, disclosed: 4.0 s at sf0.1"),
     "llm_ann_ivf": (M, "x8 1.0x / x64 2.7x (r12 on the fixed-mask corpus; r11: 1.4x/3.0x)", "fused-argmax assignment (BestCentroid codegen, k-independent generated code) + 2 probed cells; probed-cell size = N/k held flat by the derived k PROP N rule. Assignment is the honest O(N*k*dim) flat-IVF cost — at web scale (k ~ 1e5) production swaps that one map stage for a coarse-quantizer tree/GEMM"),
     "llm_ann_ivf_persisted": (M, "x8 1.2x / x64 4.5x (r12; r11: 1.6x/5.4x)", "the index-reuse path: cell-partitioned parquet index staged once, probe = partition pruning (nprobe/k of the corpus read); same derived k PROP N rule as llm_ann_ivf"),
     "llm_ann_ivf_kmeans": (M, "x8 1.4x / x64 3.3x (r12, k derived, capped at sample/4)", "centroids from a 4096-row bounded sample (TakeOrdered plan-pinned against driver-collect regression); k = min(max(16, n/125), 1024) so the strided init keeps >= 4 members per centroid — the sample's honesty bound"),

@@ -1705,12 +1705,27 @@ object StreamingQ {
     */
   private val CompactFanout = 4
 
+  /** RESTART RECOVERY (r15, the [[tieredIntake]] twin): a caller that
+    * supplies `resumeRoots` (snapshot root, verdict root — the dedup
+    * chain keeps its output verdicts under a separate root) plus
+    * `checkpointDir` gets the chain replayed from the committed dirs
+    * via [[recoverChain]] (b_init never matches the run pattern, so
+    * the replay sees exactly the batch runs and merges) and the
+    * committed verdict dirs re-listed from the verdict root; intake
+    * resumes from the first un-checkpointed batch. `crashAtBatch` /
+    * `crashAfterRun` are the test hooks, as in the twin. */
   private[graft] def incrementalDedupIntake(spark: SparkSession,
       srcDir: String,
       stats: Option[scala.collection.mutable.ArrayBuffer[IntakeBatchStat]] =
-        None, graceBatches: Int = 2): Seq[String] = {
-    val snapRoot = freshDir("graft_stream_incded_t_")
-    val verdictRoot = freshDir("graft_stream_incded_v_")
+        None, graceBatches: Int = 2,
+      resumeRoots: Option[(String, String)] = None,
+      checkpointDir: Option[String] = None,
+      crashAtBatch: Option[Long] = None,
+      crashAfterRun: Boolean = false): Seq[String] = {
+    val snapRoot = resumeRoots.map(_._1)
+      .getOrElse(freshDir("graft_stream_incded_t_"))
+    val verdictRoot = resumeRoots.map(_._2)
+      .getOrElse(freshDir("graft_stream_incded_v_"))
     // (retireBatchId, dir) of merged-away runs awaiting their TTL
     var retired = Vector.empty[(Long, String)]
     val init = s"$snapRoot/b_init"
@@ -1720,11 +1735,25 @@ object StreamingQ {
     // (level, dir) runs, oldest first; the live index = init + runs
     var chain = Vector.empty[(Int, String)]
     var verdictDirs = Seq.empty[String]
+    resumeRoots.foreach { case (sr, vr) =>
+      val (c, t, _) = recoverChain(sr)
+      chain = c; retired = t
+      // verdicts live under their own root, named b<batchId>
+      verdictDirs = Option(new java.io.File(vr).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(d => d.getName.matches("b\\d+") &&
+          new java.io.File(d, "_SUCCESS").exists())
+        .sortBy(_.getName.drop(1).toLong)
+        .map(_.getPath).toSeq
+    }
     val src = spark.readStream.schema(Schemas.documents)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (crashAtBatch.contains(batchId) && !crashAfterRun)
+          throw new IllegalStateException(
+            s"injected crash at entry of batch $batchId")
         val t0 = System.nanoTime()
         val next = s"$snapRoot/b$batchId"
         val vdir = s"$verdictRoot/b$batchId"
@@ -1777,6 +1806,9 @@ object StreamingQ {
           rows.write.mode("overwrite").parquet(next)
           rows.unpersist()
         }
+        if (crashAtBatch.contains(batchId) && crashAfterRun)
+          throw new IllegalStateException(
+            s"injected crash after run write of batch $batchId")
         // same replay idempotency as the disk _SUCCESS guard (r13
         // ADVICE #1, the tieredIntake twin): a replayed batch must not
         // re-append a run the chain already absorbed — including one
@@ -1817,7 +1849,8 @@ object StreamingQ {
           indexDirs.length, (System.nanoTime() - t0) / 1e9, merges,
           due.length, dueFiles, deadFilesBefore))
       }
-      .option("checkpointLocation", freshDir("graft_stream_ckpt_"))
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(freshDir("graft_stream_ckpt_")))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

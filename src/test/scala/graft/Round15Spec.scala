@@ -102,4 +102,49 @@ class Round15Spec extends AnyFunSuite {
         s"TTL fired at $fires, uninterrupted fired at $refFires")
     }
   }
+
+  test("dedup chain restart: crash, recover, resumed verdicts == uninterrupted") {
+    import graft.streaming.StreamingQ
+    val src = StreamingQ.stagedDocsParts(spark, sfDir, 16)
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    type Stats =
+      scala.collection.mutable.ArrayBuffer[StreamingQ.IntakeBatchStat]
+    def intake(roots: (String, String), ckpt: String, stats: Stats,
+               crashAt: Option[Long], afterRun: Boolean) =
+      StreamingQ.incrementalDedupIntake(spark, src, Some(stats),
+        resumeRoots = Some(roots), checkpointDir = Some(ckpt),
+        crashAtBatch = crashAt, crashAfterRun = afterRun)
+    def verdicts(dirs: Seq[String]) =
+      spark.read.parquet(dirs: _*).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    val refStats = new Stats
+    val refDirs = intake((tmp("graft_r15_dref_"), tmp("graft_r15_drefv_")),
+      tmp("graft_r15_drefck_"), refStats, None, afterRun = false)
+    val refV = verdicts(refDirs)
+    val refFires =
+      refStats.filter(_.reclaimedDirs > 0).map(_.batchId).sorted.toSeq
+    // crash after the run write of batch 7 — resume must replay batch
+    // 7 against its committed run+verdict (both _SUCCESS-guarded),
+    // re-list the committed verdict dirs from the verdict root, and
+    // keep the vacuum schedule
+    val roots = (tmp("graft_r15_dcrash_"), tmp("graft_r15_dcrashv_"))
+    val ckpt = tmp("graft_r15_dcrashck_")
+    val s1 = new Stats
+    val ex = intercept[Exception] {
+      intake(roots, ckpt, s1, Some(7L), afterRun = true)
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("injected crash"))
+    val s2 = new Stats
+    val dirs = intake(roots, ckpt, s2, None, afterRun = false)
+    assert(dirs.map(d => new java.io.File(d).getName) ==
+      refDirs.map(d => new java.io.File(d).getName))
+    assert(verdicts(dirs) == refV,
+      "resumed dedup verdicts drifted from the uninterrupted run")
+    val fires = (s1 ++ s2).filter(_.reclaimedDirs > 0)
+      .map(_.batchId).sorted.toSeq
+    assert(fires == refFires,
+      s"dedup TTL fired at $fires, uninterrupted fired at $refFires")
+  }
 }

@@ -509,6 +509,101 @@ object LlmVector {
   private def annLshTuneXl(spark: SparkSession, sfDir: String): DataFrame =
     annLshGrid(spark, sfDir, LshXlTableCounts, LshXlBitDeltas)
 
+  // ---------------------------------------------------------------------
+  // llm_ann_lsh_planted — PLANTED-MARGIN recall, oracle-gated (the
+  // suite graduation of the r15 PlantedGridProbe/stage_planted dev
+  // measurement, per the house graduate-every-no-oracle-result rule):
+  // for each of the 128 sampled anchors, a partner vector is
+  // constructed IN-PLAN at an exact fixed cosine c ∈ {0.95, 0.8, 0.6}
+  // — p = c·ê + √(1−c²)·û, û the Gram–Schmidt-orthogonalized
+  // md5-parity ±1/8 direction (tags "pr_<id>_<d>", shared with
+  // tools/stage_planted.py) — and the key reports, per (margin, bits,
+  // L) grid cell, how many pairs collide in at least one of the first
+  // L tables. Because the partner arithmetic is the same strict
+  // left-fold double sequence in both engines (aggregate/zip_with
+  // here, list_reduce(list_prepend(0,…)) in the oracle), the computed
+  // vectors, their sign bits, and the collision counts are
+  // bit-identical and the DuckDB oracle replays the whole device.
+  // What it measures: recall on neighbors whose margin is a DATA
+  // CONSTANT — the analytic 1−(1−p(c)^bits)^L curve (Round15Spec pins
+  // every cell within binomial tolerance of it), isolating the index
+  // effect (bits ∝ log N) from the i.i.d. background's shrinking
+  // true-NN margins that the recall@10 grids conflate with it. At
+  // 100 TB: the whole key is O(Q·L·bits) past the sample scan — the
+  // corpus is never re-hashed (anchor buckets ride the shared union;
+  // partner buckets hash 3·Q constructed rows) — so the planted
+  // retention audit costs the same at any corpus size.
+  // ---------------------------------------------------------------------
+  private[graft] val PlantedMargins = Seq(0.95, 0.8, 0.6)
+  private val PlantedTableCounts = Seq(4, 8, 16, 32)
+  private val PlantedBitDeltas = Seq(0, 2)
+
+  private def annLshPlanted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val maxL = PlantedTableCounts.max
+    val bitsFull = lshBits(spark, sfDir)
+    val bitLevels = PlantedBitDeltas.map(d => math.max(2, bitsFull - d)).distinct
+    val e = emb(spark, sfDir)
+    val anchors = e.join(broadcast(querySampleIds(e)), Seq("vec_id"))
+      .select("vec_id", "embedding").localCheckpoint(true)
+    // partner construction — every arithmetic step is a strict
+    // left-fold or element-wise lambda mirrored verbatim by the oracle
+    val base = PlantedMargins.map(c =>
+        anchors.withColumn("margin", lit(c))).reduce(_ unionByName _)
+      .withColumn("ed", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("r", expr(
+        """transform(sequence(0, 63), d -> IF(
+             substring(md5(concat('pr_', CAST(vec_id AS STRING), '_',
+                                  CAST(d AS STRING))), 1, 1)
+               IN ('0','2','4','6','8','a','c','e'),
+             CAST(0.125 AS DOUBLE), CAST(-0.125 AS DOUBLE)))"""))
+    val gs = base
+      .withColumn("en2", expr(
+        "aggregate(ed, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+      .withColumn("er", expr(
+        """aggregate(zip_with(ed, r, (x, y) -> x * y),
+                     CAST(0 AS DOUBLE), (acc, x) -> acc + x)"""))
+      .withColumn("rp", expr(
+        "zip_with(r, ed, (y, x) -> y - (er / en2) * x)"))
+      .withColumn("rpn2", expr(
+        "aggregate(rp, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+    val partners = gs.select(col("vec_id"), col("margin"), expr(
+        """zip_with(ed, rp, (x, y) ->
+             margin * (x / sqrt(en2)) +
+             sqrt(CAST(1 AS DOUBLE) - margin * margin) * (y / sqrt(rpn2)))""")
+        .as("embedding"))
+      .localCheckpoint(true)
+    // buckets: anchors AND partners are Q-sized, so both sides hash
+    // through small per-table projections — the corpus union is never
+    // needed here (this key is O(Q) past the sample scan)
+    val ab = lshBucketRows(anchors, bitsFull, maxL)
+      .select(col("vec_id"), col("tbl"), col("bucket").as("abucket"))
+    val pb = (0 until maxL).map { t =>
+      partners.select(col("vec_id"), col("margin"), lit(t).as("tbl"),
+        bucketCol(t, bitsFull).as("pbucket"))
+    }.reduce(_ unionByName _)
+    val aggs = bitLevels.map(b =>
+      min(when(substring(col("abucket"), 1, b) ===
+        substring(col("pbucket"), 1, b), col("tbl"))).as(s"mt_$b"))
+    val firstHit = pb.join(ab, Seq("vec_id", "tbl"))
+      .groupBy(col("vec_id"), col("margin"))
+      .agg(aggs.head, aggs.tail: _*)
+    val perLevel = bitLevels.map { b =>
+      firstHit.select(col("margin"), lit(b.toLong).as("n_bits"),
+        col(s"mt_$b").as("min_tbl"))
+    }.reduce(_ unionByName _)
+    val lspine = PlantedTableCounts.toDF("n_tables")
+    perLevel.crossJoin(broadcast(lspine))
+      .groupBy("margin", "n_bits", "n_tables")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("min_tbl") < col("n_tables"), 1L).otherwise(0L))
+          .as("n_collide"))
+      .selectExpr("margin", "CAST(n_bits AS BIGINT) AS n_bits",
+        "CAST(n_tables AS BIGINT) AS n_tables", "n_pairs", "n_collide",
+        "CAST(n_collide * 10000 DIV n_pairs AS BIGINT) AS recall_bp")
+      .orderBy("margin", "n_bits", "n_tables")
+  }
+
   /** The shared (bits, L) grid device: ONE bucket join on the coarsest
     * prefix (the superset candidate set — the prefix property makes
     * bucket@b the first b chars of the full bucket), min_tbl per bits
@@ -2096,6 +2191,7 @@ object LlmVector {
     "llm_ann_lsh_tune_bits" -> (annLshTuneBits _),
     "llm_ann_lsh_tune_wide" -> (annLshTuneWide _),
     "llm_ann_lsh_tune_xl" -> (annLshTuneXl _),
+    "llm_ann_lsh_planted" -> (annLshPlanted _),
     "llm_hard_negatives" -> (hardNegatives _),
     "llm_embed_neardup_lsh" -> (embedNeardupLsh _),
     "llm_bitext_margin" -> (bitextMargin _),
@@ -2724,6 +2820,96 @@ object LlmVector {
       lshGridOracle(LshWideTableCounts, LshWideBitDeltas),
     "llm_ann_lsh_tune_xl" ->
       lshGridOracle(LshXlTableCounts, LshXlBitDeltas),
+    // planted-margin recall: partner vectors recomputed in SQL with
+    // the IDENTICAL strict-left-fold double arithmetic as the Spark
+    // side (list_prepend(0,...) mirrors aggregate's init; same md5
+    // "pr_" tags; same op order inside every lambda), then bucketed
+    // with the shared planes CTE — bit-identical collision counts
+    "llm_ann_lsh_planted" ->
+      s"""WITH ${lshBucketsCte(32)},
+          $qSampleCte,
+          anchors AS (
+            SELECT vec_id, embedding FROM e JOIN qids USING (vec_id)),
+          margins AS (
+            SELECT unnest([CAST(0.95 AS DOUBLE), CAST(0.8 AS DOUBLE),
+                           CAST(0.6 AS DOUBLE)]) AS margin),
+          pbase AS (
+            SELECT a.vec_id, m.margin,
+                   list_transform(a.embedding,
+                                  x -> CAST(x AS DOUBLE)) AS ed,
+                   list_transform(range(0, 64), d ->
+                     CASE WHEN substring(md5('pr_' || a.vec_id || '_' || d),
+                                         1, 1)
+                            IN ('0','2','4','6','8','a','c','e')
+                          THEN CAST(0.125 AS DOUBLE)
+                          ELSE CAST(-0.125 AS DOUBLE) END) AS r
+            FROM anchors a CROSS JOIN margins m),
+          gs AS (
+            SELECT *,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(ed, x -> x * x)),
+                     (acc, x) -> acc + x) AS en2,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(list_zip(ed, r), z -> z[1] * z[2])),
+                     (acc, x) -> acc + x) AS er
+            FROM pbase),
+          orth AS (
+            SELECT vec_id, margin, ed, en2,
+                   list_transform(list_zip(r, ed),
+                                  z -> z[1] - (er / en2) * z[2]) AS rp
+            FROM gs),
+          unitd AS (
+            SELECT *,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(rp, x -> x * x)),
+                     (acc, x) -> acc + x) AS rpn2
+            FROM orth),
+          planted AS (
+            SELECT vec_id, margin,
+                   list_transform(list_zip(ed, rp), z ->
+                     margin * (z[1] / sqrt(en2)) +
+                     sqrt(CAST(1 AS DOUBLE) - margin * margin)
+                       * (z[2] / sqrt(rpn2))) AS pe
+            FROM unitd),
+          pbits AS (
+            SELECT p.vec_id, p.margin, pl.t, pl.p AS bp,
+                   CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(list_zip(p.pe, pl.wl),
+                                    z -> z[1] * z[2])),
+                     (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END AS bit
+            FROM planted p CROSS JOIN planes pl),
+          pbuckets AS (
+            SELECT vec_id, margin, t,
+                   string_agg(bit, '' ORDER BY bp) AS pbucket
+            FROM pbits GROUP BY 1, 2, 3),
+          abuckets AS (
+            SELECT b.vec_id, b.t, b.bucket AS abucket
+            FROM buckets b JOIN qids q ON b.vec_id = q.vec_id),
+          blevels AS (
+            SELECT DISTINCT greatest(2, $LshBitsSql - d.d) AS n_bits
+            FROM (SELECT unnest([0, 2]) AS d) d),
+          hit AS (
+            SELECT pb.vec_id, pb.margin, bl.n_bits,
+                   CAST(min(CASE WHEN
+                       substring(ab.abucket, 1, CAST(bl.n_bits AS INTEGER))
+                     = substring(pb.pbucket, 1, CAST(bl.n_bits AS INTEGER))
+                     THEN pb.t END) AS INTEGER) AS min_tbl
+            FROM pbuckets pb
+            JOIN abuckets ab ON pb.vec_id = ab.vec_id AND pb.t = ab.t
+            CROSS JOIN blevels bl
+            GROUP BY 1, 2, 3),
+          lspine AS (SELECT unnest([4, 8, 16, 32]) AS n_tables)
+          SELECT h.margin, CAST(h.n_bits AS BIGINT) AS n_bits,
+                 CAST(s.n_tables AS BIGINT) AS n_tables,
+                 CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(CASE WHEN h.min_tbl < s.n_tables
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_collide,
+                 CAST(sum(CASE WHEN h.min_tbl < s.n_tables
+                               THEN 1 ELSE 0 END) * 10000
+                      // count(*) AS BIGINT) AS recall_bp
+          FROM hit h CROSS JOIN lspine s
+          GROUP BY 1, 2, 3
+          ORDER BY margin, n_bits, n_tables""",
     "llm_hard_negatives" ->
       s"""$LshCandCte,
           scored AS (

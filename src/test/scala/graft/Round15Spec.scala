@@ -103,6 +103,37 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("planted-margin recall tracks the analytic LSH curve in every cell") {
+    // llm_ann_lsh_planted constructs fixed-cosine partners in-plan;
+    // collision recall per (margin, bits, L) must sit within binomial
+    // tolerance of 1-(1-p(c)^bits)^L, p(c) = 1-acos(c)/pi — the
+    // sign-LSH collision law. n = 128 pairs per cell => sigma <= 4.4pp;
+    // 15pp absolute is ~3.4 sigma plus the float32 margin slack.
+    val rows = SparkEntry.queries("llm_ann_lsh_planted")(spark, sfDir)
+      .collect()
+    assert(rows.length == graft.queries.LlmVector.PlantedMargins.length * 2 * 4)
+    rows.foreach { r =>
+      val (margin, bits, l) = (r.getDouble(0), r.getLong(1), r.getLong(2))
+      val (nPairs, bp) = (r.getLong(3), r.getLong(5))
+      assert(nPairs == 128L, s"cell ($margin,$bits,$l) has $nPairs pairs")
+      val p = 1.0 - math.acos(margin) / math.Pi
+      val expBp = (1.0 - math.pow(1.0 - math.pow(p, bits.toDouble),
+        l.toDouble)) * 10000
+      assert(math.abs(bp - expBp) <= 1500,
+        s"cell ($margin,$bits,$l): measured $bp bp vs analytic ${expBp.round} bp")
+    }
+    // higher margin can only help at the same (bits, L) — allow
+    // binomial slack where the analytic gap is small
+    val byCell = rows.map(r => ((r.getDouble(0), r.getLong(1), r.getLong(2)),
+      r.getLong(5))).toMap
+    for (Seq(c1, c2) <- graft.queries.LlmVector.PlantedMargins.sorted.sliding(2);
+         b <- byCell.keys.map(_._2).toSeq.distinct;
+         l <- byCell.keys.map(_._3).toSeq.distinct) {
+      assert(byCell((c2, b, l)) >= byCell((c1, b, l)) - 300,
+        s"margin dial not monotone at (bits=$b, L=$l)")
+    }
+  }
+
   test("dedup chain restart: crash, recover, resumed verdicts == uninterrupted") {
     import graft.streaming.StreamingQ
     val src = StreamingQ.stagedDocsParts(spark, sfDir, 16)

@@ -379,6 +379,7 @@ EVIDENCE = {
     "llm_ann_lsh_tune_bits": (M, "x8 1.05x / x64 1.80x (r15: 1.19/1.24/2.14 s; was 3.5x at r13)", "the (bits, L) operating grid (VERDICT r12 #3): the bits dial added to the tune key's min-table device via the PREFIX property — plane p's sign bit is independent of total width, so bucket@b = first b chars of the full bucket; ONE join on the coarsest prefix (a measured-size superset over the QUERY SAMPLE only, never all-pairs) yields every grid cell as a threshold. Published x8 curve (BASELINE r13, N/97 sample): bits=derived-6, L=8 reached recall@10 57.9% at ~3.5k candidates/query; r15 re-based on the fixed-128-query sample (VERDICT r14 #4 — audit now linear in N, hence the ratio drop)"),
     "llm_ann_lsh_tune_wide": (M, "x8 1.10x / x64 1.36x (r15: 2.33/2.56/3.17 s; was 2.1x at r14)", "the candidate-EFFICIENT grid arm (VERDICT r13 #1): L in {8,16,32,64} at derived and derived-2 bits, same one-coarsest-prefix-join device as the bits grid (L=8 rows spec-pinned identical to the bits grid, L=64 rows to the xl grid). The 100 TB fact it measures: with bits PROP log N pinning occupancy, candidates/query = L*occupancy is an ABSOLUTE number independent of corpus size (~250/500/1k/2k per query at BOTH x8 and x64 for the same (delta,L) cells) — and at matched candidate budgets the high-bits/wide-L arm beats the coarse-bits arm 2.5-4.2x on recall. Named x8 operating point (r15 fixed-128-query sample): derived-2, L=64 -> 63.3%@10 at 1,817 cand/query (r14 N/97 sample read 61.8% at 1,820 — same curve, different sample). The >=50%@10 crossing configs are gated by llm_ann_lsh_tune_xl since r15"),
     "llm_ann_lsh_tune_xl": (M, "x8 1.26x / x64 1.45x (r15: 4.00/5.03/5.81 s)", "the CROSSING arm of the wide grid (VERDICT r14 #1): L in {64,96,128} at derived and derived-2 bits, same one-coarsest-prefix-join device, L=64 column spec-pinned cell-for-cell to llm_ann_lsh_tune_wide (Round15Spec). Gates the named >=50%@10 operating point through the driver's oracle every round: x64 derived-2/L=128 reads 48.6%@10 at 3,870 cand/query = 3.0% of the corpus on the r15 fixed-128-query sample (the r14 N/97 sample read 51.6% at 3,863 — same config within sampling noise, sitting AT the floor); x8 crosses at derived/L=128 with NO bits discount (53.5% at 941 cand/q) and reads 84.8% at derived-2/L=128. Wall is the L=128 bucket-union build (codegen'd, linear in N) + the fixed-128-query truth audit (linear in N) — the heaviest grid key by design, disclosed: 4.0 s at sf0.1"),
+    "llm_ann_lsh_planted": (B, "fixed-cut", "planted-margin recall audit, oracle-gated (the suite graduation of the r15 stage_planted/PlantedGridProbe dev measurement): partners at exact cosines {0.95,0.8,0.6} constructed IN-PLAN from the 128-anchor hash sample with strict-left-fold double arithmetic mirrored verbatim by the DuckDB oracle (bit-identical vectors, sign bits, and collision counts); per-(margin,bits,L) recall spec-pinned within binomial tolerance of the analytic 1-(1-p(c)^bits)^L (Round15Spec). O(Q*L*bits) past the sample scan — anchors and partners are both Q-sized, the corpus is never re-hashed, so the planted retention audit costs the same at any corpus size; the wide x8/x64 planted sweep stays with the dev probes (BASELINE r15 tables)"),
     "llm_ann_ivf": (M, "x8 1.0x / x64 2.7x (r12 on the fixed-mask corpus; r11: 1.4x/3.0x)", "fused-argmax assignment (BestCentroid codegen, k-independent generated code) + 2 probed cells; probed-cell size = N/k held flat by the derived k PROP N rule. Assignment is the honest O(N*k*dim) flat-IVF cost — at web scale (k ~ 1e5) production swaps that one map stage for a coarse-quantizer tree/GEMM"),
     "llm_ann_ivf_persisted": (M, "x8 1.2x / x64 4.5x (r12; r11: 1.6x/5.4x)", "the index-reuse path: cell-partitioned parquet index staged once, probe = partition pruning (nprobe/k of the corpus read); same derived k PROP N rule as llm_ann_ivf"),
     "llm_ann_ivf_kmeans": (M, "x8 1.4x / x64 3.3x (r12, k derived, capped at sample/4)", "centroids from a 4096-row bounded sample (TakeOrdered plan-pinned against driver-collect regression); k = min(max(16, n/125), 1024) so the strided init keeps >= 4 members per centroid — the sample's honesty bound"),

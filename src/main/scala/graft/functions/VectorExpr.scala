@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.sqrt
@@ -315,6 +315,108 @@ case class BestCentroid(emb: Expression, nrm: Expression,
     copy(emb = newLeft, nrm = newRight)
 }
 
+/** ALL rotated-plane LSH bucket strings of a vector in ONE fused loop
+  * over a plan-constant tables×bits×dim plane tensor — the r16 bucket
+  * kernel (guide §1.2 step 2 "per-task work", §4 "expression choice").
+  * The r12 shape it replaces — one UNION branch per table, each branch
+  * `concat(when(graft_dot(emb, plane_literal) >= 0, "1")...)` — was the
+  * fix for GenerateExec's interpreted input path, but it pays three
+  * structural costs that grow with L: (a) the corpus is re-scanned L
+  * times (L=128 for `llm_ann_lsh_tune_xl`), (b) the expression TREE
+  * carries L·bits 64-double literals (65k doubles at L=128 — analyzer/
+  * optimizer walls scale with plan size), and (c) each 64-float
+  * embedding is re-read from ArrayData accessors L·bits times. Here the
+  * plane tensor is a single reference object (the [[CentroidScores]]
+  * device), the embedding converts to a primitive double[] ONCE per
+  * row, and every (table, bit) dot runs over that — one scan, one
+  * expression node, L-independent generated code.
+  *
+  * Semantics are EXACTLY the per-branch form it replaces: each dot is
+  * the identical sequential left fold (acc += (double)emb[d] ·
+  * plane[d]), and the sign rule matches Spark's `>= 0` on doubles
+  * (nanSafeCompareDoubles: NaN compares greater → '1'; -0.0 == 0.0 →
+  * '1'), so bucket strings are bit-identical to the union form and the
+  * DuckDB oracle's md5-parity/popcount replay. Round16Spec pins the
+  * equality cell-for-cell against the literal-plane formulation.
+  */
+case class SignBuckets(emb: Expression, planes: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def child: Expression = emb
+  override def prettyName: String = "graft_sign_buckets"
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val embOk = emb.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (embOk && planes.nonEmpty && planes.forall(_.nonEmpty))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> and a non-empty " +
+        s"tables×bits×dim plane tensor")
+  }
+
+  private def embFloat: Boolean =
+    emb.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** The fused kernel, shared verbatim by eval and codegen (codegen
+    * calls it through a reference object — the loop is data-sized, so
+    * a generated-source copy would buy nothing over the JIT'd method). */
+  def compute(arr: ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    val e = new Array[Double](n)
+    val isF = embFloat
+    var i = 0
+    while (i < n) {
+      e(i) = if (isF) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Any](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      val tp = planes(t)
+      val chars = new Array[Char](tp.length)
+      var p = 0
+      while (p < tp.length) {
+        val pl = tp(p)
+        val m = math.min(n, pl.length)
+        var acc = 0.0
+        var d = 0
+        while (d < m) { acc += e(d) * pl(d); d += 1 }
+        // sign rule == Spark's `dot >= 0` (nanSafeCompareDoubles): NaN
+        // and -0.0 both land on '1', identical to the when() branch form
+        chars(p) = if (acc >= 0.0 || java.lang.Double.isNaN(acc)) '1' else '0'
+        p += 1
+      }
+      out(t) = UTF8String.fromString(new String(chars))
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("signBuckets", this,
+        classOf[SignBuckets].getName)
+      s"${ev.value} = $self.compute($a);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SignBuckets =
+    copy(emb = newChild)
+}
+
 /** Column-level helpers around [[DotProduct]]. */
 object VectorOps {
   def dot(a: Column, b: Column): Column =
@@ -337,6 +439,13 @@ object VectorOps {
     GraftSqlBridge.toColumn(BestCentroid(
       GraftSqlBridge.toExpression(emb), GraftSqlBridge.toExpression(nrm),
       cents, cnorms))
+
+  /** array<string> of all rotated-plane bucket strings — see
+    * [[SignBuckets]]; element t is table t's bucket, identical to the
+    * per-table `concat(when(dot ≥ 0...))` union-branch form. */
+  def signBuckets(emb: Column, planes: Array[Array[Array[Double]]]): Column =
+    GraftSqlBridge.toColumn(SignBuckets(
+      GraftSqlBridge.toExpression(emb), planes))
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -150,11 +150,18 @@ object LlmText {
       .where(expr(
         """aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),
                      0, (acc, v) -> acc + v)""") >= 3)
+      // intersect computed ONCE through a named projection (the
+      // llm_setsim_join fix class, measured there 5.4 → 3.1 s: codegen
+      // CSE does NOT collapse a duplicated array_intersect). inter is
+      // multi-referenced, so CollapseProject/filter-pushdown keep the
+      // stage split; the threshold moves to the exact integer
+      // equivalent J ≥ ½ ⟺ 3i ≥ a+b — identical row set, and the
+      // emitted double jaccard is the identical division.
       .selectExpr("doc_a", "doc_b",
-        """size(array_intersect(sh_a, sh_b)) /
-           (size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))
-           AS jaccard""")
-      .where(col("jaccard") >= 0.5)
+        "size(array_intersect(sh_a, sh_b)) AS inter",
+        "size(sh_a) AS sa", "size(sh_b) AS sb")
+      .where(expr("3 * inter >= sa + sb"))
+      .selectExpr("doc_a", "doc_b", "inter / (sa + sb - inter) AS jaccard")
       .orderBy("doc_a", "doc_b")
 
   /** Session-staged VERIFIED near-dup pair table — the r7-adjudicated
@@ -270,12 +277,17 @@ object LlmText {
   // ---------------------------------------------------------------------
   private def minhashContainment(spark: SparkSession, sfDir: String): DataFrame =
     candidates(spark, sfDir)
+      // intersect computed ONCE (the llm_setsim_join fix class): inter
+      // feeds BOTH containments, so the former inline form ran
+      // array_intersect twice per candidate pair — CollapseProject
+      // keeps the multi-referenced alias staged.
       .selectExpr("doc_a", "doc_b",
-        """cast(round(size(array_intersect(sh_a, sh_b)) *
-             cast(1000000 as double) / size(sh_a)) as bigint)
+        "size(array_intersect(sh_a, sh_b)) AS inter",
+        "size(sh_a) AS sa", "size(sh_b) AS sb")
+      .selectExpr("doc_a", "doc_b",
+        """cast(round(inter * cast(1000000 as double) / sa) as bigint)
            AS containment_a_e6""",
-        """cast(round(size(array_intersect(sh_a, sh_b)) *
-             cast(1000000 as double) / size(sh_b)) as bigint)
+        """cast(round(inter * cast(1000000 as double) / sb) as bigint)
            AS containment_b_e6""")
       .where(greatest(col("containment_a_e6"), col("containment_b_e6"))
         >= 500000)
@@ -517,10 +529,15 @@ object LlmText {
   // ---------------------------------------------------------------------
   private def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
     val jac = candidates(spark, sfDir)
+      // intersect computed ONCE (the llm_setsim_join fix class): the
+      // former inline jaccard ran array_intersect twice per candidate
+      // pair. inter is referenced twice below, so CollapseProject
+      // keeps the projection staged; the double division is identical.
       .selectExpr("doc_a", "doc_b",
-        """size(array_intersect(sh_a, sh_b)) /
-           (size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))
-           AS jaccard""")
+        "size(array_intersect(sh_a, sh_b)) AS inter",
+        "size(sh_a) AS sa", "size(sh_b) AS sb")
+      .selectExpr("doc_a", "doc_b",
+        "inter / (sa + sb - inter) AS jaccard")
     val sym = jac.select(col("doc_a").as("src"), col("doc_b").as("nbr"),
         col("jaccard"))
       .unionByName(jac.select(col("doc_b").as("src"),
@@ -585,11 +602,19 @@ object LlmText {
             WHEN mx <= CAST(9000000000000000 AS BIGINT)
               THEN CAST(1000 AS BIGINT)
             ELSE CAST(1 AS BIGINT) END)"""
+      // NO checkpoint on the normalized frame (r16): each normalized
+      // score table is consumed exactly ONCE (by the next half-round's
+      // edge join; the final round's copy twice, both over this raw
+      // checkpoint), so materializing it was a pure extra job + a
+      // node-sized write per half-round — 6 of each per run. raw's
+      // checkpoint above already truncates the cross-round lineage;
+      // the mx aggregate executes inside the consumer's broadcast
+      // exchange. Scores are unchanged (same arithmetic, same plan
+      // below the projection).
       raw.crossJoin(broadcast(mx))
         .selectExpr("node",
           s"""CAST(raw * $sc DIV mx
                 * (CAST(1000000 AS BIGINT) DIV $sc) AS BIGINT) AS $out""")
-        .localCheckpoint(true)
     }
     for (_ <- 1 to 3) {
       val aRaw = nodes.join(

@@ -170,13 +170,29 @@ object LlmVector {
       java.lang.Long.toBinaryString(n).length))
   }
 
-  private def bucketCol(table: Int, nBits: Int): Column = {
+  /** Literal-plane reference formulation of one table's bucket string —
+    * kept as the spec oracle for [[graft.functions.SignBuckets]]
+    * (Round16Spec pins the fused kernel == this, cell-for-cell). */
+  private[graft] def bucketCol(table: Int, nBits: Int): Column = {
     val bits = (0 until nBits).map { p =>
       val plane = typedLit(rotPlane(table, p))
       when(dot(col("embedding"), plane) >= 0, "1").otherwise("0")
     }
     concat(bits: _*).as(s"bucket_$table")
   }
+
+  /** Memoized tables×bits×64 rotated-plane tensor for the fused
+    * [[graft.functions.SignBuckets]] kernel — pure integer-derived
+    * plane math (no data dependence), computed once per (L, bits)
+    * per JVM instead of 64×64-looped per invocation. */
+  private val planeCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int), Array[Array[Array[Double]]]]()
+  private[graft] def planeTensor(nTables: Int,
+      nBits: Int): Array[Array[Array[Double]]] =
+    planeCache.computeIfAbsent((nTables, nBits),
+      { case (nt, nb) =>
+        Array.tabulate(nt, nb)((t, p) => rotPlane(t, p).toArray)
+      })
 
   /** LSH candidate pairs with their exact cosine, shared by the two
     * keys below. Bucket table carries ONLY (vec_id, tbl, bucket): the
@@ -207,16 +223,28 @@ object LlmVector {
       lshBits(spark, sfDir), nTables)
 
   /** Bucket rows for an ARBITRARY embeddings frame at a pinned bit
-    * width — the per-branch-union builder shared by the batch long
-    * table above and the streaming intake (`stream_lsh_index`, which
-    * hashes each arriving micro-batch map-side at the bits the index
-    * was built with). */
+    * width — shared by the batch long table above and the streaming
+    * intake (`stream_lsh_index`, which hashes each arriving micro-batch
+    * map-side at the bits the index was built with).
+    *
+    * Shape note (r16, supersedes the r12 one-union-branch-per-table
+    * form): ONE scan + `posexplode` of the fused
+    * [[graft.functions.SignBuckets]] tensor kernel. The r12 union
+    * existed because `posexplode(array(bucketCol*))` routed the
+    * per-bit expression TREE through GenerateExec's interpreted path
+    * (~4 µs/dot); the fused kernel is a single expression whose eval
+    * IS the tight primitive loop, so it is generator-input-safe — and
+    * it removes the L corpus re-scans and the L·bits 64-double plan
+    * literals the union paid (measured r16, isolated A/B at sf0.1:
+    * llm_ann_lsh_tune_xl 4.36 → 0.88 s, tune_wide 2.30 → 0.97 s,
+    * planted 3.41 → 1.13 s; every bucket string bit-identical,
+    * Round16Spec-pinned). posexplode's pos IS the table index — same
+    * (vec_id, tbl, bucket) rows as the union. */
   private[graft] def lshBucketRows(batch: DataFrame, nBits: Int,
                                    nTables: Int = 4): DataFrame =
-    (0 until nTables).map { tbl =>
-      batch.select(col("vec_id"), lit(tbl).as("tbl"),
-        bucketCol(tbl, nBits).as("bucket"))
-    }.reduce(_ unionByName _)
+    batch.select(col("vec_id"),
+      posexplode(graft.functions.VectorOps.signBuckets(col("embedding"),
+        planeTensor(nTables, nBits))).as(Seq("tbl", "bucket")))
 
   /** Per-batch semantic-dedup verdicts against a CHAINED LSH index
     * (the `stream_semdedup` intake hook): arrivals hash their bucket
@@ -578,10 +606,9 @@ object LlmVector {
     // needed here (this key is O(Q) past the sample scan)
     val ab = lshBucketRows(anchors, bitsFull, maxL)
       .select(col("vec_id"), col("tbl"), col("bucket").as("abucket"))
-    val pb = (0 until maxL).map { t =>
-      partners.select(col("vec_id"), col("margin"), lit(t).as("tbl"),
-        bucketCol(t, bitsFull).as("pbucket"))
-    }.reduce(_ unionByName _)
+    val pb = partners.select(col("vec_id"), col("margin"),
+      posexplode(graft.functions.VectorOps.signBuckets(col("embedding"),
+        planeTensor(maxL, bitsFull))).as(Seq("tbl", "pbucket")))
     val aggs = bitLevels.map(b =>
       min(when(substring(col("abucket"), 1, b) ===
         substring(col("pbucket"), 1, b), col("tbl"))).as(s"mt_$b"))

@@ -792,15 +792,21 @@ object Windows {
       .where(col("ha") < col("hb"))
       .selectExpr("event_type", "ha", "hb",
         "CAST(xb - xa AS DOUBLE) / CAST(hb - ha AS DOUBLE) AS slope")
+    // Pair count in CLOSED FORM (r16): every (ha < hb) pair of the n_h
+    // hourly buckets is a slope row, so cnt = n_h·(n_h−1)/2 exactly —
+    // the former count() window was a SECOND full WindowExec pass
+    // buffering all O(n_h²) slope rows per type just to recount them.
+    // One row_number pass remains (the median pick needs the order);
+    // the hourly-count join the key already paid now also carries cnt,
+    // broadcast. Identical output (same rk target, same n_pairs).
+    val nh = hourly.groupBy("event_type").agg(count(lit(1)).as("n_hours"))
+      .withColumn("cnt", expr("n_hours * (n_hours - 1) DIV 2"))
     val ranked = slopes
       .withColumn("rk", row_number().over(
         Window.partitionBy("event_type")
           .orderBy(col("slope"), col("ha"), col("hb"))))
-      .withColumn("cnt", count(lit(1)).over(
-        Window.partitionBy("event_type")))
-    ranked.where(expr("rk = (cnt + 1) DIV 2"))
-      .join(hourly.groupBy("event_type").agg(count(lit(1)).as("n_hours")),
-        Seq("event_type"))
+    ranked.join(broadcast(nh), Seq("event_type"))
+      .where(expr("rk = (cnt + 1) DIV 2"))
       .selectExpr("event_type", "n_hours", "cnt AS n_pairs",
         "CAST(round(slope * 1000000.0) AS BIGINT) AS slope_e6_per_hour")
       .orderBy("event_type")

@@ -26,7 +26,7 @@ class PlanSnapshotSpec extends AnyFunSuite {
     .getOrCreate()
 
   private val sfDir = "/root/testdata/sf0.001"
-  private val snapshotPath = "plans_r15.json"
+  private val snapshotPath = "plans_r16.json"
 
   private lazy val committed: Map[String, String] = {
     val txt = Files.readString(Paths.get(snapshotPath))

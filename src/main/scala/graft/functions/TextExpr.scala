@@ -246,7 +246,81 @@ case class UnicodeNormalize(child: Expression, form: String)
     copy(child = newChild)
 }
 
+/** `size(array_intersect(a, b))` without materializing the intersection
+  * — the r16 verify kernel. Every exact near-dup verify in the engine
+  * (PPJoin's Jaccard, the kNN-graph Jaccard, ngram-jaccard, minhash
+  * containment, the in-stream dedup verdicts) needs only the COUNT of
+  * distinct common elements, but `array_intersect` allocates a hash
+  * set, an output array, AND a second pass for `size()` — per candidate
+  * PAIR. This expression counts in one set-build + one probe pass with
+  * zero output allocation.
+  *
+  * Semantics are EXACTLY `size(array_intersect(a, b))` on any input
+  * (Round16Spec pins it, duplicates and nulls included): distinct
+  * common elements count once — matched set entries are removed so a
+  * duplicate in `b` cannot recount — and a null element present on
+  * both sides counts once, mirroring array_intersect's null handling.
+  * The engine's call sites all feed distinct-by-construction arrays;
+  * the general semantics are for SQL-registered safety. Shuffle-free
+  * per-row work; CodegenFallback is fine because the set probe loop
+  * dominates, not expression dispatch.
+  */
+case class IntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_intersect_size"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<string> arguments, " +
+        s"got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    val set = new java.util.HashSet[UTF8String](
+      math.max(8, aa.numElements() * 2))
+    var aHasNull = false
+    var i = 0
+    while (i < aa.numElements()) {
+      if (aa.isNullAt(i)) aHasNull = true
+      else set.add(aa.getUTF8String(i))
+      i += 1
+    }
+    var count = 0
+    var j = 0
+    while (j < bb.numElements()) {
+      if (bb.isNullAt(j)) {
+        if (aHasNull) { count += 1; aHasNull = false }
+      } else if (set.remove(bb.getUTF8String(j))) count += 1
+      j += 1
+    }
+    count
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextOps {
+  /** |distinct(a) ∩ distinct(b)| of two array<string> columns — see
+    * [[IntersectSize]]; value-identical to size(array_intersect(a,b)). */
+  def intersectSize(a: Column, b: Column): Column =
+    GraftSqlBridge.toColumn(IntersectSize(
+      GraftSqlBridge.toExpression(a), GraftSqlBridge.toExpression(b)))
+
   /** k-hash MinHash signature of an array<string> column. */
   def minhashSig(shingles: Column, k: Int): Column =
     GraftSqlBridge.toColumn(

@@ -152,14 +152,18 @@ object LlmText {
                      0, (acc, v) -> acc + v)""") >= 3)
       // intersect computed ONCE through a named projection (the
       // llm_setsim_join fix class, measured there 5.4 → 3.1 s: codegen
-      // CSE does NOT collapse a duplicated array_intersect). inter is
-      // multi-referenced, so CollapseProject/filter-pushdown keep the
-      // stage split; the threshold moves to the exact integer
-      // equivalent J ≥ ½ ⟺ 3i ≥ a+b — identical row set, and the
-      // emitted double jaccard is the identical division.
-      .selectExpr("doc_a", "doc_b",
-        "size(array_intersect(sh_a, sh_b)) AS inter",
-        "size(sh_a) AS sa", "size(sh_b) AS sb")
+      // CSE does NOT collapse a duplicated array_intersect), via the
+      // count-only [[graft.functions.IntersectSize]] kernel (r16 — no
+      // per-pair output-array allocation; value-identical,
+      // Round16Spec-pinned). inter is multi-referenced, so
+      // CollapseProject/filter-pushdown keep the stage split; the
+      // threshold moves to the exact integer equivalent J ≥ ½ ⟺
+      // 3i ≥ a+b — identical row set, and the emitted double jaccard
+      // is the identical division.
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.TextOps.intersectSize(col("sh_a"), col("sh_b"))
+          .as("inter"),
+        size(col("sh_a")).as("sa"), size(col("sh_b")).as("sb"))
       .where(expr("3 * inter >= sa + sb"))
       .selectExpr("doc_a", "doc_b", "inter / (sa + sb - inter) AS jaccard")
       .orderBy("doc_a", "doc_b")
@@ -280,10 +284,12 @@ object LlmText {
       // intersect computed ONCE (the llm_setsim_join fix class): inter
       // feeds BOTH containments, so the former inline form ran
       // array_intersect twice per candidate pair — CollapseProject
-      // keeps the multi-referenced alias staged.
-      .selectExpr("doc_a", "doc_b",
-        "size(array_intersect(sh_a, sh_b)) AS inter",
-        "size(sh_a) AS sa", "size(sh_b) AS sb")
+      // keeps the multi-referenced alias staged. Count-only
+      // IntersectSize kernel (r16): same value, no per-pair array.
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.TextOps.intersectSize(col("sh_a"), col("sh_b"))
+          .as("inter"),
+        size(col("sh_a")).as("sa"), size(col("sh_b")).as("sb"))
       .selectExpr("doc_a", "doc_b",
         """cast(round(inter * cast(1000000 as double) / sa) as bigint)
            AS containment_a_e6""",
@@ -531,11 +537,14 @@ object LlmText {
     val jac = candidates(spark, sfDir)
       // intersect computed ONCE (the llm_setsim_join fix class): the
       // former inline jaccard ran array_intersect twice per candidate
-      // pair. inter is referenced twice below, so CollapseProject
-      // keeps the projection staged; the double division is identical.
-      .selectExpr("doc_a", "doc_b",
-        "size(array_intersect(sh_a, sh_b)) AS inter",
-        "size(sh_a) AS sa", "size(sh_b) AS sb")
+      // pair. Count-only IntersectSize kernel (r16): same value, no
+      // per-pair array. inter is referenced twice below, so
+      // CollapseProject keeps the projection staged; the double
+      // division is identical.
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.TextOps.intersectSize(col("sh_a"), col("sh_b"))
+          .as("inter"),
+        size(col("sh_a")).as("sa"), size(col("sh_b")).as("sb"))
       .selectExpr("doc_a", "doc_b",
         "inter / (sa + sb - inter) AS jaccard")
     val sym = jac.select(col("doc_a").as("src"), col("doc_b").as("nbr"),
@@ -3054,8 +3063,11 @@ object LlmText {
       // threshold moves to exact integer arithmetic: J = i/(a+b−i) ≥ ½
       // ⟺ 3i ≥ a+b, no double rounding anywhere until the emitted
       // jaccard itself (same int-ratio division in the DuckDB twin).
-      .selectExpr("doc_a", "doc_b", "sz_a", "sz_b",
-        "size(array_intersect(t_a, t_b)) AS inter")
+      // r16: count-only IntersectSize kernel — same value per pair, no
+      // intersection-array allocation on the 310k-candidate verify.
+      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"),
+        graft.functions.TextOps.intersectSize(col("t_a"), col("t_b"))
+          .as("inter"))
       .where(expr("3 * inter >= sz_a + sz_b"))
       .selectExpr("doc_a", "doc_b",
         "inter / (sz_a + sz_b - inter) AS jaccard")

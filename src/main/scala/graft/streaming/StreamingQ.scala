@@ -1789,13 +1789,15 @@ object StreamingQ {
               """aggregate(zip_with(sig_i, sig_e, (x, y) -> IF(x = y, 1, 0)),
                            0, (acc, v) -> acc + v)""") >= 3)
             // exact integer form of J ≥ ½ (3i ≥ a+b, the setsim fix
-            // class, r16): ONE array_intersect per pair — the former
-            // ratio predicate evaluated it twice (codegen CSE does not
-            // collapse the duplicate). Identical row set: sizes are
-            // exact ints, equality at J = 0.5 included both ways.
-            .where(expr(
-              """3 * size(array_intersect(sh_i, sh_e)) >=
-                 size(sh_i) + size(sh_e)"""))
+            // class, r16): ONE count-only IntersectSize per pair — the
+            // former ratio predicate evaluated array_intersect twice
+            // (codegen CSE does not collapse the duplicate) and
+            // allocated the intersection array both times. Identical
+            // row set: sizes are exact ints, equality at J = 0.5
+            // included both ways.
+            .where(graft.functions.TextOps.intersectSize(
+                col("sh_i"), col("sh_e")) * 3 >=
+              size(col("sh_i")) + size(col("sh_e")))
             .groupBy("inc_doc").agg(min(col("ex_doc")).as("near_of"))
           rows.select("doc_id", "fp")
             .join(exFp, Seq("fp"), "left_outer")

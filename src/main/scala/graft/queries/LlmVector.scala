@@ -239,7 +239,18 @@ object LlmVector {
     * llm_ann_lsh_tune_xl 4.36 → 0.88 s, tune_wide 2.30 → 0.97 s,
     * planted 3.41 → 1.13 s; every bucket string bit-identical,
     * Round16Spec-pinned). posexplode's pos IS the table index — same
-    * (vec_id, tbl, bucket) rows as the union. */
+    * (vec_id, tbl, bucket) rows as the union.
+    *
+    * Null-embedding behavior (ADVICE r16, intentional): SignBuckets is
+    * null-in/null-out and posexplode skips a null array, so a row with
+    * a NULL embedding produces NO bucket rows — it can never be an ANN
+    * candidate. (The pre-r16 union form bucketed such rows as the
+    * all-zero string via when(...).otherwise("0"), silently colliding
+    * them into one hot bucket.) The testdata embeddings column is
+    * non-null end to end, so no declared result depends on the
+    * difference; a production intake wanting nulls surfaced should
+    * filter/flag them upstream of the index build. Same applies at the
+    * hardNegatives partner-side union. */
   private[graft] def lshBucketRows(batch: DataFrame, nBits: Int,
                                    nTables: Int = 4): DataFrame =
     batch.select(col("vec_id"),

@@ -1391,13 +1391,13 @@ object Windows {
          SELECT b, x, y, CAST(NULL AS BIGINT) FROM bpts WHERE b IN (0, 23)
          ORDER BY bucket""",
     "win_holt_linear" ->
-      """WITH RECURSIVE hourly AS (
+      """WITH RECURSIVE hourly AS MATERIALIZED (
            SELECT event_type,
                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
                     AS x
            FROM events GROUP BY 1, 2),
-         srt AS (
+         srt AS MATERIALIZED (
            SELECT event_type, x,
                   row_number() OVER (PARTITION BY event_type
                     ORDER BY bucket) AS rn,

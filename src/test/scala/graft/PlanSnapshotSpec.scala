@@ -26,7 +26,9 @@ class PlanSnapshotSpec extends AnyFunSuite {
     .getOrCreate()
 
   private val sfDir = "/root/testdata/sf0.001"
-  private val snapshotPath = "plans_r16.json"
+  // r17: regenerated snapshot — exactly one intentional drift vs
+  // plans_r16.json (llm_setsim_join: posexplode + positional filter).
+  private val snapshotPath = "plans_r17.json"
 
   private lazy val committed: Map[String, String] = {
     val txt = Files.readString(Paths.get(snapshotPath))

@@ -196,6 +196,17 @@ object Prof {
         SparkEntry.queries("llm_label_propagation")(spark, sfDir))
     }
 
+    if (groups("spatial")) {
+      // candidate-volume decomposition of the grid radius join: how
+      // many (probe, build) rows share a cell, how many survive a<b,
+      // and the full-key wall — drives the half-plane neighborhood A/B.
+      val key = SparkEntry.queries("join_spatial_grid")
+      time("spatial: full key")(key(spark, sfDir))
+      import graft.Tables.t
+      val pts = t(spark, sfDir, "customer").count()
+      println(s"[prof] spatial: n customers = $pts")
+    }
+
     if (groups("mmr")) {
       time("mmr: full key")(
         SparkEntry.queries("llm_mmr_diversify")(spark, sfDir))

@@ -676,8 +676,30 @@ object Joins {
         "cast((((cell_lon + d.lo) % 120) + 120) % 120 as int) AS cell_lon")
     val build = pts.selectExpr("c_custkey AS cust_b", "lat_e4 AS lat_b",
       "lon_e4 AS lon_b", "cell_lat", "cell_lon")
+    // Δlat PRE-FILTER before the trig (r17, guide §1.2 per-task work):
+    // the haversine lives in the JOIN CONDITION (the hav ≤ const
+    // predicate references both sides, so Catalyst pushes it there),
+    // i.e. it runs sin/cos/radians ×3 for EVERY cell-matched candidate.
+    // Great-circle distance is ≥ the meridian separation, so any true
+    // pair has |Δlat| ≤ (300 km / 6371 km)·(180/π)° = 2.6979° =
+    // 26 980 e4-units (ceil — completeness-safe; the exact hav verify
+    // still follows). One integer compare, placed BEFORE the a < b and
+    // hav conjuncts, prunes ~55% of the up-to-6°-lat-span candidates
+    // off the trig path. Local wall sits inside this key's ±0.5 s
+    // ambient band (min-of-10 A/Bs flipped sign with measurement
+    // ORDER — whichever variant ran second was ~0.3 s faster), so the
+    // claim is the arithmetic, not a wall delta: strictly fewer trig
+    // evaluations at any scale, zero added cost on surviving rows.
+    // Candidate generation itself is unchanged — a half-plane
+    // neighborhood variant (8 of 15 probe cells + least/greatest
+    // re-orientation) was built and REVERTED: its hav count is
+    // identical (the a<b guard already skipped trig on the discarded
+    // twin), the halved hash probes are cheap, and it ADDS
+    // per-candidate orientation expressions — no demonstrable win
+    // under either measurement order (OPTIMIZATION_r17.md).
     probe.join(build, Seq("cell_lat", "cell_lon"))
-      .where(col("cust_a") < col("cust_b"))
+      .where(abs(col("lat_a") - col("lat_b")) <= lit(26980L) &&
+        col("cust_a") < col("cust_b"))
       .selectExpr("cust_a", "cust_b", s"$SpatialHav AS hav")
       .where(expr("hav <= power(sin(300.0 / 12742.0), 2)"))
       .selectExpr("cust_a", "cust_b",

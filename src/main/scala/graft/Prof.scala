@@ -55,6 +55,44 @@ object Prof {
     if (groups("fuzzy")) {
       time("fuzzy: full key")(
         SparkEntry.queries("join_fuzzy_blocked")(spark, sfDir))
+      // candidate-volume A/B for the r17 depth-asymmetric SymDelete:
+      // distinct (d_key, c_custkey) candidate pairs under depth-2/2
+      // (r16) vs depth-1/2-minus-identity (r17) enumeration.
+      val c = t(spark, sfDir, "customer")
+      def vAll(s: String, len: Int) =
+        s"""array_distinct(concat(array($s),
+              transform(sequence(1, $len),
+                i -> concat(substring($s, 1, i - 1), substring($s, i + 1))),
+              flatten(transform(sequence(1, ${len - 1}),
+                i -> transform(sequence(i + 1, $len),
+                  j -> concat(substring($s, 1, i - 1),
+                              substring($s, i + 1, j - i - 1),
+                              substring($s, j + 1)))))))"""
+      def v1(s: String, len: Int) =
+        s"""array_distinct(concat(array($s),
+              transform(sequence(1, $len),
+                i -> concat(substring($s, 1, i - 1), substring($s, i + 1)))))"""
+      val dirty = c.selectExpr("c_custkey AS d_key", "c_nationkey AS d_nat",
+        "c_mktsegment AS d_seg",
+        """substring(concat(substring(c_name, 1, CAST(9 + c_custkey % 9 AS INT)),
+                  substring(c_name, CAST(11 + c_custkey % 9 AS INT))), 10)
+           AS dsuf""")
+      val clean = c.selectExpr("c_custkey", "c_nationkey", "c_mktsegment",
+        "substring(c_name, 10, 9) AS csuf")
+      def cands(dv: String, cv: String): Long =
+        dirty.selectExpr("d_key", "d_nat", "d_seg", s"explode($dv) AS variant")
+          .as("dv").join(
+            clean.selectExpr("c_custkey", "c_nationkey", "c_mktsegment",
+              s"explode($cv) AS variant").as("cv"),
+            col("dv.variant") === col("cv.variant") &&
+              col("dv.d_nat") === col("cv.c_nationkey") &&
+              col("dv.d_seg") === col("cv.c_mktsegment"))
+          .select("d_key", "c_custkey").distinct().count()
+      println(s"[prof] fuzzy: cand pairs depth-2/2   = " +
+        cands(vAll("dsuf", 8), vAll("csuf", 9)))
+      println(s"[prof] fuzzy: cand pairs depth-1/2-id = " +
+        cands(v1("dsuf", 8),
+          vAll("csuf", 9).replaceFirst("array\\(csuf\\),\\s*", "")))
     }
 
     if (groups("theil")) {

@@ -522,29 +522,49 @@ object Joins {
          AS dirty_name""")
     val clean = c.select(col("c_custkey"), col("c_nationkey"),
       col("c_mktsegment"), col("c_name"))
-    // ≤2-deletion variant enumeration (original + single + pair
-    // deletions, deduplicated) — fixed-length suffixes make the
-    // variant count a constant (37 / 46 per row)
-    def delVariants(s: String, len: Int): String =
-      s"""array_distinct(concat(
-            array($s),
-            transform(sequence(1, $len),
-              i -> concat(substring($s, 1, i - 1), substring($s, i + 1))),
-            flatten(transform(sequence(1, ${len - 1}),
-              i -> transform(sequence(i + 1, $len),
-                j -> concat(substring($s, 1, i - 1),
-                            substring($s, i + 1, j - i - 1),
-                            substring($s, j + 1)))))))"""
+    // Deletion-variant enumeration, DEPTH-ASYMMETRIC (r17). The corpus
+    // invariant is Δlen = 1 (every dirty suffix is a clean suffix with
+    // exactly one digit dropped: 8 vs 9 chars), and for strings with
+    // Δlen = 1 any lev ≤ 2 script from dirty→clean is exactly
+    // {1 insertion + at most 1 substitution} — so a common deletion
+    // string always exists with ≤ 1 deletion on the DIRTY side (delete
+    // the substituted char if any) and {1 + #sub} ≤ 2 on the clean
+    // side. Depth 1 on dirty (identity + 8 singles = 9 variants, was
+    // 37) keeps candidate completeness for the lev ≤ 2 answer; the
+    // clean side stays depth 2 but drops its IDENTITY variant — a
+    // 9-char string can never equal a ≤ 8-char dirty variant, so that
+    // row was 15 k dead join input (45 variants, was 46). Measured at
+    // sf0.1 (graft.Prof fuzzy): dirty explode 555 k → 135 k rows while
+    // the DISTINCT candidate pair set is bit-identical (109,086 pairs
+    // under both enumerations) — the depth-2 dirty variants only
+    // re-found pairs depth 1 already finds, so the cut is pure join-
+    // input and dedup-shuffle volume; answer unchanged (oracle PASS
+    // at sf0.001 and sf0.01).
+    def delVariants(s: String, len: Int, depth1: Boolean): String =
+      if (depth1)
+        s"""array_distinct(concat(
+              array($s),
+              transform(sequence(1, $len),
+                i -> concat(substring($s, 1, i - 1), substring($s, i + 1)))))"""
+      else
+        s"""array_distinct(concat(
+              transform(sequence(1, $len),
+                i -> concat(substring($s, 1, i - 1), substring($s, i + 1))),
+              flatten(transform(sequence(1, ${len - 1}),
+                i -> transform(sequence(i + 1, $len),
+                  j -> concat(substring($s, 1, i - 1),
+                              substring($s, i + 1, j - i - 1),
+                              substring($s, j + 1)))))))"""
     val dirtyK = dirty
       .selectExpr("d_key", "d_nat", "d_seg", "dirty_name",
         "substring(dirty_name, 10) AS dsuf")
       .selectExpr("d_key", "d_nat", "d_seg", "dirty_name",
-        s"explode(${delVariants("dsuf", 8)}) AS variant")
+        s"explode(${delVariants("dsuf", 8, depth1 = true)}) AS variant")
     val cleanK = clean
       .selectExpr("c_custkey", "c_nationkey", "c_mktsegment", "c_name",
         "substring(c_name, 10, 9) AS csuf")
       .selectExpr("c_custkey", "c_nationkey", "c_mktsegment", "c_name",
-        s"explode(${delVariants("csuf", 9)}) AS variant")
+        s"explode(${delVariants("csuf", 9, depth1 = false)}) AS variant")
     val cand = dirtyK.as("dv").join(cleanK.as("cv"),
         col("dv.variant") === col("cv.variant") &&
           col("dv.d_nat") === col("cv.c_nationkey") &&
